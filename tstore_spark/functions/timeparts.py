@@ -1,0 +1,71 @@
+"""Datetime-component partitioning grammar.
+
+Re-expresses the reference's partitioning grammar — a ``/``-joined string over
+components ``year|month|day|doy|dow|hh|mm|ss`` with month/day vs doy mutual
+exclusivity (reference: tstore/archive/partitions.py:14-118) — as Spark
+built-in column expressions. At scale these hive partition columns give the
+same partition pruning Iceberg's hidden ``days()`` transform would; they are
+dropped again on read, so the logical schema never sees them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# component -> (partition column name, expression builder)
+PARTITION_COMPONENTS: dict[str, callable] = {
+    "year": F.year,
+    "month": F.month,
+    "day": F.dayofmonth,
+    "doy": F.dayofyear,
+    "dow": F.dayofweek,
+    "hh": F.hour,
+    "mm": F.minute,
+    "ss": F.second,
+}
+
+_EXCLUSIVE = ({"month", "doy"}, {"day", "doy"})
+
+
+def check_partitioning(partitioning: str | None) -> list[str]:
+    """Validate and split a partitioning string (reference partitions.py:57-100)."""
+    if partitioning is None or partitioning == "":
+        return []
+    if not isinstance(partitioning, str):
+        raise TypeError(f"partitioning must be a string, got {type(partitioning)}")
+    comps = partitioning.split("/")
+    for c in comps:
+        if c not in PARTITION_COMPONENTS:
+            raise ValueError(
+                f"invalid partitioning component {c!r}; valid: {sorted(PARTITION_COMPONENTS)}"
+            )
+    if len(set(comps)) != len(comps):
+        raise ValueError(f"duplicate partitioning components in {partitioning!r}")
+    s = set(comps)
+    for bad in _EXCLUSIVE:
+        if bad <= s:
+            raise ValueError(f"components {sorted(bad)} are mutually exclusive")
+    return comps
+
+
+def partition_columns(partitioning: str | None) -> list[str]:
+    return [f"p_{c}" for c in check_partitioning(partitioning)]
+
+
+def add_partitioning_columns(df: DataFrame, time_var: str, partitioning: str | None) -> DataFrame:
+    """Materialize partition columns ``p_<component>`` from the time column
+    (reference partitions.py:103-118). Readers drop them again."""
+    for c in check_partitioning(partitioning):
+        df = df.withColumn(f"p_{c}", PARTITION_COMPONENTS[c](F.col(time_var)))
+    return df
+
+
+def bucket_column(col: str | Column, num_buckets: int) -> Column:
+    """Emulation of Iceberg's ``bucket(N, col)`` transform: stable hash mod N.
+
+    ``xxhash64`` is a fixed, documented hash — bucket assignment is
+    deterministic across runs/parallelism (unlike ``hash`` of floats).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c), F.lit(num_buckets)).cast("int")

@@ -1,0 +1,242 @@
+"""Tumbling-window continuous aggregates at 1m/1h/1d retention tiers.
+
+The graft layer (BASELINE.json north_rule) on top of the reference's archive
+semantics. The reference has no rollup at all (SURVEY.md top); this module is
+designed Spark-first:
+
+- **Mergeable exact state.** Each tier row carries, besides the final
+  metrics, the state needed to re-aggregate the next tier up *exactly*:
+  a text-length histogram (``hist_lens``/``hist_cnts`` parallel sorted
+  arrays — bounded by #distinct lengths, never by #docs) and the distinct
+  language set (bounded by #languages). 1h is computed from 1m, 1d from 1h;
+  results are bit-identical to computing from raw, at a fraction of the cost.
+- **Every shuffle has map-side combine.** The histogram is built with a
+  two-stage groupBy (first over (key, window, len) — partial counts combine
+  map-side — then over (key, window)), never with collect_list of raw values.
+- **Exact + deterministic under parallelism.** count / byte sums are integer;
+  distinct langs is an exact sorted set; percentiles are computed from the
+  histogram with numpy linear interpolation (pandas ``quantile`` semantics)
+  inside a vectorized Arrow UDF — a pure function of the sorted histogram, so
+  identical at local[2] and local[32].
+
+Scale note (100 TB): both groupBys hash-partition on (domain, window) —
+domain skew is handled upstream by :mod:`tstore_spark.operators.skew` salting
+(the (key, window, len) pre-aggregation itself acts as a salt on the hot
+domain since `len` spreads it over the cluster).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType
+
+from tstore_spark.functions.urls import domain_of
+
+#: tier name -> date_trunc unit
+TIERS = {"1m": "minute", "1h": "hour", "1d": "day"}
+#: cascade order: each tier is computed from the previous
+TIER_ORDER = ["1m", "1h", "1d"]
+
+PCTS = (0.5, 0.9, 0.99)
+
+
+# ---------------------------------------------------------------------------
+# percentiles from histogram (vectorized Arrow UDF — the only Python here)
+# ---------------------------------------------------------------------------
+
+def _pcts_from_hist(lens: np.ndarray, cnts: np.ndarray, qs=PCTS) -> list[float]:
+    """Exact linear-interpolation percentiles over a (value, count) histogram.
+
+    Equivalent to ``np.quantile(np.repeat(lens, cnts), q)`` without expanding:
+    value at expanded index i is lens[j], j = first index with cumsum > i.
+    """
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        pos = (n - 1) * q
+        lo = int(np.floor(pos))
+        hi = int(np.ceil(pos))
+        v_lo = float(lens[np.searchsorted(cum, lo, side="right")])
+        v_hi = float(lens[np.searchsorted(cum, hi, side="right")])
+        out.append(v_lo + (v_hi - v_lo) * (pos - lo))
+    return out
+
+
+@pandas_udf(ArrayType(DoubleType()))
+def _hist_percentiles(hist_lens: pd.Series, hist_cnts: pd.Series) -> pd.Series:
+    """[p50, p90, p99] per row. Rows here are *windows*, not documents —
+    the doc-proportional work stayed in the JVM aggregation."""
+    return pd.Series(
+        [
+            _pcts_from_hist(np.asarray(ls, dtype=np.int64), np.asarray(cs, dtype=np.int64))
+            for ls, cs in zip(hist_lens, hist_cnts)
+        ]
+    )
+
+
+def _attach_percentiles(df: DataFrame) -> DataFrame:
+    p = _hist_percentiles(F.col("hist_lens"), F.col("hist_cnts"))
+    return (
+        df.withColumn("_p", p)
+        .withColumn("text_len_p50", F.col("_p")[0])
+        .withColumn("text_len_p90", F.col("_p")[1])
+        .withColumn("text_len_p99", F.col("_p")[2])
+        .drop("_p")
+    )
+
+
+_FINAL_COLS = [
+    "domain",
+    "window_start",
+    "doc_count",
+    "bytes_total",
+    "lang_set",
+    "lang_distinct",
+    "hist_lens",
+    "hist_cnts",
+    "text_len_p50",
+    "text_len_p90",
+    "text_len_p99",
+    "gap_filled",
+]
+
+
+def rollup_from_raw(pages: DataFrame, tier: str, key_col=None, time_col: str = "warc_ts") -> DataFrame:
+    """Build one rollup tier directly from raw pages.
+
+    Used for the finest tier (1m); coarser tiers should use
+    :func:`rollup_cascade` (exact and far cheaper).
+    """
+    unit = TIERS[tier]
+    key = key_col if key_col is not None else domain_of("url")
+    base = pages.select(
+        key.alias("domain"),
+        F.date_trunc(unit, F.col(time_col)).alias("window_start"),
+        F.octet_length("html").alias("_bytes"),
+        F.length("text").alias("_len"),
+        F.col("lang"),
+    )
+
+    # metrics agg: integer sums + bounded collect_set — map-side combine on all
+    main = base.groupBy("domain", "window_start").agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum("_bytes").alias("bytes_total"),
+        F.array_sort(F.collect_set("lang")).alias("lang_set"),
+    )
+
+    # histogram agg: two-stage so no unbounded per-group list is ever built
+    hist = (
+        base.groupBy("domain", "window_start", "_len")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .groupBy("domain", "window_start")
+        .agg(F.array_sort(F.collect_list(F.struct("_len", "_cnt"))).alias("_h"))
+        .select(
+            "domain",
+            "window_start",
+            F.transform("_h", lambda x: x["_len"]).alias("hist_lens"),
+            F.transform("_h", lambda x: x["_cnt"]).alias("hist_cnts"),
+        )
+    )
+
+    # both sides exit their aggregation hash-partitioned on the join key ->
+    # Catalyst reuses the partitioning, no extra exchange
+    out = main.join(hist, ["domain", "window_start"])
+    out = out.withColumn("lang_distinct", F.size("lang_set").cast("long"))
+    out = _attach_percentiles(out).withColumn("gap_filled", F.lit(False))
+    return out.select(*_FINAL_COLS)
+
+
+def rollup_cascade(child: DataFrame, tier: str) -> DataFrame:
+    """Re-aggregate the tier below into this tier — exact by construction.
+
+    count/bytes: integer sums. lang_set: distinct of union. histogram:
+    explode + two-stage regroup (again map-side combinable). Percentiles are
+    recomputed from the merged histogram with the same UDF, so a 1d value
+    equals the value you would get from raw.
+    """
+    unit = TIERS[tier]
+    ws = F.date_trunc(unit, F.col("window_start")).alias("window_start")
+
+    main = child.groupBy("domain", ws).agg(
+        F.sum("doc_count").alias("doc_count"),
+        F.sum("bytes_total").alias("bytes_total"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("lang_set")))).alias("lang_set"),
+    )
+
+    hist = (
+        child.select(
+            "domain",
+            ws,
+            F.explode(F.arrays_zip("hist_lens", "hist_cnts")).alias("_e"),
+        )
+        .select("domain", "window_start", F.col("_e.hist_lens").alias("_len"), F.col("_e.hist_cnts").alias("_cnt"))
+        .groupBy("domain", "window_start", "_len")
+        .agg(F.sum("_cnt").alias("_cnt"))
+        .groupBy("domain", "window_start")
+        .agg(F.array_sort(F.collect_list(F.struct("_len", "_cnt"))).alias("_h"))
+        .select(
+            "domain",
+            "window_start",
+            F.transform("_h", lambda x: x["_len"]).alias("hist_lens"),
+            F.transform("_h", lambda x: x["_cnt"]).alias("hist_cnts"),
+        )
+    )
+
+    out = main.join(hist, ["domain", "window_start"])
+    out = out.withColumn("lang_distinct", F.size("lang_set").cast("long"))
+    out = _attach_percentiles(out).withColumn("gap_filled", F.lit(False))
+    return out.select(*_FINAL_COLS)
+
+
+def rollup_all_tiers(pages: DataFrame, key_col=None, time_col: str = "warc_ts") -> dict[str, DataFrame]:
+    """The full cascade: raw -> 1m -> 1h -> 1d."""
+    tiers: dict[str, DataFrame] = {}
+    tiers["1m"] = rollup_from_raw(pages, "1m", key_col=key_col, time_col=time_col)
+    tiers["1h"] = rollup_cascade(tiers["1m"], "1h")
+    tiers["1d"] = rollup_cascade(tiers["1h"], "1d")
+    return tiers
+
+
+# ---------------------------------------------------------------------------
+# pandas oracle (single-threaded, straight-line) — the test-time ground truth
+# ---------------------------------------------------------------------------
+
+def rollup_oracle_pandas(pages_pdf: pd.DataFrame, tier: str) -> pd.DataFrame:
+    """Straight-line pandas implementation of a tier from raw (FIXTURES.md F4)."""
+    unit = {"1m": "min", "1h": "h", "1d": "D"}[tier]
+    df = pages_pdf.copy()
+    df["domain"] = df["url"].str.extract(r"https?://([^/]+)/", expand=False)
+    df["window_start"] = df["warc_ts"].dt.floor(unit)
+    df["_bytes"] = df["html"].map(len)
+    df["_len"] = df["text"].str.len()
+
+    def per_group(g: pd.DataFrame) -> pd.Series:
+        lens = np.sort(g["_len"].to_numpy(np.int64))
+        uniq, cnts = np.unique(lens, return_counts=True)
+        p50, p90, p99 = _pcts_from_hist(uniq, cnts)
+        return pd.Series(
+            {
+                "doc_count": len(g),
+                "bytes_total": int(g["_bytes"].sum()),
+                "lang_set": sorted(set(g["lang"])),
+                "lang_distinct": g["lang"].nunique(),
+                "hist_lens": uniq.tolist(),
+                "hist_cnts": cnts.tolist(),
+                "text_len_p50": p50,
+                "text_len_p90": p90,
+                "text_len_p99": p99,
+                "gap_filled": False,
+            }
+        )
+
+    out = (
+        df.groupby(["domain", "window_start"], sort=True)
+        .apply(per_group, include_groups=False)
+        .reset_index()
+    )
+    return out
