@@ -1,0 +1,99 @@
+"""Gap-fill for rollup tiers — synthesize empty windows, interpolate values.
+
+No Spark built-in does this (SURVEY §2b); the reference has nothing either.
+Spark-first construction, all JVM-side:
+
+1. Per key, build the expected time grid with ``sequence(min_ws, max_ws,
+   interval)`` + ``explode`` (or an explicit [start, end) range).
+2. Left-join the tier rows onto the grid — both sides hash-partition on
+   (domain, window_start), so this is a co-partitioned join after the
+   per-domain grid explode.
+3. Counts/bytes/distinct default to 0 on synthesized rows; percentile columns
+   are linearly interpolated between the nearest real neighbors using window
+   functions (``last(..., ignoreNulls)`` forward + ``first(..., ignoreNulls)``
+   backward) — no Python, deterministic.
+
+Scale note: grids are per-domain and bounded by the tier's window count
+(e.g. 1440/day for 1m) — the explode is tiny next to the fact table. The
+window functions partition by domain; skew is bounded because every domain
+has the same grid length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# DayTimeIntervalType steps (make_dt_interval(days, hours, mins, secs)) —
+# valid `sequence` steps for both TIMESTAMP and TIMESTAMP_NTZ inputs
+TIER_INTERVAL = {
+    "1m": (0, 0, 1, 0),
+    "1h": (0, 1, 0, 0),
+    "1d": (1, 0, 0, 0),
+}
+
+_ZERO_FILL = ["doc_count", "bytes_total", "lang_distinct"]
+_INTERP = ["text_len_p50", "text_len_p90", "text_len_p99"]
+
+
+def gap_fill(
+    tier_df: DataFrame,
+    tier: str,
+    start=None,
+    end=None,
+    interpolate: bool = True,
+    key: str = "domain",
+    time_col: str = "window_start",
+) -> DataFrame:
+    """Return the tier with missing windows synthesized (``gap_filled=true``).
+
+    start/end (optional timestamps) bound the grid; default: each key's own
+    [min, max] observed window range.
+    """
+    d, h, m, s = TIER_INTERVAL[tier]
+    interval = F.make_dt_interval(F.lit(d), F.lit(h), F.lit(m), F.lit(s))
+
+    if start is not None and end is not None:
+        keys = tier_df.select(key).distinct()
+        grid = keys.select(
+            key,
+            F.explode(
+                F.sequence(F.lit(start).cast("timestamp"), F.lit(end).cast("timestamp"), interval)
+            ).alias(time_col),
+        )
+    else:
+        bounds = tier_df.groupBy(key).agg(
+            F.min(time_col).cast("timestamp").alias("_lo"),
+            F.max(time_col).cast("timestamp").alias("_hi"),
+        )
+        grid = bounds.select(
+            key, F.explode(F.sequence("_lo", "_hi", interval)).alias(time_col)
+        )
+    grid = grid.withColumn(time_col, F.col(time_col).cast("timestamp"))
+
+    joined = grid.join(tier_df, [key, time_col], "left")
+    out = joined.withColumn("gap_filled", F.col("doc_count").isNull())
+    for c in _ZERO_FILL:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    out = out.withColumn("lang_set", F.coalesce("lang_set", F.array().cast("array<string>")))
+    out = out.withColumn("hist_lens", F.coalesce("hist_lens", F.array().cast("array<int>")))
+    out = out.withColumn("hist_cnts", F.coalesce("hist_cnts", F.array().cast("array<bigint>")))
+
+    if interpolate:
+        w_back = Window.partitionBy(key).orderBy(time_col).rowsBetween(Window.unboundedPreceding, 0)
+        w_fwd = Window.partitionBy(key).orderBy(time_col).rowsBetween(0, Window.unboundedFollowing)
+        ts_long = F.col(time_col).cast("long")
+        prev_t = F.last(F.when(~F.col("gap_filled"), ts_long), ignorenulls=True).over(w_back)
+        next_t = F.first(F.when(~F.col("gap_filled"), ts_long), ignorenulls=True).over(w_fwd)
+        for c in _INTERP:
+            prev_v = F.last(F.when(~F.col("gap_filled"), F.col(c)), ignorenulls=True).over(w_back)
+            next_v = F.first(F.when(~F.col("gap_filled"), F.col(c)), ignorenulls=True).over(w_fwd)
+            interp = F.when(
+                ~F.col("gap_filled"), F.col(c)
+            ).when(
+                prev_v.isNotNull() & next_v.isNotNull(),
+                prev_v + (next_v - prev_v) * (ts_long - prev_t) / (next_t - prev_t),
+            ).otherwise(F.coalesce(prev_v, next_v))
+            out = out.withColumn(c, interp)
+
+    return out

@@ -1,0 +1,57 @@
+"""Explicit skew handling: salted two-stage aggregation + salted repartition.
+
+The north rule demands explicit hot-domain skew handling (Zipf-skewed domains
+mean one domain can carry ~30% of all rows — a single reducer at 100 TB).
+AQE skew-join splitting is enabled as backstop (session.py), but the rollup
+groupBy needs the classic two-stage pattern:
+
+  stage 1: groupBy(key, salt)  — the hot key spreads over S reducers
+  stage 2: groupBy(key)        — merges S partials (tiny)
+
+The salt is derived deterministically from a uniformizing column (xxhash64 of
+the time column) — never from random(), so results are reproducible and
+partial-agg content does not depend on scheduling.
+
+For exact-state rollups (histograms, lang sets) the two-stage shape is already
+built into rollup.py (the (key, window, len) pre-aggregation is itself a
+salt); this module provides the generic helper for simple metric aggs and the
+salted repartition used before archive writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_column(uniformizer: str | Column, num_salts: int) -> Column:
+    c = F.col(uniformizer) if isinstance(uniformizer, str) else uniformizer
+    return F.pmod(F.xxhash64(c), F.lit(num_salts)).cast("int")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple],
+    uniformizer: str,
+    num_salts: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for re-aggregatable metrics.
+
+    aggs: output_name -> (partial_fn, merge_fn, input_col), e.g.
+      {"doc_count": (F.count, F.sum, F.lit(1)),
+       "bytes_total": (F.sum, F.sum, "bytes")}
+    """
+    salted = df.withColumn("_salt", salt_column(uniformizer, num_salts))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[p(c).alias(name) for name, (p, _, c) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[m(name).alias(name) for name, (_, m, _) in aggs.items()]
+    )
+
+
+def salted_repartition(df: DataFrame, keys: list[str], uniformizer: str, num_salts: int = 16) -> DataFrame:
+    """Repartition on (keys..., salt) so a hot key's rows spread over
+    num_salts tasks — used before per-partition writes of skewed data."""
+    return df.repartition(*[F.col(k) for k in keys], salt_column(uniformizer, num_salts))
