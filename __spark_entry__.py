@@ -1,38 +1,475 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises an engine operator (SURVEY.md §2 / §2b)
+against the driver's testdata tables; ``oracle_sql()`` gives the DuckDB
+ground truth. Exactness strategy: money/metric sums in integer cents
+(``sum(cast(round(x*100) as bigint))``) so aggregation order never matters;
+percentiles via linear interpolation (identical semantics both engines),
+rounded; rank ties broken on ids. DuckDB sums are cast to BIGINT to match
+Spark's long (DuckDB sum(bigint) is HUGEINT otherwise).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from tstore_spark.functions import text as TX
+from tstore_spark.functions.filters import time_range_filter
+from tstore_spark.operators import dedup as DD
+from tstore_spark.operators import gorilla
+from tstore_spark.operators import multimodal as MM
+from tstore_spark.operators import similarity as SIM
+from tstore_spark.operators.gapfill import gap_fill
+from tstore_spark.operators.metric_rollup import (
+    finalize,
+    metric_rollup_all_tiers,
+)
+from tstore_spark.operators.skew import salted_agg
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query (driver smoke check at sf0.001)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: exact 1m→1h rollup cascade over the events stream."""
+    events = _t(spark, "/root/testdata/sf0.001", "events")
+    tiers = metric_rollup_all_tiers(events)
+    return finalize(tiers["1h"])
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_rollup(tier: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tiers = metric_rollup_all_tiers(_t(spark, sf_dir, "events"))
+        return finalize(tiers[tier])
+
+    return run
+
+
+def _q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_cents"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(_cents("l_extendedprice")).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(_cents("value")).alias("value_cents"))
+        .orderBy(F.desc("value_cents"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    piv = (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select("day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES])
+
+
+def _q_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select("event_type").distinct()
+
+
+def _q_time_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(time_range_filter("ts", "2024-01-10", "2024-01-20", inclusive="left"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(_cents("value")).alias("value_cents"))
+    )
+
+
+def _q_nation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.sum(_cents("c_acctbal")).alias("acctbal_cents"))
+    )
+
+
+def _q_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # testdata timestamps are TIMESTAMP_NTZ; session TZ is pinned UTC so the
+    # cast to TIMESTAMP is exact
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gap = us(F.col("ts")) - us(F.lag("ts").over(w))
+    return (
+        ev.withColumn("_gap_us", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count("_gap_us").alias("n_gaps"),
+            F.floor(F.avg("_gap_us") / 1000.0).cast("long").alias("avg_gap_ms"),
+        )
+        .where(F.col("n_gaps") >= 1)
+    )
+
+
+def _q_gap_fill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    tier = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("event_count"))
+    )
+    filled = gap_fill(
+        tier,
+        "1h",
+        key="event_type",
+        zero_fill=["event_count"],
+        interp_cols=[],
+        array_fill={},
+        presence_col="event_count",
+        interpolate=False,
+    )
+    return filled.select("event_type", "window_start", "event_count", "gap_filled")
+
+
+def _q_gorilla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    tier = (
+        ev.groupBy("event_type", F.date_trunc("minute", "ts").alias("window_start"))
+        .agg(F.count(F.lit(1)).cast("double").alias("event_count"))
+    )
+    chunks = gorilla.compress_tier(tier, value_col="event_count", key="event_type")
+    return chunks.select(
+        F.col("domain").alias("event_type"),
+        "p_day",
+        "n_points",
+        F.octet_length("chunk").cast("long").alias("chunk_bytes"),
+    )
+
+
+def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("_c", _cents("value"))
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": (F.count, F.sum, F.lit(1)),
+            "value_cents": (F.sum, F.sum, "_c"),
+        },
+        uniformizer="ts",
+        num_salts=16,
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.exact_dedup_groups(docs)
+
+
+def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n = TX.ws_token_count("text")
+    hits = TX.stopword_hits("text")
+    return docs.select(
+        "doc_id",
+        n.alias("ws_tokens"),
+        TX.approx_bpe_token_count("text").alias("bpe_tokens"),
+        hits.alias("stop_hits"),
+        TX.lang_id("text").alias("pred_lang"),
+        TX.quality_score("text").alias("quality"),
+        TX.fingerprint("text").alias("fp"),
+    )
+
+
+def _q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.token_jaccard_pairs(docs, block_col="source", threshold=0.98)
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_near_dup_pairs(docs, threshold=0.5)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+def _q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn("blob", F.encode("text", "UTF-8"))
+    return MM.extract_media_meta(docs, "doc_id", "blob")
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn("blob", F.encode("text", "UTF-8"))
+    return MM.decode_and_featurize(docs, "doc_id", "blob", feature_dim=8)
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5)
+    return SIM.cosine_topk(emb, probes, k=3)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5)
+    return SIM.lsh_ann_topk(emb, probes, dim=64, k=3, n_planes=8)
+
+
+def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.round(SIM.l2_norm(F.col("embedding")), 4).alias("l2_norm")
+    )
+
+
+def _q_tslong_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tstore_spark.model.tslong import TSLong
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    tl = TSLong.wrap(ev, id_var="user_id", time_var="ts", ts_vars={"metrics": ["value"]})
+    nested = tl.to_tsdf()
+    back = TSLong.from_tsdf(nested, id_var="user_id", ts_vars={"metrics": ["value"]}, time_var="ts")
+    return back.df.select(F.col("user_id").cast("long").alias("user_id"), "ts", "value")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": _q1_pricing,
+        "q3_top_orders": _q3_top_orders,
+        "top_users_by_value": _q_top_users,
+        "pivot_event_counts": _q_pivot,
+        "distinct_event_types": _q_distinct_types,
+        "time_filter_left": _q_time_filter,
+        "customer_nation_join": _q_nation_join,
+        "user_event_gaps": _q_user_gaps,
+        "rollup_1m": _q_rollup("1m"),
+        "rollup_1h": _q_rollup("1h"),
+        "rollup_1d": _q_rollup("1d"),
+        "gap_fill_1h": _q_gap_fill_1h,
+        "gorilla_chunks": _q_gorilla,
+        "salted_agg_events": _q_salted_agg,
+        "dedup_exact": _q_dedup_exact,
+        "doc_stats": _q_doc_stats,
+        "token_jaccard_pairs": _q_token_jaccard,
+        "minhash_near_dup": _q_minhash,
+        "simhash_near_dup": _q_simhash,
+        "binary_meta": _q_binary_meta,
+        "media_features": _q_media_features,
+        "cosine_topk": _q_cosine_topk,
+        "ann_lsh": _q_ann_lsh,
+        "embedding_norms": _q_embedding_norms,
+        "tslong_roundtrip": _q_tslong_roundtrip,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; table views pre-registered)
+# ---------------------------------------------------------------------------
+
+_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_SW = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this','from','be']"
+_HITS = f"len(list_filter({_TOKS}, t -> list_contains({_SW}, t)))"
+_NTOK = f"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END)"
+
+_ROLLUP_ORACLE = """
+SELECT event_type,
+       CAST(date_trunc('{unit}', ts) AS TIMESTAMP) AS window_start,
+       count(*) AS event_count,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS value_sum,
+       count(DISTINCT user_id) AS user_distinct,
+       round(quantile_cont(value, 0.50), 4) AS value_p50,
+       round(quantile_cont(value, 0.90), 4) AS value_p90,
+       round(quantile_cont(value, 0.99), 4) AS value_p99
+FROM events
+GROUP BY 1, 2
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT o.o_orderkey, o.o_orderdate,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1995-03-15'
+              AND l.l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY revenue_cents DESC, o.o_orderkey ASC
+            LIMIT 10
+        """,
+        "top_users_by_value": """
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY user_id
+            ORDER BY value_cents DESC, user_id ASC LIMIT 20
+        """,
+        "pivot_event_counts": """
+            SELECT CAST(ts AS DATE) AS day,
+                   count(*) FILTER (WHERE event_type = 'click') AS click,
+                   count(*) FILTER (WHERE event_type = 'error') AS error,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                   count(*) FILTER (WHERE event_type = 'view') AS view
+            FROM events GROUP BY 1
+        """,
+        "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "time_filter_left": """
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+            GROUP BY event_type
+        """,
+        "customer_nation_join": """
+            SELECT n.n_name, count(*) AS n_customers,
+                   CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "user_event_gaps": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+                FROM events)
+            SELECT user_id, count(gap_us) AS n_gaps,
+                   CAST(floor(avg(gap_us) / 1000.0) AS BIGINT) AS avg_gap_ms
+            FROM g GROUP BY user_id HAVING count(gap_us) >= 1
+        """,
+        "rollup_1m": _ROLLUP_ORACLE.format(unit="minute"),
+        "rollup_1h": _ROLLUP_ORACLE.format(unit="hour"),
+        "rollup_1d": _ROLLUP_ORACLE.format(unit="day"),
+        "gap_fill_1h": """
+            WITH tier AS (
+                SELECT event_type, date_trunc('hour', ts) AS ws, count(*) AS n
+                FROM events GROUP BY 1, 2),
+            bounds AS (
+                SELECT event_type, min(ws) AS lo, max(ws) AS hi FROM tier GROUP BY 1),
+            grid AS (
+                SELECT event_type, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS window_start
+                FROM bounds)
+            SELECT g.event_type, g.window_start,
+                   CAST(coalesce(t.n, 0) AS BIGINT) AS event_count,
+                   (t.n IS NULL) AS gap_filled
+            FROM grid g LEFT JOIN tier t
+              ON g.event_type = t.event_type AND g.window_start = t.ws
+        """,
+        "salted_agg_events": """
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY event_type
+        """,
+        "dedup_exact": """
+            SELECT md5(lower(trim(text))) AS fp,
+                   min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "doc_stats": f"""
+            SELECT doc_id,
+                   CAST({_NTOK} AS BIGINT) AS ws_tokens,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_tokens,
+                   CAST({_HITS} AS BIGINT) AS stop_hits,
+                   CASE WHEN {_NTOK} > 0 AND CAST({_HITS} AS DOUBLE) / {_NTOK} >= 0.05
+                        THEN 'en' ELSE 'und' END AS pred_lang,
+                   least(1.0, length(text) / 1000.0) * 0.5
+                     + least(1.0, (CASE WHEN {_NTOK} = 0 THEN 0.0
+                                   ELSE CAST({_HITS} AS DOUBLE) / {_NTOK} END) * 5.0) * 0.5
+                     AS quality,
+                   md5(lower(trim(text))) AS fp
+            FROM documents
+        """,
+        "token_jaccard_pairs": f"""
+            WITH d AS (
+                SELECT doc_id, source, list_distinct({_TOKS}) AS toks FROM documents)
+            SELECT id_a, id_b, jaccard FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                             / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+                FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.98
+        """,
+        "binary_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                   sha256(text) AS content_sha,
+                   CASE WHEN text LIKE '<html%' THEN 'text/html'
+                        ELSE 'application/octet-stream' END AS sniffed_type
+            FROM documents
+        """,
+        "cosine_topk": """
+            WITH p AS (
+                SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id < 5),
+            c AS (
+                SELECT p.qid AS query_id, e.vec_id AS neighbor_id,
+                       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), p.q)
+                             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                                * sqrt(list_dot_product(p.q, p.q))), 3) AS cos_sim
+                FROM embeddings e, p WHERE e.vec_id <> p.qid)
+            SELECT query_id, neighbor_id, rank, cos_sim FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+                FROM c) WHERE rank <= 3
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) AS l2_norm
+            FROM embeddings
+        """,
+        "tslong_roundtrip": "SELECT user_id, ts, value FROM events",
+        # no oracle (non-SQL-expressible; driver records rows-only):
+        #   gorilla_chunks, minhash_near_dup, simhash_near_dup, media_features, ann_lsh
+    }

@@ -1,0 +1,83 @@
+"""Dedup operators: exact, token-Jaccard, MinHash+LSH, SimHash.
+
+Strategy mirrors the reference suite's fixture style (small deterministic
+inputs, exact assertions) with planted duplicates so each tier has a known
+answer.
+"""
+
+import pandas as pd
+import pytest
+
+from tstore_spark.operators import dedup as DD
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while a crawler "
+    "archives pages into parquet tiers for rollup and retention"
+)
+
+
+@pytest.fixture(scope="module")
+def docs_sdf(spark):
+    rows = [
+        (0, BASE, "s0"),
+        (1, BASE, "s0"),  # exact dup of 0
+        (2, BASE + " extra token", "s0"),  # near dup of 0
+        (3, "completely different content about embeddings and similarity search", "s1"),
+        (4, "THE QUICK brown fox JUMPS over the lazy dog while a crawler "
+            "archives pages into parquet tiers for rollup and retention", "s1"),  # case-dup of 0
+        (5, "unrelated short text", "s1"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    return spark.createDataFrame(pdf)
+
+
+def test_exact_dedup(docs_sdf):
+    groups = DD.exact_dedup_groups(docs_sdf).collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in groups}
+    # 0,1,4 share a normalized fingerprint (lower+trim)
+    assert by_keep[0] == 3
+    assert by_keep[2] == 1
+    kept = DD.exact_dedup(docs_sdf)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 2, 3, 5]
+
+
+def test_token_jaccard_pairs(docs_sdf):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.token_jaccard_pairs(docs_sdf, block_col=None, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 4)] == 1.0  # case-insensitive tokens
+    assert 0.9 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_minhash_finds_near_dups(docs_sdf):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.minhash_near_dup_pairs(docs_sdf, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 4) in pairs
+    assert (0, 2) in pairs  # shingle jaccard of near-dup is high
+    assert (0, 3) not in pairs
+    assert (3, 5) not in pairs
+
+
+def test_minhash_deterministic(docs_sdf):
+    a = DD.minhash_signatures(docs_sdf).orderBy("doc_id").collect()
+    b = DD.minhash_signatures(docs_sdf.repartition(5)).orderBy("doc_id").collect()
+    assert [r["sig"] for r in a] == [r["sig"] for r in b]
+
+
+def test_simhash_near_dup(docs_sdf):
+    sigs = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs_sdf).collect()}
+    # identical token multisets -> identical signature
+    assert sigs[0] == sigs[1] == sigs[4]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in DD.simhash_near_dup_pairs(docs_sdf, max_hamming=10).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert pairs.get((0, 2), 99) <= 10  # near dup within hamming budget
+    assert (0, 3) not in pairs

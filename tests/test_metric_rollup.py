@@ -1,0 +1,61 @@
+"""Generic metric rollup: cascade exactness + determinism across parallelism."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from tstore_spark.operators.metric_rollup import (
+    finalize,
+    metric_rollup_all_tiers,
+    metric_rollup_from_raw,
+)
+
+
+def _events(n=4000) -> pd.DataFrame:
+    # deterministic synthetic events: 5 types, 40 users, 3 days, 2-dec values
+    i = np.arange(n, dtype=np.int64)
+    h = (i * 2654435761) % (1 << 32)
+    ts = pd.Timestamp("2024-03-01") + pd.to_timedelta((h % (3 * 86400)).astype(np.int64), unit="s")
+    return pd.DataFrame(
+        {
+            "event_type": np.array(["click", "view", "error", "signup", "purchase"])[i % 5],
+            "ts": ts.astype("datetime64[us]"),
+            "user_id": (h % 40).astype(np.int64),
+            "value": np.round(((h % 100000) / 100.0), 2),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def events_sdf(spark):
+    return spark.createDataFrame(_events()).cache()
+
+
+def _collect_sorted(df, key="event_type"):
+    return [tuple(r) for r in df.orderBy(key, "window_start").collect()]
+
+
+def test_cascade_equals_from_raw(events_sdf):
+    tiers = metric_rollup_all_tiers(events_sdf)
+    for tier in ("1h", "1d"):
+        cascaded = _collect_sorted(finalize(tiers[tier]))
+        direct = _collect_sorted(finalize(metric_rollup_from_raw(events_sdf, tier)))
+        assert cascaded == direct, f"tier {tier} cascade != from-raw"
+
+
+def test_deterministic_across_parallelism(events_sdf):
+    a = _collect_sorted(finalize(metric_rollup_all_tiers(events_sdf)["1h"]))
+    b = _collect_sorted(finalize(metric_rollup_all_tiers(events_sdf.repartition(13))["1h"]))
+    assert a == b
+
+
+def test_value_sum_exact(events_sdf):
+    pdf = _events()
+    tier = finalize(metric_rollup_all_tiers(events_sdf)["1d"])
+    got = {(r["event_type"], r["window_start"]): r["value_sum"] for r in tier.collect()}
+    pdf["d"] = pdf["ts"].dt.floor("D")
+    pdf["cents"] = np.round(pdf["value"] * 100).astype(np.int64)
+    for (et, d), grp in pdf.groupby(["event_type", "d"]):
+        assert got[(et, d.to_pydatetime())] == grp["cents"].sum() / 100.0

@@ -1,0 +1,52 @@
+"""Multimodal plumbing: byte metadata, magic sniffing, stubbed decode."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from tstore_spark.operators import multimodal as MM
+
+BLOBS = [
+    (0, b"\x89PNG\r\n\x1a\nrest-of-png"),
+    (1, b"\xff\xd8\xff\xe0jpegdata"),
+    (2, b"RIFF....WAVEfmt "),
+    (3, b"<html><body>hi</body></html>"),
+    (4, b"plain bytes payload"),
+]
+EXPECT_TYPE = {
+    0: "image/png",
+    1: "image/jpeg",
+    2: "audio/wav",
+    3: "text/html",
+    4: "application/octet-stream",
+}
+
+
+@pytest.fixture(scope="module")
+def blobs_sdf(spark):
+    pdf = pd.DataFrame(BLOBS, columns=["doc_id", "blob"])
+    return spark.createDataFrame(pdf, schema="doc_id long, blob binary")
+
+
+def test_extract_media_meta(blobs_sdf):
+    rows = {r["doc_id"]: r for r in MM.extract_media_meta(blobs_sdf, "doc_id", "blob").collect()}
+    for i, blob in BLOBS:
+        assert rows[i]["byte_len"] == len(blob)
+        assert rows[i]["content_sha"] == hashlib.sha256(blob).hexdigest()
+        assert rows[i]["sniffed_type"] == EXPECT_TYPE[i]
+
+
+def test_decode_and_featurize_stub(blobs_sdf):
+    rows = {r["doc_id"]: r for r in MM.decode_and_featurize(blobs_sdf, "doc_id", "blob", feature_dim=8).collect()}
+    for i, blob in BLOBS:
+        feat = rows[i]["feat"]
+        assert len(feat) == 8
+        assert all(0.0 <= v < 1.0 for v in feat)
+        # deterministic: same bytes -> same features
+        assert feat == MM.fake_decoder(blob, 8).tolist()
+
+
+def test_strict_raises(blobs_sdf):
+    with pytest.raises(NotImplementedError):
+        MM.decode_and_featurize(blobs_sdf, "doc_id", "blob", strict=True)

@@ -1,0 +1,73 @@
+"""Similarity search: brute-force cosine top-k vs a numpy oracle, LSH recall,
+and determinism across parallelism."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tstore_spark.operators import similarity as SIM
+
+DIM = 16
+N = 200
+
+
+def _vectors() -> pd.DataFrame:
+    # deterministic pseudo-random unit-ish vectors
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((N, DIM))
+    return pd.DataFrame(
+        {"vec_id": np.arange(N, dtype=np.int64), "embedding": [row.astype(np.float32).tolist() for row in mat]}
+    )
+
+
+@pytest.fixture(scope="module")
+def emb_sdf(spark):
+    return spark.createDataFrame(_vectors(), schema="vec_id long, embedding array<float>").cache()
+
+
+def _numpy_topk(pdf: pd.DataFrame, probe_ids, k=3):
+    mat = np.vstack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    norms = np.linalg.norm(mat, axis=1)
+    out = {}
+    for q in probe_ids:
+        cos = (mat @ mat[q]) / (norms * norms[q])
+        cos_r = np.round(cos, 3)
+        order = sorted(
+            (i for i in range(N) if i != q), key=lambda i: (-cos_r[i], i)
+        )[:k]
+        out[q] = order
+    return out
+
+
+def test_cosine_topk_matches_numpy(emb_sdf):
+    probes = emb_sdf.where("vec_id < 4")
+    got = SIM.cosine_topk(emb_sdf, probes, k=3).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    expect = _numpy_topk(_vectors(), [0, 1, 2, 3])
+    assert by_q == expect
+
+
+def test_lsh_bucket_deterministic(emb_sdf):
+    a = SIM.add_lsh_bucket(emb_sdf, DIM, n_planes=10).orderBy("vec_id").collect()
+    b = SIM.add_lsh_bucket(emb_sdf.repartition(7), DIM, n_planes=10).orderBy("vec_id").collect()
+    assert [r["lsh_bucket"] for r in a] == [r["lsh_bucket"] for r in b]
+
+
+def test_lsh_ann_recall(emb_sdf):
+    probes = emb_sdf.where("vec_id < 20")
+    exact = SIM.cosine_topk(emb_sdf, probes, k=3).collect()
+    approx = SIM.lsh_ann_topk(emb_sdf, probes, dim=DIM, k=3, n_planes=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 4 planes -> 16 buckets over 200 vectors; bucketed search must recover a
+    # meaningful fraction of true neighbors (deterministic given fixed planes)
+    assert recall >= 0.3
+    # approximate results are a subset of each bucket's exact ranking: sims correct
+    sim_by_pair = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in sim_by_pair:
+            assert sim_by_pair[key] == r["cos_sim"]

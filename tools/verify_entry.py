@@ -1,0 +1,102 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry against its ``oracle_sql()`` (DuckDB) at the
+given sf dir, compares row-count, schema width, and order-insensitive values
+(columns sorted by name, rows sorted, values stringified with float rounding
+guard). Usage: python tools/verify_entry.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, ".")
+
+import duckdb
+
+import __spark_entry__ as E
+from tstore_spark.session import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_val(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(bool(v)).lower()
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(norm_val(r[i]) for i in order) for r in rows)
+    return out, [cols[i] for i in order]
+
+
+def main(sf_dir: str) -> int:
+    spark = get_spark("verify_entry", master="local[8]")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as ex:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {ex}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows)")
+            continue
+        try:
+            orc = con.execute(oracles[name])
+            orows = orc.fetchall()
+            ocols = [d[0] for d in orc.description]
+        except Exception as ex:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {ex}")
+            continue
+        s_can, s_c = canon(srows, scols)
+        o_can, o_c = canon(orows, ocols)
+        if s_c != o_c:
+            failures.append(name)
+            print(f"FAIL {name}: columns spark={s_c} duck={o_c}")
+            continue
+        if len(s_can) != len(o_can):
+            failures.append(name)
+            print(f"FAIL {name}: rowcount spark={len(s_can)} duck={len(o_can)}")
+            continue
+        bad = [i for i, (a, b) in enumerate(zip(s_can, o_can)) if a != b]
+        if bad:
+            failures.append(name)
+            print(f"FAIL {name}: {len(bad)}/{len(s_can)} rows differ; first:")
+            i = bad[0]
+            print(f"  cols : {s_c}")
+            print(f"  spark: {s_can[i]}")
+            print(f"  duck : {o_can[i]}")
+        else:
+            print(f"ok   {name}: {len(s_can)} rows match")
+    spark.stop()
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries ok")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))

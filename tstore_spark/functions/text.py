@@ -1,0 +1,100 @@
+"""Text-analysis column builders for large-scale training-data pipelines.
+
+All JVM-side Catalyst expressions (no Python in the hot path): language-ID
+(stopword-hit heuristic), quality scoring (length + stopword-density mix),
+token counting (whitespace + BPE-ish estimate), and document fingerprinting.
+
+The reference (ltelab/tstore) has no text functions at all — its only scalar
+family is datetime parts (tstore/archive/partitions.py:14-49). This module is
+part of the web-scale graft: operations a 100 TB web-text pipeline needs.
+
+Scale notes: every function here is a pure column expression → whole-stage
+codegen, pushed projections, zero shuffles. ``size(split(...))`` and
+``filter(...)`` run on the JVM per row without materializing Python objects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: small English function-word list used by the language-ID heuristic and the
+#: quality score. Fixed and ordered — part of the deterministic contract.
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "this", "from", "be",
+]
+
+
+def tokens(text_col: str | Column, lower: bool = True) -> Column:
+    """Whitespace tokens of the (optionally lowercased) text."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if lower:
+        c = F.lower(c)
+    return F.split(F.trim(c), r"\s+")
+
+
+def ws_token_count(text_col: str | Column) -> Column:
+    """Whitespace token count (empty string -> 0)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    ).cast("long")
+
+
+def approx_bpe_token_count(text_col: str | Column, chars_per_token: float = 4.0) -> Column:
+    """BPE-ish token estimate: ceil(chars / 4) — the standard rule of thumb
+    for byte-pair encodings over English-like text."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.ceil(F.length(c) / F.lit(chars_per_token)).cast("long")
+
+
+def stopword_hits(text_col: str | Column, stopwords: list[str] | None = None) -> Column:
+    """Number of tokens that are in the stopword list (with multiplicity —
+    ``filter``, not ``array_intersect``, which would dedup)."""
+    sw = stopwords or EN_STOPWORDS
+    toks = tokens(text_col)
+    sw_arr = F.array(*[F.lit(s) for s in sw])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t))).cast("long")
+
+
+def stopword_fraction(text_col: str | Column) -> Column:
+    """stopword_hits / token_count (0 for empty docs)."""
+    n = ws_token_count(text_col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(stopword_hits(text_col) / n)
+
+
+def lang_id(text_col: str | Column, threshold: float = 0.05) -> Column:
+    """Heuristic language ID: 'en' if the stopword fraction clears the
+    threshold, else 'und' (undetermined). An n-gram-profile classifier would
+    slot in the same way — one deterministic column expression per language
+    profile, argmax via ``greatest``."""
+    return F.when(stopword_fraction(text_col) >= F.lit(threshold), F.lit("en")).otherwise(
+        F.lit("und")
+    )
+
+
+def quality_score(text_col: str | Column) -> Column:
+    """Deterministic [0,1] quality heuristic:
+    0.5 * min(1, chars/1000) + 0.5 * min(1, 5*stopword_fraction).
+
+    Length rewards substantive documents; stopword density rewards natural
+    prose over keyword spam. Pure rational arithmetic in a fixed operation
+    order — bit-identical on any engine evaluating IEEE doubles (deliberately
+    NOT rounded: decimal rounding of a near-tie double is engine-dependent,
+    the raw double is not).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    len_score = F.least(F.lit(1.0), F.length(c) / F.lit(1000.0))
+    stop_score = F.least(F.lit(1.0), stopword_fraction(text_col) * F.lit(5.0))
+    return len_score * F.lit(0.5) + stop_score * F.lit(0.5)
+
+
+def fingerprint(text_col: str | Column) -> Column:
+    """Canonical document fingerprint: md5 of the lowercased, trimmed text.
+
+    Used as the exact-dedup key; a rolling/winnowing fingerprint family can
+    layer on top (see operators/dedup.py simhash/minhash for the fuzzy tiers).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.lower(F.trim(c)))

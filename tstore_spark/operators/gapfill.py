@@ -34,6 +34,11 @@ TIER_INTERVAL = {
 
 _ZERO_FILL = ["doc_count", "bytes_total", "lang_distinct"]
 _INTERP = ["text_len_p50", "text_len_p90", "text_len_p99"]
+_ARRAY_FILL = {
+    "lang_set": "array<string>",
+    "hist_lens": "array<int>",
+    "hist_cnts": "array<bigint>",
+}
 
 
 def gap_fill(
@@ -44,12 +49,30 @@ def gap_fill(
     interpolate: bool = True,
     key: str = "domain",
     time_col: str = "window_start",
+    zero_fill: list[str] | None = None,
+    interp_cols: list[str] | None = None,
+    array_fill: dict[str, str] | None = None,
+    presence_col: str = "doc_count",
 ) -> DataFrame:
     """Return the tier with missing windows synthesized (``gap_filled=true``).
 
     start/end (optional timestamps) bound the grid; default: each key's own
     [min, max] observed window range.
+
+    Column roles default to the pages-rollup schema (doc_count/bytes_total/…)
+    but are fully parameterizable: ``zero_fill`` (0 on synthesized rows),
+    ``interp_cols`` (linear interpolation between real neighbors),
+    ``array_fill`` (name -> Spark type, empty array on synthesized rows),
+    ``presence_col`` (null-ness marks a synthesized row).
     """
+    zero_fill = _ZERO_FILL if zero_fill is None else zero_fill
+    interp_cols = _INTERP if interp_cols is None else interp_cols
+    array_fill = _ARRAY_FILL if array_fill is None else array_fill
+    # only touch columns the tier actually carries
+    zero_fill = [c for c in zero_fill if c in tier_df.columns]
+    interp_cols = [c for c in interp_cols if c in tier_df.columns]
+    array_fill = {c: t for c, t in array_fill.items() if c in tier_df.columns}
+
     d, h, m, s = TIER_INTERVAL[tier]
     interval = F.make_dt_interval(F.lit(d), F.lit(h), F.lit(m), F.lit(s))
 
@@ -72,12 +95,11 @@ def gap_fill(
     grid = grid.withColumn(time_col, F.col(time_col).cast("timestamp"))
 
     joined = grid.join(tier_df, [key, time_col], "left")
-    out = joined.withColumn("gap_filled", F.col("doc_count").isNull())
-    for c in _ZERO_FILL:
+    out = joined.withColumn("gap_filled", F.col(presence_col).isNull())
+    for c in zero_fill:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
-    out = out.withColumn("lang_set", F.coalesce("lang_set", F.array().cast("array<string>")))
-    out = out.withColumn("hist_lens", F.coalesce("hist_lens", F.array().cast("array<int>")))
-    out = out.withColumn("hist_cnts", F.coalesce("hist_cnts", F.array().cast("array<bigint>")))
+    for c, typ in array_fill.items():
+        out = out.withColumn(c, F.coalesce(c, F.array().cast(typ)))
 
     if interpolate:
         w_back = Window.partitionBy(key).orderBy(time_col).rowsBetween(Window.unboundedPreceding, 0)
@@ -85,7 +107,7 @@ def gap_fill(
         ts_long = F.col(time_col).cast("long")
         prev_t = F.last(F.when(~F.col("gap_filled"), ts_long), ignorenulls=True).over(w_back)
         next_t = F.first(F.when(~F.col("gap_filled"), ts_long), ignorenulls=True).over(w_fwd)
-        for c in _INTERP:
+        for c in interp_cols:
             prev_v = F.last(F.when(~F.col("gap_filled"), F.col(c)), ignorenulls=True).over(w_back)
             next_v = F.first(F.when(~F.col("gap_filled"), F.col(c)), ignorenulls=True).over(w_fwd)
             interp = F.when(

@@ -1,0 +1,162 @@
+"""Generic tumbling-window rollup for a (key, time, value, id) event stream.
+
+Same design as :mod:`tstore_spark.operators.rollup` (the pages-specific
+flagship) but parameterized over any table shape — used for the driver's
+``events`` table and any metric stream. Exactness strategy:
+
+- **value sums in integer cents** — ``sum(cast(round(value*100) as bigint))``
+  is an exact integer, so sums are bit-identical at any parallelism and any
+  aggregation order (float sums are not). Exposed as ``value_sum = cents/100``.
+- **mergeable exact state per window**: a (cents -> count) histogram (bounded
+  by #distinct values) and the distinct-id set (bounded by #ids). 1h rows are
+  re-aggregated from 1m rows, 1d from 1h — bit-identical to from-raw.
+- **percentiles** from the histogram with numpy linear interpolation
+  (``quantile_cont`` semantics) in a vectorized Arrow UDF; rows at that point
+  are *windows*, not events.
+- **two-stage histogram build**: groupBy(key, window, cents) then
+  groupBy(key, window) — map-side combine everywhere, no unbounded
+  collect_list of raw values, and the first stage spreads a hot key over the
+  cluster (built-in salting; cf. operators/skew.py for the generic helper).
+
+Scale note (100 TB): state size per window is O(#distinct cents values) and
+O(#distinct ids) — for true high-cardinality id domains swap ``id_set`` for a
+deterministic HLL sketch (same cascade shape, mergeable registers).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType
+
+from tstore_spark.operators.rollup import TIERS, _pcts_from_hist
+
+PCTS = (0.5, 0.9, 0.99)
+
+
+@pandas_udf(ArrayType(DoubleType()))
+def _cents_hist_percentiles(hist_cents: pd.Series, hist_cnts: pd.Series) -> pd.Series:
+    """[p50, p90, p99] per window from the (cents, count) histogram.
+
+    Cents are divided by 100 *before* interpolation so the interpolated value
+    equals ``quantile_cont`` over the original 2-decimal doubles.
+    """
+    out = []
+    for cs, ns in zip(hist_cents, hist_cnts):
+        vals = np.asarray(cs, dtype=np.float64) / 100.0
+        cnts = np.asarray(ns, dtype=np.int64)
+        out.append(_pcts_from_hist(vals, cnts))
+    return pd.Series(out)
+
+
+_STATE_COLS = ["event_count", "value_cents", "id_set", "hist_cents", "hist_cnts"]
+FINAL_COLS = [
+    "event_count",
+    "value_sum",
+    "user_distinct",
+    "value_p50",
+    "value_p90",
+    "value_p99",
+]
+
+
+def metric_rollup_from_raw(
+    df: DataFrame,
+    tier: str,
+    key: str = "event_type",
+    time_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "user_id",
+) -> DataFrame:
+    """One tier from raw events; carries mergeable state for the cascade."""
+    unit = TIERS[tier]
+    base = df.select(
+        F.col(key),
+        F.date_trunc(unit, F.col(time_col)).alias("window_start"),
+        F.round(F.col(value_col) * 100).cast("long").alias("_cents"),
+        F.col(id_col).alias("_id"),
+    )
+
+    main = base.groupBy(key, "window_start").agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.sum("_cents").alias("value_cents"),
+        F.array_sort(F.collect_set("_id")).alias("id_set"),
+    )
+
+    hist = (
+        base.groupBy(key, "window_start", "_cents")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .groupBy(key, "window_start")
+        .agg(F.array_sort(F.collect_list(F.struct("_cents", "_cnt"))).alias("_h"))
+        .select(
+            key,
+            "window_start",
+            F.transform("_h", lambda x: x["_cents"]).alias("hist_cents"),
+            F.transform("_h", lambda x: x["_cnt"]).alias("hist_cnts"),
+        )
+    )
+    return main.join(hist, [key, "window_start"])
+
+
+def metric_rollup_cascade(child: DataFrame, tier: str, key: str = "event_type") -> DataFrame:
+    """Re-aggregate the tier below into this tier — exact by construction."""
+    unit = TIERS[tier]
+    ws = F.date_trunc(unit, F.col("window_start")).alias("window_start")
+
+    main = child.groupBy(key, ws).agg(
+        F.sum("event_count").alias("event_count"),
+        F.sum("value_cents").alias("value_cents"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("id_set")))).alias("id_set"),
+    )
+    hist = (
+        child.select(key, ws, F.explode(F.arrays_zip("hist_cents", "hist_cnts")).alias("_e"))
+        .select(
+            key,
+            "window_start",
+            F.col("_e.hist_cents").alias("_cents"),
+            F.col("_e.hist_cnts").alias("_cnt"),
+        )
+        .groupBy(key, "window_start", "_cents")
+        .agg(F.sum("_cnt").alias("_cnt"))
+        .groupBy(key, "window_start")
+        .agg(F.array_sort(F.collect_list(F.struct("_cents", "_cnt"))).alias("_h"))
+        .select(
+            key,
+            "window_start",
+            F.transform("_h", lambda x: x["_cents"]).alias("hist_cents"),
+            F.transform("_h", lambda x: x["_cnt"]).alias("hist_cnts"),
+        )
+    )
+    return main.join(hist, [key, "window_start"])
+
+
+def finalize(tier_df: DataFrame, key: str = "event_type") -> DataFrame:
+    """Scalar-only view of a tier (drops the mergeable state columns)."""
+    p = _cents_hist_percentiles(F.col("hist_cents"), F.col("hist_cnts"))
+    out = (
+        tier_df.withColumn("_p", p)
+        .withColumn("value_sum", (F.col("value_cents") / 100.0))
+        .withColumn("user_distinct", F.size("id_set").cast("long"))
+        .withColumn("value_p50", F.round(F.col("_p")[0], 4))
+        .withColumn("value_p90", F.round(F.col("_p")[1], 4))
+        .withColumn("value_p99", F.round(F.col("_p")[2], 4))
+    )
+    return out.select(key, "window_start", *FINAL_COLS)
+
+
+def metric_rollup_all_tiers(
+    df: DataFrame,
+    key: str = "event_type",
+    time_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "user_id",
+) -> dict[str, DataFrame]:
+    """raw -> 1m -> 1h -> 1d (with state; apply :func:`finalize` to present)."""
+    tiers: dict[str, DataFrame] = {}
+    tiers["1m"] = metric_rollup_from_raw(df, "1m", key, time_col, value_col, id_col)
+    tiers["1h"] = metric_rollup_cascade(tiers["1m"], "1h", key)
+    tiers["1d"] = metric_rollup_cascade(tiers["1h"], "1d", key)
+    return tiers

@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns: brute-force cosine top-k and an
+LSH-bucketed approximate variant.
+
+Embeddings are ``array<float>`` columns. Two paths:
+
+- **brute force** (:func:`cosine_topk`): broadcast the (small) probe set,
+  compute the dot product with ``zip_with``/``aggregate`` — sequential
+  left-to-right double accumulation, so the result is bit-identical across
+  engines and parallelism levels — and rank with a window. Exact baseline.
+- **LSH** (:func:`lsh_ann_topk`): random-hyperplane signatures (deterministic
+  planes from a seeded counter hash), bucket on the signature prefix, search
+  only within candidate buckets (multi-probe over the query's bucket). An IVF
+  variant would swap the hash for learned centroids; the Spark plumbing —
+  bucket column, co-partitioned join, per-bucket ranking — is identical.
+
+Scale notes (100 TB of vectors): brute force is O(N) per probe but fully
+scan-parallel and shuffle-free (probe set broadcast); use it when the probe
+set is small. LSH turns the scan into a bucket-pruned join: signatures are
+computed once (mapInPandas, numpy matmul per Arrow batch), bucketing is a
+narrow transformation, and the candidate join shuffles only bucket-matched
+rows. Ranking ties are broken on (rounded similarity, neighbor id) so results
+are stable under any float library's last-bit wobble.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact cosine helpers (JVM expressions, sequential double accumulation)
+# ---------------------------------------------------------------------------
+
+
+def dot_product(a, b) -> F.Column:
+    """Sequential-order double dot product of two array<float|double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a) -> F.Column:
+    return F.sqrt(dot_product(a, a))
+
+
+def cosine(a, b) -> F.Column:
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 3,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each probe (probes broadcast).
+
+    Returns (query_id, neighbor_id, rank, cos_sim). Rank orders by rounded
+    similarity then neighbor id — deterministic under float wobble.
+    """
+    p = probes.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q")
+    )
+    joined = vectors.crossJoin(F.broadcast(p)).where(F.col(id_col) != F.col("query_id"))
+    sim = F.round(cosine(F.col(vec_col), F.col("_q")), round_digits)
+    ranked = joined.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), sim.alias("cos_sim")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select("query_id", "neighbor_id", "rank", "cos_sim")
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplanes, deterministic planes)
+# ---------------------------------------------------------------------------
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes: counter-hash -> N(0,1) via
+    Box-Muller. Pure function of (dim, n_planes, seed)."""
+    n = dim * n_planes
+    idx = np.arange(n, dtype=np.uint64)
+
+    def h(stream: int) -> np.ndarray:
+        x = idx + np.uint64(seed * 1_000_003 + stream)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+        return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+    u1, u2 = np.clip(h(1), 1e-12, None), h(2)
+    normal = np.sqrt(-2.0 * np.log(u1)) * np.cos(2 * np.pi * u2)
+    return normal.reshape(n_planes, dim)
+
+
+def add_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Append the sign-pattern bucket id (int) of each vector.
+
+    mapInPandas: one numpy matmul per Arrow batch — vectorized, no per-row
+    Python. The bucket is a pure function of the vector, so bucketing is
+    reproducible at any parallelism (usable as a write-time partition key).
+    """
+    planes = _planes(dim, n_planes, seed)
+    fields = ", ".join(f"{name} {dtype}" for name, dtype in df.dtypes)
+    schema = f"{fields}, {out_col} long"
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf):
+                mat = np.vstack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+                signs = (mat @ planes.T) > 0
+                pdf = pdf.copy()
+                pdf[out_col] = signs.dot(1 << np.arange(n_planes)).astype(np.int64)
+            yield pdf
+
+    return df.mapInPandas(assign, schema=schema)
+
+
+def lsh_ann_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 3,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the probe's LSH bucket.
+
+    Same output shape as :func:`cosine_topk`; recall < 1 by construction —
+    tests measure it against the brute-force baseline.
+    """
+    v = add_lsh_bucket(vectors, dim, n_planes, seed, vec_col)
+    p = add_lsh_bucket(probes, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q"), F.col("lsh_bucket")
+    )
+    cand = v.join(F.broadcast(p), "lsh_bucket").where(F.col(id_col) != F.col("query_id"))
+    sim = F.round(cosine(F.col(vec_col), F.col("_q")), round_digits)
+    ranked = cand.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), sim.alias("cos_sim")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select("query_id", "neighbor_id", "rank", "cos_sim")
