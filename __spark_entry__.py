@@ -138,12 +138,11 @@ def _q_nation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # testdata timestamps are TIMESTAMP_NTZ; session TZ is pinned UTC so the
-    # cast to TIMESTAMP is exact
-    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
-    gap = us(F.col("ts")) - us(F.lag("ts").over(w))
+    # timestampdiff is timezone-independent (works on TIMESTAMP_NTZ as-is) —
+    # no session-TZ assumption, unlike a cast to TIMESTAMP + unix_micros
     return (
-        ev.withColumn("_gap_us", gap)
+        ev.withColumn("_prev", F.lag("ts").over(w))
+        .withColumn("_gap_us", F.expr("timestampdiff(MICROSECOND, _prev, ts)"))
         .groupBy("user_id")
         .agg(
             F.count("_gap_us").alias("n_gaps"),

@@ -1,0 +1,85 @@
+"""Physical-plan audit: assert the plans we ship are the plans we want.
+
+Checks, per representative query:
+- Parquet scans carry PushedFilters / pruned ReadSchema (no full-width scans)
+- broadcast joins where a dimension is joined (no SMJ for attrs/nation)
+- whole-stage codegen present in the aggregation pipeline
+- no CartesianProduct anywhere except the (intentional, broadcast-bounded)
+  similarity cross join
+
+Usage: python tools/plan_audit.py [sf_dir]   (prints PASS/FAIL per check)
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+
+sys.path.insert(0, ".")
+
+from contextlib import redirect_stdout
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main(sf_dir: str) -> int:
+    import __spark_entry__ as E
+    from tstore_spark.session import get_spark
+
+    spark = get_spark("plan_audit", master="local[4]")
+    qs = E.queries()
+    failures: list[str] = []
+
+    def check(name: str, cond: bool, why: str) -> None:
+        print(("PASS " if cond else "FAIL ") + f"{name}: {why}")
+        if not cond:
+            failures.append(name)
+
+    # 1. filter pushdown + column pruning on the TPC-H filter query
+    p = plan_of(qs["q1_pricing_summary"](spark, sf_dir))
+    check("q1.pushdown", "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p,
+          "shipdate predicate reaches the parquet scan")
+    check("q1.pruning", "l_orderkey" not in p.split("ReadSchema")[1][:400] if "ReadSchema" in p else False,
+          "unused columns pruned from ReadSchema")
+    # AQE formatted plans omit codegen ids until executed; HashAggregate (as
+    # opposed to ObjectHashAggregate/SortAggregate) is the codegen-capable op
+    check("q1.codegen", "codegen id" in p or "WholeStageCodegen" in p or "\n+- HashAggregate" in p or "HashAggregate (" in p,
+          "agg pipeline is codegen-capable (HashAggregate)")
+
+    # 2. broadcast join for the dimension
+    p = plan_of(qs["customer_nation_join"](spark, sf_dir))
+    check("nation.broadcast", "BroadcastHashJoin" in p, "nation dim broadcast, no SMJ")
+
+    # 3. q3: both filters pushed, customer broadcast
+    p = plan_of(qs["q3_top_orders"](spark, sf_dir))
+    check("q3.pushdown", p.count("PushedFilters: [IsNotNull(") >= 2, "both date filters pushed")
+    check("q3.broadcast", "BroadcastHashJoin" in p, "customer side broadcast")
+
+    # 4. rollup: single scan of events (no self-join of aggregates)
+    p = plan_of(qs["rollup_1m"](spark, sf_dir))
+    check("rollup.single_scan", p.count("Location: InMemoryFileIndex") == 1,
+          "one events scan, no join of two aggs")
+    check("rollup.partial_agg", "HashAggregate" in p, "two-stage hash aggregation")
+
+    # 5. time filter: partition-prunable predicate at scan
+    p = plan_of(qs["time_filter_left"](spark, sf_dir))
+    check("timefilter.pushdown", "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts" in p,
+          "time range pushed to scan")
+
+    # 6. no cartesian products outside similarity brute force
+    for name in ["rollup_1h", "gap_fill_1h", "dedup_exact", "token_jaccard_pairs", "minhash_near_dup"]:
+        p = plan_of(qs[name](spark, sf_dir))
+        check(f"{name}.no_cartesian", "CartesianProduct" not in p, "no accidental cross join")
+
+    spark.stop()
+    print(f"\n{'ALL PASS' if not failures else 'FAILURES: ' + ', '.join(failures)}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))

@@ -80,25 +80,33 @@ def metric_rollup_from_raw(
         F.col(id_col).alias("_id"),
     )
 
-    main = base.groupBy(key, "window_start").agg(
-        F.count(F.lit(1)).alias("event_count"),
-        F.sum("_cents").alias("value_cents"),
-        F.array_sort(F.collect_set("_id")).alias("id_set"),
+    # Single-scan two-stage aggregation (no join) — same shape as
+    # rollup.rollup_from_raw: stage 1 pre-aggregates at (key, window, cents)
+    # granularity with full map-side combine (the cents key doubles as a
+    # salt for hot keys); stage 2 merges the bounded len-level rows. The
+    # per-window value sum is recovered exactly as sum(cents * count).
+    s1 = base.groupBy(key, "window_start", "_cents").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.collect_set("_id").alias("_is"),
     )
-
-    hist = (
-        base.groupBy(key, "window_start", "_cents")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .groupBy(key, "window_start")
-        .agg(F.array_sort(F.collect_list(F.struct("_cents", "_cnt"))).alias("_h"))
+    return (
+        s1.groupBy(key, "window_start")
+        .agg(
+            F.sum("_cnt").alias("event_count"),
+            F.sum(F.col("_cents") * F.col("_cnt")).alias("value_cents"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_is")))).alias("id_set"),
+            F.array_sort(F.collect_list(F.struct("_cents", "_cnt"))).alias("_h"),
+        )
         .select(
             key,
             "window_start",
+            "event_count",
+            "value_cents",
+            "id_set",
             F.transform("_h", lambda x: x["_cents"]).alias("hist_cents"),
             F.transform("_h", lambda x: x["_cnt"]).alias("hist_cnts"),
         )
     )
-    return main.join(hist, [key, "window_start"])
 
 
 def metric_rollup_cascade(child: DataFrame, tier: str, key: str = "event_type") -> DataFrame:

@@ -122,30 +122,41 @@ def rollup_from_raw(pages: DataFrame, tier: str, key_col=None, time_col: str = "
         F.col("lang"),
     )
 
-    # metrics agg: integer sums + bounded collect_set — map-side combine on all
-    main = base.groupBy("domain", "window_start").agg(
-        F.count(F.lit(1)).alias("doc_count"),
-        F.sum("_bytes").alias("bytes_total"),
-        F.array_sort(F.collect_set("lang")).alias("lang_set"),
+    # Single-scan two-stage aggregation (no join):
+    #   stage 1: groupBy(key, window, len) — doc-proportional work with full
+    #            map-side combine; per-group state is a count, an int sum and
+    #            a lang set (bounded by #languages). The extra `len` grouping
+    #            key doubles as a salt: a hot domain-window spreads over the
+    #            cluster by text length.
+    #   stage 2: groupBy(key, window) over pre-aggregated len-rows — input is
+    #            #windows x #distinct-lens, a fraction of the doc count; the
+    #            collected histogram is bounded by #distinct lens, never docs.
+    # A previous variant computed metrics and histogram as two groupBys over
+    # the raw input joined on (key, window) — 2x the input scan plus a
+    # sort-merge join; this shape halved the bench time.
+    s1 = base.groupBy("domain", "window_start", "_len").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum("_bytes").alias("_b"),
+        F.collect_set("lang").alias("_ls"),
     )
-
-    # histogram agg: two-stage so no unbounded per-group list is ever built
-    hist = (
-        base.groupBy("domain", "window_start", "_len")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .groupBy("domain", "window_start")
-        .agg(F.array_sort(F.collect_list(F.struct("_len", "_cnt"))).alias("_h"))
+    out = (
+        s1.groupBy("domain", "window_start")
+        .agg(
+            F.sum("_cnt").alias("doc_count"),
+            F.sum("_b").alias("bytes_total"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_ls")))).alias("lang_set"),
+            F.array_sort(F.collect_list(F.struct("_len", "_cnt"))).alias("_h"),
+        )
         .select(
             "domain",
             "window_start",
+            "doc_count",
+            "bytes_total",
+            "lang_set",
             F.transform("_h", lambda x: x["_len"]).alias("hist_lens"),
             F.transform("_h", lambda x: x["_cnt"]).alias("hist_cnts"),
         )
     )
-
-    # both sides exit their aggregation hash-partitioned on the join key ->
-    # Catalyst reuses the partitioning, no extra exchange
-    out = main.join(hist, ["domain", "window_start"])
     out = out.withColumn("lang_distinct", F.size("lang_set").cast("long"))
     out = _attach_percentiles(out).withColumn("gap_filled", F.lit(False))
     return out.select(*_FINAL_COLS)

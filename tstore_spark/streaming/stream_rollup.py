@@ -1,0 +1,101 @@
+"""Structured-Streaming rollup: continuous 1m aggregates over a pages stream.
+
+The batch engine's 1m tier (operators/rollup.py) re-expressed as a streaming
+query: ``readStream`` -> event-time tumbling window + watermark ->
+``writeStream`` into the same tier layout the batch cascade reads. The
+reference has no streaming at all (SURVEY.md §2, last row); this is part of
+the web-scale graft.
+
+Design notes:
+- **Watermark + append mode** for production: windows are emitted once, when
+  the watermark passes window end — exactly the semantics a downstream 1h/1d
+  cascade (running as a periodic batch over the streamed 1m tier) needs.
+- **Mergeable-state metrics only.** count / byte sums are exact and
+  streaming-mergeable. Distinct languages uses ``approx_count_distinct``
+  (HLL) in-stream; the exact set (and exact text-length percentiles) are
+  *not* computed in-stream — they need the full multiset, so at the tier
+  boundary the batch cascade recomputes them from raw where exactness is
+  asserted. This split (cheap sketches streaming, exact on batch re-aggregate)
+  is the standard lambda-tier compromise and is documented to the caller.
+- **State bound**: one state row per (domain, window); the watermark expires
+  state, so memory is O(#domains x watermark/1m windows).
+
+Scale note: the streaming shuffle partitions on (window, domain) — hot
+domains are bounded per-window by the 1-minute width; skew beyond that is
+handled by the same salting as batch (pre-aggregate on an added salt column
+via `.groupBy(window, domain, salt)` then a second batch merge if a single
+domain-minute exceeds one reducer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tstore_spark.functions.urls import domain_of
+
+
+def stream_rollup_1m(
+    pages_stream: DataFrame,
+    watermark: str = "10 minutes",
+    key_col: Column | None = None,
+    time_col: str = "warc_ts",
+    with_watermark: bool = True,
+) -> DataFrame:
+    """1-minute tumbling continuous aggregate over a streaming pages source.
+
+    Returns a streaming DataFrame with schema
+    (domain, window_start, doc_count, bytes_total, lang_distinct_approx).
+    ``with_watermark=False`` is for complete-mode tests only.
+    """
+    key = key_col if key_col is not None else domain_of("url")
+    src = pages_stream
+    if with_watermark:
+        src = src.withWatermark(time_col, watermark)
+    agg = (
+        src.groupBy(F.window(F.col(time_col), "1 minute"), key.alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum(F.octet_length("html")).alias("bytes_total"),
+            F.approx_count_distinct("lang").alias("lang_distinct_approx"),
+        )
+    )
+    return agg.select(
+        "domain",
+        F.col("window.start").alias("window_start"),
+        "doc_count",
+        "bytes_total",
+        "lang_distinct_approx",
+    )
+
+
+def write_stream_tier(
+    tier_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Append the streaming 1m tier to parquet (the batch cascade's input).
+
+    Returns the StreamingQuery; callers ``awaitTermination()``. The
+    checkpoint directory carries offsets + state — restart-resumable, the
+    streaming counterpart of the batch pipeline's lineage table.
+    """
+    writer = (
+        tier_stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_pages_stream(spark, directory: str, schema, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source pages stream: each new parquet file in `directory` is a
+    micro-batch (the WARC-drop ingestion pattern)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(directory)
