@@ -264,6 +264,34 @@ def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tstore_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    # right side: latest error value per (user, instant); max_by tiebreak on
+    # event_id makes duplicate-timestamp semantics deterministic on both sides
+    err = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("event_id", "value")).alias("_m"))
+        .select("user_id", "ts", F.col("_m.value").alias("err_value"), F.col("_m.event_id").alias("_eid"))
+    )
+    left = ev.select("event_id", "user_id", "ts", "value")
+    return asof_join(
+        left, err.select("user_id", "ts", "err_value", "_eid"),
+        key="user_id", left_time="ts", value_cols=["err_value"], tiebreak_col="_eid",
+    )
+
+
+def _q_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tstore_spark.functions.timeparts import PARTITION_COMPONENTS
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", *[fn("ts").cast("int").alias(name) for name, fn in PARTITION_COMPONENTS.items()]
+    )
+
+
 def _q_tslong_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tstore_spark.model.tslong import TSLong
 
@@ -301,6 +329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "embedding_norms": _q_embedding_norms,
         "tslong_roundtrip": _q_tslong_roundtrip,
+        "asof_join": _q_asof_join,
+        "datetime_parts": _q_datetime_parts,
     }
 
 
@@ -469,6 +499,26 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         """,
         "tslong_roundtrip": "SELECT user_id, ts, value FROM events",
+        "asof_join": """
+            WITH err AS (
+                SELECT user_id, ts, max_by(value, event_id) AS err_value
+                FROM events WHERE event_type = 'error' GROUP BY user_id, ts)
+            SELECT e.event_id, e.user_id, e.ts, e.value, err.err_value AS err_value_asof
+            FROM events e ASOF LEFT JOIN err
+              ON e.user_id = err.user_id AND e.ts >= err.ts
+        """,
+        "datetime_parts": """
+            SELECT event_id,
+                   CAST(year(ts) AS INTEGER) AS year,
+                   CAST(month(ts) AS INTEGER) AS month,
+                   CAST(dayofmonth(ts) AS INTEGER) AS day,
+                   CAST(dayofyear(ts) AS INTEGER) AS doy,
+                   CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+                   CAST(hour(ts) AS INTEGER) AS hh,
+                   CAST(minute(ts) AS INTEGER) AS mm,
+                   CAST(second(ts) AS INTEGER) AS ss
+            FROM events
+        """,
         # no oracle (non-SQL-expressible; driver records rows-only):
         #   gorilla_chunks, minhash_near_dup, simhash_near_dup, media_features, ann_lsh
     }

@@ -1,0 +1,78 @@
+"""As-of join vs a straight-line pandas oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tstore_spark.operators.asof import asof_join
+
+
+def _frames():
+    # left: 200 observations across 3 keys; right: sparse quotes w/ dup times
+    i = np.arange(200, dtype=np.int64)
+    h = (i * 40503 + 7) % 997
+    left = pd.DataFrame(
+        {
+            "k": np.array(["a", "b", "c"])[i % 3],
+            "t": pd.Timestamp("2024-01-01") + pd.to_timedelta(h % 500, unit="m"),
+            "obs_id": i,
+        }
+    )
+    j = np.arange(40, dtype=np.int64)
+    right = pd.DataFrame(
+        {
+            "k": np.array(["a", "b", "c"])[j % 3],
+            "t": pd.Timestamp("2024-01-01") + pd.to_timedelta((j * 29) % 480, unit="m"),
+            "quote": (j * 11 % 100).astype(np.float64),
+            "qid": j,
+        }
+    )
+    # duplicate-timestamp right rows to exercise the tiebreak (latest qid wins)
+    dup = right.iloc[:5].copy()
+    dup["qid"] += 1000
+    dup["quote"] += 0.5
+    right = pd.concat([right, dup], ignore_index=True)
+    return left, right
+
+
+def _pandas_asof(left, right):
+    out = []
+    for _, lr in left.iterrows():
+        cand = right[(right["k"] == lr["k"]) & (right["t"] <= lr["t"])]
+        if len(cand):
+            best = cand.sort_values(["t", "qid"]).iloc[-1]
+            out.append(best["quote"])
+        else:
+            out.append(None)
+    return out
+
+
+def test_asof_matches_pandas(spark):
+    left, right = _frames()
+    l_sdf = spark.createDataFrame(left)
+    r_sdf = spark.createDataFrame(right)
+    got = asof_join(
+        l_sdf, r_sdf, key="k", left_time="t", value_cols=["quote"], tiebreak_col="qid"
+    )
+    g = {r["obs_id"]: r["quote_asof"] for r in got.collect()}
+    expect = dict(zip(left["obs_id"], _pandas_asof(left, right)))
+    assert len(g) == len(left)
+    for k, v in expect.items():
+        assert g[k] == (None if v is None else v), k
+
+
+def test_asof_deterministic_across_parallelism(spark):
+    left, right = _frames()
+    l_sdf = spark.createDataFrame(left)
+    r_sdf = spark.createDataFrame(right)
+    a = sorted(
+        (r["obs_id"], r["quote_asof"])
+        for r in asof_join(l_sdf, r_sdf, "k", "t", value_cols=["quote"], tiebreak_col="qid").collect()
+    )
+    b = sorted(
+        (r["obs_id"], r["quote_asof"])
+        for r in asof_join(
+            l_sdf.repartition(7), r_sdf.repartition(3), "k", "t", value_cols=["quote"], tiebreak_col="qid"
+        ).collect()
+    )
+    assert a == b

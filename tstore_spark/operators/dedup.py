@@ -100,12 +100,19 @@ def token_jaccard_pairs(
         F.col(id_col),
         *( [F.col(block_col)] if block_col else [] ),
         F.array_distinct(tokens(text_col)).alias("toks"),
-    )
+    ).withColumn("n_toks", F.size("toks"))
     a = d.alias("a")
     b = d.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
+    # length-ratio prefilter (implied by the threshold, so results are
+    # unchanged): J(A,B) >= t forces t*|larger| <= |smaller| — evaluated on
+    # two ints before the expensive array intersect/union
+    cond = cond & (
+        F.least(F.col("a.n_toks"), F.col("b.n_toks"))
+        >= F.lit(threshold) * F.greatest(F.col("a.n_toks"), F.col("b.n_toks"))
+    )
     return (
         a.join(b, cond)
         .select(
