@@ -257,6 +257,24 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_ann_topk(emb, probes, dim=64, k=3, n_planes=8)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5)
+    return SIM.ivf_topk(emb, probes, dim=64, k=3, n_centroids=16, n_probe=4)
+
+
+def _q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tstore_spark.operators.sketches import hll_sketch, with_hll_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    sk = with_hll_estimate(hll_sketch(ev, ["event_type"], "user_id"))
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("user_distinct"))
+    return (
+        sk.join(exact, "event_type")
+        .select("event_type", "user_distinct", F.round("distinct_est", 1).alias("hll_est"))
+    )
+
+
 def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return emb.select(
@@ -331,6 +349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tslong_roundtrip": _q_tslong_roundtrip,
         "asof_join": _q_asof_join,
         "datetime_parts": _q_datetime_parts,
+        "ivf_topk": _q_ivf_topk,
+        "hll_distinct_users": _q_hll_users,
     }
 
 

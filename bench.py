@@ -50,6 +50,9 @@ HEADLINE = [
     "token_jaccard_pairs",
     "minhash_near_dup",
     "cosine_topk",
+    "ivf_topk",
+    "asof_join",
+    "hll_distinct_users",
     "binary_meta",
 ]
 

@@ -1,0 +1,67 @@
+"""Stateful streaming sessionization vs a straight-line oracle."""
+
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+
+from tstore_spark.streaming.sessions import sessionize
+
+
+def _events() -> pd.DataFrame:
+    rows = []
+    # key "a": three sessions (gaps of 2h between them), 10-min event spacing
+    for day_h, n in ((0, 3), (5, 4), (10, 2)):
+        for i in range(n):
+            rows.append(("a", pd.Timestamp("2024-01-01") + pd.Timedelta(hours=day_h, minutes=10 * i)))
+    # key "b": one long session then one trailing event far later
+    for i in range(5):
+        rows.append(("b", pd.Timestamp("2024-01-01 01:00") + pd.Timedelta(minutes=20 * i)))
+    rows.append(("b", pd.Timestamp("2024-01-01 23:00")))
+    return pd.DataFrame(rows, columns=["key", "ts"]).astype({"ts": "datetime64[us]"})
+
+
+def _oracle_sessions(pdf: pd.DataFrame, gap_s: int):
+    out = []
+    for k, grp in pdf.groupby("key"):
+        ts = sorted(grp["ts"])
+        start, last, n = ts[0], ts[0], 1
+        for t in ts[1:]:
+            if (t - last).total_seconds() > gap_s:
+                out.append((k, start, last, n))
+                start, n = t, 0
+            last, n = t, n + 1
+        out.append((k, start, last, n))
+    return sorted(out)
+
+
+def test_sessionize_matches_oracle(spark):
+    base = tempfile.mkdtemp(prefix="ts_sess_")
+    try:
+        pdf = _events()
+        sdf = spark.createDataFrame(pdf)
+        sdf.repartition(2).write.parquet(f"{base}/src")
+        stream = spark.readStream.schema(sdf.schema).parquet(f"{base}/src")
+        sessions = sessionize(stream, "key", "ts", gap_seconds=3600)
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r["key"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.read.parquet(f"{base}/out").collect()
+        )
+        expect = _oracle_sessions(pdf, 3600)
+        # the per-key final session can only close via watermark timeout; the
+        # global max event time is b@23:00, so every session ending more than
+        # gap before that is emitted — all but b's trailing singleton
+        emitted = [s for s in expect if (pdf["ts"].max() - s[2]).total_seconds() > 3600]
+        assert got == sorted(emitted)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -55,6 +55,25 @@ def test_lsh_bucket_deterministic(emb_sdf):
     assert [r["lsh_bucket"] for r in a] == [r["lsh_bucket"] for r in b]
 
 
+def test_ivf_topk_recall(emb_sdf):
+    probes = emb_sdf.where("vec_id < 20")
+    exact = SIM.cosine_topk(emb_sdf, probes, k=3).collect()
+    approx = SIM.ivf_topk(emb_sdf, probes, dim=DIM, k=3, n_centroids=8, n_probe=3).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5  # 3 of 8 clusters probed
+
+
+def test_ivf_deterministic(emb_sdf):
+    cents_a = SIM.ivf_build_centroids(emb_sdf, DIM, n_centroids=8)
+    cents_b = SIM.ivf_build_centroids(emb_sdf.repartition(9), DIM, n_centroids=8)
+    assert (cents_a == cents_b).all()
+    a = sorted(map(tuple, SIM.ivf_topk(emb_sdf, emb_sdf.where("vec_id < 5"), dim=DIM, n_centroids=8).collect()))
+    b = sorted(map(tuple, SIM.ivf_topk(emb_sdf.repartition(5), emb_sdf.where("vec_id < 5"), dim=DIM, n_centroids=8).collect()))
+    assert a == b
+
+
 def test_lsh_ann_recall(emb_sdf):
     probes = emb_sdf.where("vec_id < 20")
     exact = SIM.cosine_topk(emb_sdf, probes, k=3).collect()

@@ -133,6 +133,111 @@ def add_lsh_bucket(
     return df.mapInPandas(assign, schema=schema)
 
 
+def ivf_build_centroids(
+    vectors: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    iters: int = 10,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: k-means on an id-ordered sample.
+
+    The sample is bounded driver-side work (the classic IVF training step);
+    init is the first k sample vectors and ties break on lowest centroid
+    index, so the codebook is a pure function of the data. The expensive
+    part — assigning the full corpus — stays distributed (:func:`ivf_assign`).
+    """
+    pdf = vectors.orderBy(id_col).limit(sample).select(vec_col).toPandas()
+    x = np.vstack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+    cent = x[:n_centroids].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin: first (lowest index) wins ties
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cluster",
+) -> DataFrame:
+    """Append nearest-centroid id — one numpy matmul per Arrow batch.
+
+    Like the LSH bucket, the cluster id is a pure function of the vector:
+    usable as a write-time partition key so probes scan only n_probe
+    partitions of the corpus at query time.
+    """
+    cent = centroids
+    cnorm = (cent**2).sum(axis=1)
+    fields = ", ".join(f"{name} {dtype}" for name, dtype in df.dtypes)
+    schema = f"{fields}, {out_col} int"
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf):
+                mat = np.vstack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+                d2 = cnorm[None, :] - 2.0 * (mat @ cent.T)  # + |x|^2, constant per row
+                pdf = pdf.copy()
+                pdf[out_col] = d2.argmin(axis=1).astype(np.int32)
+            yield pdf
+
+    return df.mapInPandas(assign, schema=schema)
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 3,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: search only the probe's n_probe nearest
+    clusters. Same output shape as :func:`cosine_topk`."""
+    if centroids is None:
+        centroids = ivf_build_centroids(vectors, dim, n_centroids, id_col=id_col, vec_col=vec_col)
+    v = ivf_assign(vectors, centroids, vec_col)
+
+    cent = centroids
+    cnorm = (cent**2).sum(axis=1)
+
+    p_pdf = probes.select(id_col, vec_col).toPandas()
+    mat = np.vstack(p_pdf[vec_col].map(lambda x: np.asarray(x, dtype=np.float64)))
+    d2 = cnorm[None, :] - 2.0 * (mat @ cent.T)
+    near = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]  # stable: deterministic ties
+    probe_rows = [
+        (int(q), [float(x) for x in p_pdf[vec_col].iloc[i]], int(c))
+        for i, q in enumerate(p_pdf[id_col])
+        for c in near[i]
+    ]
+    p = vectors.sparkSession.createDataFrame(
+        probe_rows, schema="query_id long, _q array<float>, ivf_cluster int"
+    )
+
+    cand = v.join(F.broadcast(p), "ivf_cluster").where(F.col(id_col) != F.col("query_id"))
+    sim = F.round(cosine(F.col(vec_col), F.col("_q")), round_digits)
+    ranked = cand.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), sim.alias("cos_sim")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select("query_id", "neighbor_id", "rank", "cos_sim")
+
+
 def lsh_ann_topk(
     vectors: DataFrame,
     probes: DataFrame,
