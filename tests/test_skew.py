@@ -1,0 +1,68 @@
+"""Skew handling: salted aggregation correctness + spread, deterministic salt."""
+
+import pandas as pd
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tstore_spark.operators.skew import salt_column, salted_agg, salted_repartition
+
+
+def _skewed(n=20_000) -> pd.DataFrame:
+    # one hot key carrying ~70% of rows (worse than the Zipf fixture)
+    i = np.arange(n, dtype=np.int64)
+    hot = (i % 10) < 7
+    return pd.DataFrame(
+        {
+            "domain": np.where(hot, "hot.example.com", [f"d{x % 50}.example.com" for x in i]),
+            "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(i % 86_400, unit="s"),
+            "v": (i % 1000).astype(np.int64),
+        }
+    ).astype({"ts": "datetime64[us]"})
+
+
+@pytest.fixture(scope="module")
+def skew_sdf(spark):
+    return spark.createDataFrame(_skewed()).cache()
+
+
+def test_salted_agg_equals_plain(spark, skew_sdf):
+    salted = salted_agg(
+        skew_sdf,
+        keys=["domain"],
+        aggs={"n": (F.count, F.sum, F.lit(1)), "v_sum": (F.sum, F.sum, "v")},
+        uniformizer="ts",
+        num_salts=16,
+    )
+    plain = skew_sdf.groupBy("domain").agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("v_sum"))
+    s = {r["domain"]: (r["n"], r["v_sum"]) for r in salted.collect()}
+    p = {r["domain"]: (r["n"], r["v_sum"]) for r in plain.collect()}
+    assert s == p
+
+
+def test_salt_spreads_hot_key(spark, skew_sdf):
+    hot = skew_sdf.where(F.col("domain") == "hot.example.com")
+    n_salts = 16
+    counts = (
+        hot.select(salt_column("ts", n_salts).alias("salt"))
+        .groupBy("salt").count().collect()
+    )
+    assert len(counts) == n_salts  # every salt bucket hit
+    sizes = [r["count"] for r in counts]
+    assert max(sizes) < 2 * min(sizes)  # roughly uniform spread
+
+
+def test_salt_deterministic(spark, skew_sdf):
+    a = skew_sdf.select(salt_column("ts", 16).alias("s")).groupBy("s").count().collect()
+    b = skew_sdf.repartition(9).select(salt_column("ts", 16).alias("s")).groupBy("s").count().collect()
+    assert sorted((r["s"], r["count"]) for r in a) == sorted((r["s"], r["count"]) for r in b)
+
+
+def test_salted_repartition_bounds_partition_size(spark, skew_sdf):
+    # pin the partition count: at this tiny scale AQE would otherwise
+    # (correctly) coalesce the whole shuffle into one partition
+    parts = salted_repartition(skew_sdf, ["domain"], uniformizer="ts", num_salts=8, num_partitions=8)
+    sizes = parts.rdd.glom().map(len).collect()
+    total = sum(sizes)
+    # without salting the hot key would put ~70% of rows in one partition
+    assert max(sizes) < 0.4 * total

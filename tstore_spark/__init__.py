@@ -20,6 +20,10 @@ Re-expresses the capabilities of ltelab/tstore (see /root/reference) Spark-first
 from tstore_spark.session import get_spark
 from tstore_spark.model.descriptor import TableDescriptor
 from tstore_spark.model.tslong import TSLong
+from tstore_spark.api import open_tslong, open_tsdf, open_tswide, to_tstore
 
-__all__ = ["get_spark", "TableDescriptor", "TSLong"]
+__all__ = [
+    "get_spark", "TableDescriptor", "TSLong",
+    "open_tslong", "open_tsdf", "open_tswide", "to_tstore",
+]
 __version__ = "0.1.0"

@@ -51,7 +51,20 @@ def salted_agg(
     )
 
 
-def salted_repartition(df: DataFrame, keys: list[str], uniformizer: str, num_salts: int = 16) -> DataFrame:
+def salted_repartition(
+    df: DataFrame,
+    keys: list[str],
+    uniformizer: str,
+    num_salts: int = 16,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """Repartition on (keys..., salt) so a hot key's rows spread over
-    num_salts tasks — used before per-partition writes of skewed data."""
-    return df.repartition(*[F.col(k) for k in keys], salt_column(uniformizer, num_salts))
+    num_salts tasks — used before per-partition writes of skewed data.
+
+    Without ``num_partitions`` the shuffle is advisory and AQE may coalesce
+    small outputs (fine at scale, where partitions are large); pass an
+    explicit count to pin the layout (e.g. for bucketed writes)."""
+    cols = [F.col(k) for k in keys] + [salt_column(uniformizer, num_salts)]
+    if num_partitions is not None:
+        return df.repartition(num_partitions, *cols)
+    return df.repartition(*cols)
