@@ -119,7 +119,7 @@ def _q_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_time_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.where(time_range_filter("ts", "2024-01-10", "2024-01-20", inclusive="left"))
+        ev.where(time_range_filter("ts", "2024-01-10", "2024-01-20", inclusive="left", ntz=True))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum(_cents("value")).alias("value_cents"))
     )
@@ -155,7 +155,10 @@ def _q_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_gap_fill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     tier = (
-        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("window_start"))
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("window_start"),
+        )
         .agg(F.count(F.lit(1)).alias("event_count"))
     )
     filled = gap_fill(
@@ -174,7 +177,10 @@ def _q_gap_fill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_gorilla(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     tier = (
-        ev.groupBy("event_type", F.date_trunc("minute", "ts").alias("window_start"))
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("minute", "ts").cast("timestamp_ntz").alias("window_start"),
+        )
         .agg(F.count(F.lit(1)).cast("double").alias("event_count"))
     )
     chunks = gorilla.compress_tier(tier, value_col="event_count", key="event_type")

@@ -49,6 +49,7 @@ def time_range_filter(
     start_time=None,
     end_time=None,
     inclusive: str = "both",
+    ntz: bool = False,
 ) -> Column:
     """Build the Catalyst predicate for a [start, end] range.
 
@@ -56,14 +57,25 @@ def time_range_filter(
     inclusive='left'   -> time >= start AND time <  end
     inclusive='right'  -> time >  start AND time <= end
     inclusive='neither'-> time >  start AND time <  end
+
+    ntz=True builds TIMESTAMP_NTZ literals (wall-clock comparison, immune to
+    the session timezone) — pass it when the column is TIMESTAMP_NTZ, or a
+    non-UTC session would shift the bounds during implicit casts.
     """
     if inclusive not in _INCLUSIVE:
         raise ValueError(f"inclusive must be one of {sorted(_INCLUSIVE)}, got {inclusive!r}")
     s, e = check_start_end_time(start_time, end_time)
+
+    def lit_ts(t: dt.datetime) -> Column:
+        if ntz:
+            # string-parse path: purely wall-clock, no driver/session TZ involved
+            return F.to_timestamp_ntz(F.lit(t.strftime("%Y-%m-%d %H:%M:%S.%f")))
+        return F.lit(t)
+
     col = F.col(time_var)
     pred = F.lit(True)
     if s is not None:
-        pred = pred & (col >= F.lit(s) if inclusive in ("both", "left") else col > F.lit(s))
+        pred = pred & (col >= lit_ts(s) if inclusive in ("both", "left") else col > lit_ts(s))
     if e is not None:
-        pred = pred & (col <= F.lit(e) if inclusive in ("both", "right") else col < F.lit(e))
+        pred = pred & (col <= lit_ts(e) if inclusive in ("both", "right") else col < lit_ts(e))
     return pred

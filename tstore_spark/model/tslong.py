@@ -91,7 +91,8 @@ class TSLong:
 
         df = self._df
         if start_time is not None or end_time is not None:
-            df = df.where(time_range_filter(d.time_var, start_time, end_time, inclusive))
+            is_ntz = dict(df.dtypes).get(d.time_var) == "timestamp_ntz"
+            df = df.where(time_range_filter(d.time_var, start_time, end_time, inclusive, ntz=is_ntz))
         if ids is not None:
             df = df.where(F.col(d.id_var).isin([str(i) for i in ids]))
 

@@ -96,10 +96,16 @@ def token_jaccard_pairs(
     Blocking bounds the quadratic term; for unblocked corpora use
     :func:`minhash_near_dup_pairs` instead.
     """
+    # tokens are hashed to int64 once per doc BEFORE the pairwise join:
+    # array_intersect/array_union over longs is markedly cheaper than over
+    # strings, and the set sizes (hence Jaccard) are unchanged up to xxhash64
+    # collisions within a doc pair's union (~10^2 tokens -> P(collision)
+    # ~ 1e-14, negligible even at corpus scale since only per-pair unions
+    # matter, never the global vocabulary)
     d = df.select(
         F.col(id_col),
         *( [F.col(block_col)] if block_col else [] ),
-        F.array_distinct(tokens(text_col)).alias("toks"),
+        F.array_distinct(F.transform(tokens(text_col), lambda t: F.xxhash64(t))).alias("toks"),
     ).withColumn("n_toks", F.size("toks"))
     a = d.alias("a")
     b = d.alias("b")

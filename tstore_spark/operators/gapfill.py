@@ -75,24 +75,32 @@ def gap_fill(
 
     d, h, m, s = TIER_INTERVAL[tier]
     interval = F.make_dt_interval(F.lit(d), F.lit(h), F.lit(m), F.lit(s))
+    # the grid stays in the tier's own timestamp family: casting an NTZ tier
+    # through session-zoned TIMESTAMP would shift wall-clock under non-UTC
+    # sessions (and break the grid<->tier equi-join)
+    t_type = dict(tier_df.dtypes).get(time_col, "timestamp")
 
     if start is not None and end is not None:
         keys = tier_df.select(key).distinct()
         grid = keys.select(
             key,
             F.explode(
-                F.sequence(F.lit(start).cast("timestamp"), F.lit(end).cast("timestamp"), interval)
+                F.sequence(
+                    F.to_timestamp(F.lit(str(start))).cast(t_type),
+                    F.to_timestamp(F.lit(str(end))).cast(t_type),
+                    interval,
+                )
             ).alias(time_col),
         )
     else:
         bounds = tier_df.groupBy(key).agg(
-            F.min(time_col).cast("timestamp").alias("_lo"),
-            F.max(time_col).cast("timestamp").alias("_hi"),
+            F.min(time_col).cast(t_type).alias("_lo"),
+            F.max(time_col).cast(t_type).alias("_hi"),
         )
         grid = bounds.select(
             key, F.explode(F.sequence("_lo", "_hi", interval)).alias(time_col)
         )
-    grid = grid.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    grid = grid.withColumn(time_col, F.col(time_col).cast(t_type))
 
     joined = grid.join(tier_df, [key, time_col], "left")
     out = joined.withColumn("gap_filled", F.col(presence_col).isNull())
@@ -104,7 +112,9 @@ def gap_fill(
     if interpolate:
         w_back = Window.partitionBy(key).orderBy(time_col).rowsBetween(Window.unboundedPreceding, 0)
         w_fwd = Window.partitionBy(key).orderBy(time_col).rowsBetween(0, Window.unboundedFollowing)
-        ts_long = F.col(time_col).cast("long")
+        # interpolation only uses time *ratios*, so the session-zoned epoch is
+        # fine for NTZ inputs too (a constant offset cancels in the ratio)
+        ts_long = F.col(time_col).cast("timestamp").cast("long")
         prev_t = F.last(F.when(~F.col("gap_filled"), ts_long), ignorenulls=True).over(w_back)
         next_t = F.first(F.when(~F.col("gap_filled"), ts_long), ignorenulls=True).over(w_fwd)
         for c in interp_cols:

@@ -73,9 +73,15 @@ def metric_rollup_from_raw(
 ) -> DataFrame:
     """One tier from raw events; carries mergeable state for the cascade."""
     unit = TIERS[tier]
+    # date_trunc returns session-zoned TIMESTAMP; cast back to TIMESTAMP_NTZ
+    # when the input is NTZ so the result is pure wall-clock truncation,
+    # independent of the session timezone (the two casts cancel)
+    ws = F.date_trunc(unit, F.col(time_col))
+    if dict(df.dtypes).get(time_col) == "timestamp_ntz":
+        ws = ws.cast("timestamp_ntz")
     base = df.select(
         F.col(key),
-        F.date_trunc(unit, F.col(time_col)).alias("window_start"),
+        ws.alias("window_start"),
         F.round(F.col(value_col) * 100).cast("long").alias("_cents"),
         F.col(id_col).alias("_id"),
     )
@@ -112,7 +118,10 @@ def metric_rollup_from_raw(
 def metric_rollup_cascade(child: DataFrame, tier: str, key: str = "event_type") -> DataFrame:
     """Re-aggregate the tier below into this tier — exact by construction."""
     unit = TIERS[tier]
-    ws = F.date_trunc(unit, F.col("window_start")).alias("window_start")
+    ws = F.date_trunc(unit, F.col("window_start"))
+    if dict(child.dtypes).get("window_start") == "timestamp_ntz":
+        ws = ws.cast("timestamp_ntz")
+    ws = ws.alias("window_start")
 
     main = child.groupBy(key, ws).agg(
         F.sum("event_count").alias("event_count"),

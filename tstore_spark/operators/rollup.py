@@ -114,9 +114,12 @@ def rollup_from_raw(pages: DataFrame, tier: str, key_col=None, time_col: str = "
     """
     unit = TIERS[tier]
     key = key_col if key_col is not None else domain_of("url")
+    ws = F.date_trunc(unit, F.col(time_col))
+    if dict(pages.dtypes).get(time_col) == "timestamp_ntz":
+        ws = ws.cast("timestamp_ntz")  # wall-clock truncation, session-TZ-proof
     base = pages.select(
         key.alias("domain"),
-        F.date_trunc(unit, F.col(time_col)).alias("window_start"),
+        ws.alias("window_start"),
         F.octet_length("html").alias("_bytes"),
         F.length("text").alias("_len"),
         F.col("lang"),
@@ -171,7 +174,10 @@ def rollup_cascade(child: DataFrame, tier: str) -> DataFrame:
     equals the value you would get from raw.
     """
     unit = TIERS[tier]
-    ws = F.date_trunc(unit, F.col("window_start")).alias("window_start")
+    ws = F.date_trunc(unit, F.col("window_start"))
+    if dict(child.dtypes).get("window_start") == "timestamp_ntz":
+        ws = ws.cast("timestamp_ntz")
+    ws = ws.alias("window_start")
 
     main = child.groupBy("domain", ws).agg(
         F.sum("doc_count").alias("doc_count"),

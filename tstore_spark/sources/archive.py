@@ -122,7 +122,8 @@ def open_archive(
 
     # partition pruning: day from the time range, bucket from the id list
     if start_time is not None or end_time is not None:
-        df = df.where(time_range_filter(d.time_var, start_time, end_time, inclusive))
+        is_ntz = dict(df.dtypes).get(d.time_var) == "timestamp_ntz"
+        df = df.where(time_range_filter(d.time_var, start_time, end_time, inclusive, ntz=is_ntz))
         if start_time is not None:
             df = df.where(F.col("p_day") >= F.to_date(F.lit(str(start_time))))
         if end_time is not None:
