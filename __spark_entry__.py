@@ -263,6 +263,11 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_ann_topk(emb, probes, dim=64, k=3, n_planes=8)
 
 
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(emb, threshold=0.45, method="exact")
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 5)
@@ -357,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetime_parts": _q_datetime_parts,
         "ivf_topk": _q_ivf_topk,
         "hll_distinct_users": _q_hll_users,
+        "embedding_near_dup": _q_embedding_near_dup,
     }
 
 
@@ -518,6 +524,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank, cos_sim FROM (
                 SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
                 FROM c) WHERE rank <= 3
+        """,
+        "embedding_near_dup": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT id_a, id_b, cos_sim FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_dot_product(a.v, b.v)
+                             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 3) AS cos_sim
+                FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            WHERE cos_sim >= 0.45
         """,
         "embedding_norms": """
             SELECT vec_id,

@@ -53,6 +53,7 @@ HEADLINE = [
     "minhash_near_dup",
     "cosine_topk",
     "ivf_topk",
+    "embedding_near_dup",
     "asof_join",
     "hll_distinct_users",
     "binary_meta",

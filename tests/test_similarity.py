@@ -90,3 +90,22 @@ def test_lsh_ann_recall(emb_sdf):
         key = (r["query_id"], r["neighbor_id"])
         if key in sim_by_pair:
             assert sim_by_pair[key] == r["cos_sim"]
+
+
+def test_embedding_near_dup_lsh_subset_of_exact(emb_sdf):
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in SIM.embedding_near_dup_pairs(emb_sdf, threshold=0.5, method="exact").collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in SIM.embedding_near_dup_pairs(
+            emb_sdf, threshold=0.5, method="lsh", dim=DIM, n_planes=4
+        ).collect()
+    }
+    # LSH candidates are verified with the same exact cosine -> strict subset
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert exact[k] == v
+    if exact:
+        assert len(lsh) / len(exact) >= 0.2  # bucketing keeps meaningful recall

@@ -133,6 +133,51 @@ def add_lsh_bucket(
     return df.mapInPandas(assign, schema=schema)
 
 
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    method: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 10,
+    seed: int = 42,
+    round_digits: int = 3,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim >= threshold).
+
+    method='exact': all-pairs — the oracle baseline, O(N^2), only for bounded
+    inputs. method='lsh': random-hyperplane bucketing first, exact cosine
+    verify within buckets — the scale path (recall < 1 for pairs straddling a
+    hyperplane; raise recall with fewer planes or multi-probe).
+    """
+    v = vectors.select(F.col(id_col), F.col(vec_col))
+    if method == "exact":
+        a, b = v.alias("a"), v.alias("b")
+        cand = a.join(F.broadcast(b), F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    elif method == "lsh":
+        if dim is None:
+            raise ValueError("dim is required for method='lsh'")
+        vb = add_lsh_bucket(v, dim, n_planes, seed, vec_col)
+        a, b = vb.alias("a"), vb.alias("b")
+        cand = a.join(
+            b,
+            (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    sim = F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), round_digits)
+    return (
+        cand.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= F.lit(threshold))
+    )
+
+
 def ivf_build_centroids(
     vectors: DataFrame,
     dim: int,
