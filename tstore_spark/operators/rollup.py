@@ -106,11 +106,25 @@ _FINAL_COLS = [
 ]
 
 
-def rollup_from_raw(pages: DataFrame, tier: str, key_col=None, time_col: str = "warc_ts") -> DataFrame:
+def rollup_from_raw(
+    pages: DataFrame,
+    tier: str,
+    key_col=None,
+    time_col: str = "warc_ts",
+    bytes_col: str | None = None,
+    len_col: str | None = None,
+) -> DataFrame:
     """Build one rollup tier directly from raw pages.
 
     Used for the finest tier (1m); coarser tiers should use
     :func:`rollup_cascade` (exact and far cheaper).
+
+    bytes_col/len_col: names of ingest-time stat columns (see
+    sources/archive.py ``stats_columns``). When given, the rollup reads two
+    narrow int columns instead of decoding the html/text payloads — at 100 TB
+    this turns a payload-bandwidth-bound scan into a metadata scan (the
+    payload columns are pruned entirely; values are identical by
+    construction since the stats were computed from the payloads at write).
     """
     unit = TIERS[tier]
     key = key_col if key_col is not None else domain_of("url")
@@ -120,8 +134,8 @@ def rollup_from_raw(pages: DataFrame, tier: str, key_col=None, time_col: str = "
     base = pages.select(
         key.alias("domain"),
         ws.alias("window_start"),
-        F.octet_length("html").alias("_bytes"),
-        F.length("text").alias("_len"),
+        (F.col(bytes_col) if bytes_col else F.octet_length("html")).alias("_bytes"),
+        (F.col(len_col) if len_col else F.length("text")).alias("_len"),
         F.col("lang"),
     )
 
@@ -210,10 +224,18 @@ def rollup_cascade(child: DataFrame, tier: str) -> DataFrame:
     return out.select(*_FINAL_COLS)
 
 
-def rollup_all_tiers(pages: DataFrame, key_col=None, time_col: str = "warc_ts") -> dict[str, DataFrame]:
+def rollup_all_tiers(
+    pages: DataFrame,
+    key_col=None,
+    time_col: str = "warc_ts",
+    bytes_col: str | None = None,
+    len_col: str | None = None,
+) -> dict[str, DataFrame]:
     """The full cascade: raw -> 1m -> 1h -> 1d."""
     tiers: dict[str, DataFrame] = {}
-    tiers["1m"] = rollup_from_raw(pages, "1m", key_col=key_col, time_col=time_col)
+    tiers["1m"] = rollup_from_raw(
+        pages, "1m", key_col=key_col, time_col=time_col, bytes_col=bytes_col, len_col=len_col
+    )
     tiers["1h"] = rollup_cascade(tiers["1m"], "1h")
     tiers["1d"] = rollup_cascade(tiers["1h"], "1d")
     return tiers

@@ -81,7 +81,14 @@ def run_rollup_pipeline(
 
     if pending:
         batch = pages.where(F.to_date(F.col(time_col)).isin(pending))
-        tiers = rollup_all_tiers(batch, time_col=time_col)
+        # honor ingest-time stat columns automatically: the rollup then scans
+        # two narrow ints and Parquet prunes the payload columns entirely
+        kw = (
+            {"bytes_col": "html_bytes", "len_col": "text_len"}
+            if {"html_bytes", "text_len"} <= set(pages.columns)
+            else {}
+        )
+        tiers = rollup_all_tiers(batch, time_col=time_col, **kw)
         # cache the 1m tier: it feeds its own write AND the 1h cascade
         tiers["1m"] = tiers["1m"].cache()
         tiers["1h"] = tiers["1h"].cache()

@@ -71,8 +71,16 @@ def write_archive(
     num_buckets: int = 8,
     mode: str = "overwrite",
     check_static_uniqueness: bool = True,
+    stats_columns: dict | None = None,
 ) -> None:
-    """Write the long table + attributes + metadata in one distributed pass."""
+    """Write the long table + attributes + metadata in one distributed pass.
+
+    stats_columns: name -> Column of ingest-time derived stats (e.g.
+    ``{"html_bytes": F.octet_length("html"), "text_len": F.length("text")}``)
+    materialized alongside the payloads. Downstream rollups then scan the
+    narrow stat columns and Parquet prunes the payloads entirely — the
+    difference between a payload-bandwidth scan and a metadata scan at 100 TB.
+    """
     d = tslong.descriptor
     df = tslong.df
 
@@ -87,9 +95,11 @@ def write_archive(
 
     # fact table: hidden-partition emulation; statics live in the dimension only
     fact_cols = [d.id_var, d.time_var, *d.ts_columns]
+    fact = df.select(*fact_cols)
+    for name, col in (stats_columns or {}).items():
+        fact = fact.withColumn(name, col)
     fact = (
-        df.select(*fact_cols)
-        .withColumn("p_day", F.to_date(F.col(d.time_var)))
+        fact.withColumn("p_day", F.to_date(F.col(d.time_var)))
         .withColumn("p_bucket", bucket_column(d.id_var, num_buckets))
     )
     (

@@ -46,6 +46,7 @@ def run(
     tier: str = "1h",
     gen_in_window: bool = False,
     input_path: str | None = None,
+    narrow: bool = False,
 ) -> dict:
     """Times the rollup cascade + digest at the given parallelism.
 
@@ -74,6 +75,12 @@ def run(
         # the OS page cache serves the bytes after the count() touches them.
         pages = spark.read.parquet(input_path)
         n = pages.count()  # footer-stats count; warms file metadata
+        if narrow:
+            # ingest-time stat columns (archive stats_columns): the rollup
+            # scans 4 narrow columns, Parquet prunes html/text entirely
+            assert "html_bytes" in pages.columns and "text_len" in pages.columns, (
+                "--narrow needs an input written with html_bytes/text_len stat columns"
+            )
         t0 = time.time()
     elif gen_in_window:
         pages = pages_spark(spark, rows=rows)
@@ -83,14 +90,15 @@ def run(
         pages = pages_spark(spark, rows=rows).cache()
         n = pages.count()  # materialize input outside the timed window
         t0 = time.time()
+    kw = {"bytes_col": "html_bytes", "len_col": "text_len"} if narrow else {}
     if tier == "all":
-        tiers = rollup_all_tiers(pages)
+        tiers = rollup_all_tiers(pages, **kw)
         # 1m feeds its own digest AND the 1h cascade (same shape as the
         # pipeline's tier writes) — cache to avoid recomputing the raw scan
         tiers["1m"] = tiers["1m"].cache()
         tiers["1h"] = tiers["1h"].cache()
     else:
-        tiers = {tier: rollup_from_raw(pages, tier)}
+        tiers = {tier: rollup_from_raw(pages, tier, **kw)}
     digests = {}
     windows = {}
     for name, tdf in tiers.items():
@@ -108,8 +116,9 @@ if __name__ == "__main__":
     rows = int(args[1])
     tier = args[2] if len(args) > 2 else "1h"
     gen_in_window = "--gen-in-window" in sys.argv
+    narrow = "--narrow" in sys.argv
     input_path = None
     for a in sys.argv[1:]:
         if a.startswith("--input="):
             input_path = a.split("=", 1)[1]
-    print(json.dumps(run(master, rows, tier, gen_in_window, input_path)))
+    print(json.dumps(run(master, rows, tier, gen_in_window, input_path, narrow)))
