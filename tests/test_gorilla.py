@@ -60,3 +60,31 @@ def test_spark_chunks_deterministic(pages_sdf):
     a = compress_tier(tier).toPandas().sort_values(["domain", "p_day"]).reset_index(drop=True)
     b = compress_tier(tier.repartition(13)).toPandas().sort_values(["domain", "p_day"]).reset_index(drop=True)
     assert (a["chunk"].map(bytes) == b["chunk"].map(bytes)).all()
+
+
+# --- property-based: arbitrary bit patterns and pathological deltas ---------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=60),
+    st.data(),
+)
+def test_roundtrip_hypothesis(ts_deltas, data):
+    # timestamps: cumulative arbitrary deltas (monotonicity NOT required by
+    # the codec, only by callers); values: any float64 bit pattern incl.
+    # NaN/inf/denormals — XOR encoding must preserve exact bits
+    ts = np.cumsum(np.asarray(ts_deltas, dtype=np.int64) % 10**12)
+    vals_bits = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=2**64 - 1),
+            min_size=len(ts), max_size=len(ts),
+        )
+    )
+    vals = np.asarray(vals_bits, dtype=np.uint64).view(np.float64)
+    chunk = encode(ts, vals)
+    ts2, vals2 = decode(chunk)
+    assert (ts2 == ts).all()
+    assert (vals2.view(np.uint64) == vals.view(np.uint64)).all()
