@@ -74,3 +74,40 @@ def test_doc_count_conservation(tiers, pages_pdf):
 
 def test_bytes_total_exact(tiers, pages_pdf):
     assert tiers["1d"]["bytes_total"].sum() == int(pages_pdf["html"].map(len).sum())
+
+
+def test_batch_percentiles_equal_scalar():
+    """The vectorized batch kernel must reproduce the scalar reference
+    bit-for-bit (including duplicate values, single-point windows, heavy
+    skew)."""
+    import numpy as np
+
+    from tstore_spark.operators.rollup import _pcts_from_hist, _pcts_from_hist_batch
+
+    rng = np.random.default_rng(11)
+    lens_list, cnts_list = [], []
+    for _ in range(500):
+        k = int(rng.integers(1, 40))
+        lens = np.sort(rng.choice(np.arange(10, 5000), size=k, replace=False)).astype(np.int64)
+        cnts = rng.integers(1, 50, size=k).astype(np.int64)
+        lens_list.append(lens)
+        cnts_list.append(cnts)
+    batch = _pcts_from_hist_batch(lens_list, cnts_list)
+    for i, (ls, cs) in enumerate(zip(lens_list, cnts_list)):
+        assert batch[i] == _pcts_from_hist(ls, cs), i
+
+
+def test_jvm_percentiles_equal_arrow(pages_sdf):
+    """JVM aggregate-expression percentiles == Arrow kernel, bit-for-bit."""
+    from tstore_spark.operators.rollup import TIERS, _attach_percentiles, domain_of
+    from pyspark.sql import functions as F
+
+    base = rollup_from_raw(pages_sdf, "1h")  # built with the default (JVM) path
+    state = base.select("domain", "window_start", "hist_lens", "hist_cnts",
+                        "doc_count", "bytes_total", "lang_set", "lang_distinct")
+    arrow = _attach_percentiles(state, use_jvm=False)
+    jvm = _attach_percentiles(state, use_jvm=True)
+    cols = ["domain", "window_start", "text_len_p50", "text_len_p90", "text_len_p99"]
+    a = sorted(tuple(r) for r in arrow.select(*cols).collect())
+    j = sorted(tuple(r) for r in jvm.select(*cols).collect())
+    assert a == j

@@ -42,14 +42,12 @@ def _cents_hist_percentiles(hist_cents: pd.Series, hist_cnts: pd.Series) -> pd.S
     """[p50, p90, p99] per window from the (cents, count) histogram.
 
     Cents are divided by 100 *before* interpolation so the interpolated value
-    equals ``quantile_cont`` over the original 2-decimal doubles.
+    equals ``quantile_cont`` over the original 2-decimal doubles; the batch
+    kernel vectorizes across windows (no per-window Python loop).
     """
-    out = []
-    for cs, ns in zip(hist_cents, hist_cnts):
-        vals = np.asarray(cs, dtype=np.float64) / 100.0
-        cnts = np.asarray(ns, dtype=np.int64)
-        out.append(_pcts_from_hist(vals, cnts))
-    return pd.Series(out)
+    from tstore_spark.operators.rollup import _pcts_from_hist_batch
+
+    return pd.Series(_pcts_from_hist_batch(list(hist_cents), list(hist_cnts), value_scale=100.0))
 
 
 _STATE_COLS = ["event_count", "value_cents", "id_set", "hist_cents", "hist_cnts"]
@@ -150,9 +148,14 @@ def metric_rollup_cascade(child: DataFrame, tier: str, key: str = "event_type") 
     return main.join(hist, [key, "window_start"])
 
 
-def finalize(tier_df: DataFrame, key: str = "event_type") -> DataFrame:
+def finalize(tier_df: DataFrame, key: str = "event_type", use_jvm: bool = False) -> DataFrame:
     """Scalar-only view of a tier (drops the mergeable state columns)."""
-    p = _cents_hist_percentiles(F.col("hist_cents"), F.col("hist_cnts"))
+    if use_jvm:
+        from tstore_spark.operators.rollup import hist_percentiles_jvm
+
+        p = hist_percentiles_jvm("hist_cents", "hist_cnts", value_scale=100.0)
+    else:
+        p = _cents_hist_percentiles(F.col("hist_cents"), F.col("hist_cnts"))
     out = (
         tier_df.withColumn("_p", p)
         .withColumn("value_sum", (F.col("value_cents") / 100.0))

@@ -67,20 +67,116 @@ def _pcts_from_hist(lens: np.ndarray, cnts: np.ndarray, qs=PCTS) -> list[float]:
     return out
 
 
+def _pcts_from_hist_batch(hist_lens, hist_cnts, qs=PCTS, value_scale: float = 1.0) -> list[list[float]]:
+    """Vectorized percentiles for a BATCH of histograms — no per-window Python.
+
+    Same arithmetic as :func:`_pcts_from_hist` (asserted equal in tests), but
+    computed across all windows at once: concatenate every histogram, take one
+    global cumsum (strictly increasing, counts > 0), and resolve each window's
+    interpolation indices with a single ``searchsorted`` per quantile —
+    per-window targets offset by the running total before that window land
+    inside the right segment automatically.
+    """
+    n_rows = len(hist_lens)
+    if n_rows == 0:
+        return []
+    lens_flat = np.concatenate([np.asarray(x, dtype=np.float64) for x in hist_lens])
+    cnts_flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in hist_cnts])
+    if value_scale != 1.0:
+        lens_flat = lens_flat / value_scale
+    seg_len = np.fromiter((len(x) for x in hist_lens), dtype=np.int64, count=n_rows)
+    ends = np.cumsum(seg_len) - 1  # last flat index of each segment
+    gc = np.cumsum(cnts_flat)
+    seg_base = np.concatenate([[0], gc[ends[:-1]]])  # total count before each segment
+    n = gc[ends] - seg_base  # docs per window
+
+    out = np.empty((n_rows, len(qs)), dtype=np.float64)
+    for qi, q in enumerate(qs):
+        pos = (n - 1) * q
+        lo = np.floor(pos)
+        hi = np.ceil(pos)
+        i_lo = np.searchsorted(gc, seg_base + lo, side="right")
+        i_hi = np.searchsorted(gc, seg_base + hi, side="right")
+        v_lo = lens_flat[i_lo]
+        v_hi = lens_flat[i_hi]
+        out[:, qi] = v_lo + (v_hi - v_lo) * (pos - lo)
+    return out.tolist()
+
+
 @pandas_udf(ArrayType(DoubleType()))
 def _hist_percentiles(hist_lens: pd.Series, hist_cnts: pd.Series) -> pd.Series:
     """[p50, p90, p99] per row. Rows here are *windows*, not documents —
-    the doc-proportional work stayed in the JVM aggregation."""
-    return pd.Series(
-        [
-            _pcts_from_hist(np.asarray(ls, dtype=np.int64), np.asarray(cs, dtype=np.int64))
-            for ls, cs in zip(hist_lens, hist_cnts)
-        ]
-    )
+    the doc-proportional work stayed in the JVM aggregation, and the batch
+    percentile kernel is fully vectorized across windows."""
+    return pd.Series(_pcts_from_hist_batch(list(hist_lens), list(hist_cnts)))
 
 
-def _attach_percentiles(df: DataFrame) -> DataFrame:
-    p = _hist_percentiles(F.col("hist_lens"), F.col("hist_cnts"))
+def hist_percentiles_jvm(
+    lens_col: str, cnts_col: str, qs=PCTS, value_scale: float = 1.0
+):
+    """Exact interpolated percentiles from a (value, count) histogram as a
+    pure-JVM ``aggregate`` expression — one pass over the (bounded) histogram
+    array, no Arrow round-trip of the arrays to Python.
+
+    Bit-identical to the Arrow kernel (:func:`_pcts_from_hist`): same
+    first-index-with-cum-greater-than selection, same
+    ``v_lo + (v_hi - v_lo) * frac`` IEEE arithmetic (asserted in tests).
+    Returns one array<double> column [p_q for q in qs].
+
+    NOTE: measured ~10x slower than the Arrow kernel at 500k windows
+    (interpreted HOF evaluation, re-evaluated per referencing column) — see
+    :func:`_attach_percentiles`; not used by default.
+    """
+    cnts = F.col(cnts_col)
+    n = F.aggregate(cnts, F.lit(0).cast("long"), lambda a, x: a + x.cast("long"))
+    pos = [(n - 1).cast("double") * F.lit(q) for q in qs]
+    lo = [F.floor(p).cast("double") for p in pos]
+    hi = [F.ceil(p).cast("double") for p in pos]
+    pairs = F.arrays_zip(F.col(lens_col).alias("l"), cnts.alias("c"))
+
+    nq = len(qs)
+    zero_fields = [F.lit(0).cast("long").alias("cum")] + [
+        F.lit(None).cast("double").alias(f"{side}{i}")
+        for i in range(nq)
+        for side in ("vlo", "vhi")
+    ]
+
+    def merge(acc, x):
+        newcum = acc["cum"] + x["c"].cast("long")
+        val = x["l"].cast("double") / F.lit(value_scale) if value_scale != 1.0 else x["l"].cast("double")
+        fields = [newcum.alias("cum")]
+        for i in range(nq):
+            fields.append(
+                F.coalesce(acc[f"vlo{i}"], F.when(newcum.cast("double") > lo[i], val)).alias(f"vlo{i}")
+            )
+            fields.append(
+                F.coalesce(acc[f"vhi{i}"], F.when(newcum.cast("double") > hi[i], val)).alias(f"vhi{i}")
+            )
+        return F.struct(*fields)
+
+    def finish(acc):
+        return F.array(
+            *[
+                acc[f"vlo{i}"] + (acc[f"vhi{i}"] - acc[f"vlo{i}"]) * (pos[i] - lo[i])
+                for i in range(nq)
+            ]
+        )
+
+    return F.aggregate(pairs, F.struct(*zero_fields), merge, finish)
+
+
+def _attach_percentiles(df: DataFrame, use_jvm: bool = False) -> DataFrame:
+    """Attach p50/p90/p99 from the histogram.
+
+    Default: the vectorized Arrow kernel. The JVM aggregate-expression
+    variant (use_jvm=True) produces identical results but measured ~10x
+    SLOWER at 500k-window scale — higher-order functions are interpreted
+    per-element and the expression tree is re-evaluated once per referencing
+    column. Kept as a measured dead end; don't flip the default."""
+    if use_jvm:
+        p = hist_percentiles_jvm("hist_lens", "hist_cnts")
+    else:
+        p = _hist_percentiles(F.col("hist_lens"), F.col("hist_cnts"))
     return (
         df.withColumn("_p", p)
         .withColumn("text_len_p50", F.col("_p")[0])
