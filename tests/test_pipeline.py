@@ -44,3 +44,25 @@ def test_pipeline_resume_and_exactness(spark, pages_pdf, tmp_path):
 
     runs = MetricsLog(base).runs()
     assert [r["run_id"] for r in runs] == ["phase1", "phase2", "phase3"]
+
+
+def test_pipeline_reprocesses_changed_day(spark, pages_pdf, tmp_path):
+    """Late data for a completed day changes its fingerprint -> that day (and
+    only that day) is recomputed, and tiers reflect the new input exactly."""
+    base = str(tmp_path / "pipe2")
+    all_days = sorted(pages_pdf["warc_ts"].dt.date.unique().astype(str))
+    full = spark.createDataFrame(pages_pdf)
+    run_rollup_pipeline(spark, full, base, run_id="initial")
+
+    # late-arriving rows: duplicate the first 50 rows of day 0 with new urls
+    late = pages_pdf[pages_pdf["warc_ts"].dt.date.astype(str) == all_days[0]].head(50).copy()
+    late["url"] = late["url"] + "/late"
+    amended = pd.concat([pages_pdf, late], ignore_index=True)
+    s2 = run_rollup_pipeline(spark, spark.createDataFrame(amended), base, run_id="late")
+    assert s2["days_processed"] == [all_days[0]]
+    assert s2["days_skipped"] == all_days[1:]
+
+    got = read_tier(spark, base, "1d").toPandas().sort_values(["domain", "window_start"]).reset_index(drop=True)
+    exp = rollup_oracle_pandas(amended, "1d").sort_values(["domain", "window_start"]).reset_index(drop=True)
+    got["window_start"] = pd.to_datetime(got["window_start"])
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
