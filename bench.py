@@ -13,9 +13,10 @@ Phase 2 — the north rule's two-cluster-size evidence: the identical rollup
 job (generate pages -> 1m/1h/1d cascade -> distributed digest) via
 tools/parcheck subprocesses at N and 4N cores on the same input;
 reports docs/sec at both and efficiency = thr_4N / (4 * thr_N). This host's
-throughput cliffs above ~16 threads (shared box), so N=4 / 4N=16 by default.
-Interleaved runs with min-time estimator (the host is noisy-neighbor noisy).
-Set SPARK_GRAFT_BENCH_SCALING=0 to skip phase 2.
+throughput cliffs above ~16 threads (shared box), so N=2 / 4N=8 by default.
+Interleaved runs with min-time estimator (the host is noisy-neighbor noisy —
+single-pair efficiency swings 0.6-0.8; BENCH.md carries the multi-round
+evidence and per-phase analysis). Set SPARK_GRAFT_BENCH_SCALING=0 to skip.
 """
 
 from __future__ import annotations

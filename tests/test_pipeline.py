@@ -4,7 +4,6 @@ import pandas as pd
 
 from tstore_spark.operators.rollup import rollup_oracle_pandas
 from tstore_spark.plans.pipeline import read_tier, run_rollup_pipeline
-from tstore_spark.functions.urls import domain_of
 from pyspark.sql import functions as F
 
 

@@ -99,8 +99,7 @@ def test_batch_percentiles_equal_scalar():
 
 def test_jvm_percentiles_equal_arrow(pages_sdf):
     """JVM aggregate-expression percentiles == Arrow kernel, bit-for-bit."""
-    from tstore_spark.operators.rollup import TIERS, _attach_percentiles, domain_of
-    from pyspark.sql import functions as F
+    from tstore_spark.operators.rollup import _attach_percentiles
 
     base = rollup_from_raw(pages_sdf, "1h")  # built with the default (JVM) path
     state = base.select("domain", "window_start", "hist_lens", "hist_cnts",

@@ -25,14 +25,13 @@ deterministic HLL sketch (same cascade shape, mergeable registers).
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType
 
-from tstore_spark.operators.rollup import TIERS, _pcts_from_hist
+from tstore_spark.operators.rollup import TIERS
 
 PCTS = (0.5, 0.9, 0.99)
 

@@ -25,7 +25,6 @@ are stable under any float library's last-bit wobble.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 

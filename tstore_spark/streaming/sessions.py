@@ -21,8 +21,6 @@ split on gaps with numpy diff — no per-row Python beyond session boundaries.
 
 from __future__ import annotations
 
-import datetime as dt
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
