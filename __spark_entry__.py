@@ -11,7 +11,13 @@ Spark's long (DuckDB sum(bigint) is HUGEINT otherwise).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make the sibling tstore_spark package importable regardless of the
+# driver's working directory / import mechanism
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
