@@ -305,6 +305,28 @@ def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tswide_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot view via the TSLong API: rows = hourly window, one column
+    per event_type (reference TSWide analog over a rollup tier)."""
+    from tstore_spark.model.tslong import TSLong
+
+    ev = _t(spark, sf_dir, "events")
+    tier = (
+        ev.groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("window_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tl = TSLong.wrap(tier, id_var="event_type", time_var="window_start", ts_vars={"m": ["n"]})
+    wide = tl.to_tswide(values=["n"])
+    # single-agg pivot names columns by the pivot value alone
+    return wide.select(
+        "window_start",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"{t}_n") for t in EVENT_TYPES],
+    )
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tstore_spark.operators.asof import asof_join
 
@@ -372,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tslong_roundtrip": _q_tslong_roundtrip,
         "asof_join": _q_asof_join,
         "datetime_parts": _q_datetime_parts,
+        "tswide_hourly": _q_tswide_hourly,
         "ivf_topk": _q_ivf_topk,
         "hll_distinct_users": _q_hll_users,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -560,6 +583,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, e.ts, e.value, err.err_value AS err_value_asof
             FROM events e ASOF LEFT JOIN err
               ON e.user_id = err.user_id AND e.ts >= err.ts
+        """,
+        "tswide_hourly": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   count(*) FILTER (WHERE event_type = 'click') AS click_n,
+                   count(*) FILTER (WHERE event_type = 'error') AS error_n,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+                   count(*) FILTER (WHERE event_type = 'signup') AS signup_n,
+                   count(*) FILTER (WHERE event_type = 'view') AS view_n
+            FROM events GROUP BY 1
         """,
         "datetime_parts": """
             SELECT event_id,
