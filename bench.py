@@ -36,7 +36,7 @@ SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 # larger 12M-doc evidence runs (SPARK_GRAFT_BENCH_SCALE_ROWS=12000000 to reproduce)
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_ROWS", "4000000"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "2"))
-SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_ROUNDS", "1"))
+SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_ROUNDS", "2"))
 
 #: headline subset (name -> callable from __spark_entry__.queries())
 HEADLINE = [

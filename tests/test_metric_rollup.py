@@ -59,3 +59,22 @@ def test_value_sum_exact(events_sdf):
     pdf["cents"] = np.round(pdf["value"] * 100).astype(np.int64)
     for (et, d), grp in pdf.groupby(["event_type", "d"]):
         assert got[(et, d.to_pydatetime())] == grp["cents"].sum() / 100.0
+
+
+def test_id_sketch_cascade_and_accuracy(events_sdf):
+    """HLL id-sketch path: cascaded registers == from-raw registers
+    (bit-identical), estimates near exact counts."""
+    from tstore_spark.operators.metric_rollup import metric_rollup_all_tiers as all_tiers
+
+    tiers = all_tiers(events_sdf, id_sketch=True)
+    direct = metric_rollup_from_raw(events_sdf, "1d", id_sketch=True)
+    c = {(r["event_type"], r["window_start"]): r["hll"] for r in tiers["1d"].collect()}
+    d = {(r["event_type"], r["window_start"]): r["hll"] for r in direct.collect()}
+    assert c == d  # merge(1h sketches) == sketch(raw), register-exact
+
+    est = finalize(tiers["1d"])
+    exact = finalize(metric_rollup_all_tiers(events_sdf)["1d"])
+    e = {(r["event_type"], r["window_start"]): r["user_distinct"] for r in est.collect()}
+    x = {(r["event_type"], r["window_start"]): r["user_distinct"] for r in exact.collect()}
+    for k in x:
+        assert abs(e[k] - x[k]) <= max(3, 0.1 * x[k]), (k, e[k], x[k])

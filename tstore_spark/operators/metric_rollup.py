@@ -67,8 +67,17 @@ def metric_rollup_from_raw(
     time_col: str = "ts",
     value_col: str = "value",
     id_col: str = "user_id",
+    id_sketch: bool = False,
+    sketch_p: int = 12,
 ) -> DataFrame:
-    """One tier from raw events; carries mergeable state for the cascade."""
+    """One tier from raw events; carries mergeable state for the cascade.
+
+    id_sketch=True replaces the exact ``id_set`` with a deterministic HLL
+    register array (operators/sketches.py) — the high-cardinality-id scale
+    path: state per window becomes O(2^p) instead of O(#ids), the cascade
+    merges registers with max (still exactly mergeable: cascaded sketch ==
+    from-raw sketch, bit-identical), and ``user_distinct`` becomes the HLL
+    estimate (rounded)."""
     unit = TIERS[tier]
     # date_trunc returns session-zoned TIMESTAMP; cast back to TIMESTAMP_NTZ
     # when the input is NTZ so the result is pure wall-clock truncation,
@@ -88,28 +97,38 @@ def metric_rollup_from_raw(
     # granularity with full map-side combine (the cents key doubles as a
     # salt for hot keys); stage 2 merges the bounded len-level rows. The
     # per-window value sum is recovered exactly as sum(cents * count).
-    s1 = base.groupBy(key, "window_start", "_cents").agg(
-        F.count(F.lit(1)).alias("_cnt"),
-        F.collect_set("_id").alias("_is"),
-    )
-    return (
-        s1.groupBy(key, "window_start")
-        .agg(
-            F.sum("_cnt").alias("event_count"),
-            F.sum(F.col("_cents") * F.col("_cnt")).alias("value_cents"),
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_is")))).alias("id_set"),
-            F.array_sort(F.collect_list(F.struct("_cents", "_cnt"))).alias("_h"),
+    s1_aggs = [F.count(F.lit(1)).alias("_cnt")]
+    if not id_sketch:
+        s1_aggs.append(F.collect_set("_id").alias("_is"))
+    s1 = base.groupBy(key, "window_start", "_cents").agg(*s1_aggs)
+    s2_aggs = [
+        F.sum("_cnt").alias("event_count"),
+        F.sum(F.col("_cents") * F.col("_cnt")).alias("value_cents"),
+        F.array_sort(F.collect_list(F.struct("_cents", "_cnt"))).alias("_h"),
+    ]
+    if not id_sketch:
+        s2_aggs.append(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_is")))).alias("id_set")
         )
+    out = (
+        s1.groupBy(key, "window_start")
+        .agg(*s2_aggs)
         .select(
             key,
             "window_start",
             "event_count",
             "value_cents",
-            "id_set",
+            *([] if id_sketch else ["id_set"]),
             F.transform("_h", lambda x: x["_cents"]).alias("hist_cents"),
             F.transform("_h", lambda x: x["_cnt"]).alias("hist_cnts"),
         )
     )
+    if id_sketch:
+        from tstore_spark.operators.sketches import hll_sketch
+
+        sk = hll_sketch(base, [key, "window_start"], "_id", p=sketch_p)
+        out = out.join(sk, [key, "window_start"])
+    return out
 
 
 def metric_rollup_cascade(child: DataFrame, tier: str, key: str = "event_type") -> DataFrame:
@@ -120,11 +139,16 @@ def metric_rollup_cascade(child: DataFrame, tier: str, key: str = "event_type") 
         ws = ws.cast("timestamp_ntz")
     ws = ws.alias("window_start")
 
-    main = child.groupBy(key, ws).agg(
+    has_sketch = "hll" in child.columns
+    main_aggs = [
         F.sum("event_count").alias("event_count"),
         F.sum("value_cents").alias("value_cents"),
-        F.array_sort(F.array_distinct(F.flatten(F.collect_list("id_set")))).alias("id_set"),
-    )
+    ]
+    if not has_sketch:
+        main_aggs.append(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("id_set")))).alias("id_set")
+        )
+    main = child.groupBy(key, ws).agg(*main_aggs)
     hist = (
         child.select(key, ws, F.explode(F.arrays_zip("hist_cents", "hist_cnts")).alias("_e"))
         .select(
@@ -144,7 +168,13 @@ def metric_rollup_cascade(child: DataFrame, tier: str, key: str = "event_type") 
             F.transform("_h", lambda x: x["_cnt"]).alias("hist_cnts"),
         )
     )
-    return main.join(hist, [key, "window_start"])
+    out = main.join(hist, [key, "window_start"])
+    if has_sketch:
+        from tstore_spark.operators.sketches import hll_merge
+
+        sk = hll_merge(child.select(key, ws, "hll"), [key, "window_start"])
+        out = out.join(sk, [key, "window_start"])
+    return out
 
 
 def finalize(tier_df: DataFrame, key: str = "event_type", use_jvm: bool = False) -> DataFrame:
@@ -155,10 +185,16 @@ def finalize(tier_df: DataFrame, key: str = "event_type", use_jvm: bool = False)
         p = hist_percentiles_jvm("hist_cents", "hist_cnts", value_scale=100.0)
     else:
         p = _cents_hist_percentiles(F.col("hist_cents"), F.col("hist_cnts"))
+    if "hll" in tier_df.columns:
+        from tstore_spark.operators.sketches import DEFAULT_P, hll_estimate_udf
+
+        user_distinct = F.round(hll_estimate_udf(DEFAULT_P)(F.col("hll"))).cast("long")
+    else:
+        user_distinct = F.size("id_set").cast("long")
     out = (
         tier_df.withColumn("_p", p)
         .withColumn("value_sum", (F.col("value_cents") / 100.0))
-        .withColumn("user_distinct", F.size("id_set").cast("long"))
+        .withColumn("user_distinct", user_distinct)
         .withColumn("value_p50", F.round(F.col("_p")[0], 4))
         .withColumn("value_p90", F.round(F.col("_p")[1], 4))
         .withColumn("value_p99", F.round(F.col("_p")[2], 4))
@@ -172,10 +208,13 @@ def metric_rollup_all_tiers(
     time_col: str = "ts",
     value_col: str = "value",
     id_col: str = "user_id",
+    id_sketch: bool = False,
 ) -> dict[str, DataFrame]:
     """raw -> 1m -> 1h -> 1d (with state; apply :func:`finalize` to present)."""
     tiers: dict[str, DataFrame] = {}
-    tiers["1m"] = metric_rollup_from_raw(df, "1m", key, time_col, value_col, id_col)
+    tiers["1m"] = metric_rollup_from_raw(
+        df, "1m", key, time_col, value_col, id_col, id_sketch=id_sketch
+    )
     tiers["1h"] = metric_rollup_cascade(tiers["1m"], "1h", key)
     tiers["1d"] = metric_rollup_cascade(tiers["1h"], "1d", key)
     return tiers
