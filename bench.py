@@ -46,7 +46,7 @@ HEADLINE = [
     "rollup_1h",
     "rollup_1d",
     "gap_fill_1h",
-    "gorilla_chunks",
+    "gorilla_roundtrip",
     "salted_agg_events",
     "dedup_exact",
     "doc_stats",
@@ -108,7 +108,9 @@ def run_scaling() -> dict:
         f"pages_spark(s, rows={SCALE_ROWS}).repartition({CPUS}).write.mode('overwrite').parquet({input_dir!r})\n"
         "s.stop()\n"
     )
-    subprocess.run([sys.executable, "-c", gen_code], capture_output=True, env=env, cwd=here)
+    gen = subprocess.run([sys.executable, "-c", gen_code], capture_output=True, text=True, env=env, cwd=here)
+    if gen.returncode != 0:
+        raise RuntimeError(f"bench input generation failed:\n{gen.stderr[-2000:]}")
 
     def one(master: str) -> dict:
         res = subprocess.run(
@@ -116,6 +118,8 @@ def run_scaling() -> dict:
              f"--input={input_dir}"],
             capture_output=True, text=True, env=env, cwd=here,
         )
+        if res.returncode != 0:
+            raise RuntimeError(f"parcheck {master} failed:\n{res.stderr[-2000:]}")
         return json.loads(res.stdout.strip().splitlines()[-1])
 
     runs: dict[str, list[dict]] = {f"local[{n}]": [], f"local[{n4}]": []}
@@ -139,6 +143,11 @@ def run_scaling() -> dict:
         round((a["seconds"] / b["seconds"]) / 4, 3)
         for a, b in zip(runs[f"local[{n}]"], runs[f"local[{n4}]"])
     ]
+    # headline estimator: MEDIAN of the paired rounds — max would cherry-pick
+    # the best round from a noisy-host sample (per-round swings of 0.6-0.8
+    # are routine on this box); min-based and per-round kept alongside
+    med = sorted(pair_effs)
+    median_eff = med[len(med) // 2] if len(med) % 2 else round((med[len(med) // 2 - 1] + med[len(med) // 2]) / 2, 3)
     return {
         "job": f"pages 1m/1h/1d rollup cascade over a {rows}-doc parquet table (tools/parcheck)",
         "n_cores": n,
@@ -149,7 +158,8 @@ def run_scaling() -> dict:
         "docs_per_sec_n": round(rows / best_n),
         "docs_per_sec_4n": round(rows / best_n4),
         "points_per_sec_4n": round(points / best_n4),
-        "efficiency": max(pair_effs),
+        "efficiency": median_eff,
+        "efficiency_max": max(pair_effs),
         "efficiency_per_round": pair_effs,
         "efficiency_min_based": round((rows / best_n4) / (4 * rows / best_n), 3),
         "deterministic_across_parallelism": len(digests) == 1,

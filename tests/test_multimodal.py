@@ -40,11 +40,11 @@ def test_extract_media_meta(blobs_sdf):
 def test_decode_and_featurize_stub(blobs_sdf):
     rows = {r["doc_id"]: r for r in MM.decode_and_featurize(blobs_sdf, "doc_id", "blob", feature_dim=8).collect()}
     for i, blob in BLOBS:
-        feat = rows[i]["feat"]
-        assert len(feat) == 8
-        assert all(0.0 <= v < 1.0 for v in feat)
-        # deterministic: same bytes -> same features
+        feat = [rows[i][f"f{j}"] for j in range(8)]
+        # stub features = ASCII codes of md5 hex chars (oracle-recomputable)
         assert feat == MM.fake_decoder(blob, 8).tolist()
+        assert all(v == float(ord(c)) for v, c in zip(feat, hashlib.md5(blob).hexdigest()))
+        assert rows[i]["byte_len"] == len(blob)
 
 
 def test_strict_raises(blobs_sdf):

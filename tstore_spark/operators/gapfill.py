@@ -112,9 +112,17 @@ def gap_fill(
     if interpolate:
         w_back = Window.partitionBy(key).orderBy(time_col).rowsBetween(Window.unboundedPreceding, 0)
         w_fwd = Window.partitionBy(key).orderBy(time_col).rowsBetween(0, Window.unboundedFollowing)
-        # interpolation only uses time *ratios*, so the session-zoned epoch is
-        # fine for NTZ inputs too (a constant offset cancels in the ratio)
-        ts_long = F.col(time_col).cast("timestamp").cast("long")
+        # epoch seconds for the interpolation ratio. NTZ must NOT route
+        # through the session-zoned TIMESTAMP cast: in a DST-observing
+        # session the offset jumps at transitions (skewing ratios near the
+        # boundary, and a fall-back repeat could even make next_t == prev_t).
+        # timestampdiff against an NTZ epoch literal is pure wall-clock.
+        if t_type == "timestamp_ntz":
+            ts_long = F.expr(
+                f"timestampdiff(SECOND, to_timestamp_ntz('1970-01-01'), `{time_col}`)"
+            )
+        else:
+            ts_long = F.col(time_col).cast("long")
         prev_t = F.last(F.when(~F.col("gap_filled"), ts_long), ignorenulls=True).over(w_back)
         next_t = F.first(F.when(~F.col("gap_filled"), ts_long), ignorenulls=True).over(w_fwd)
         for c in interp_cols:

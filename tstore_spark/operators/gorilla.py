@@ -231,9 +231,16 @@ def compress_tier(
     return with_day.groupBy(key, "p_day").applyInPandas(pack, schema=CHUNK_SCHEMA)
 
 
-def decompress_chunks(chunks_df: DataFrame, value_col: str = "doc_count") -> DataFrame:
+def decompress_chunks(
+    chunks_df: DataFrame, value_col: str = "doc_count", time_type: str = "timestamp"
+) -> DataFrame:
     """Explode chunks back to (domain, window_start, value) rows — the read
-    path proof that compression is lossless."""
+    path proof that compression is lossless.
+
+    ``time_type``: the timestamp family to decode into. Chunks store raw
+    wall-clock microseconds (whatever :func:`compress_tier` saw in pandas);
+    pass ``"timestamp_ntz"`` when the tier was NTZ so the round trip is pure
+    wall-clock and independent of the session timezone."""
 
     def unpack(batches):
         for pdf in batches:
@@ -252,5 +259,5 @@ def decompress_chunks(chunks_df: DataFrame, value_col: str = "doc_count") -> Dat
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    schema = f"domain string, window_start timestamp, {value_col} double"
+    schema = f"domain string, window_start {time_type}, {value_col} double"
     return chunks_df.mapInPandas(unpack, schema=schema)

@@ -177,8 +177,18 @@ def metric_rollup_cascade(child: DataFrame, tier: str, key: str = "event_type") 
     return out
 
 
-def finalize(tier_df: DataFrame, key: str = "event_type", use_jvm: bool = False) -> DataFrame:
-    """Scalar-only view of a tier (drops the mergeable state columns)."""
+def finalize(
+    tier_df: DataFrame,
+    key: str = "event_type",
+    use_jvm: bool = False,
+    sketch_p: int | None = None,
+) -> DataFrame:
+    """Scalar-only view of a tier (drops the mergeable state columns).
+
+    ``sketch_p`` must match the precision the sketch was built with
+    (``metric_rollup_from_raw(sketch_p=...)``) — the estimator's register
+    count m = 2^p is baked into the harmonic mean, so a mismatched p yields
+    silently wrong ``user_distinct``. Defaults to ``sketches.DEFAULT_P``."""
     if use_jvm:
         from tstore_spark.operators.rollup import hist_percentiles_jvm
 
@@ -188,7 +198,9 @@ def finalize(tier_df: DataFrame, key: str = "event_type", use_jvm: bool = False)
     if "hll" in tier_df.columns:
         from tstore_spark.operators.sketches import DEFAULT_P, hll_estimate_udf
 
-        user_distinct = F.round(hll_estimate_udf(DEFAULT_P)(F.col("hll"))).cast("long")
+        user_distinct = F.round(
+            hll_estimate_udf(DEFAULT_P if sketch_p is None else sketch_p)(F.col("hll"))
+        ).cast("long")
     else:
         user_distinct = F.size("id_set").cast("long")
     out = (
@@ -209,11 +221,14 @@ def metric_rollup_all_tiers(
     value_col: str = "value",
     id_col: str = "user_id",
     id_sketch: bool = False,
+    sketch_p: int = 12,
 ) -> dict[str, DataFrame]:
-    """raw -> 1m -> 1h -> 1d (with state; apply :func:`finalize` to present)."""
+    """raw -> 1m -> 1h -> 1d (with state; apply :func:`finalize` to present).
+
+    When ``id_sketch=True``, pass the same ``sketch_p`` to :func:`finalize`."""
     tiers: dict[str, DataFrame] = {}
     tiers["1m"] = metric_rollup_from_raw(
-        df, "1m", key, time_col, value_col, id_col, id_sketch=id_sketch
+        df, "1m", key, time_col, value_col, id_col, id_sketch=id_sketch, sketch_p=sketch_p
     )
     tiers["1h"] = metric_rollup_cascade(tiers["1m"], "1h", key)
     tiers["1d"] = metric_rollup_cascade(tiers["1h"], "1d", key)

@@ -60,11 +60,14 @@ def extract_media_meta(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
 
 
 def fake_decoder(blob: bytes, feature_dim: int = 8) -> np.ndarray:
-    """Deterministic stand-in decoder: fixed-dim feature from a blake2b
-    digest of the bytes. NOT a real decoder — marks where PIL/ffmpeg plug in."""
-    digest = hashlib.blake2b(blob, digest_size=feature_dim * 8).digest()
-    raw = np.frombuffer(digest, dtype=np.uint64).astype(np.float64)
-    return raw / float(1 << 64)
+    """Deterministic stand-in decoder: features are the ASCII codes of the
+    first ``feature_dim`` hex chars of ``md5(blob)`` — a pure function of the
+    bytes that ANY engine can recompute (DuckDB:
+    ``ascii(substr(md5(x), i+1, 1))``), so the whole stub pipeline is
+    oracle-checkable end-to-end. NOT a real decoder — marks where PIL/ffmpeg
+    plug in with the same ``bytes -> np.ndarray(feature_dim,)`` signature."""
+    h = hashlib.md5(blob).hexdigest()
+    return np.array([float(ord(h[i % 32])) for i in range(feature_dim)], dtype=np.float64)
 
 
 def decode_and_featurize(
@@ -77,10 +80,16 @@ def decode_and_featurize(
 ) -> DataFrame:
     """Arrow-batched decode -> feature pipeline over ``mapInPandas``.
 
-    Output: (id, byte_len, feat array<double>[feature_dim]). ``decoder`` is
-    ``bytes -> np.ndarray(feature_dim,)``; None selects the deterministic
-    stub (or raises under ``strict=True`` — the honest production posture
-    when no codec library is installed).
+    Output: (id, byte_len, f0..f{feature_dim-1} double) — the feature vector
+    is projected to scalar columns (one per dimension) rather than an
+    ``array<double>``: downstream consumers that hash/sort rows (the driver's
+    canonicalizer, most BI sinks) choke on list cells, while scalar columns
+    stay comparable everywhere. A storage pipeline would keep the packed
+    ``array<float>`` alongside; the projection is the comparison surface.
+
+    ``decoder`` is ``bytes -> np.ndarray(feature_dim,)``; None selects the
+    deterministic stub (or raises under ``strict=True`` — the honest
+    production posture when no codec library is installed).
     """
     if decoder is None:
         if strict:
@@ -90,19 +99,21 @@ def decode_and_featurize(
             )
         decoder = lambda b: fake_decoder(b, feature_dim)  # noqa: E731
 
-    schema = f"{id_col} long, byte_len long, feat array<double>"
+    feat_cols = [f"f{i}" for i in range(feature_dim)]
+    schema = f"{id_col} long, byte_len long, " + ", ".join(f"{c} double" for c in feat_cols)
 
     def run(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             blobs = [bytes(b) for b in pdf[blob_col]]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "byte_len": [len(b) for b in blobs],
-                    "feat": [decoder(b).tolist() for b in blobs],
-                }
-            )
+            feats = np.vstack([decoder(b) for b in blobs])
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                "byte_len": [len(b) for b in blobs],
+            }
+            for i, c in enumerate(feat_cols):
+                out[c] = feats[:, i]
+            yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(run, schema=schema)

@@ -282,29 +282,88 @@ def ivf_topk(
     return ranked.where(F.col("rank") <= k).select("query_id", "neighbor_id", "rank", "cos_sim")
 
 
+def add_lsh_tables(
+    df: DataFrame,
+    dim: int,
+    n_tables: int,
+    n_planes: int,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "lsh_buckets",
+) -> DataFrame:
+    """Append an ``array<long>`` of per-table bucket ids (OR-amplified LSH).
+
+    One numpy matmul per Arrow batch computes ALL n_tables*n_planes plane
+    projections at once; bucket t is the sign pattern of table t's planes.
+    Deterministic pure function of the vector (same planes at any
+    parallelism), so the arrays are usable as write-time index columns.
+    """
+    planes = _planes(dim, n_tables * n_planes, seed).reshape(n_tables, n_planes, dim)
+    flat = planes.reshape(n_tables * n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    fields = ", ".join(f"{name} {dtype}" for name, dtype in df.dtypes)
+    schema = f"{fields}, {out_col} array<bigint>"
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf):
+                mat = np.vstack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+                signs = ((mat @ flat.T) > 0).reshape(len(pdf), n_tables, n_planes)
+                buckets = signs.dot(weights)  # (n, n_tables)
+                pdf = pdf.copy()
+                pdf[out_col] = list(buckets)
+            yield pdf
+
+    return df.mapInPandas(assign, schema=schema)
+
+
 def lsh_ann_topk(
     vectors: DataFrame,
     probes: DataFrame,
     dim: int,
     k: int = 3,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 16,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 3,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the probe's LSH bucket.
+    """Approximate top-k via multi-table LSH (OR-amplification): a vector is
+    a candidate for a probe if they share a bucket in ANY of ``n_tables``
+    independent tables of ``n_planes`` hyperplanes each.
 
-    Same output shape as :func:`cosine_topk`; recall < 1 by construction —
-    tests measure it against the brute-force baseline.
+    P(candidate | angle θ) = 1 - (1 - p^m)^L with p = 1 - θ/π — the standard
+    (Indyk-Motwani) amplification; a single table (the previous design) has
+    near-zero recall for weak neighbors. Tune m up / L down for more pruning
+    when true neighbors are close (cos >= 0.7); the defaults favor recall on
+    near-orthogonal corpora.
+
+    Plan shape (scale path): signatures are computed per-batch (one matmul);
+    the candidate join explodes ONLY (id, table, bucket) triplets — the heavy
+    vector column never rides through the explode — probes broadcast, the
+    (query, neighbor) set is deduped, and exact cosine runs once per
+    candidate pair. Same output shape as :func:`cosine_topk`.
     """
-    v = add_lsh_bucket(vectors, dim, n_planes, seed, vec_col)
-    p = add_lsh_bucket(probes, dim, n_planes, seed, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q"), F.col("lsh_bucket")
+    sig_v = add_lsh_tables(vectors, dim, n_tables, n_planes, seed, vec_col)
+    sig_p = add_lsh_tables(probes, dim, n_tables, n_planes, seed, vec_col)
+
+    ex_v = sig_v.select(
+        F.col(id_col), F.posexplode("lsh_buckets").alias("table", "bucket")
     )
-    cand = v.join(F.broadcast(p), "lsh_bucket").where(F.col(id_col) != F.col("query_id"))
+    ex_p = sig_p.select(
+        F.col(id_col).alias("query_id"), F.posexplode("lsh_buckets").alias("table", "bucket")
+    )
+    cand = (
+        ex_v.join(F.broadcast(ex_p), ["table", "bucket"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+        .distinct()
+    )
+    p = probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q"))
+    scored = cand.join(vectors.select(id_col, vec_col), id_col).join(F.broadcast(p), "query_id")
     sim = F.round(cosine(F.col(vec_col), F.col("_q")), round_digits)
-    ranked = cand.select(
+    ranked = scored.select(
         "query_id", F.col(id_col).alias("neighbor_id"), sim.alias("cos_sim")
     ).withColumn(
         "rank",

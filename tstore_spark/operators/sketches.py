@@ -111,8 +111,11 @@ def hll_estimate_udf(p: int = DEFAULT_P):
             zeros = int(np.count_nonzero(regs == 0))
             if est <= 2.5 * m and zeros:
                 est = m * np.log(m / zeros)  # small-range correction
-            elif est > (1 / 30) * (1 << 32):
-                est = -(1 << 32) * np.log(1 - est / (1 << 32))
+            # no large-range correction: that branch is the 32-bit-hash
+            # formula (Flajolet et al. 2007 §4); this sketch hashes with
+            # 64-bit xxhash64, where collisions are negligible below 2^64
+            # and applying the 2^32 correction would corrupt estimates
+            # above ~143M (and NaN above 2^32)
             out[i] = est
         return pd.Series(out)
 
