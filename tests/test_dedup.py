@@ -81,3 +81,45 @@ def test_simhash_near_dup(docs_sdf):
     assert pairs[(0, 1)] == 0
     assert pairs.get((0, 2), 99) <= 10  # near dup within hamming budget
     assert (0, 3) not in pairs
+
+
+def test_minhash_seeds_are_independent(docs_sdf):
+    """Regression: transform()'s lambda-arity sniffing once bound the seed
+    parameter to the element INDEX (a two-arg lambda default), collapsing
+    all k hash functions into one position-sensitive hash — near-dups with
+    shifted tokens then shared ZERO signature slots."""
+    sigs = {r["doc_id"]: list(r["sig"]) for r in DD.minhash_signatures(docs_sdf).collect()}
+    # k independent hash functions -> a multi-shingle doc's slots are not all equal
+    assert len(set(sigs[0])) > 16
+    # near-dup (one extra trailing token) must agree on most slots
+    agree = sum(x == y for x, y in zip(sigs[0], sigs[2]))
+    assert agree >= 24, f"near-dup shares only {agree}/32 minhash slots"
+
+
+def test_simhash_verified_pairs(docs_sdf):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.simhash_near_dup_pairs(docs_sdf, max_hamming=8, verify_jaccard=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 4)] == 1.0
+    assert (0, 3) not in pairs  # unrelated never verified
+
+
+def test_simhash_empty_and_hash_batching(spark):
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["", "   ", "alpha beta gamma"]}
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in DD.simhash(spark.createDataFrame(pdf)).collect()}
+    assert sigs[0] == 0 and sigs[1] == 0
+    assert sigs[2] != 0
+
+
+def test_token_jaccard_block_guard(docs_sdf):
+    with pytest.raises(ValueError, match="minhash_near_dup_pairs"):
+        DD.token_jaccard_pairs(docs_sdf, block_col="source", max_block_candidates=2)
+    with pytest.raises(ValueError, match="unblocked"):
+        DD.token_jaccard_pairs(docs_sdf, block_col=None, max_block_candidates=3)
+    # generous budget: results unchanged
+    pairs = DD.token_jaccard_pairs(docs_sdf, block_col=None, threshold=0.5).collect()
+    assert len(pairs) > 0

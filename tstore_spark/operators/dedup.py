@@ -26,8 +26,6 @@ run per-day partitions first, then a cross-day pass over surviving pairs.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -84,18 +82,53 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
+#: default per-block candidate budget: a block of B docs generates B*(B-1)/2
+#: pairs; 10M pairs per block keeps the worst single task bounded
+MAX_BLOCK_CANDIDATES = 10_000_000
+
+
 def token_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     block_col: str | None = "source",
     threshold: float = 0.8,
+    max_block_candidates: int | None = MAX_BLOCK_CANDIDATES,
 ) -> DataFrame:
     """All-pairs token Jaccard within a blocking key (same-source pairs).
 
-    Blocking bounds the quadratic term; for unblocked corpora use
-    :func:`minhash_near_dup_pairs` instead.
+    Blocking bounds the quadratic term — but only if no single block is
+    huge, so the operator refuses hot blocks: if any block's pair count
+    B*(B-1)/2 exceeds ``max_block_candidates``, it raises with the offending
+    keys and the instruction to route that corpus through
+    :func:`minhash_near_dup_pairs` (banded LSH — linear in docs) instead.
+    The guard is one narrow count-by-key over the blocking column (cheap
+    next to the pairwise join it protects); ``max_block_candidates=None``
+    disables it. Same guard pattern as ``TSLong.to_tswide``'s id cap.
     """
+    if block_col is None and max_block_candidates is not None:
+        # unblocked = one global block: guard on the total row count
+        n = df.count()
+        if n * (n - 1) // 2 > max_block_candidates:
+            raise ValueError(
+                f"unblocked all-pairs over {n} docs = {n*(n-1)//2} candidate "
+                f"pairs (> {max_block_candidates}); use minhash_near_dup_pairs"
+            )
+    elif block_col is not None and max_block_candidates is not None:
+        hot = (
+            df.groupBy(block_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") * (F.col("_n") - 1) / 2 > max_block_candidates)
+            .limit(5)
+            .collect()
+        )
+        if hot:
+            keys = [r[block_col] for r in hot]
+            raise ValueError(
+                f"block(s) {keys} exceed {max_block_candidates} candidate pairs "
+                "— quadratic blow-up; route this corpus through "
+                "minhash_near_dup_pairs (banded LSH) instead"
+            )
     # tokens are hashed to int64 once per doc BEFORE the pairwise join:
     # array_intersect/array_union over longs is markedly cheaper than over
     # strings, and the set sizes (hence Jaccard) are unchanged up to xxhash64
@@ -138,15 +171,21 @@ def token_jaccard_pairs(
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """Array of k minhashes: min over xxhash64(shingle, seed_j) per seed.
 
-    xxhash64 is Spark's documented stable 64-bit hash; seeding with the hash
-    index gives k independent permutation approximations, all JVM-side.
+    xxhash64 is Spark's documented stable 64-bit hash; mixing in the hash
+    index as a second argument gives k independent permutation
+    approximations, all JVM-side.
+
+    The seed must be captured via a def scope, NOT a lambda default arg:
+    ``transform``'s lambda-arity sniffing treats a two-parameter lambda as
+    ``(element, index)`` and binds the second parameter to the ELEMENT INDEX
+    column — silently shadowing the default and collapsing all k "seeds"
+    into one position-sensitive hash (zero recall on shifted near-dups).
     """
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(s, F.lit(j))))
-            for j in range(num_hashes)
-        ]
-    )
+
+    def one_hash(j: int) -> Column:
+        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(j))))
+
+    return F.array(*[one_hash(j) for j in range(num_hashes)])
 
 
 def minhash_signatures(
@@ -228,38 +267,56 @@ def minhash_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _stable_token_hash64(token: str) -> int:
-    """Stable 64-bit token hash (blake2b) — independent of PYTHONHASHSEED."""
-    return int.from_bytes(hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "big")
-
-
 @pandas_udf(LongType())
-def _simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit Charikar SimHash per document (vectorized over the Arrow batch;
-    per-doc work is a numpy popcount-style accumulation over token hashes)."""
-    out = np.empty(len(texts), dtype=np.int64)
-    masks = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        toks = (t or "").lower().split()
-        if not toks:
-            out[i] = 0
-            continue
-        hs = np.fromiter(
-            (_stable_token_hash64(tok) for tok in toks), dtype=np.uint64, count=len(toks)
-        )
-        # bit matrix: (n_tokens, 64) of {0,1}; weight +1/-1 sum per bit column
-        bits = ((hs[:, None] & masks[None, :]) != 0).astype(np.int32)
-        votes = bits.sum(axis=0) * 2 - len(toks)
-        sig = np.uint64(0)
-        for b in np.nonzero(votes > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig.astype(np.int64))
-    return pd.Series(out)
+def _simhash64_from_hashes(tokhashes: pd.Series) -> pd.Series:
+    """64-bit Charikar SimHash from per-token 64-bit hashes.
+
+    Token hashing happens JVM-side (``transform(tokens, xxhash64)`` in
+    :func:`simhash`) — this kernel only does the bit-vote, fully batched:
+    all documents' hashes are concatenated into one arena, the (tokens, 64)
+    bit matrix is built once, and per-document bit sums come from a single
+    segmented ``np.add.reduceat`` — no per-token (or per-document) Python in
+    the hot path.
+    """
+    n = len(tokhashes)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return pd.Series(out)
+    lens = np.fromiter((len(h) for h in tokhashes), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return pd.Series(out)
+    arena = np.concatenate(
+        [np.asarray(h, dtype=np.int64) for h in tokhashes if len(h)]
+    ).view(np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((arena[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    # reduceat quirk: an empty segment yields bits[start] and a trailing
+    # empty segment indexes out of range — clip, then zero empty docs below
+    sums = np.add.reduceat(bits, np.minimum(starts, total - 1), axis=0)
+    votes = 2 * sums - lens[:, None]
+    pos = votes > 0
+    pos[lens == 0] = False
+    sig = np.zeros(n, dtype=np.uint64)
+    for b in range(64):
+        sig |= pos[:, b].astype(np.uint64) << np.uint64(b)
+    return pd.Series(sig.view(np.int64))
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash int64) per document."""
-    return df.select(F.col(id_col), _simhash64(F.col(text_col)).alias("simhash"))
+    """(id, simhash int64) per document.
+
+    Per-token hashing is a JVM expression (``xxhash64`` over the token
+    array — the same trick :func:`token_jaccard_pairs` uses), so the Arrow
+    batch carries compact ``array<long>`` columns into the vectorized
+    bit-vote kernel; empty documents hash to signature 0."""
+    toks = tokens(text_col)
+    hashes = F.when(
+        F.length(F.trim(F.col(text_col) if isinstance(text_col, str) else text_col)) == 0,
+        F.array().cast("array<bigint>"),
+    ).otherwise(F.transform(toks, lambda t: F.xxhash64(t)))
+    return df.select(F.col(id_col), _simhash64_from_hashes(hashes).alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -267,12 +324,22 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    verify_jaccard: float | None = None,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) <= max_hamming via band self-join.
 
     Pigeonhole: split 64 bits into (max_hamming+1) bands; any pair within
     distance k matches at least one band exactly — the join is equi on
     (band_idx, band_bits), so Catalyst plans a hash join, never a cross join.
+
+    ``verify_jaccard=t`` switches the operator into the standard
+    sketch-then-verify shape: simhash bands generate candidates, exact
+    shingle Jaccard (JVM array ops) confirms them, and the output becomes
+    (id_a, id_b, jaccard >= t) — true positives only. Recall is bounded by
+    the hamming cutoff: a J >= t pair whose signatures differ in more than
+    ``max_hamming`` bits is missed (simhash is a near-EXACT-dup sketch;
+    heavily perturbed dups belong to :func:`minhash_near_dup_pairs`).
     """
     nb = max_hamming + 1
     width = 64 // nb
@@ -313,6 +380,19 @@ def simhash_near_dup_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+    pairs = cand.select("id_a", "id_b", hamming.alias("hamming")).where(
         F.col("hamming") <= F.lit(max_hamming)
+    )
+    if verify_jaccard is None:
+        return pairs
+    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
+    return (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("_sha"), F.col("_shb")), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(verify_jaccard))
     )
