@@ -418,6 +418,28 @@ def _q_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tstore_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference on-disk layout interop, end to end: write the events stream
+    as a ltelab/tstore-style archive (<id>/<var>/year=…/month=… trees + YAML
+    metadata + _attributes.parquet), reopen it through the api dispatch, and
+    return the rows — which must hash-match the source table exactly."""
+    import re as _re
+
+    from tstore_spark import api
+    from tstore_spark.model.tslong import TSLong
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    tl = TSLong.wrap(ev, id_var="user_id", time_var="ts", ts_vars={"metrics": ["value"]})
+    base = "/tmp/tstore_spark_ref_rt_" + _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    api.to_tstore_reference(tl, base, partitioning="year/month")
+    back = api.open_tslong(spark, base)  # dispatches to the reference-layout reader
+    return back.df.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("time").alias("ts"),
+        "value",
+    )
+
+
 def _q_tslong_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tstore_spark.model.tslong import TSLong
 
@@ -455,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "embedding_norms": _q_embedding_norms,
         "tslong_roundtrip": _q_tslong_roundtrip,
+        "tstore_layout_roundtrip": _q_tstore_layout_roundtrip,
         "asof_join": _q_asof_join,
         "datetime_parts": _q_datetime_parts,
         "tswide_hourly": _q_tswide_hourly,
@@ -698,6 +721,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         """,
         "tslong_roundtrip": "SELECT user_id, ts, value FROM events",
+        "tstore_layout_roundtrip": "SELECT user_id, ts, value FROM events",
         "asof_join": """
             WITH err AS (
                 SELECT user_id, ts, max_by(value, event_id) AS err_value

@@ -50,15 +50,30 @@ ATTRS_DIR = "attributes"
 # -- metadata (reference tstore/archive/metadata/{writers,readers}.py) -------
 
 def write_metadata(base_dir: str, descriptor: TableDescriptor, num_buckets: int) -> None:
+    """Write the descriptor as BOTH json and yaml (same dict) — the yaml
+    mirror matches the reference's metadata format family
+    (tstore/archive/metadata/writers.py:22-35) so yaml-first tooling can
+    introspect a Spark-native archive; read_metadata accepts either."""
     meta = descriptor.to_dict() | {"num_buckets": num_buckets, "tstore_structure": "spark-hidden-partition"}
     os.makedirs(base_dir, exist_ok=True)
     with open(os.path.join(base_dir, METADATA_FILE), "w") as f:
         json.dump(meta, f, indent=2, sort_keys=True)
+    import yaml
+
+    with open(os.path.join(base_dir, METADATA_FILE.replace(".json", ".yaml")), "w") as f:
+        yaml.dump(meta, f)
 
 
 def read_metadata(base_dir: str) -> tuple[TableDescriptor, int]:
-    with open(os.path.join(base_dir, METADATA_FILE)) as f:
-        meta = json.load(f)
+    json_path = os.path.join(base_dir, METADATA_FILE)
+    if os.path.exists(json_path):
+        with open(json_path) as f:
+            meta = json.load(f)
+    else:
+        import yaml
+
+        with open(os.path.join(base_dir, METADATA_FILE.replace(".json", ".yaml"))) as f:
+            meta = yaml.safe_load(f)
     return TableDescriptor.from_dict(meta), int(meta["num_buckets"])
 
 
