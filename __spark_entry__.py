@@ -382,11 +382,10 @@ def _q_tswide_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     tl = TSLong.wrap(tier, id_var="event_type", time_var="window_start", ts_vars={"m": ["n"]})
-    wide = tl.to_tswide(values=["n"])
-    # single-agg pivot names columns by the pivot value alone
-    return wide.select(
+    wide = tl.to_tswide(values=["n"])  # TSWide wrapper; columns "n(<event_type>)"
+    return wide.df.select(
         "window_start",
-        *[F.coalesce(F.col(t), F.lit(0)).alias(f"{t}_n") for t in EVENT_TYPES],
+        *[F.coalesce(F.col(f"`n({t})`"), F.lit(0)).alias(f"{t}_n") for t in EVENT_TYPES],
     )
 
 

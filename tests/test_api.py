@@ -56,4 +56,4 @@ def test_open_tsdf_nested(spark, parity_archive):
 def test_open_tswide_pivot(spark, parity_archive):
     wide = open_tswide(spark, parity_archive)
     assert wide.count() == 48  # one row per timestamp
-    assert any(c.startswith("1_") or c == "1" for c in wide.columns)
+    assert any(c.endswith("(1)") for c in wide.columns)  # "var(id)" naming

@@ -130,3 +130,21 @@ def test_nested_roundtrip(tsl):
     a = tsl.df.toPandas().sort_values(["tstore_id", "time"]).reset_index(drop=True)
     b = back.df.select(*a.columns).toPandas().sort_values(["tstore_id", "time"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_wide_naming_and_roundtrip(tsl):
+    """TSWide carries (var, id) column naming parity with the reference's
+    MultiIndex TSWide and inverts via to_tslong — an operation the reference
+    left NotImplementedError in all four backends (tswide/pandas.py:24-26)."""
+    wide = tsl.to_tswide(values=["var3", "var4"])
+    assert "var3(1)" in wide.df.columns and "var4(4)" in wide.df.columns
+    back = wide.to_tslong()
+    a = (
+        tsl.df.select("tstore_id", "time", "var3", "var4")
+        .toPandas().sort_values(["tstore_id", "time"]).reset_index(drop=True)
+    )
+    b = (
+        back.df.select("tstore_id", "time", "var3", "var4")
+        .toPandas().sort_values(["tstore_id", "time"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

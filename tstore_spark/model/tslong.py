@@ -123,12 +123,17 @@ class TSLong:
             raise ValueError(f"static variables not unique per id: {bad[0].asDict()}")
 
     # -- views ---------------------------------------------------------------
-    def to_tswide(self, values: list[str] | None = None, max_ids: int = _WIDE_MAX_IDS) -> DataFrame:
-        """Wide pivot view: rows=time, one column per (var, id).
+    def to_tswide(self, values: list[str] | None = None, max_ids: int = _WIDE_MAX_IDS):
+        """Wide pivot view: rows=time, one ``var(id)`` column per (var, id),
+        wrapped as a :class:`~tstore_spark.model.tswide.TSWide` (the
+        reference's MultiIndex-column TSWide analog, with a working
+        ``to_tslong`` inverse the reference lacks).
 
         Reference pivots with aggfunc='first' (tstore/tslong/pandas.py:176-180);
         same here. Guarded: refuse unbounded id domains.
         """
+        from tstore_spark.model.tswide import TSWide
+
         d = self._descriptor
         ids = [r[0] for r in self._df.select(d.id_var).distinct().limit(max_ids + 1).collect()]
         if len(ids) > max_ids:
@@ -136,13 +141,27 @@ class TSLong:
                 f"wide view over >{max_ids} ids — filter ids first "
                 "(web-scale pivot guard, cf. reference tswide/pandas.py:24-26)"
             )
+        ids = sorted(ids)
         vals = values or d.ts_columns
-        return (
+        piv = (
             self._df.groupBy(d.time_var)
-            .pivot(d.id_var, sorted(ids))
+            .pivot(d.id_var, ids)
             .agg(*[F.first(c).alias(c) for c in vals])
             .orderBy(d.time_var)
         )
+        # Spark names single-agg pivot columns "{id}" and multi-agg
+        # "{id}_{alias}"; normalize both to the "{var}({id})" convention
+        renames = {}
+        for i in ids:
+            if len(vals) == 1:
+                renames[str(i)] = TSWide.column_name(vals[0], i)
+            else:
+                for v in vals:
+                    renames[f"{i}_{v}"] = TSWide.column_name(v, i)
+        piv = piv.select(
+            d.time_var, *[F.col(f"`{old}`").alias(new) for old, new in renames.items()]
+        )
+        return TSWide(piv, d.time_var, d.id_var, ids, vals)
 
     def to_tsdf(self) -> DataFrame:
         """Nested view (TSDF analog): one row per id, one array<struct> column
