@@ -72,9 +72,31 @@ def main(sf_dir: str) -> int:
           "time range pushed to scan")
 
     # 6. no cartesian products outside similarity brute force
-    for name in ["rollup_1h", "gap_fill_1h", "dedup_exact", "token_jaccard_pairs", "minhash_near_dup"]:
+    for name in ["rollup_1h", "gap_fill_1h", "dedup_exact", "token_jaccard_pairs",
+                 "minhash_near_dup", "simhash_near_dup"]:
         p = plan_of(qs[name](spark, sf_dir))
         check(f"{name}.no_cartesian", "CartesianProduct" not in p, "no accidental cross join")
+
+    # 7. multi-table LSH ANN: probe side broadcast, candidate join is hash equi
+    p = plan_of(qs["ann_lsh"](spark, sf_dir))
+    check("ann_lsh.broadcast", "BroadcastHashJoin" in p, "probe signatures broadcast")
+    check("ann_lsh.no_cartesian", "CartesianProduct" not in p, "bucket join is equi, not cross")
+
+    # 8. reference-layout reader: attrs broadcast, no cartesian in the align join
+    from tstore_spark.sources import tstore_layout as TL
+    import tempfile
+
+    from tstore_spark.model.tslong import TSLong as _TSL
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts", "value")
+    tl = _TSL.wrap(ev, id_var="user_id", time_var="ts", ts_vars={"metrics": ["value"]})
+    ref_dir = tempfile.mkdtemp(prefix="plan_audit_ref_")
+    TL.to_tstore(tl, ref_dir)
+    p = plan_of(TL.open_tstore(spark, ref_dir).df)
+    check("tstore_layout.broadcast_attrs", "BroadcastHashJoin" in p or "_attributes" not in p,
+          "attrs dim broadcast at read")
+    check("tstore_layout.no_cartesian", "CartesianProduct" not in p, "align join is equi")
 
     spark.stop()
     print(f"\n{'ALL PASS' if not failures else 'FAILURES: ' + ', '.join(failures)}")

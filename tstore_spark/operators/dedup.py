@@ -188,6 +188,22 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     return F.array(*[one_hash(j) for j in range(num_hashes)])
 
 
+def minhash_signature_from_hashes(shingle_hashes: Column, num_hashes: int = 32) -> Column:
+    """Minhash signature over PRE-HASHED shingles (``array<long>``).
+
+    Hashing a corpus' shingle STRINGS k times is the dominant cost of the
+    whole pipeline (k × total-shingle-bytes through xxhash64); hashing each
+    shingle string ONCE and deriving the k permutations by re-hashing the
+    64-bit value (``xxhash64(h, j)`` — 8 input bytes instead of a string) is
+    the standard double-hashing construction and cuts signature cost ~k×.
+    """
+
+    def one_hash(j: int) -> Column:
+        return F.array_min(F.transform(shingle_hashes, lambda h: F.xxhash64(h, F.lit(j))))
+
+    return F.array(*[one_hash(j) for j in range(num_hashes)])
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -195,9 +211,21 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    sh = word_shingles(text_col, shingle_n)
-    return df.select(
-        F.col(id_col), sh.alias("shingles"), minhash_signature(sh, num_hashes).alias("sig")
+    """(id, shingles array<long>, sig array<long>) per document.
+
+    ``shingles`` carries the int64-hashed distinct shingles — the compact
+    representation both the signature AND the exact-Jaccard verify run on
+    (set sizes are unchanged up to per-pair xxhash64 collisions, ~1e-14 for
+    realistic docs — the same trade :func:`token_jaccard_pairs` makes), so
+    the cached intermediate is a few KB of longs instead of the shingle
+    strings."""
+    hs = F.array_distinct(
+        F.transform(word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+    )
+    return df.select(F.col(id_col), hs.alias("shingles")).select(
+        F.col(id_col),
+        "shingles",
+        minhash_signature_from_hashes(F.col("shingles"), num_hashes).alias("sig"),
     )
 
 
@@ -385,7 +413,14 @@ def simhash_near_dup_pairs(
     )
     if verify_jaccard is None:
         return pairs
-    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
+    # int64-hashed shingles: same Jaccard (collisions ~1e-14 per pair), far
+    # cheaper array intersect/union than over strings
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+        ).alias("_sh"),
+    )
     return (
         pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb")), "id_b")
