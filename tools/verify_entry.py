@@ -3,7 +3,12 @@
 Runs every ``queries()`` entry against its ``oracle_sql()`` (DuckDB) at the
 given sf dir, compares row-count, schema width, and order-insensitive values
 (columns sorted by name, rows sorted, values stringified with float rounding
-guard). Usage: python tools/verify_entry.py [sf_dir]
+guard). Usage: python tools/verify_entry.py [sf_dir] [--tz=ZONE]
+
+--tz sets the Spark session timezone (e.g. --tz=America/New_York) — CLAUDE.md
+requires re-verifying under a DST-observing non-UTC zone after any
+time-related change; DuckDB side stays naive (NTZ semantics), so a pass
+proves the engine's wall-clock handling is session-TZ independent.
 """
 
 from __future__ import annotations
@@ -44,8 +49,10 @@ def canon(rows, cols):
     return out, [cols[i] for i in order]
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, tz: str | None = None) -> int:
     spark = get_spark("verify_entry", master="local[8]")
+    if tz:
+        spark.conf.set("spark.sql.session.timeZone", tz)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -99,4 +106,6 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
+    args = [a for a in sys.argv[1:] if not a.startswith("--tz=")]
+    tzs = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--tz=")]
+    sys.exit(main(args[0] if args else "/root/testdata/sf0.001", tz=tzs[0] if tzs else None))
