@@ -152,13 +152,16 @@ def _q_nation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tstore_spark.functions.timeparts import ntz_epoch_micros
+
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # timestampdiff is timezone-independent (works on TIMESTAMP_NTZ as-is) —
-    # no session-TZ assumption, unlike a cast to TIMESTAMP + unix_micros
+    # field-based wall-clock epochs: timestampdiff (and NTZ->TIMESTAMP casts)
+    # route through the session zone in Spark 4 and would skew gaps spanning
+    # a DST transition; DuckDB's epoch_us on naive timestamps is wall-clock
     return (
         ev.withColumn("_prev", F.lag("ts").over(w))
-        .withColumn("_gap_us", F.expr("timestampdiff(MICROSECOND, _prev, ts)"))
+        .withColumn("_gap_us", ntz_epoch_micros("ts") - ntz_epoch_micros("_prev"))
         .groupBy("user_id")
         .agg(
             F.count("_gap_us").alias("n_gaps"),

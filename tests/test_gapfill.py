@@ -57,3 +57,44 @@ def test_gapfill_explicit_range(spark):
     # edges extend with nearest value (ffill/bfill beyond observed range)
     got = got.sort_values("window_start")
     assert got["text_len_p50"].tolist() == [5.0] * 5
+
+
+def test_interpolation_across_dst_boundary_non_utc_session(spark):
+    """Regression (round-2 advice): NTZ interpolation epochs must not route
+    through the session-zoned TIMESTAMP cast — in a DST-observing session
+    the offset jumps at the transition and skews the ratio. Gap spans the
+    US spring-forward instant (2024-03-10 02:00 America/New_York)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tstore_spark.operators.gapfill import gap_fill
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # build the NTZ column from STRINGS via to_timestamp_ntz —
+        # createDataFrame from naive pandas timestamps would interpret them
+        # in the (non-UTC) session zone, and 02:00 does not exist that night
+        pdf = pd.DataFrame(
+            {
+                "domain": ["a"] * 2,
+                "ws": ["2024-03-10 00:00:00", "2024-03-10 04:00:00"],
+                "doc_count": [1, 1],
+                "text_len_p50": [0.0, 400.0],
+            }
+        )
+        tier = (
+            spark.createDataFrame(pdf)
+            .withColumn("window_start", F.to_timestamp_ntz("ws"))
+            .drop("ws")
+        )
+        out = gap_fill(
+            tier, "1h",
+            zero_fill=["doc_count"], interp_cols=["text_len_p50"], array_fill={},
+        )
+        vals = {r["window_start"].hour: r["text_len_p50"] for r in out.collect()}
+        # pure wall-clock linearity: 0,100,200,300,400 — a DST-skewed epoch
+        # would interpolate 80/160/240/320 (5h of real time over 4 wall hours)
+        assert vals == {0: 0.0, 1: 100.0, 2: 200.0, 3: 300.0, 4: 400.0}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

@@ -148,3 +148,17 @@ def test_wide_naming_and_roundtrip(tsl):
         .toPandas().sort_values(["tstore_id", "time"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_tsdf_wrapper_roundtrip(tsl):
+    """TSDF is a carrying wrapper: to_tsdf().to_tslong() needs no schema
+    re-specification and reproduces the long table."""
+    nested = tsl.to_tsdf()
+    assert nested.descriptor.ts_vars == TS_VARS
+    back = nested.to_tslong()
+    a = tsl.df.toPandas().sort_values(["tstore_id", "time"]).reset_index(drop=True)
+    b = (
+        back.df.select(*a.columns)
+        .toPandas().sort_values(["tstore_id", "time"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

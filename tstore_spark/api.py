@@ -64,14 +64,16 @@ def open_tslong(
     )
 
 
-def open_tsdf(spark: SparkSession, base_dir: str, **query) -> DataFrame:
+def open_tsdf(spark: SparkSession, base_dir: str, **query):
     """Open an archive as the nested per-id view (reference ``open_tsdf``):
-    one row per id, one array<struct> column per ts-variable group."""
+    one row per id, one array<struct> column per ts-variable group, wrapped
+    as a :class:`~tstore_spark.model.tsdf.TSDF` (invertible)."""
     return open_tslong(spark, base_dir, **query).to_tsdf()
 
 
-def open_tswide(spark: SparkSession, base_dir: str, **query) -> DataFrame:
-    """Open an archive as the wide pivot view (reference ``open_tswide``).
+def open_tswide(spark: SparkSession, base_dir: str, **query):
+    """Open an archive as the wide pivot view (reference ``open_tswide``),
+    wrapped as a :class:`~tstore_spark.model.tswide.TSWide` (invertible).
     Guarded against unbounded id domains (model/tslong.py)."""
     return open_tslong(spark, base_dir, **query).to_tswide()
 

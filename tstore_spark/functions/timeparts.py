@@ -28,6 +28,31 @@ PARTITION_COMPONENTS: dict[str, callable] = {
 _EXCLUSIVE = ({"month", "doy"}, {"day", "doy"})
 
 
+def ntz_epoch_seconds(col: str | Column) -> Column:
+    """Wall-clock epoch seconds of a TIMESTAMP_NTZ — via FIELD EXTRACTION
+    only (datediff on the date part + time-of-day fields), never timestamp
+    casts or ``timestampdiff``: in Spark 4 BOTH route NTZ through the
+    session timezone, so in a DST-observing session `02:00` on a
+    spring-forward night collapses onto `03:00` (measured; see
+    tests/test_gapfill.py DST regression). Field extraction is pure
+    wall-clock at any session TZ."""
+    c = F.col(col) if isinstance(col, str) else col
+    days = F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date")).cast("long")
+    return days * 86400 + F.hour(c).cast("long") * 3600 + F.minute(c).cast("long") * 60 + F.second(c).cast("long")
+
+
+def ntz_epoch_micros(col: str | Column) -> Column:
+    """Wall-clock epoch microseconds of a TIMESTAMP_NTZ (see
+    :func:`ntz_epoch_seconds`); the sub-second part comes from
+    ``date_part('SECOND')``'s decimal fraction — still field extraction,
+    still session-TZ-free."""
+    c = F.col(col) if isinstance(col, str) else col
+    days = F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date")).cast("long")
+    whole_min = days * 1440 + F.hour(c).cast("long") * 60 + F.minute(c).cast("long")
+    sec_us = (F.date_part(F.lit("SECOND"), c) * 1_000_000).cast("long")
+    return whole_min * 60_000_000 + sec_us
+
+
 def check_partitioning(partitioning: str | None) -> list[str]:
     """Validate and split a partitioning string (reference partitions.py:57-100)."""
     if partitioning is None or partitioning == "":

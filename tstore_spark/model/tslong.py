@@ -163,13 +163,17 @@ class TSLong:
         )
         return TSWide(piv, d.time_var, d.id_var, ids, vals)
 
-    def to_tsdf(self) -> DataFrame:
-        """Nested view (TSDF analog): one row per id, one array<struct> column
-        per ts_vars group (time-sorted), plus statics.
+    def to_tsdf(self):
+        """Nested view (reference TSDF analog, wrapped): one row per id, one
+        array<struct> column per ts_vars group (time-sorted), plus statics.
 
         Reference: tstore/tslong/dask.py:67-128 does this with a per-id Python
-        loop; here it is one groupBy with sorted collect_list.
+        loop; here it is one groupBy with sorted collect_list. Returns a
+        :class:`~tstore_spark.model.tsdf.TSDF` carrying the descriptor so
+        ``.to_tslong()`` inverts without re-specifying the schema.
         """
+        from tstore_spark.model.tsdf import TSDF
+
         d = self._descriptor
         aggs = [
             F.array_sort(
@@ -178,7 +182,11 @@ class TSLong:
             for group, cols in d.ts_vars.items()
         ]
         aggs += [F.first(c).alias(c) for c in d.static_vars]
-        return self._df.groupBy(d.id_var).agg(*aggs)
+        nested = self._df.groupBy(d.id_var).agg(*aggs)
+        return TSDF(
+            nested,
+            TableDescriptor(d.id_var, "time", d.ts_vars, d.static_vars, d.partitioning),
+        )
 
     @classmethod
     def from_tsdf(
@@ -191,7 +199,10 @@ class TSLong:
     ) -> "TSLong":
         """Explode the nested view back to long form (reference
         tstore/tsdf/tsdf.py:212-249 — per-id outer joins; here: explode each
-        group and full-outer join on (id, time))."""
+        group and full-outer join on (id, time)). Accepts a TSDF wrapper or
+        its bare DataFrame."""
+        if hasattr(nested, "df") and not isinstance(nested, DataFrame):
+            nested = nested.df
         static_vars = list(static_vars or [])
         parts = []
         for group, cols in ts_vars.items():

@@ -113,14 +113,15 @@ def gap_fill(
         w_back = Window.partitionBy(key).orderBy(time_col).rowsBetween(Window.unboundedPreceding, 0)
         w_fwd = Window.partitionBy(key).orderBy(time_col).rowsBetween(0, Window.unboundedFollowing)
         # epoch seconds for the interpolation ratio. NTZ must NOT route
-        # through the session-zoned TIMESTAMP cast: in a DST-observing
-        # session the offset jumps at transitions (skewing ratios near the
-        # boundary, and a fall-back repeat could even make next_t == prev_t).
-        # timestampdiff against an NTZ epoch literal is pure wall-clock.
+        # through the session zone: casts AND timestampdiff both convert NTZ
+        # via the session TZ in Spark 4, so on a DST spring-forward night the
+        # nonexistent wall hour collapses onto the next one (measured —
+        # see tests/test_gapfill.py). Field-based extraction is the only
+        # TZ-free epoch for NTZ.
         if t_type == "timestamp_ntz":
-            ts_long = F.expr(
-                f"timestampdiff(SECOND, to_timestamp_ntz('1970-01-01'), `{time_col}`)"
-            )
+            from tstore_spark.functions.timeparts import ntz_epoch_seconds
+
+            ts_long = ntz_epoch_seconds(time_col)
         else:
             ts_long = F.col(time_col).cast("long")
         prev_t = F.last(F.when(~F.col("gap_filled"), ts_long), ignorenulls=True).over(w_back)
