@@ -420,6 +420,27 @@ def _q_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKB geometry pipeline, oracle-proven: derive deterministic (lon, lat)
+    from event columns, encode to WKB points, filter with the in_bbox
+    predicate over the BYTES, decode back. The output hash-matches plain
+    arithmetic SQL only if encode -> bbox -> decode is IEEE-exact."""
+    from tstore_spark.functions import geo
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        (F.pmod(F.col("value"), F.lit(360.0)) - 180.0).alias("lon"),
+        (F.pmod(F.col("user_id") * 7.3, F.lit(180.0)) - 90.0).alias("lat"),
+    )
+    wkb = pts.select("event_id", geo.point_wkb("lon", "lat").alias("wkb"))
+    hits = wkb.where(geo.in_bbox("wkb", -50.3, -20.7, 60.1, 45.9))
+    xy = hits.select("event_id", geo.wkb_point_xy("wkb").alias("_xy"))
+    return xy.select(
+        "event_id", F.col("_xy.lon").alias("lon"), F.col("_xy.lat").alias("lat")
+    )
+
+
 def _q_tstore_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference on-disk layout interop, end to end: write the events stream
     as a ltelab/tstore-style archive (<id>/<var>/year=…/month=… trees + YAML
@@ -480,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": _q_embedding_norms,
         "tslong_roundtrip": _q_tslong_roundtrip,
         "tstore_layout_roundtrip": _q_tstore_layout_roundtrip,
+        "geo_bbox": _q_geo_bbox,
         "asof_join": _q_asof_join,
         "datetime_parts": _q_datetime_parts,
         "tswide_hourly": _q_tswide_hourly,
@@ -724,6 +746,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tslong_roundtrip": "SELECT user_id, ts, value FROM events",
         "tstore_layout_roundtrip": "SELECT user_id, ts, value FROM events",
+        "geo_bbox": """
+            WITH p AS (
+                SELECT event_id,
+                       (value % 360) - 180 AS lon,
+                       ((user_id * CAST(7.3 AS DOUBLE)) % 180) - 90 AS lat
+                FROM events)
+            SELECT event_id, lon, lat FROM p
+            WHERE lon >= -50.3 AND lon <= 60.1 AND lat >= -20.7 AND lat <= 45.9
+        """,
         "asof_join": """
             WITH err AS (
                 SELECT user_id, ts, max_by(value, event_id) AS err_value

@@ -52,6 +52,9 @@ HEADLINE = [
     "doc_stats",
     "token_jaccard_pairs",
     "minhash_near_dup",
+    "simhash_near_dup",
+    "media_features",
+    "geo_bbox",
     "cosine_topk",
     "ivf_topk",
     "embedding_near_dup",

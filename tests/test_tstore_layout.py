@@ -153,3 +153,31 @@ def test_write_var_id_structure(spark, golden_dir, tmp_path):
     assert sorted(os.listdir(os.path.join(out, "ts_var1"))) == IDS
     back = TL.open_tstore(spark, out, ts_variables=["ts_var2"])
     assert back.df.count() == 192
+
+
+def test_special_char_ids_and_filter_fallback(spark, tmp_path):
+    """Ids containing glob metacharacters must not break id-filter pruning —
+    the reader falls back to full listing + row filter."""
+    import pandas as pd
+
+    from tstore_spark.model.tslong import TSLong
+
+    times = _times()[:6]
+    rows = []
+    for tid in ["x.1", "y-2", "a,b"]:
+        for t in times:
+            rows.append((tid, t, float(len(tid))))
+    pdf = pd.DataFrame(rows, columns=["tstore_id", "time", "v"])
+    tl = TSLong.wrap(
+        spark.createDataFrame(pdf), id_var="tstore_id", time_var="time",
+        ts_vars={"g": ["v"]},
+    )
+    out = str(tmp_path / "special")
+    TL.to_tstore(tl, out)
+    back = TL.open_tstore(spark, out, tstore_ids=["a,b"])
+    got = back.df.select("tstore_id", "time", "v").collect()
+    assert len(got) == 6
+    assert {r["tstore_id"] for r in got} == {"a,b"}
+    # plain ids still take the pruned glob path
+    back2 = TL.open_tstore(spark, out, tstore_ids=["x.1"])
+    assert back2.df.count() == 6

@@ -187,7 +187,18 @@ def open_tstore(
             raise ValueError(f"unknown ts_variables {bad}; archive has {all_vars}")
         all_vars = list(ts_variables)
 
-    id_glob = "{" + ",".join(str(i) for i in tstore_ids) + "}" if tstore_ids else "*"
+    # id filter pruning via glob alternation — but only when every id is free
+    # of Hadoop glob metacharacters; otherwise fall back to a full listing
+    # plus the row-level isin filter (correct either way, pruned when safe)
+    _GLOB_META = set("*?[]{}\\,")
+    id_glob = "*"
+    row_filter_ids = None
+    if tstore_ids is not None:
+        ids_s = [str(i) for i in tstore_ids]
+        if all(not (_GLOB_META & set(i)) for i in ids_s):
+            id_glob = "{" + ",".join(ids_s) + "}"
+        else:
+            row_filter_ids = ids_s
     part_map = meta.get("partitioning") or {}
 
     parts: list[DataFrame] = []
@@ -205,6 +216,8 @@ def open_tstore(
             raise ValueError(f"unknown tstore_structure {structure!r}")
         df = _read_ts_parquet(spark, path)
         df = df.withColumn(id_var, F.regexp_extract(F.input_file_name(), pattern, 1))
+        if row_filter_ids is not None:
+            df = df.where(F.col(id_var).isin(row_filter_ids))
         part_cols = [c for c in _PART_NAMES if c in df.columns]
         df = df.drop(*part_cols)  # stray copies inside files (some writers keep them)
         if start_time is not None or end_time is not None:
