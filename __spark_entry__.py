@@ -420,6 +420,15 @@ def _q_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data admission decision (dedup + lang +
+    quality + length) as one plan; oracle = the same predicates in SQL."""
+    from tstore_spark.operators.corpus import corpus_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_filter(docs, lang="en", min_quality=0.3, min_tokens=5)
+
+
 def _q_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WKB geometry pipeline, oracle-proven: derive deterministic (lon, lat)
     from event columns, encode to WKB points, filter with the in_bbox
@@ -502,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tslong_roundtrip": _q_tslong_roundtrip,
         "tstore_layout_roundtrip": _q_tstore_layout_roundtrip,
         "geo_bbox": _q_geo_bbox,
+        "corpus_filter": _q_corpus_filter,
         "asof_join": _q_asof_join,
         "datetime_parts": _q_datetime_parts,
         "tswide_hourly": _q_tswide_hourly,
@@ -746,6 +756,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tslong_roundtrip": "SELECT user_id, ts, value FROM events",
         "tstore_layout_roundtrip": "SELECT user_id, ts, value FROM events",
+        "corpus_filter": f"""
+            WITH s AS (
+                SELECT doc_id, text,
+                       CAST({_NTOK} AS BIGINT) AS ws_tokens,
+                       least(1.0, length(text) / 1000.0) * 0.5
+                         + least(1.0, (CASE WHEN {_NTOK} = 0 THEN 0.0
+                                       ELSE CAST({_HITS} AS DOUBLE) / {_NTOK} END) * 5.0) * 0.5
+                         AS quality,
+                       CASE WHEN {_NTOK} > 0 AND CAST({_HITS} AS DOUBLE) / {_NTOK} >= 0.05
+                            THEN 'en' ELSE 'und' END AS pred_lang
+                FROM documents),
+            k AS (
+                SELECT min(doc_id) AS keep_id
+                FROM documents GROUP BY md5(lower(trim(text))))
+            SELECT doc_id, ws_tokens, quality
+            FROM s JOIN k ON s.doc_id = k.keep_id
+            WHERE ws_tokens BETWEEN 5 AND 100000
+              AND quality >= 0.3 AND pred_lang = 'en'
+        """,
         "geo_bbox": """
             WITH p AS (
                 SELECT event_id,
