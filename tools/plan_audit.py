@@ -77,6 +77,12 @@ def main(sf_dir: str) -> int:
         p = plan_of(qs[name](spark, sf_dir))
         check(f"{name}.no_cartesian", "CartesianProduct" not in p, "no accidental cross join")
 
+    # 6b. corpus filter: ONE scan of documents (window dedup, no self-join)
+    p = plan_of(qs["corpus_filter"](spark, sf_dir))
+    check("corpus_filter.single_scan", p.count("Location: InMemoryFileIndex") == 1,
+          "one documents scan — dedup via window, not groupBy+semi-join")
+    check("corpus_filter.no_cartesian", "CartesianProduct" not in p, "no cross join")
+
     # 7. multi-table LSH ANN: probe side broadcast, candidate join is hash equi
     p = plan_of(qs["ann_lsh"](spark, sf_dir))
     check("ann_lsh.broadcast", "BroadcastHashJoin" in p, "probe signatures broadcast")

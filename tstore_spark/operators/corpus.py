@@ -7,24 +7,27 @@ engine (operators/dedup.py, functions/text.py); this module composes them
 into a single Catalyst plan so the scan happens once, the predicates all
 push into it, and the only shuffle is the dedup hash-groupBy.
 
-Scale notes (100 TB): the stat predicates (lang/quality/tokens) are pure
-codegen expressions evaluated during the scan — they cost no pass of their
-own and prune rows BEFORE the dedup shuffle (cheapest possible order: a
-dropped row never shuffles). The dedup survivor set shuffles only
-(fingerprint, min_id) pairs, never text.
+Scale notes (100 TB): ONE scan, ONE shuffle. The stat predicates
+(lang/quality/tokens) are pure codegen expressions evaluated during the scan
+— they prune rows before anything shuffles — and the dedup survivor choice
+is a ``row_number`` window over the fingerprint, not a groupBy + semi-join
+(which would scan the table twice and shuffle twice). Copies are identical
+text, so the stat gates agree across a fingerprint group by construction —
+filtering before the window does not change which group wins. Only
+(id, fingerprint, two stat columns) ride the shuffle, never text.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tstore_spark.functions.text import (
+    fingerprint,
     lang_id,
     quality_score,
     ws_token_count,
 )
-from tstore_spark.operators.dedup import exact_dedup_groups
 
 
 def corpus_filter(
@@ -38,14 +41,7 @@ def corpus_filter(
     dedup: bool = True,
 ) -> DataFrame:
     """Surviving documents with their admission stats:
-    (id, ws_tokens, quality).
-
-    Order of operations: stat predicates first (scan-time, prunes before any
-    shuffle), then the exact-dedup survivor semi-join (first copy by min id
-    — note the survivor is chosen among ALL copies, then must itself pass
-    the stat gates; copies of a surviving doc are identical text, so the
-    gates agree across copies by construction).
-    """
+    (id, ws_tokens, quality). First copy (min id) per fingerprint wins."""
     n = ws_token_count(text_col)
     q = quality_score(text_col)
     stats = df.select(
@@ -53,6 +49,7 @@ def corpus_filter(
         n.alias("ws_tokens"),
         q.alias("quality"),
         *([lang_id(text_col).alias("_lang")] if lang is not None else []),
+        *([fingerprint(text_col).alias("_fp")] if dedup else []),
     )
     kept = stats.where(
         (F.col("ws_tokens") >= min_tokens)
@@ -60,11 +57,12 @@ def corpus_filter(
         & (F.col("quality") >= F.lit(min_quality))
     )
     if lang is not None:
-        kept = kept.where(F.col("_lang") == F.lit(lang))
-    kept = kept.drop("_lang")
+        kept = kept.where(F.col("_lang") == F.lit(lang)).drop("_lang")
     if dedup:
-        survivors = exact_dedup_groups(df, id_col, text_col).select(
-            F.col("keep_id").alias(id_col)
+        w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+        kept = (
+            kept.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_fp")
         )
-        kept = kept.join(survivors, id_col, "left_semi")
     return kept
