@@ -420,6 +420,36 @@ def _q_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch percentile path (bounded state for wide value domains):
+    per 1h window, the sketch estimate must sit within the guaranteed
+    relative error of the exact rank value — a theorem (Masson et al.,
+    VLDB 2019), so the booleans are oracle-checkable TRUE. The exact rank
+    values are recomputed in-Spark per window (bounded: window-sized
+    groups) purely to evaluate the invariant."""
+    from tstore_spark.operators import ddsketch as DDS
+
+    ev = _t(spark, sf_dir, "events")
+    ws = F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("window_start")
+    keyed = ev.select("event_type", ws, "value")
+    sk = DDS.with_dd_quantiles(
+        DDS.dd_sketch(keyed, ["event_type", "window_start"], "value")
+    )
+    exact = keyed.groupBy("event_type", "window_start").agg(
+        F.sort_array(F.collect_list("value")).alias("_vs"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    tol = DDS.relative_error_bound() + 1e-9
+    joined = sk.join(exact, ["event_type", "window_start"])
+    cols = [F.col("event_type"), F.col("window_start"), F.col("n_events")]
+    for i, (q, name) in enumerate([(0.5, "p50_ok"), (0.9, "p90_ok"), (0.99, "p99_ok")]):
+        rank = (F.floor(F.lit(q) * (F.col("n_events") - 1)) + 1).cast("int")
+        ev_exact = F.element_at("_vs", rank)
+        est = F.col("dd_q")[i]
+        cols.append((F.abs(est - ev_exact) <= F.lit(tol) * ev_exact).alias(name))
+    return joined.select(*cols)
+
+
 def _q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data admission decision (dedup + lang +
     quality + length) as one plan; oracle = the same predicates in SQL."""
@@ -512,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tstore_layout_roundtrip": _q_tstore_layout_roundtrip,
         "geo_bbox": _q_geo_bbox,
         "corpus_filter": _q_corpus_filter,
+        "rollup_1h_ddsketch": _q_rollup_dd,
         "asof_join": _q_asof_join,
         "datetime_parts": _q_datetime_parts,
         "tswide_hourly": _q_tswide_hourly,
@@ -756,6 +787,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tslong_roundtrip": "SELECT user_id, ts, value FROM events",
         "tstore_layout_roundtrip": "SELECT user_id, ts, value FROM events",
+        "rollup_1h_ddsketch": """
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                   count(*) AS n_events,
+                   TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+            FROM events GROUP BY 1, 2
+        """,
         "corpus_filter": f"""
             WITH s AS (
                 SELECT doc_id, text,
