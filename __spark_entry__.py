@@ -450,6 +450,27 @@ def _q_rollup_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(*cols)
 
 
+def _q_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (gaps-and-islands in one window pass)
+    vs the identical window SQL in DuckDB."""
+    from tstore_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, key="user_id", time_col="ts", gap="30 minutes", tiebreak_col="event_id")
+
+
+def _q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash split — the same md5 arithmetic is
+    reproducible in any engine, which is the whole point (portable,
+    auditable dataset splits)."""
+    from tstore_spark.operators.sampling import deterministic_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_split(docs, "doc_id", {"train": 0.9, "eval": 0.1}).select(
+        "doc_id", "split"
+    )
+
+
 def _q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data admission decision (dedup + lang +
     quality + length) as one plan; oracle = the same predicates in SQL."""
@@ -543,6 +564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bbox": _q_geo_bbox,
         "corpus_filter": _q_corpus_filter,
         "rollup_1h_ddsketch": _q_rollup_dd,
+        "sessions_batch": _q_sessions_batch,
+        "train_eval_split": _q_train_eval_split,
         "asof_join": _q_asof_join,
         "datetime_parts": _q_datetime_parts,
         "tswide_hourly": _q_tswide_hourly,
@@ -787,6 +810,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tslong_roundtrip": "SELECT user_id, ts, value FROM events",
         "tstore_layout_roundtrip": "SELECT user_id, ts, value FROM events",
+        "sessions_batch": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                            THEN 1 ELSE 0 END AS s
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            g AS (
+                SELECT user_id, ts,
+                       sum(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM o)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000 AS duration_ms
+            FROM g GROUP BY 1, 2
+        """,
+        "train_eval_split": """
+            SELECT doc_id,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
+                             / 4294967296.0 < 0.9
+                        THEN 'train' ELSE 'eval' END AS split
+            FROM documents
+        """,
         "rollup_1h_ddsketch": """
             SELECT event_type,
                    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,

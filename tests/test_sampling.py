@@ -1,0 +1,54 @@
+"""Deterministic sampling/splits: stability, portability, proportions."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tstore_spark.operators.sampling import (
+    deterministic_sample,
+    deterministic_split,
+    hash_uniform,
+)
+
+
+@pytest.fixture(scope="module")
+def ids_sdf(spark):
+    return spark.createDataFrame(pd.DataFrame({"doc_id": range(2000)}))
+
+
+def test_uniform_matches_reference_md5(ids_sdf):
+    rows = {r["doc_id"]: r["u"] for r in ids_sdf.select("doc_id", hash_uniform("doc_id", 42).alias("u")).limit(2000).collect()}
+    for i in (0, 1, 1999):
+        expect = int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:8], 16) / float(1 << 32)
+        assert rows[i] == expect
+
+
+def test_split_proportions_and_stability(ids_sdf):
+    s = deterministic_split(ids_sdf, "doc_id", {"train": 0.8, "eval": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    assert abs(counts["eval"] / 2000 - 0.1) < 0.03
+    # growing the corpus never relabels an existing id
+    bigger = deterministic_split(
+        ids_sdf.sparkSession.createDataFrame(pd.DataFrame({"doc_id": range(4000)})),
+        "doc_id", {"train": 0.8, "eval": 0.1, "test": 0.1},
+    )
+    a = {r["doc_id"]: r["split"] for r in s.collect()}
+    b = {r["doc_id"]: r["split"] for r in bigger.collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_sample_is_subset_and_stable(ids_sdf):
+    s1 = {r["doc_id"] for r in deterministic_sample(ids_sdf, "doc_id", 0.25).collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(ids_sdf.repartition(9), "doc_id", 0.25).collect()}
+    assert s1 == s2
+    assert abs(len(s1) / 2000 - 0.25) < 0.05
+    smaller = {r["doc_id"] for r in deterministic_sample(ids_sdf, "doc_id", 0.1).collect()}
+    assert smaller <= s1  # nested samples: lower fraction is a subset
+
+
+def test_bad_fractions_raise(ids_sdf):
+    with pytest.raises(ValueError, match="sum to 1"):
+        deterministic_split(ids_sdf, "doc_id", {"a": 0.5, "b": 0.2})

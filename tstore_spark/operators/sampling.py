@@ -1,0 +1,72 @@
+"""Deterministic sampling and dataset splits — reproducible by construction.
+
+Training pipelines need samples and train/eval splits that are (a) stable
+across reruns, cluster sizes, and engines, (b) a pure function of the
+record's identity — never of partition layout or RNG state. Spark's
+``df.sample`` is seeded per-partition (layout-dependent); this module uses
+content hashing instead: a record's uniform variate is
+``md5(id || ':' || seed)``'s first 32 bits over 2^32 — the same number in
+any engine with md5 (DuckDB: ``('0x' || substr(md5(...), 1, 8))::BIGINT``),
+so samples and splits are portable, auditable, and oracle-checkable.
+
+Scale notes: pure codegen expressions (md5 + conv), no shuffle, no state —
+sampling is free at any scale, and a split assignment can be recomputed
+from the id alone years later.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DENOM = float(1 << 32)
+
+
+def hash_uniform(id_col: str | Column, seed: int = 42) -> Column:
+    """Deterministic uniform [0, 1) variate from a record id: the first 32
+    bits of md5(id || ':' || seed) over 2^32."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(c.cast("string"), F.lit(f":{seed}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_DENOM)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: int = 42
+) -> DataFrame:
+    """Keep ~fraction of rows, chosen purely by id hash (stable forever)."""
+    return df.where(hash_uniform(id_col, seed) < F.lit(float(fraction)))
+
+
+def split_column(
+    id_col: str | Column,
+    fractions: dict[str, float],
+    seed: int = 42,
+) -> Column:
+    """Split label from cumulative hash thresholds (insertion order).
+
+    Fractions must sum to 1 (validated); every record gets exactly one
+    label, and a record's label never changes as the corpus grows — the
+    property random splits lack."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = hash_uniform(id_col, seed)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond_expr = u < F.lit(cum)
+        expr = F.when(cond_expr, F.lit(name)) if expr is None else expr.when(cond_expr, F.lit(name))
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    return df.withColumn(out_col, split_column(id_col, fractions, seed))
