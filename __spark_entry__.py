@@ -450,6 +450,20 @@ def _q_rollup_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(*cols)
 
 
+def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1) as
+    pure Catalyst expressions; ratios of integer counts, so the raw doubles
+    hash-match the same arithmetic in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.dup_line_fraction("text").alias("dup_line_frac"),
+        TX.top_bigram_fraction("text").alias("top_bigram_frac"),
+        TX.max_token_run("text").alias("max_token_run"),
+        TX.symbol_word_ratio("text").alias("symbol_ratio"),
+    )
+
+
 def _q_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based batch sessionization (gaps-and-islands in one window pass)
     vs the identical window SQL in DuckDB."""
@@ -564,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bbox": _q_geo_bbox,
         "corpus_filter": _q_corpus_filter,
         "rollup_1h_ddsketch": _q_rollup_dd,
+        "doc_repetition": _q_doc_repetition,
         "sessions_batch": _q_sessions_batch,
         "train_eval_split": _q_train_eval_split,
         "asof_join": _q_asof_join,
@@ -810,6 +825,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tslong_roundtrip": "SELECT user_id, ts, value FROM events",
         "tstore_layout_roundtrip": "SELECT user_id, ts, value FROM events",
+        "doc_repetition": r"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS l,
+                       str_split(text, chr(10)) AS ln
+                FROM documents),
+            b AS (
+                SELECT doc_id, len(l) AS nt,
+                       list_transform(generate_series(1, greatest(len(l) - 1, 1)),
+                                      i -> concat_ws(' ', l[i], l[i+1])) AS bg
+                FROM t),
+            bge AS (SELECT doc_id, len(bg) AS nb, unnest(bg) AS g FROM b),
+            bigr AS (
+                SELECT doc_id, any_value(nb) AS nb, max(cnt) AS mx FROM (
+                    SELECT doc_id, nb, g, count(*) AS cnt FROM bge GROUP BY 1, 2, 3)
+                GROUP BY doc_id),
+            te AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(l)),
+                                             i -> {'g': l[i], 'o': i})) AS u
+                FROM t),
+            runs AS (
+                SELECT doc_id, max(rl) AS mr FROM (
+                    SELECT doc_id, count(*) AS rl FROM (
+                        SELECT doc_id, u.g AS g, u.o AS o,
+                               u.o - row_number() OVER (PARTITION BY doc_id, u.g ORDER BY u.o) AS grp
+                        FROM te)
+                    GROUP BY doc_id, g, grp)
+                GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CASE WHEN len(ln) <= 1 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct(ln)) AS DOUBLE) / len(ln) END AS dup_line_frac,
+                   CASE WHEN b.nt < 2 THEN 0.0
+                        ELSE CAST(bigr.mx AS DOUBLE) / bigr.nb END AS top_bigram_frac,
+                   CAST(CASE WHEN length(trim(t.text)) = 0 THEN 0 ELSE runs.mr END AS BIGINT) AS max_token_run,
+                   CASE WHEN length(trim(t.text)) = 0 THEN 0.0
+                        ELSE CAST(length(regexp_replace(t.text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                             / len(l) END AS symbol_ratio
+            FROM t
+            JOIN b ON t.doc_id = b.doc_id
+            JOIN bigr ON t.doc_id = bigr.doc_id
+            JOIN runs ON t.doc_id = runs.doc_id
+        """,
         "sessions_batch": """
             WITH o AS (
                 SELECT user_id, ts, event_id,

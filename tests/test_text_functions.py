@@ -68,3 +68,61 @@ def test_fingerprint_is_md5_of_normalized(docs_sdf):
 def test_quality_bounds(docs_sdf):
     vals = [r["q"] for r in docs_sdf.select(TX.quality_score("text").alias("q")).collect()]
     assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+# -- repetition signals (Gopher-style) ----------------------------------------
+
+def test_dup_line_fraction(spark):
+    from tstore_spark.functions.text import dup_line_fraction
+
+    df = spark.createDataFrame(
+        [(0, "a\nb\nc"), (1, "a\na\na\nb"), (2, "single"), (3, "x\nx")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["f"] for r in df.select("doc_id", dup_line_fraction("text").alias("f")).collect()}
+    assert got[0] == 0.0
+    assert got[1] == 1.0 - 2.0 / 4.0
+    assert got[2] == 0.0
+    assert got[3] == 0.5
+
+
+def test_top_bigram_fraction_and_token_run(spark):
+    from tstore_spark.functions.text import max_token_run, top_bigram_fraction
+
+    df = spark.createDataFrame(
+        [
+            (0, "buy now buy now buy now"),     # 'buy now' dominates
+            (1, "all words here are unique"),
+            (2, "spam spam spam spam ok"),      # 4-token run
+            (3, "one"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            top_bigram_fraction("text").alias("bg"),
+            max_token_run("text").alias("run"),
+        ).collect()
+    }
+    assert rows[0]["bg"] == 3.0 / 5.0   # bigrams: bn,nb,bn,nb,bn -> 'buy now' x3 of 5
+    assert rows[1]["bg"] == 1.0 / 4.0
+    assert rows[2]["run"] == 4
+    assert rows[1]["run"] == 1
+    assert rows[3]["bg"] == 0.0 and rows[3]["run"] == 1
+    assert rows[4]["run"] == 0
+
+
+def test_symbol_word_ratio(spark):
+    from tstore_spark.functions.text import symbol_word_ratio
+
+    df = spark.createDataFrame(
+        [(0, "clean words only"), (1, "$$$ !!! ###"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["s"] for r in df.select("doc_id", symbol_word_ratio("text").alias("s")).collect()}
+    assert got[0] == 0.0
+    assert got[1] == 9.0 / 3.0
+    assert got[2] == 0.0

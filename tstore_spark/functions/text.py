@@ -98,3 +98,87 @@ def fingerprint(text_col: str | Column) -> Column:
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.md5(F.lower(F.trim(c)))
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality rules — Rae et al. 2021, §A1.1):
+# repeated lines, dominant n-grams, and token runs mark low-quality
+# boilerplate/spam. All pure Catalyst expressions: ratios of integer counts,
+# so the doubles are engine-exact (no rounding).
+# ---------------------------------------------------------------------------
+
+
+def lines(text_col: str | Column) -> Column:
+    """Lines of the document (split on newline; blank lines count — runs of
+    blank lines are themselves a duplication signal)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, "\n")
+
+
+def dup_line_fraction(text_col: str | Column) -> Column:
+    """Fraction of lines that are duplicates of an earlier line:
+    1 - distinct/total (0 for single-line docs)."""
+    ls = lines(text_col)
+    n = F.size(ls)
+    return F.when(n <= 1, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(ls)) / n
+    )
+
+
+def word_bigrams(text_col: str | Column) -> Column:
+    """NON-distinct word bigrams (multiplicity matters for dominance)."""
+    toks = tokens(text_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+
+
+def _max_sorted_run(arr: Column) -> Column:
+    """Length of the longest run of equal consecutive elements in a SORTED
+    array — i.e. the max multiplicity — via one aggregate() fold
+    (state: previous element, current run, best run)."""
+    state = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(arr, state, step, lambda acc: acc["best"])
+
+
+def top_bigram_fraction(text_col: str | Column) -> Column:
+    """Fraction of word bigrams taken by the single most frequent bigram
+    (0 for docs under two tokens). Dominant bigrams mark templated spam."""
+    toks = tokens(text_col)
+    bg = word_bigrams(text_col)
+    return F.when(F.size(toks) < 2, F.lit(0.0)).otherwise(
+        _max_sorted_run(F.array_sort(bg)) / F.size(bg)
+    )
+
+
+def max_token_run(text_col: str | Column) -> Column:
+    """Longest run of the SAME consecutive token ("buy buy buy buy…");
+    0 for empty docs. The run fold works on any array — over the unsorted
+    token array it measures consecutive repetition in document order."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        _max_sorted_run(tokens(text_col))
+    ).cast("long")
+
+
+def symbol_word_ratio(text_col: str | Column) -> Column:
+    """Non-alphanumeric, non-whitespace characters per whitespace token
+    (0 for empty docs) — the classic symbol-spam signal."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    symbols = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    n = ws_token_count(text_col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(symbols / n)
