@@ -20,10 +20,18 @@ Re-expresses the capabilities of ltelab/tstore (see /root/reference) Spark-first
 from tstore_spark.session import get_spark
 from tstore_spark.model.descriptor import TableDescriptor
 from tstore_spark.model.tslong import TSLong
-from tstore_spark.api import open_tslong, open_tsdf, open_tswide, to_tstore
+from tstore_spark.model.tsdf import TSDF
+from tstore_spark.model.tswide import TSWide
+from tstore_spark.api import (
+    open_tslong,
+    open_tsdf,
+    open_tswide,
+    to_tstore,
+    to_tstore_reference,
+)
 
 __all__ = [
-    "get_spark", "TableDescriptor", "TSLong",
-    "open_tslong", "open_tsdf", "open_tswide", "to_tstore",
+    "get_spark", "TableDescriptor", "TSLong", "TSDF", "TSWide",
+    "open_tslong", "open_tsdf", "open_tswide", "to_tstore", "to_tstore_reference",
 ]
-__version__ = "0.1.0"
+__version__ = "0.2.0"
