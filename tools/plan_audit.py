@@ -73,7 +73,8 @@ def main(sf_dir: str) -> int:
 
     # 6. no cartesian products outside similarity brute force
     for name in ["rollup_1h", "gap_fill_1h", "dedup_exact", "token_jaccard_pairs",
-                 "minhash_near_dup", "simhash_near_dup"]:
+                 "minhash_near_dup", "simhash_near_dup", "sessions_batch",
+                 "rollup_1h_ddsketch", "doc_repetition", "train_eval_split"]:
         p = plan_of(qs[name](spark, sf_dir))
         check(f"{name}.no_cartesian", "CartesianProduct" not in p, "no accidental cross join")
 
