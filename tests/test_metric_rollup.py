@@ -78,3 +78,43 @@ def test_id_sketch_cascade_and_accuracy(events_sdf):
     x = {(r["event_type"], r["window_start"]): r["user_distinct"] for r in exact.collect()}
     for k in x:
         assert abs(e[k] - x[k]) <= max(3, 0.1 * x[k]), (k, e[k], x[k])
+
+
+def test_value_sketch_cascade_and_accuracy(events_sdf):
+    """DDSketch value path: cascaded sketch bit-identical to from-raw, and
+    finalized percentiles within the guaranteed relative error of the exact
+    path's rank values."""
+    from tstore_spark.operators.ddsketch import relative_error_bound
+    from tstore_spark.operators.metric_rollup import (
+        finalize,
+        metric_rollup_all_tiers,
+        metric_rollup_from_raw,
+    )
+
+    tiers = metric_rollup_all_tiers(events_sdf, value_sketch=True)
+    direct_1d = metric_rollup_from_raw(events_sdf, "1d", value_sketch=True)
+    a = {
+        (r["event_type"], r["window_start"]): (list(map(tuple, r["dd"])), r["dd_zeros"])
+        for r in tiers["1d"].collect()
+    }
+    b = {
+        (r["event_type"], r["window_start"]): (list(map(tuple, r["dd"])), r["dd_zeros"])
+        for r in direct_1d.collect()
+    }
+    assert a == b  # cascade merge exact
+
+    exact = finalize(metric_rollup_all_tiers(events_sdf)["1d"])
+    approx = finalize(tiers["1d"])
+    tol = 2 * relative_error_bound() + 0.02  # sketch bound vs rank value
+    # + interpolation difference of the exact path at small windows
+    ex = {(r["event_type"], r["window_start"]): r for r in exact.collect()}
+    ap = {(r["event_type"], r["window_start"]): r for r in approx.collect()}
+    assert set(ex) == set(ap)
+    checked = 0
+    for k in ex:
+        for c in ("value_p50", "value_p90"):
+            e, g = ex[k][c], ap[k][c]
+            if e and e > 1.0:  # skip near-zero values where interpolation dominates
+                assert abs(g - e) <= tol * e + 0.02, (k, c, g, e)
+                checked += 1
+    assert checked > 10

@@ -69,6 +69,8 @@ def metric_rollup_from_raw(
     id_col: str = "user_id",
     id_sketch: bool = False,
     sketch_p: int = 12,
+    value_sketch: bool = False,
+    dd_gamma: float = 1.02,
 ) -> DataFrame:
     """One tier from raw events; carries mergeable state for the cascade.
 
@@ -77,7 +79,15 @@ def metric_rollup_from_raw(
     path: state per window becomes O(2^p) instead of O(#ids), the cascade
     merges registers with max (still exactly mergeable: cascaded sketch ==
     from-raw sketch, bit-identical), and ``user_distinct`` becomes the HLL
-    estimate (rounded)."""
+    estimate (rounded).
+
+    value_sketch=True replaces the exact (cents -> count) histogram with a
+    DDSketch bucket array (operators/ddsketch.py) — the wide-value-domain
+    scale path: state per window becomes O(log_gamma(max/min)) regardless
+    of value cardinality, the cascade merges buckets with integer sums
+    (cascaded == from-raw, bit-identical), and the percentile columns carry
+    a guaranteed relative error of (gamma-1)/(gamma+1). Exact integer sums
+    (``value_sum``, counts) are unaffected either way."""
     unit = TIERS[tier]
     # date_trunc returns session-zoned TIMESTAMP; cast back to TIMESTAMP_NTZ
     # when the input is NTZ so the result is pure wall-clock truncation,
@@ -104,8 +114,9 @@ def metric_rollup_from_raw(
     s2_aggs = [
         F.sum("_cnt").alias("event_count"),
         F.sum(F.col("_cents") * F.col("_cnt")).alias("value_cents"),
-        F.array_sort(F.collect_list(F.struct("_cents", "_cnt"))).alias("_h"),
     ]
+    if not value_sketch:
+        s2_aggs.append(F.array_sort(F.collect_list(F.struct("_cents", "_cnt"))).alias("_h"))
     if not id_sketch:
         s2_aggs.append(
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("_is")))).alias("id_set")
@@ -119,10 +130,21 @@ def metric_rollup_from_raw(
             "event_count",
             "value_cents",
             *([] if id_sketch else ["id_set"]),
-            F.transform("_h", lambda x: x["_cents"]).alias("hist_cents"),
-            F.transform("_h", lambda x: x["_cnt"]).alias("hist_cnts"),
+            *(
+                []
+                if value_sketch
+                else [
+                    F.transform("_h", lambda x: x["_cents"]).alias("hist_cents"),
+                    F.transform("_h", lambda x: x["_cnt"]).alias("hist_cnts"),
+                ]
+            ),
         )
     )
+    if value_sketch:
+        from tstore_spark.operators.ddsketch import dd_sketch
+
+        dd = dd_sketch(base, [key, "window_start"], "_cents", gamma=dd_gamma)
+        out = out.join(dd, [key, "window_start"])
     if id_sketch:
         from tstore_spark.operators.sketches import hll_sketch
 
@@ -140,6 +162,7 @@ def metric_rollup_cascade(child: DataFrame, tier: str, key: str = "event_type") 
     ws = ws.alias("window_start")
 
     has_sketch = "hll" in child.columns
+    has_dd = "dd" in child.columns
     main_aggs = [
         F.sum("event_count").alias("event_count"),
         F.sum("value_cents").alias("value_cents"),
@@ -149,26 +172,32 @@ def metric_rollup_cascade(child: DataFrame, tier: str, key: str = "event_type") 
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("id_set")))).alias("id_set")
         )
     main = child.groupBy(key, ws).agg(*main_aggs)
-    hist = (
-        child.select(key, ws, F.explode(F.arrays_zip("hist_cents", "hist_cnts")).alias("_e"))
-        .select(
-            key,
-            "window_start",
-            F.col("_e.hist_cents").alias("_cents"),
-            F.col("_e.hist_cnts").alias("_cnt"),
+    if has_dd:
+        from tstore_spark.operators.ddsketch import dd_merge
+
+        dd = dd_merge(child.select(key, ws, "dd", "dd_zeros"), [key, "window_start"])
+        out = main.join(dd, [key, "window_start"])
+    else:
+        hist = (
+            child.select(key, ws, F.explode(F.arrays_zip("hist_cents", "hist_cnts")).alias("_e"))
+            .select(
+                key,
+                "window_start",
+                F.col("_e.hist_cents").alias("_cents"),
+                F.col("_e.hist_cnts").alias("_cnt"),
+            )
+            .groupBy(key, "window_start", "_cents")
+            .agg(F.sum("_cnt").alias("_cnt"))
+            .groupBy(key, "window_start")
+            .agg(F.array_sort(F.collect_list(F.struct("_cents", "_cnt"))).alias("_h"))
+            .select(
+                key,
+                "window_start",
+                F.transform("_h", lambda x: x["_cents"]).alias("hist_cents"),
+                F.transform("_h", lambda x: x["_cnt"]).alias("hist_cnts"),
+            )
         )
-        .groupBy(key, "window_start", "_cents")
-        .agg(F.sum("_cnt").alias("_cnt"))
-        .groupBy(key, "window_start")
-        .agg(F.array_sort(F.collect_list(F.struct("_cents", "_cnt"))).alias("_h"))
-        .select(
-            key,
-            "window_start",
-            F.transform("_h", lambda x: x["_cents"]).alias("hist_cents"),
-            F.transform("_h", lambda x: x["_cnt"]).alias("hist_cnts"),
-        )
-    )
-    out = main.join(hist, [key, "window_start"])
+        out = main.join(hist, [key, "window_start"])
     if has_sketch:
         from tstore_spark.operators.sketches import hll_merge
 
@@ -182,6 +211,7 @@ def finalize(
     key: str = "event_type",
     use_jvm: bool = False,
     sketch_p: int | None = None,
+    dd_gamma: float = 1.02,
 ) -> DataFrame:
     """Scalar-only view of a tier (drops the mergeable state columns).
 
@@ -189,7 +219,15 @@ def finalize(
     (``metric_rollup_from_raw(sketch_p=...)``) — the estimator's register
     count m = 2^p is baked into the harmonic mean, so a mismatched p yields
     silently wrong ``user_distinct``. Defaults to ``sketches.DEFAULT_P``."""
-    if use_jvm:
+    if "dd" in tier_df.columns:
+        from tstore_spark.operators.ddsketch import dd_quantiles_udf
+
+        # DDSketch estimates are of CENTS; scale back to value units
+        p = F.transform(
+            dd_quantiles_udf(PCTS, dd_gamma)(F.col("dd"), F.col("dd_zeros")),
+            lambda x: x / 100.0,
+        )
+    elif use_jvm:
         from tstore_spark.operators.rollup import hist_percentiles_jvm
 
         p = hist_percentiles_jvm("hist_cents", "hist_cnts", value_scale=100.0)
@@ -222,13 +260,18 @@ def metric_rollup_all_tiers(
     id_col: str = "user_id",
     id_sketch: bool = False,
     sketch_p: int = 12,
+    value_sketch: bool = False,
+    dd_gamma: float = 1.02,
 ) -> dict[str, DataFrame]:
     """raw -> 1m -> 1h -> 1d (with state; apply :func:`finalize` to present).
 
-    When ``id_sketch=True``, pass the same ``sketch_p`` to :func:`finalize`."""
+    When ``id_sketch=True`` / ``value_sketch=True``, pass the same
+    ``sketch_p`` / ``dd_gamma`` to :func:`finalize`."""
     tiers: dict[str, DataFrame] = {}
     tiers["1m"] = metric_rollup_from_raw(
-        df, "1m", key, time_col, value_col, id_col, id_sketch=id_sketch, sketch_p=sketch_p
+        df, "1m", key, time_col, value_col, id_col,
+        id_sketch=id_sketch, sketch_p=sketch_p,
+        value_sketch=value_sketch, dd_gamma=dd_gamma,
     )
     tiers["1h"] = metric_rollup_cascade(tiers["1m"], "1h", key)
     tiers["1d"] = metric_rollup_cascade(tiers["1h"], "1d", key)
