@@ -123,3 +123,24 @@ def test_token_jaccard_block_guard(docs_sdf):
     # generous budget: results unchanged
     pairs = DD.token_jaccard_pairs(docs_sdf, block_col=None, threshold=0.5).collect()
     assert len(pairs) > 0
+
+
+def test_simhash_homogeneous_corpus_guard(spark):
+    """Same-vocabulary docs collapse simhash band entropy — the guard must
+    fire before the band join goes quadratic."""
+    import random
+
+    rng = random.Random(5)
+    words = [f"w{i}" for i in range(20)]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(300),
+            "text": [" ".join(rng.choices(words, k=50)) for _ in range(300)],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="minhash_near_dup_pairs"):
+        DD.simhash_near_dup_pairs(sdf, max_hamming=8, max_candidates=1000)
+    # disabled guard still works
+    out = DD.simhash_near_dup_pairs(sdf, max_hamming=0, max_candidates=None)
+    assert out.count() >= 0

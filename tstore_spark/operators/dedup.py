@@ -389,12 +389,21 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     verify_jaccard: float | None = None,
     shingle_n: int = 3,
+    max_candidates: int | None = 200_000_000,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) <= max_hamming via band self-join.
 
     Pigeonhole: split 64 bits into (max_hamming+1) bands; any pair within
     distance k matches at least one band exactly — the join is equi on
     (band_idx, band_bits), so Catalyst plans a hash join, never a cross join.
+
+    Guarded against homogeneous corpora: simhash band bits have LOW ENTROPY
+    when documents share vocabulary statistics (majority-vote bits converge),
+    so band buckets can go quadratic even on non-duplicate docs. The guard
+    pre-counts bucket sizes (one cheap aggregation over #docs × #bands rows)
+    and refuses when Σ C(bucket, 2) exceeds ``max_candidates``, pointing at
+    :func:`minhash_near_dup_pairs` — whose buckets are hashes of shingle
+    CONTENT, uniform by construction. ``max_candidates=None`` disables.
 
     ``verify_jaccard=t`` switches the operator into the standard
     sketch-then-verify shape: simhash bands generate candidates, exact
@@ -406,6 +415,13 @@ def simhash_near_dup_pairs(
     """
     nb = max_hamming + 1
     width = 64 // nb
+
+    def band_bits(bi: int) -> F.Column:
+        shifted = F.shiftrightunsigned(F.col("simhash"), bi * width)
+        if width >= 64:  # single band == the whole signature (mask would overflow long)
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     sigs = simhash(df, id_col, text_col)
 
     banded = sigs.select(
@@ -414,19 +430,34 @@ def simhash_near_dup_pairs(
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), bi * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("bits"),
-                    )
+                    F.struct(F.lit(bi).alias("band"), band_bits(bi).alias("bits"))
                     for bi in range(nb)
                 ]
             )
         ).alias("b"),
     ).select(id_col, "simhash", "b.band", "b.bits")
 
-    cand = (
+    if max_candidates is not None:
+        est = (
+            banded.groupBy("band", "bits")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.sum(F.col("_n") * (F.col("_n") - 1) / 2).alias("_pairs"))
+            .head()["_pairs"]
+        )
+        if est is not None and est > max_candidates:
+            raise ValueError(
+                f"simhash band buckets would generate ~{int(est)} candidate "
+                f"pairs (> {max_candidates}): the corpus is too homogeneous "
+                "for simhash banding — use minhash_near_dup_pairs instead"
+            )
+
+    # hamming filter runs INSIDE the band join's projection, BEFORE the
+    # distinct: a band bucket on a topically homogeneous corpus can be hot
+    # (simhash band bits have low entropy there), and deduplicating the raw
+    # candidate stream would shuffle every collision pair; filtering first
+    # shrinks the distinct to actual near-dup survivors
+    hamming = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+    pairs = (
         banded.alias("x")
         .join(
             banded.alias("y"),
@@ -437,14 +468,10 @@ def simhash_near_dup_pairs(
         .select(
             F.col(f"x.{id_col}").alias("id_a"),
             F.col(f"y.{id_col}").alias("id_b"),
-            F.col("x.simhash").alias("sh_a"),
-            F.col("y.simhash").alias("sh_b"),
+            hamming.alias("hamming"),
         )
+        .where(F.col("hamming") <= F.lit(max_hamming))
         .distinct()
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    pairs = cand.select("id_a", "id_b", hamming.alias("hamming")).where(
-        F.col("hamming") <= F.lit(max_hamming)
     )
     if verify_jaccard is None:
         return pairs
