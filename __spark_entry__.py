@@ -485,6 +485,25 @@ def _q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (fan-out mapInPandas: one row ->
+    n_frames rows) with an oracle-reproducible stub extractor: frame i =
+    md5(blob || ':i') — DuckDB recomputes the same digests from the text,
+    so schema, fan-out multiplicity, AND payload bytes are all gate-checked."""
+    import hashlib as _hl
+
+    docs = _t(spark, sf_dir, "documents").withColumn("blob", F.encode("text", "UTF-8"))
+    frames = MM.sample_frames(
+        docs, "doc_id", "blob", n_frames=2,
+        extractor=lambda b, n: [
+            _hl.md5(b + f":{i}".encode()).hexdigest().encode() for i in range(n)
+        ],
+    )
+    return frames.select(
+        "doc_id", "frame_idx", F.decode("frame", "UTF-8").alias("frame_hex")
+    )
+
+
 def _q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data admission decision (dedup + lang +
     quality + length) as one plan; oracle = the same predicates in SQL."""
@@ -579,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": _q_corpus_filter,
         "rollup_1h_ddsketch": _q_rollup_dd,
         "doc_repetition": _q_doc_repetition,
+        "media_frames": _q_media_frames,
         "sessions_batch": _q_sessions_batch,
         "train_eval_split": _q_train_eval_split,
         "asof_join": _q_asof_join,
@@ -825,6 +845,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tslong_roundtrip": "SELECT user_id, ts, value FROM events",
         "tstore_layout_roundtrip": "SELECT user_id, ts, value FROM events",
+        "media_frames": """
+            SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                   md5(text || ':' || CAST(i AS VARCHAR)) AS frame_hex
+            FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS i)
+        """,
         "doc_repetition": r"""
             WITH t AS (
                 SELECT doc_id, text,

@@ -50,3 +50,32 @@ def test_decode_and_featurize_stub(blobs_sdf):
 def test_strict_raises(blobs_sdf):
     with pytest.raises(NotImplementedError):
         MM.decode_and_featurize(blobs_sdf, "doc_id", "blob", strict=True)
+
+
+def test_resize_images_stub(blobs_sdf):
+    out = {r["doc_id"]: r for r in MM.resize_images(blobs_sdf, "doc_id", "blob", 64, 48).collect()}
+    for i, blob in BLOBS:
+        r = out[i]
+        assert r["out_w"] == 64 and r["out_h"] == 48
+        assert bytes(r["resized"]) == MM.fake_resizer(blob, 64, 48)
+        assert bytes(r["resized"])[:8] == b"FAKEIMG1"
+
+
+def test_sample_frames_fanout(blobs_sdf):
+    out = MM.sample_frames(blobs_sdf, "doc_id", "blob", n_frames=3)
+    rows = out.collect()
+    assert len(rows) == len(BLOBS) * 3
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["frame_idx"], bytes(r["frame"])))
+    for i, blob in BLOBS:
+        frames = sorted(by_doc[i])
+        assert [f[0] for f in frames] == [0, 1, 2]
+        assert [f[1] for f in frames] == MM.fake_frame_extractor(blob, 3)
+
+
+def test_resize_and_frames_strict_raise(blobs_sdf):
+    with pytest.raises(NotImplementedError):
+        MM.resize_images(blobs_sdf, "doc_id", "blob", 1, 1, strict=True)
+    with pytest.raises(NotImplementedError):
+        MM.sample_frames(blobs_sdf, "doc_id", "blob", strict=True)

@@ -117,3 +117,101 @@ def decode_and_featurize(
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(run, schema=schema)
+
+
+def fake_resizer(blob: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in resizer: tagged header + target dims + a
+    content digest — a pure function of (bytes, dims) so tests and
+    downstream plumbing behave exactly as with a real resampler. A real one
+    (PIL ``Image.resize``) slots in with the same signature."""
+    return (
+        b"FAKEIMG1"
+        + width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + hashlib.md5(blob).digest()
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    width: int,
+    height: int,
+    resizer=None,
+    strict: bool = False,
+) -> DataFrame:
+    """Arrow-batched image resize over ``mapInPandas``: (id, resized binary,
+    out_w, out_h). Narrow map — pipelines with the scan, no shuffle; blob
+    memory per task is bounded by the Arrow batch size. ``resizer`` is
+    ``(bytes, w, h) -> bytes``; None selects the deterministic stub (or
+    raises under ``strict=True`` — no codec libs in this container)."""
+    if resizer is None:
+        if strict:
+            raise NotImplementedError(
+                "no image library installed; pass resizer=(bytes, w, h) -> bytes"
+            )
+        resizer = fake_resizer
+
+    schema = f"{id_col} long, resized binary, out_w int, out_h int"
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "resized": [resizer(bytes(b), width, height) for b in pdf[blob_col]],
+                    "out_w": width,
+                    "out_h": height,
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=schema)
+
+
+def fake_frame_extractor(blob: bytes, n_frames: int) -> list[bytes]:
+    """Deterministic stand-in frame sampler: frame i = md5(blob || i) bytes.
+    A real extractor (ffmpeg keyframe sampling) returns decoded frame
+    payloads with the same ``(bytes, n) -> list[bytes]`` signature."""
+    return [
+        hashlib.md5(blob + i.to_bytes(4, "big")).digest() for i in range(n_frames)
+    ]
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    n_frames: int = 4,
+    extractor=None,
+    strict: bool = False,
+) -> DataFrame:
+    """Video frame sampling as a FAN-OUT map: one input row -> n_frames
+    output rows (id, frame_idx, frame binary) via ``mapInPandas`` — the row
+    multiplication happens inside the Arrow batch, no explode shuffle.
+    ``extractor`` is ``(bytes, n) -> list[bytes]``; None selects the
+    deterministic stub (or raises under ``strict=True``)."""
+    if extractor is None:
+        if strict:
+            raise NotImplementedError(
+                "no video library installed; pass extractor=(bytes, n) -> list[bytes]"
+            )
+        extractor = fake_frame_extractor
+
+    schema = f"{id_col} long, frame_idx int, frame binary"
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, idxs, frames = [], [], []
+            for rid, b in zip(pdf[id_col], pdf[blob_col]):
+                for i, fr in enumerate(extractor(bytes(b), n_frames)):
+                    ids.append(rid)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=schema)
