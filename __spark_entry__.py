@@ -241,6 +241,7 @@ def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n.alias("ws_tokens"),
         TX.approx_bpe_token_count("text").alias("bpe_tokens"),
+        TX.bpe_regex_token_count("text").alias("bpe_regex_tokens"),
         hits.alias("stop_hits"),
         TX.lang_id("text").alias("pred_lang"),
         TX.quality_score("text").alias("quality"),
@@ -785,6 +786,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST({_NTOK} AS BIGINT) AS ws_tokens,
                    CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'))
+                        AS BIGINT) AS bpe_regex_tokens,
                    CAST({_HITS} AS BIGINT) AS stop_hits,
                    CASE WHEN {_NTOK} > 0 AND CAST({_HITS} AS DOUBLE) / {_NTOK} >= 0.05
                         THEN 'en' ELSE 'und' END AS pred_lang,

@@ -126,3 +126,18 @@ def test_symbol_word_ratio(spark):
     assert got[0] == 0.0
     assert got[1] == 9.0 / 3.0
     assert got[2] == 0.0
+
+
+def test_bpe_regex_token_count(spark):
+    from tstore_spark.functions.text import bpe_regex_token_count
+
+    df = spark.createDataFrame(
+        [(0, "Hello world"), (1, "it's 2024, really!"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", bpe_regex_token_count("text").alias("n")).collect()}
+    # "Hello world" -> ["Hello", " world"]
+    assert got[0] == 2
+    # "it's 2024, really!" -> [it]['s][ 2024][,][ really][!]
+    assert got[1] == 6
+    assert got[2] == 0

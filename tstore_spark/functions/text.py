@@ -182,3 +182,19 @@ def symbol_word_ratio(text_col: str | Column) -> Column:
     symbols = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
     n = ws_token_count(text_col)
     return F.when(n == 0, F.lit(0.0)).otherwise(symbols / n)
+
+
+#: GPT-2-style pretokenizer pattern (contraction suffixes, letter runs,
+#: number runs, punctuation runs, whitespace runs) — the public BPE
+#: pre-tokenization shape (Radford et al. 2019); Java regex and RE2 agree
+#: on it (asserted by the doc_stats oracle), so counts are engine-portable.
+BPE_PRETOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_regex_token_count(text_col: str | Column) -> Column:
+    """Pre-token count under the GPT-2-style pretokenizer regex — a much
+    closer BPE-cost proxy than chars/4 (each pre-token splits into >= 1 BPE
+    tokens, so this is a lower bound with the right shape), still a pure
+    codegen expression."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_count(c, F.lit(BPE_PRETOKEN_PATTERN)).cast("long")
