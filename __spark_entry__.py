@@ -486,6 +486,22 @@ def _q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (Schleimer et al. 2003); the
+    k-gram hash is engine-portable md5 arithmetic, so the selected
+    fingerprint SET is recomputed in SQL and compared by count/min/max."""
+    from tstore_spark.functions.text import with_winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = with_winnowing_fingerprints(docs, k=5, w=4)
+    return fps.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fps"),
+        F.array_min("fps").alias("fp_min"),
+        F.array_max("fps").alias("fp_max"),
+    )
+
+
 def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing (fan-out mapInPandas: one row ->
     n_frames rows) with an oracle-reproducible stub extractor: frame i =
@@ -600,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h_ddsketch": _q_rollup_dd,
         "doc_repetition": _q_doc_repetition,
         "media_frames": _q_media_frames,
+        "winnowing_fps": _q_winnowing,
         "sessions_batch": _q_sessions_batch,
         "train_eval_split": _q_train_eval_split,
         "asof_join": _q_asof_join,
@@ -849,6 +866,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tslong_roundtrip": "SELECT user_id, ts, value FROM events",
         "tstore_layout_roundtrip": "SELECT user_id, ts, value FROM events",
+        "winnowing_fps": """
+            WITH t AS (
+                SELECT doc_id, text, greatest(length(text) - 5 + 1, 1) AS G
+                FROM documents),
+            h AS (
+                SELECT doc_id, G,
+                       list_transform(generate_series(1, G),
+                           i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 5)), 1, 8)) AS BIGINT)) AS hs
+                FROM t),
+            w AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(generate_series(1, greatest(G - 4 + 1, 1)),
+                           j -> list_aggregate(hs[j:j+3], 'min'))) AS fps
+                FROM h)
+            SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+                   list_aggregate(fps, 'min') AS fp_min,
+                   list_aggregate(fps, 'max') AS fp_max
+            FROM w
+        """,
         "media_frames": """
             SELECT doc_id, CAST(i AS INT) AS frame_idx,
                    md5(text || ':' || CAST(i AS VARCHAR)) AS frame_hex

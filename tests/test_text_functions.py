@@ -141,3 +141,34 @@ def test_bpe_regex_token_count(spark):
     # "it's 2024, really!" -> [it]['s][ 2024][,][ really][!]
     assert got[1] == 6
     assert got[2] == 0
+
+
+def test_winnowing_fingerprints_guarantee(spark):
+    """Winnowing guarantee: documents sharing a substring of length
+    >= k + w - 1 share at least one fingerprint; disjoint-alphabet docs
+    share none."""
+    from tstore_spark.functions.text import with_winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (0, "AAAA " + shared + " BBBB"),
+            (1, "CCCC " + shared + " DDDD"),
+            (2, "zzzzzzzz yyyyyy xxxxxx wwwww"),
+            (3, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: set(r["fps"]) for r in with_winnowing_fingerprints(df, k=5, w=4).collect()}
+    assert fps[0] & fps[1]          # shared substring -> shared fingerprint
+    assert not (fps[0] & fps[2])    # disjoint alphabets -> disjoint prints
+    assert len(fps[3]) == 1         # sub-k doc: one whole-text gram
+
+
+def test_winnowing_deterministic(spark):
+    from tstore_spark.functions.text import with_winnowing_fingerprints
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r["doc_id"]: list(r["fps"]) for r in with_winnowing_fingerprints(docs).collect()}
+    b = {r["doc_id"]: list(r["fps"]) for r in with_winnowing_fingerprints(docs.repartition(7)).collect()}
+    assert a == b

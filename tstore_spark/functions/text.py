@@ -198,3 +198,39 @@ def bpe_regex_token_count(text_col: str | Column) -> Column:
     codegen expression."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.regexp_count(c, F.lit(BPE_PRETOKEN_PATTERN)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD 2003): the
+# rolling-hash document fingerprint family. Character k-grams are hashed,
+# and each sliding window of w consecutive gram hashes contributes its
+# minimum — guaranteeing any shared substring of length >= k + w - 1 between
+# two documents shares at least one selected fingerprint.
+# ---------------------------------------------------------------------------
+
+
+def with_winnowing_fingerprints(df, id_col: str = "doc_id", text_col: str = "text",
+                                k: int = 5, w: int = 4, out_col: str = "fps"):
+    """(id, fps array<long>): distinct winnowed k-gram fingerprints.
+
+    The k-gram hash is the first 32 bits of md5 — deliberately an
+    engine-portable construction (DuckDB: ``('0x' || substr(md5(...), 1,
+    8))::BIGINT``) so fingerprint sets can be recomputed and audited in SQL.
+    The gram-hash array is HOISTED into a named column before the window-min
+    pass (referencing an un-hoisted transform re-evaluates it per element —
+    see operators/dedup.with_hashed_shingles). Short docs (< k chars) yield
+    one gram over the whole text; docs with fewer than w grams one window.
+    """
+    c = F.col(text_col)
+    n_grams = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(F.substring(F.md5(c.substr(i, F.lit(k))), 1, 8), 16, 10).cast("long"),
+    )
+    staged = df.select(F.col(id_col), grams.alias("_gh"))
+    gh = F.col("_gh")
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(gh) - F.lit(w - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(gh, j, w)),
+    )
+    return staged.select(F.col(id_col), F.array_distinct(wins).alias(out_col))
