@@ -162,3 +162,44 @@ def test_tsdf_wrapper_roundtrip(tsl):
         .toPandas().sort_values(["tstore_id", "time"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_time_filter_boundary_instant(spark):
+    """start == end with inclusive='both' selects exactly that instant;
+    'neither' selects nothing (reference check_start_end_time allows
+    equality — tstore/archive/checks.py)."""
+    import pandas as pd
+
+    from tstore_spark.functions.filters import time_range_filter
+
+    pdf = pd.DataFrame(
+        {
+            "id": ["1"] * 3,
+            "time": pd.to_datetime(
+                ["2000-01-01 00:00:00", "2000-01-01 01:00:00", "2000-01-01 02:00:00"]
+            ),
+            "v": [1.0, 2.0, 3.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    instant = "2000-01-01 01:00:00"
+    both = df.where(time_range_filter("time", instant, instant, inclusive="both"))
+    assert [r["v"] for r in both.collect()] == [2.0]
+    neither = df.where(time_range_filter("time", instant, instant, inclusive="neither"))
+    assert neither.count() == 0
+
+
+def test_ts_vars_normalization_shapes(spark):
+    """Reference ts_vars semantics (tslong.py:199-225): None -> one group
+    per remaining column; list -> single group 'ts_variable'; dict as-is."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": ["1"], "time": pd.to_datetime(["2000-01-01"]), "a": [1.0], "b": [2.0]})
+    )
+    none_form = TSLong.wrap(df, "id", "time")
+    assert none_form.descriptor.ts_vars == {"a": ["a"], "b": ["b"]}
+    list_form = TSLong.wrap(df, "id", "time", ts_vars=["a", "b"])
+    assert list_form.descriptor.ts_vars == {"ts_variable": ["a", "b"]}
+    dict_form = TSLong.wrap(df, "id", "time", ts_vars={"g": ["a"], "h": ["b"]})
+    assert dict_form.descriptor.ts_vars == {"g": ["a"], "h": ["b"]}
