@@ -76,3 +76,51 @@ def test_asof_deterministic_across_parallelism(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_bucketed_equals_plain_random(spark):
+    """asof_join_bucketed must equal asof_join on arbitrary data, for bucket
+    widths smaller, comparable, and larger than the data's time span —
+    including right rows exactly on bucket boundaries."""
+    import numpy as np
+    import pandas as pd
+
+    from tstore_spark.operators.asof import asof_join, asof_join_bucketed
+
+    rng = np.random.default_rng(11)
+    base = pd.Timestamp("2024-01-01")
+    lrows, rrows = [], []
+    for k in ("a", "b", "c"):
+        for i in range(200):
+            lrows.append((k, base + pd.Timedelta(seconds=int(rng.integers(0, 86_400 * 3))), i))
+        for j in range(60):
+            # include exact bucket-boundary instants (multiples of 3600)
+            s = int(rng.integers(0, 72)) * 3600 if j % 3 == 0 else int(rng.integers(0, 86_400 * 3))
+            rrows.append((k, base + pd.Timedelta(seconds=s), j, float(j) * 1.5))
+    left = spark.createDataFrame(pd.DataFrame(lrows, columns=["k", "ts", "lid"]))
+    right = spark.createDataFrame(pd.DataFrame(rrows, columns=["k", "ts", "rid", "val"]))
+
+    plain = asof_join(left, right, key="k", left_time="ts", value_cols=["val"], tiebreak_col="rid")
+    for width in (3600, 86_400, 10 * 86_400):
+        bucketed = asof_join_bucketed(
+            left, right, key="k", left_time="ts", value_cols=["val"],
+            tiebreak_col="rid", bucket_seconds=width,
+        )
+        a = sorted(map(tuple, plain.collect()))
+        b = sorted(map(tuple, bucketed.collect()))
+        assert a == b, f"bucket width {width} diverged"
+
+
+def test_bucketed_left_before_any_right(spark):
+    import pandas as pd
+
+    from tstore_spark.operators.asof import asof_join_bucketed
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["x"], "ts": [pd.Timestamp("2024-01-01")], "lid": [1]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["x"], "ts": [pd.Timestamp("2024-06-01")], "val": [9.0]})
+    )
+    out = asof_join_bucketed(left, right, key="k", left_time="ts", value_cols=["val"]).collect()
+    assert out[0]["val_asof"] is None

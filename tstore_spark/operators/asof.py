@@ -15,11 +15,12 @@ cartesian per key. Equal timestamps match (>= semantics): right rows sort
 *before* left rows at the same instant.
 
 Scale notes: the window partitions by key — per-key data must fit a task's
-spill budget (same constraint any per-key sort has); skewed keys can be
-range-split by time into sub-partitions carrying boundary state (not needed
-at current scales). Deterministic: ties among right rows at the same (key,
-time) are broken by ``tiebreak_col`` (latest wins), so output is a pure
-function of the input.
+spill budget (same constraint any per-key sort has). For skewed keys,
+``asof_join_bucketed`` range-splits every key by a coarse time bucket and
+carries boundary state across buckets: parallelism becomes keys × buckets
+and no single task ever sorts more than one key-bucket. Deterministic: ties
+among right rows at the same (key, time) are broken by ``tiebreak_col``
+(latest wins), so output is a pure function of the input.
 """
 
 from __future__ import annotations
@@ -64,3 +65,124 @@ def asof_join(
     for c in value_cols:
         u = u.withColumn(f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w))
     return u.where(F.col("_side") == 1).select(*l_cols, *[F.col(f"{c}{suffix}") for c in value_cols])
+
+
+def _epoch_seconds(col_name: str, df: DataFrame) -> F.Column:
+    """TZ-safe epoch seconds for bucketing (field extraction for NTZ)."""
+    if dict(df.dtypes).get(col_name) == "timestamp_ntz":
+        from tstore_spark.functions.timeparts import ntz_epoch_seconds
+
+        return ntz_epoch_seconds(col_name)
+    return F.col(col_name).cast("long")
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str | None = None,
+    value_cols: list[str] | None = None,
+    tiebreak_col: str | None = None,
+    suffix: str = "_asof",
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """Backward as-of join with per-key TIME-BUCKET splitting — the hot-key
+    scale path. Identical semantics to :func:`asof_join` (asserted by
+    tests), different plan:
+
+    1. every row gets a coarse bucket = floor(epoch / bucket_seconds);
+    2. the right side is summarized per (key, bucket): its LAST row (by
+       time, tiebreak) — one small aggregation;
+    3. each left bucket receives a CARRY-IN row: the latest right summary
+       from any strictly earlier bucket (computed by a window over the
+       per-key bucket summaries — rows there number time_range / bucket,
+       never data volume);
+    4. the union + carry-forward window then partitions by (key, bucket):
+       no task ever sorts more than one key-bucket of rows.
+
+    Cost: two extra small shuffles (summaries, carry alignment) buying
+    bounded task size under any key skew. Use the plain operator when keys
+    are well distributed.
+    """
+    right_time = right_time or left_time
+    value_cols = value_cols or [c for c in right.columns if c not in (key, right_time)]
+
+    lb = left.withColumn("_bkt", F.floor(_epoch_seconds(left_time, left) / bucket_seconds))
+    rb = right.withColumn("_bkt", F.floor(_epoch_seconds(right_time, right) / bucket_seconds))
+
+    # (2) last right row per (key, bucket): max of (time, tiebreak, values)
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    summary = (
+        rb.groupBy(key, "_bkt")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(right_time).alias("_t"),
+                    tb.alias("_tb"),
+                    *[F.col(c).alias(c) for c in value_cols],
+                )
+            ).alias("_s")
+        )
+        .select(key, "_bkt", "_s")
+    )
+
+    # (3) carry-in per left bucket: latest summary with bucket' < bucket.
+    # Summaries become visible from the NEXT bucket on (sort position
+    # bucket+1); left-bucket markers sit at their own bucket.
+    markers = lb.select(key, "_bkt").distinct().withColumn("_pos", F.col("_bkt"))
+    summ_pos = summary.withColumn("_pos", F.col("_bkt") + 1)
+    wcarry = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_pos").asc(), F.col("_s").isNull().cast("int").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carry = (
+        markers.withColumn("_s", F.lit(None).cast(summ_pos.schema["_s"].dataType))
+        .unionByName(summ_pos.select(key, F.lit(None).cast("long").alias("_bkt"), "_s", "_pos"))
+        .withColumn("_carry", F.last(F.col("_s"), ignorenulls=True).over(wcarry))
+        .where(F.col("_bkt").isNotNull())  # keep the marker rows
+        .where(F.col("_carry").isNotNull())
+        .select(
+            key,
+            "_bkt",
+            *[F.col("_carry").getField(c).alias(f"{c}{suffix}") for c in value_cols],
+        )
+    )
+
+    # (4) per-(key, bucket) union: carry rows sort first, then time order
+    l_tag = lb.withColumn("_side", F.lit(1)).withColumn("_carryrow", F.lit(0)).withColumn(
+        "_tb", F.lit(None).cast("long")
+    )
+    r_tag = rb.select(
+        F.col(key),
+        "_bkt",
+        F.col(right_time).alias(left_time),
+        F.lit(0).alias("_side"),
+        F.lit(0).alias("_carryrow"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        *( [F.col(tiebreak_col).alias("_tb")] if tiebreak_col else [F.lit(0).alias("_tb")] ),
+    )
+    c_tag = carry.withColumn(left_time, F.lit(None).cast(dict(left.dtypes)[left_time])).withColumn(
+        "_side", F.lit(0)
+    ).withColumn("_carryrow", F.lit(1)).withColumn("_tb", F.lit(None).cast("long"))
+
+    l_cols = [F.col(c) for c in left.columns]
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True).unionByName(
+        c_tag, allowMissingColumns=True
+    )
+    w = (
+        Window.partitionBy(key, "_bkt")
+        .orderBy(
+            F.col("_carryrow").desc(),
+            F.col(left_time).asc_nulls_first(),
+            F.col("_side").asc(),
+            F.col("_tb").asc_nulls_last(),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in value_cols:
+        u = u.withColumn(f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w))
+    return u.where(F.col("_side") == 1).select(
+        *l_cols, *[F.col(f"{c}{suffix}") for c in value_cols]
+    )
