@@ -154,7 +154,13 @@ def metric_rollup_from_raw(
 
 
 def metric_rollup_cascade(child: DataFrame, tier: str, key: str = "event_type") -> DataFrame:
-    """Re-aggregate the tier below into this tier — exact by construction."""
+    """Re-aggregate the tier below into this tier — exact by construction.
+
+    The exact-histogram path fuses the merge into the main groupBy (flatten
+    of paired child histograms -> one Arrow merge kernel): a single shuffle,
+    no explode/regroup/join — same shape as ``rollup.rollup_cascade``, values
+    bit-identical (integer count sums). Sketch paths (dd/hll) keep their
+    dedicated merge joins."""
     unit = TIERS[tier]
     ws = F.date_trunc(unit, F.col("window_start"))
     if dict(child.dtypes).get("window_start") == "timestamp_ntz":
@@ -171,33 +177,29 @@ def metric_rollup_cascade(child: DataFrame, tier: str, key: str = "event_type") 
         main_aggs.append(
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("id_set")))).alias("id_set")
         )
-    main = child.groupBy(key, ws).agg(*main_aggs)
+    if not has_dd:
+        # ONE collect_list of paired structs: lens/cnts extracted positionally
+        # from the same list, so pairing cannot skew across agg buffers
+        main_aggs.append(F.collect_list(F.struct("hist_cents", "hist_cnts")).alias("_hs"))
+    out = child.groupBy(key, ws).agg(*main_aggs)
+    if not has_dd:
+        from tstore_spark.operators.rollup import _merged_hist_udf
+
+        merge = _merged_hist_udf(with_pcts=False)
+        out = (
+            out.withColumn(
+                "_m",
+                merge(F.flatten(F.col("_hs.hist_cents")), F.flatten(F.col("_hs.hist_cnts"))),
+            )
+            .withColumn("hist_cents", F.col("_m.lens"))
+            .withColumn("hist_cnts", F.col("_m.cnts"))
+            .drop("_hs", "_m")
+        )
     if has_dd:
         from tstore_spark.operators.ddsketch import dd_merge
 
         dd = dd_merge(child.select(key, ws, "dd", "dd_zeros"), [key, "window_start"])
-        out = main.join(dd, [key, "window_start"])
-    else:
-        hist = (
-            child.select(key, ws, F.explode(F.arrays_zip("hist_cents", "hist_cnts")).alias("_e"))
-            .select(
-                key,
-                "window_start",
-                F.col("_e.hist_cents").alias("_cents"),
-                F.col("_e.hist_cnts").alias("_cnt"),
-            )
-            .groupBy(key, "window_start", "_cents")
-            .agg(F.sum("_cnt").alias("_cnt"))
-            .groupBy(key, "window_start")
-            .agg(F.array_sort(F.collect_list(F.struct("_cents", "_cnt"))).alias("_h"))
-            .select(
-                key,
-                "window_start",
-                F.transform("_h", lambda x: x["_cents"]).alias("hist_cents"),
-                F.transform("_h", lambda x: x["_cnt"]).alias("hist_cnts"),
-            )
-        )
-        out = main.join(hist, [key, "window_start"])
+        out = out.join(dd, [key, "window_start"])
     if has_sketch:
         from tstore_spark.operators.sketches import hll_merge
 
