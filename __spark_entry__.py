@@ -42,14 +42,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _sf_of(sf_dir: str) -> float:
-    """Scale factor from the testdata dir name (…/sf0.01 -> 0.01); large
-    (scale-path defaults) when unparseable."""
-    tail = os.path.basename(sf_dir.rstrip("/"))
+def _parquet_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet FOOTERS (driver-side pyarrow) — metadata only,
+    no Spark job, works for single files and directories, and is independent
+    of how the data directory happens to be named. Large when unreadable so
+    unknown inputs take the scale-safe path."""
+    import pyarrow.dataset as pads
+
     try:
-        return float(tail.removeprefix("sf"))
-    except ValueError:
-        return float("inf")
+        return pads.dataset(f"{sf_dir}/{name}.parquet", format="parquet").count_rows()
+    except Exception:
+        return 2**62
 
 
 def _cents(col: str) -> F.Column:
@@ -325,13 +328,14 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    # method selection is explicit configuration by dataset scale (the sf in
-    # the directory name), NOT a runtime count() — the old cutoff cost an
-    # extra full scan per call. exact all-pairs is the oracle-checked path
-    # (the correctness gate runs at sf0.01 = 500 vectors); larger sfs take
-    # the LSH-bucketed scale path (candidates verified with the same exact
-    # cosine, so reported pairs are always true positives)
-    if _sf_of(sf_dir) <= 0.01:
+    # method selection by dataset scale via parquet FOOTER row counts — no
+    # runtime count() Spark job (the round-1 cutoff cost an extra full scan
+    # per call) and no dependence on the directory's name. exact all-pairs is
+    # the oracle-checked path (the correctness gate runs at sf0.01 = 500
+    # vectors); larger inputs take the LSH-bucketed scale path (candidates
+    # verified with the same exact cosine, so reported pairs are always true
+    # positives)
+    if _parquet_rows(sf_dir, "embeddings") <= 1000:
         return SIM.embedding_near_dup_pairs(emb, threshold=0.45, method="exact")
     return SIM.embedding_near_dup_pairs(emb, threshold=0.45, method="lsh", dim=64, n_planes=10)
 
@@ -456,11 +460,15 @@ def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure Catalyst expressions; ratios of integer counts, so the raw doubles
     hash-match the same arithmetic in SQL."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    # hoist the token array into a named column: the bigram/run transforms
+    # reference it per element, and an un-hoisted split() re-evaluates per
+    # reference (O(tokens^2) per doc)
+    staged = docs.select("doc_id", "text", TX.tokens("text").alias("_toks"))
+    return staged.select(
         "doc_id",
         TX.dup_line_fraction("text").alias("dup_line_frac"),
-        TX.top_bigram_fraction("text").alias("top_bigram_frac"),
-        TX.max_token_run("text").alias("max_token_run"),
+        TX.top_bigram_fraction("text", toks=F.col("_toks")).alias("top_bigram_frac"),
+        TX.max_token_run("text", toks=F.col("_toks")).alias("max_token_run"),
         TX.symbol_word_ratio("text").alias("symbol_ratio"),
     )
 
@@ -977,12 +985,18 @@ def oracle_sql() -> dict[str, str]:
                             THEN 'en' ELSE 'und' END AS pred_lang
                 FROM documents),
             k AS (
+                -- gates BEFORE the min-id dedup, matching corpus_filter's
+                -- contract: the survivor is the first ADMITTED copy. (A
+                -- min-over-all-copies oracle would diverge when copies share
+                -- a fingerprint but differ in raw text, e.g. trailing
+                -- whitespace changing quality_score across the gate.)
                 SELECT min(doc_id) AS keep_id
-                FROM documents GROUP BY md5(lower(trim(text))))
+                FROM s
+                WHERE ws_tokens BETWEEN 5 AND 100000
+                  AND quality >= 0.3 AND pred_lang = 'en'
+                GROUP BY md5(lower(trim(text))))
             SELECT doc_id, ws_tokens, quality
             FROM s JOIN k ON s.doc_id = k.keep_id
-            WHERE ws_tokens BETWEEN 5 AND 100000
-              AND quality >= 0.3 AND pred_lang = 'en'
         """,
         "geo_bbox": """
             WITH p AS (

@@ -71,9 +71,15 @@ def main(argv: list[str] | None = None) -> int:
         min_tokens=args.min_tokens,
         max_tokens=args.max_tokens,
     ).select("doc_id")
-    admitted = docs.join(admitted_ids, "doc_id", "left_semi").where(
-        (TX.dup_line_fraction("text") <= args.max_dup_line_frac)
-        & (TX.top_bigram_fraction("text") <= args.max_top_bigram_frac)
+    toks = TX.tokens("text")  # hoisted below: transforms reference it per element
+    admitted = (
+        docs.join(admitted_ids, "doc_id", "left_semi")
+        .withColumn("_toks", toks)
+        .where(
+            (TX.dup_line_fraction("text") <= args.max_dup_line_frac)
+            & (TX.top_bigram_fraction("text", toks=F.col("_toks")) <= args.max_top_bigram_frac)
+        )
+        .drop("_toks")
     )
 
     # 3: near-dup prune — verified pairs only; keep the lower doc id

@@ -111,6 +111,56 @@ def test_bucketed_equals_plain_random(spark):
         assert a == b, f"bucket width {width} diverged"
 
 
+def test_bucketed_null_values_carry_per_column(spark):
+    """A NULL in a bucket's LAST right row must not erase an earlier non-null
+    value: plain asof carries each column independently (last ignorenulls),
+    and the bucketed summary/carry must match — including two value columns
+    whose latest non-null values come from DIFFERENT right rows."""
+    import pandas as pd
+
+    from tstore_spark.operators.asof import asof_join, asof_join_bucketed
+
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["x", "x", "x", "y"],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:00", "2024-01-01 12:00", "2024-01-03 06:00", "2024-01-01 00:00"]
+                ),
+                "rid": [0, 1, 2, 0],
+                # bucket 0 (day 1): last row (12:00) has val=NULL, aux=7.0;
+                # earlier row has val=5.0 — the carry into day 2 must be
+                # val=5.0 (from 00:00) AND aux=7.0 (from 12:00)
+                "val": [5.0, None, 2.0, None],
+                "aux": [None, 7.0, None, 3.0],
+            }
+        )
+    )
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["x", "x", "y"],
+                "ts": pd.to_datetime(["2024-01-02 06:00", "2024-01-04 00:00", "2024-01-02 00:00"]),
+                "lid": [1, 2, 3],
+            }
+        )
+    )
+    plain = sorted(
+        map(tuple, asof_join(left, right, key="k", left_time="ts",
+                             value_cols=["val", "aux"], tiebreak_col="rid").collect())
+    )
+    bucketed = sorted(
+        map(tuple, asof_join_bucketed(left, right, key="k", left_time="ts",
+                                      value_cols=["val", "aux"], tiebreak_col="rid",
+                                      bucket_seconds=86_400).collect())
+    )
+    assert plain == bucketed
+    by_lid = {t[2]: (t[3], t[4]) for t in bucketed}
+    assert by_lid[1] == (5.0, 7.0)  # per-column carry from different rows
+    assert by_lid[2] == (2.0, 7.0)  # later bucket updates val, keeps aux
+    assert by_lid[3] == (None, 3.0)
+
+
 def test_bucketed_left_before_any_right(spark):
     import pandas as pd
 

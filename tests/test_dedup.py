@@ -108,11 +108,12 @@ def test_simhash_verified_pairs(docs_sdf):
 
 def test_simhash_empty_and_hash_batching(spark):
     pdf = pd.DataFrame(
-        {"doc_id": [0, 1, 2], "text": ["", "   ", "alpha beta gamma"]}
+        {"doc_id": [0, 1, 2, 3], "text": ["", "   ", "alpha beta gamma", None]}
     )
     sigs = {r["doc_id"]: r["simhash"] for r in DD.simhash(spark.createDataFrame(pdf)).collect()}
     assert sigs[0] == 0 and sigs[1] == 0
     assert sigs[2] != 0
+    assert sigs[3] == 0  # NULL text hashes like empty, never crashes the kernel
 
 
 def test_token_jaccard_block_guard(docs_sdf):

@@ -150,6 +150,28 @@ def test_wide_naming_and_roundtrip(tsl):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_wide_roundtrip_hostile_ids(spark):
+    """Ids containing backslashes, quotes, and backticks must survive the
+    to_tswide().to_tslong() round-trip: the melt builds a stack() SQL string,
+    so every id rides through a string literal and every column name through
+    a quoted identifier."""
+    ids = ["a\\b", "x'y", "t`u", "end\\"]
+    rows = [
+        (i, pd.Timestamp("2000-01-01") + pd.Timedelta(hours=h), float(h))
+        for i in ids
+        for h in range(3)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "time", "v"]))
+    t = TSLong.wrap(df, "id", "time", ts_vars={"g": ["v"]})
+    back = t.to_tswide(values=["v"]).to_tslong()
+    a = df.toPandas().sort_values(["id", "time"]).reset_index(drop=True)
+    b = (
+        back.df.select("id", "time", "v")
+        .toPandas().sort_values(["id", "time"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_tsdf_wrapper_roundtrip(tsl):
     """TSDF is a carrying wrapper: to_tsdf().to_tslong() needs no schema
     re-specification and reproduces the long table."""

@@ -181,3 +181,29 @@ def test_special_char_ids_and_filter_fallback(spark, tmp_path):
     # plain ids still take the pruned glob path
     back2 = TL.open_tstore(spark, out, tstore_ids=["x.1"])
     assert back2.df.count() == 6
+
+
+def test_uri_encoded_ids_roundtrip(spark, tmp_path):
+    """Ids whose directory names get percent-encoded in input_file_name()
+    URIs (space, %, +) must come back byte-identical, both unfiltered and
+    through the id filter."""
+    import pandas as pd
+
+    from tstore_spark.model.tslong import TSLong
+
+    times = _times()[:4]
+    ids = ["a b", "100%x", "c+d"]
+    rows = [(tid, t, float(len(tid))) for tid in ids for t in times]
+    pdf = pd.DataFrame(rows, columns=["tstore_id", "time", "v"])
+    tl = TSLong.wrap(
+        spark.createDataFrame(pdf), id_var="tstore_id", time_var="time",
+        ts_vars={"g": ["v"]},
+    )
+    out = str(tmp_path / "encoded")
+    TL.to_tstore(tl, out)
+    back = TL.open_tstore(spark, out)
+    assert {r["tstore_id"] for r in back.df.select("tstore_id").distinct().collect()} == set(ids)
+    for tid in ids:
+        got = TL.open_tstore(spark, out, tstore_ids=[tid]).df.collect()
+        assert len(got) == 4, tid
+        assert {r["tstore_id"] for r in got} == {tid}

@@ -125,12 +125,18 @@ def dup_line_fraction(text_col: str | Column) -> Column:
     )
 
 
-def word_bigrams(text_col: str | Column) -> Column:
-    """NON-distinct word bigrams (multiplicity matters for dominance)."""
-    toks = tokens(text_col)
+def word_bigrams(text_col: str | Column, toks: Column | None = None) -> Column:
+    """NON-distinct word bigrams (multiplicity matters for dominance).
+
+    Pass ``toks`` = a pre-tokenized array HOISTED into a named column when
+    composing several token signals over the same text: the transform lambda
+    references the token array per element, and an un-hoisted split()
+    expression is re-evaluated on every reference (this repo measured
+    22-90x slowdowns for that pattern — see with_hashed_shingles)."""
+    t = toks if toks is not None else tokens(text_col)
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
     )
 
 
@@ -155,23 +161,31 @@ def _max_sorted_run(arr: Column) -> Column:
     return F.aggregate(arr, state, step, lambda acc: acc["best"])
 
 
-def top_bigram_fraction(text_col: str | Column) -> Column:
+def top_bigram_fraction(text_col: str | Column, toks: Column | None = None) -> Column:
     """Fraction of word bigrams taken by the single most frequent bigram
-    (0 for docs under two tokens). Dominant bigrams mark templated spam."""
-    toks = tokens(text_col)
-    bg = word_bigrams(text_col)
-    return F.when(F.size(toks) < 2, F.lit(0.0)).otherwise(
-        _max_sorted_run(F.array_sort(bg)) / F.size(bg)
+    (0 for docs under two tokens). Dominant bigrams mark templated spam.
+
+    ``toks``: pre-tokenized array column (hoist it — see word_bigrams). The
+    bigram count is computed arithmetically (greatest(n_tokens-1, 1) — the
+    sequence length by construction) instead of size(bigrams), so the bigram
+    transform is evaluated exactly once, inside the sorted-run fold."""
+    t = toks if toks is not None else tokens(text_col)
+    bg = word_bigrams(text_col, toks=t)
+    n_bg = F.greatest(F.size(t) - F.lit(1), F.lit(1))
+    return F.when(F.size(t) < 2, F.lit(0.0)).otherwise(
+        _max_sorted_run(F.array_sort(bg)) / n_bg
     )
 
 
-def max_token_run(text_col: str | Column) -> Column:
+def max_token_run(text_col: str | Column, toks: Column | None = None) -> Column:
     """Longest run of the SAME consecutive token ("buy buy buy buy…");
     0 for empty docs. The run fold works on any array — over the unsorted
-    token array it measures consecutive repetition in document order."""
+    token array it measures consecutive repetition in document order.
+    ``toks``: pre-tokenized array column (hoist it — see word_bigrams)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
+    t = toks if toks is not None else tokens(text_col)
     return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
-        _max_sorted_run(tokens(text_col))
+        _max_sorted_run(t)
     ).cast("long")
 
 

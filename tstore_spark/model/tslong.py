@@ -158,8 +158,14 @@ class TSLong:
             else:
                 for v in vals:
                     renames[f"{i}_{v}"] = TSWide.column_name(v, i)
+        # backticks inside quoted identifiers are escaped by doubling (ids
+        # may contain them)
         piv = piv.select(
-            d.time_var, *[F.col(f"`{old}`").alias(new) for old, new in renames.items()]
+            d.time_var,
+            *[
+                F.col("`" + old.replace("`", "``") + "`").alias(new)
+                for old, new in renames.items()
+            ],
         )
         return TSWide(piv, d.time_var, d.id_var, ids, vals)
 

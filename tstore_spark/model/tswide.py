@@ -77,9 +77,16 @@ class TSWide:
 
         args: list[str] = []
         for i in self._ids:
-            lit = "'" + str(i).replace("'", "\\'") + "'"
-            args.append(lit)
-            args.extend(f"`{self.column_name(v, i)}`" for v in self._values)
+            # escape backslashes BEFORE quotes: Spark SQL string literals
+            # interpret backslash escapes, so a raw id like "a\b" or "x'y"
+            # must round-trip byte-identically through the stack() expr
+            s = str(i).replace("\\", "\\\\").replace("'", "\\'")
+            args.append("'" + s + "'")
+            # backticks inside quoted identifiers are escaped by doubling
+            args.extend(
+                "`" + self.column_name(v, i).replace("`", "``") + "`"
+                for v in self._values
+            )
         out_cols = ", ".join([self._id_var, *self._values])
         stacked = self._df.select(
             F.col(self._time_var),

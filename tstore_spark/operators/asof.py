@@ -25,6 +25,8 @@ among right rows at the same (key, time) are broken by ``tiebreak_col``
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -111,42 +113,66 @@ def asof_join_bucketed(
     lb = left.withColumn("_bkt", F.floor(_epoch_seconds(left_time, left) / bucket_seconds))
     rb = right.withColumn("_bkt", F.floor(_epoch_seconds(right_time, right) / bucket_seconds))
 
-    # (2) last right row per (key, bucket): max of (time, tiebreak, values)
+    # (2) per-(key, bucket) last NON-NULL value of EACH column independently
+    # (by time, tiebreak). Plain asof's last(col, ignorenulls) carries every
+    # column on its own timeline, so the bucket summary must too — a single
+    # whole-row summary would let a NULL in the bucket's final row erase an
+    # earlier non-null value of that column.
     tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
-    summary = (
-        rb.groupBy(key, "_bkt")
-        .agg(
+    summary = rb.groupBy(key, "_bkt").agg(
+        *[
             F.max(
-                F.struct(
-                    F.col(right_time).alias("_t"),
-                    tb.alias("_tb"),
-                    *[F.col(c).alias(c) for c in value_cols],
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(
+                        F.col(right_time).alias("_t"), tb.alias("_tb"), F.col(c).alias("v")
+                    ),
                 )
-            ).alias("_s")
-        )
-        .select(key, "_bkt", "_s")
+            ).alias(f"_s_{c}")
+            for c in value_cols
+        ]
     )
+    s_cols = [f"_s_{c}" for c in value_cols]
 
-    # (3) carry-in per left bucket: latest summary with bucket' < bucket.
-    # Summaries become visible from the NEXT bucket on (sort position
-    # bucket+1); left-bucket markers sit at their own bucket.
-    markers = lb.select(key, "_bkt").distinct().withColumn("_pos", F.col("_bkt"))
-    summ_pos = summary.withColumn("_pos", F.col("_bkt") + 1)
+    # (3) carry-in per left bucket: latest per-column summary with
+    # bucket' < bucket. Summaries become visible from the NEXT bucket on
+    # (sort position bucket+1); left-bucket markers sit at their own bucket
+    # and sort after any same-position summary.
+    markers = (
+        lb.select(key, "_bkt")
+        .distinct()
+        .withColumn("_pos", F.col("_bkt"))
+        .withColumn("_ismark", F.lit(1))
+    )
+    for sc in s_cols:
+        markers = markers.withColumn(sc, F.lit(None).cast(summary.schema[sc].dataType))
+    summ_pos = summary.select(
+        key,
+        F.lit(None).cast("long").alias("_bkt"),
+        (F.col("_bkt") + 1).alias("_pos"),
+        F.lit(0).alias("_ismark"),
+        *s_cols,
+    )
     wcarry = (
         Window.partitionBy(key)
-        .orderBy(F.col("_pos").asc(), F.col("_s").isNull().cast("int").asc())
+        .orderBy(F.col("_pos").asc(), F.col("_ismark").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    carried = markers.unionByName(summ_pos)
+    for sc in s_cols:
+        carried = carried.withColumn(sc, F.last(F.col(sc), ignorenulls=True).over(wcarry))
     carry = (
-        markers.withColumn("_s", F.lit(None).cast(summ_pos.schema["_s"].dataType))
-        .unionByName(summ_pos.select(key, F.lit(None).cast("long").alias("_bkt"), "_s", "_pos"))
-        .withColumn("_carry", F.last(F.col("_s"), ignorenulls=True).over(wcarry))
-        .where(F.col("_bkt").isNotNull())  # keep the marker rows
-        .where(F.col("_carry").isNotNull())
+        carried.where(F.col("_bkt").isNotNull())  # keep the marker rows
+        .where(
+            reduce(lambda a, b: a | b, [F.col(sc).isNotNull() for sc in s_cols])
+        )  # at least one column has carried state
         .select(
             key,
             "_bkt",
-            *[F.col("_carry").getField(c).alias(f"{c}{suffix}") for c in value_cols],
+            *[
+                F.col(f"_s_{c}").getField("v").alias(f"{c}{suffix}")
+                for c in value_cols
+            ],
         )
     )
 

@@ -11,10 +11,16 @@ Scale notes (100 TB): ONE scan, ONE shuffle. The stat predicates
 (lang/quality/tokens) are pure codegen expressions evaluated during the scan
 — they prune rows before anything shuffles — and the dedup survivor choice
 is a ``row_number`` window over the fingerprint, not a groupBy + semi-join
-(which would scan the table twice and shuffle twice). Copies are identical
-text, so the stat gates agree across a fingerprint group by construction —
-filtering before the window does not change which group wins. Only
+(which would scan the table twice and shuffle twice). Only
 (id, fingerprint, two stat columns) ride the shuffle, never text.
+
+Semantics: gates apply PER DOCUMENT before dedup, so the survivor is the
+first (min-id) ADMITTED copy of each fingerprint group. The fingerprint
+normalizes (trim/lower) but the stat gates see raw text, so copies that
+fingerprint-equal yet differ in raw bytes (e.g. trailing whitespace) can
+gate differently — a group whose min-id copy fails a gate is still kept via
+its first passing copy. The driver oracle encodes the same order
+(gate -> min-id), keeping the two engines row-identical by construction.
 """
 
 from __future__ import annotations

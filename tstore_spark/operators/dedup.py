@@ -36,6 +36,33 @@ from pyspark.sql.types import LongType
 from tstore_spark.functions.text import fingerprint, tokens
 
 # ---------------------------------------------------------------------------
+# scoped caching: the pair operators cache doc-proportional intermediates
+# (signatures, banded rows, hashed shingles) because each is consumed 2-3
+# times within one call. A long-lived session calling the operators
+# repeatedly (bench loops, corpus pipelines) must not accumulate one cached
+# copy per call, so each new call first unpersists the previous call's
+# caches. Consequence: a DataFrame RETURNED by an earlier call stays correct
+# if evaluated later (lineage recomputes), it just loses the warm cache.
+# ---------------------------------------------------------------------------
+
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _evict_prior_caches() -> None:
+    while _LIVE_CACHES:
+        try:
+            _LIVE_CACHES.pop().unpersist(False)
+        except Exception:  # session gone / already unpersisted — nothing to free
+            pass
+
+
+def _cache_scoped(df: DataFrame) -> DataFrame:
+    df = df.cache()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 
@@ -281,7 +308,8 @@ def minhash_near_dup_pairs(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).cache()
+    _evict_prior_caches()
+    sigs = _cache_scoped(minhash_signatures(df, id_col, text_col, num_hashes, shingle_n))
 
     # explode into (band_idx, band_hash) — band hash over the slice of the sig
     banded = sigs.select(
@@ -345,12 +373,16 @@ def _simhash64_from_hashes(tokhashes: pd.Series) -> pd.Series:
     out = np.zeros(n, dtype=np.int64)
     if n == 0:
         return pd.Series(out)
-    lens = np.fromiter((len(h) for h in tokhashes), dtype=np.int64, count=n)
+    # null arrays (callers coalesce text to '', but stay defensive) vote as
+    # empty -> signature 0, same as an empty document
+    lens = np.fromiter(
+        (0 if h is None else len(h) for h in tokhashes), dtype=np.int64, count=n
+    )
     total = int(lens.sum())
     if total == 0:
         return pd.Series(out)
     arena = np.concatenate(
-        [np.asarray(h, dtype=np.int64) for h in tokhashes if len(h)]
+        [np.asarray(h, dtype=np.int64) for h in tokhashes if h is not None and len(h)]
     ).view(np.uint64)
     bounds = np.concatenate(([0], np.cumsum(lens)))
     starts, ends = bounds[:-1], bounds[1:]
@@ -376,10 +408,12 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     Per-token hashing is a JVM expression (``xxhash64`` over the token
     array — the same trick :func:`token_jaccard_pairs` uses), so the Arrow
     batch carries compact ``array<long>`` columns into the vectorized
-    bit-vote kernel; empty documents hash to signature 0."""
-    toks = tokens(text_col)
+    bit-vote kernel; empty and NULL documents hash to signature 0 (NULL
+    text is coalesced to '' so the kernel never sees a null array)."""
+    c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col, F.lit(""))
+    toks = tokens(c)
     hashes = F.when(
-        F.length(F.trim(F.col(text_col) if isinstance(text_col, str) else text_col)) == 0,
+        F.length(F.trim(c)) == 0,
         F.array().cast("array<bigint>"),
     ).otherwise(F.transform(toks, lambda t: F.xxhash64(t)))
     return df.select(F.col(id_col), _simhash64_from_hashes(hashes).alias("simhash"))
@@ -418,6 +452,7 @@ def simhash_near_dup_pairs(
     """
     nb = max_hamming + 1
     width = 64 // nb
+    _evict_prior_caches()
 
     def band_bits(bi: int) -> F.Column:
         shifted = F.shiftrightunsigned(F.col("simhash"), bi * width)
@@ -430,9 +465,9 @@ def simhash_near_dup_pairs(
     # cache: banded is consumed three times (bucket-size guard + both sides
     # of the self-join) and its lineage carries the doc-proportional work
     # (tokenize -> xxhash64 -> Arrow bit-vote); without the cache that work
-    # runs 3x. Same pattern as minhash's sigs.cache(); the cached rows are
+    # runs 3x. Same pattern as minhash's sigs cache; the cached rows are
     # (id, sig, band, bits) — a few longs per doc, nowhere near payload size.
-    banded = (
+    banded = _cache_scoped(
         sigs.select(
             F.col(id_col),
             "simhash",
@@ -490,9 +525,11 @@ def simhash_near_dup_pairs(
     # int64-hashed shingles: same Jaccard (collisions ~1e-14 per pair), far
     # cheaper to build and to intersect than strings; cached because the
     # verify joins scan it once per pair side
-    sh = with_hashed_shingles(df, id_col, text_col, shingle_n, out_col="_sh").select(
-        id_col, "_sh"
-    ).cache()
+    sh = _cache_scoped(
+        with_hashed_shingles(df, id_col, text_col, shingle_n, out_col="_sh").select(
+            id_col, "_sh"
+        )
+    )
     return (
         pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb")), "id_b")

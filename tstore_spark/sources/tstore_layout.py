@@ -215,7 +215,15 @@ def open_tstore(
         else:
             raise ValueError(f"unknown tstore_structure {structure!r}")
         df = _read_ts_parquet(spark, path)
-        df = df.withColumn(id_var, F.regexp_extract(F.input_file_name(), pattern, 1))
+        # input_file_name() returns a URI, so the captured path segment is
+        # percent-encoded (space -> %20, % -> %25, ...). url_decode is
+        # form-decoding ('+' -> ' '), but '+' is legal and stays UNencoded in
+        # a URI path — shield it before decoding so ids containing '+'
+        # round-trip.
+        seg = F.regexp_extract(F.input_file_name(), pattern, 1)
+        df = df.withColumn(
+            id_var, F.url_decode(F.replace(seg, F.lit("+"), F.lit("%2B")))
+        )
         if row_filter_ids is not None:
             df = df.where(F.col(id_var).isin(row_filter_ids))
         part_cols = [c for c in _PART_NAMES if c in df.columns]
@@ -328,11 +336,17 @@ def to_tstore(
             .partitionBy(hive_id, *part_names)
             .parquet(staging)
         )
-        # strip the hive "__tsid=" prefix: <staging>/__tsid=X/... -> layout dir
+        # strip the hive "__tsid=" prefix: <staging>/__tsid=X/... -> layout
+        # dir. Hive ESCAPES special chars in partition values (%XX percent
+        # encoding: '%', ':', '#', ...), so unescape to get the literal id as
+        # the directory name — the reference layout contract (and what the
+        # reader's input_file_name() recovery expects after ONE URI decode).
+        from urllib.parse import unquote
+
         for entry in os.listdir(staging):
             if not entry.startswith(f"{hive_id}="):
                 continue  # _SUCCESS etc.
-            tid = entry.split("=", 1)[1]
+            tid = unquote(entry.split("=", 1)[1])
             if tstore_structure == "id-var":
                 dest = os.path.join(base_dir, tid, var)
             else:
