@@ -96,7 +96,9 @@ def test_bucketed_equals_plain_random(spark):
         for j in range(60):
             # include exact bucket-boundary instants (multiples of 3600)
             s = int(rng.integers(0, 72)) * 3600 if j % 3 == 0 else int(rng.integers(0, 86_400 * 3))
-            rrows.append((k, base + pd.Timedelta(seconds=s), j, float(j) * 1.5))
+            # ~25% NULL values: per-column last-non-null carry must match
+            v = None if rng.integers(0, 4) == 0 else float(j) * 1.5
+            rrows.append((k, base + pd.Timedelta(seconds=s), j, v))
     left = spark.createDataFrame(pd.DataFrame(lrows, columns=["k", "ts", "lid"]))
     right = spark.createDataFrame(pd.DataFrame(rrows, columns=["k", "ts", "rid", "val"]))
 
