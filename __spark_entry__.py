@@ -267,6 +267,20 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_near_dup_pairs(docs, threshold=0.5, bands=16)
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl dedup: even doc_ids play the already-ingested corpus
+    (indexed once — signatures + hashed shingles, no text), odd doc_ids the
+    new batch; the incremental operator reports every near-dup pair TOUCHING
+    the new batch without re-hashing corpus text. Same bands=16 full-recall
+    argument as minhash_near_dup, so the output equals the exact
+    shingle-Jaccard pair SQL restricted to pairs that are not corpus-only."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    idx = DD.minhash_index(corpus)
+    return DD.incremental_minhash_near_dup(new, idx, threshold=0.5, bands=16)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash bands (hamming<=8 pigeonhole) generate candidates; exact
     shingle Jaccard >= 0.9 verifies. At the gate's sf the J>=0.9 pairs all
@@ -611,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "token_jaccard_pairs": _q_token_jaccard,
         "minhash_near_dup": _q_minhash,
+        "incremental_dedup": _q_incremental_dedup,
         "simhash_near_dup": _q_simhash,
         "binary_meta": _q_binary_meta,
         "media_features": _q_media_features,
@@ -835,6 +850,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE jaccard >= 0.98
         """,
         "minhash_near_dup": _SHINGLE_PAIRS_ORACLE.format(thr=0.5),
+        # incremental = one-shot exact pair set minus corpus-internal
+        # (both-even) pairs: everything touching the new (odd) batch
+        "incremental_dedup": _SHINGLE_PAIRS_ORACLE.format(thr=0.5)
+        + " AND NOT (id_a % 2 = 0 AND id_b % 2 = 0)",
         "simhash_near_dup": _SHINGLE_PAIRS_ORACLE.format(thr=0.9),
         "binary_meta": """
             SELECT doc_id,

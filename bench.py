@@ -52,6 +52,7 @@ HEADLINE = [
     "doc_stats",
     "token_jaccard_pairs",
     "minhash_near_dup",
+    "incremental_dedup",
     "simhash_near_dup",
     "media_features",
     "geo_bbox",

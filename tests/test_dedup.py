@@ -64,6 +64,57 @@ def test_minhash_finds_near_dups(docs_sdf):
     assert (3, 5) not in pairs
 
 
+def _pair_set(rows):
+    return {(r["id_a"], r["id_b"], r["jaccard"]) for r in rows}
+
+
+def test_incremental_crawls_equal_oneshot(docs_sdf, tmp_path):
+    """Ingesting the corpus as two crawls (index crawl 1, incrementally dedup
+    crawl 2 against it — with the index ROUND-TRIPPED through parquet) must
+    yield exactly the one-shot pair set: crawl-1-internal pairs from the
+    first ingest plus incremental pairs from the second."""
+    from pyspark.sql import functions as F
+
+    oneshot = _pair_set(DD.minhash_near_dup_pairs(docs_sdf, threshold=0.5).collect())
+
+    crawl1 = docs_sdf.where(F.col("doc_id") % 2 == 0)
+    crawl2 = docs_sdf.where(F.col("doc_id") % 2 == 1)
+    round1 = _pair_set(DD.minhash_near_dup_pairs(crawl1, threshold=0.5).collect())
+
+    idx_path = str(tmp_path / "minhash_index")
+    DD.minhash_index(crawl1).write.parquet(idx_path)
+    idx = crawl1.sparkSession.read.parquet(idx_path)
+
+    round2 = _pair_set(
+        DD.incremental_minhash_near_dup(crawl2, idx, threshold=0.5).collect()
+    )
+    assert round1 | round2 == oneshot
+    assert round1 & round2 == set()  # no pair reported twice
+    # cross-crawl near-dups actually found: 0 (crawl1) x 1 (crawl2) exact dup
+    assert (0, 1, 1.0) in round2
+
+
+def test_incremental_new_new_flag(docs_sdf):
+    """include_new_new=False restricts the output to corpus-x-new pairs."""
+    from pyspark.sql import functions as F
+
+    crawl1 = docs_sdf.where(F.col("doc_id") <= 1)   # 0 and its exact dup 1
+    crawl2 = docs_sdf.where(F.col("doc_id") >= 2)   # contains near-dups 2, 4 of 0
+    idx = DD.minhash_index(crawl1)
+    cross_only = _pair_set(
+        DD.incremental_minhash_near_dup(crawl2, idx, threshold=0.5,
+                                        include_new_new=False).collect()
+    )
+    # every pair touches the corpus side (ids 0/1)
+    assert cross_only and all(a <= 1 < b for a, b, _ in cross_only)
+    both = _pair_set(
+        DD.incremental_minhash_near_dup(crawl2, idx, threshold=0.5).collect()
+    )
+    new_new = both - cross_only
+    assert all(a >= 2 for a, _, _ in new_new)  # e.g. (2,4) if above threshold
+    assert cross_only <= both
+
+
 def test_minhash_deterministic(docs_sdf):
     a = DD.minhash_signatures(docs_sdf).orderBy("doc_id").collect()
     b = DD.minhash_signatures(docs_sdf.repartition(5)).orderBy("doc_id").collect()

@@ -291,6 +291,27 @@ def minhash_signatures(
     )
 
 
+def _minhash_band_table(sigs: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
+    """(id, band, bh): explode a signature table into its LSH band hashes —
+    band hash = xxhash64 over the band's slice of the signature. Shared by
+    the one-shot and incremental pair operators so indexes built at crawl N
+    join against batches banded at crawl N+1."""
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(*[F.col("sig")[bi * rows + r] for r in range(rows)]).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "b.band", "b.bh")
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -311,21 +332,7 @@ def minhash_near_dup_pairs(
     _evict_prior_caches()
     sigs = _cache_scoped(minhash_signatures(df, id_col, text_col, num_hashes, shingle_n))
 
-    # explode into (band_idx, band_hash) — band hash over the slice of the sig
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(*[F.col("sig")[bi * rows + r] for r in range(rows)]).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select(id_col, "b.band", "b.bh")
+    banded = _minhash_band_table(sigs, id_col, bands, rows)
 
     cand = (
         banded.alias("x")
@@ -351,6 +358,115 @@ def minhash_near_dup_pairs(
         .where(F.col("jaccard") >= F.lit(threshold))
     )
     return verified
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Persistable dedup index: (id, shingles array<long>, sig array<long>)
+    per document — the state crawl-over-crawl dedup carries forward.
+
+    The 100 TB pattern: each ingested crawl writes its index partition
+    (append-only parquet, partitioned by crawl day); the next crawl dedups
+    against the accumulated index via :func:`incremental_minhash_near_dup`
+    WITHOUT re-reading or re-hashing any corpus text. Cost of the index:
+    the signature is ``num_hashes`` longs, the hashed shingle set ~8 bytes
+    per token — roughly 5-10%% of the text column, the price of never
+    touching corpus payloads again. ``num_hashes``/``shingle_n`` are baked
+    into the index; the incremental join must be called with the same values
+    (band count may vary as long as it divides num_hashes).
+    """
+    return minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+
+
+def incremental_minhash_near_dup(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    include_new_new: bool = True,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and an existing corpus index
+    (:func:`minhash_index` output, typically read back from parquet), plus
+    — by default — pairs within the new batch itself. Corpus-vs-corpus
+    pairs are NEVER re-examined (they were handled when those crawls were
+    ingested); that is the entire point: per-crawl work is proportional to
+    the new batch, not the corpus.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, exact-verified — the
+    same contract as :func:`minhash_near_dup_pairs`, restricted to pairs
+    touching the new batch. Running it over batch N with the index of
+    batches 1..N-1, for every N, yields exactly the one-shot operator's
+    pair set over the full corpus (asserted by tests).
+
+    Scale notes: only ``new_docs`` is tokenized; the two band joins shuffle
+    on (band, bh) — uniform hashes, no skew — and the corpus side of the
+    cross join carries 3 longs per (doc, band). Exact verification joins
+    shingle sets for CANDIDATE ids only.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    _evict_prior_caches()
+    new_idx = _cache_scoped(
+        minhash_signatures(new_docs, id_col, text_col, num_hashes, shingle_n)
+    )
+    nb = _cache_scoped(_minhash_band_table(new_idx, id_col, bands, rows))
+    cb = _minhash_band_table(corpus_index, id_col, bands, rows)
+
+    # cross pairs: corpus doc x new doc sharing a band bucket
+    cross = (
+        cb.alias("x")
+        .join(
+            nb.alias("y"),
+            (F.col("x.band") == F.col("y.band")) & (F.col("x.bh") == F.col("y.bh")),
+        )
+        .select(F.col(f"x.{id_col}").alias("_u"), F.col(f"y.{id_col}").alias("_v"))
+    )
+    cands = [cross]
+    if include_new_new:
+        cands.append(
+            nb.alias("x")
+            .join(
+                nb.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bh") == F.col("y.bh"))
+                & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+            )
+            .select(F.col(f"x.{id_col}").alias("_u"), F.col(f"y.{id_col}").alias("_v"))
+        )
+    from functools import reduce as _reduce
+
+    cand = (
+        _reduce(lambda a, b: a.unionByName(b), cands)
+        .select(
+            F.least(F.col("_u"), F.col("_v")).alias("id_a"),
+            F.greatest(F.col("_u"), F.col("_v")).alias("id_b"),
+        )
+        .where(F.col("id_a") != F.col("id_b"))  # same id in both inputs
+        .distinct()
+    )
+
+    sh = corpus_index.select(F.col(id_col), F.col("shingles")).unionByName(
+        new_idx.select(F.col(id_col), F.col("shingles"))
+    )
+    return (
+        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
 
 
 # ---------------------------------------------------------------------------
