@@ -508,6 +508,21 @@ def _q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk sample assignment by global token offset.
+    The naive form is a GLOBAL ordered window (one task at scale); the
+    operator is the distributed two-stage prefix sum — per-bucket sums
+    cumulated driver-side, per-bucket windows in parallel — and the oracle
+    IS the naive global window, proving row-for-row equivalence."""
+    from tstore_spark.operators.sampling import token_pack_offsets
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", TX.ws_token_count("text").cast("long").alias("n_tokens")
+    )
+    return token_pack_offsets(staged, budget=2048, bucket_width=100)
+
+
 def _q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints (Schleimer et al. 2003); the
     k-gram hash is engine-portable md5 arithmetic, so the selected
@@ -642,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fps": _q_winnowing,
         "sessions_batch": _q_sessions_batch,
         "train_eval_split": _q_train_eval_split,
+        "token_packing": _q_token_packing,
         "asof_join": _q_asof_join,
         "datetime_parts": _q_datetime_parts,
         "tswide_hourly": _q_tswide_hourly,
@@ -977,6 +993,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000 AS duration_ms
             FROM g GROUP BY 1, 2
+        """,
+        "token_packing": f"""
+            WITH s AS (
+                SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens
+                FROM documents),
+            o AS (
+                SELECT doc_id, n_tokens,
+                       CAST(COALESCE(sum(n_tokens) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                            AS BIGINT) AS start_offset
+                FROM s)
+            SELECT doc_id, n_tokens, start_offset,
+                   start_offset // 2048 AS sample_id,
+                   CASE WHEN n_tokens > 0
+                        THEN ((start_offset + n_tokens - 1) // 2048) <> (start_offset // 2048)
+                        ELSE FALSE END AS crosses_boundary
+            FROM o
         """,
         "train_eval_split": """
             SELECT doc_id,

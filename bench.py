@@ -53,6 +53,7 @@ HEADLINE = [
     "token_jaccard_pairs",
     "minhash_near_dup",
     "incremental_dedup",
+    "token_packing",
     "simhash_near_dup",
     "media_features",
     "geo_bbox",

@@ -52,3 +52,44 @@ def test_sample_is_subset_and_stable(ids_sdf):
 def test_bad_fractions_raise(ids_sdf):
     with pytest.raises(ValueError, match="sum to 1"):
         deterministic_split(ids_sdf, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_token_pack_offsets_matches_straightline(spark):
+    """Distributed prefix sum == the naive global cumsum, including exact
+    budget fills, boundary crossings, zero-token docs, and id gaps."""
+    import numpy as np
+
+    from tstore_spark.operators.sampling import token_pack_offsets
+
+    rng = np.random.default_rng(7)
+    ids = sorted(rng.choice(10_000, size=400, replace=False).tolist())
+    ns = [int(rng.integers(0, 50)) for _ in ids]
+    ns[3] = 0                      # zero-token doc
+    budget = 100
+    pdf = pd.DataFrame({"doc_id": ids, "n_tokens": ns})
+    sdf = spark.createDataFrame(pdf)
+
+    expect = {}
+    acc = 0
+    for i, n in zip(ids, ns):
+        sid = acc // budget
+        crosses = n > 0 and (acc + n - 1) // budget != sid
+        expect[i] = (n, acc, sid, crosses)
+        acc += n
+
+    for bw, parts in ((1_000_000, 1), (100, 7), (1, 32)):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["start_offset"], r["sample_id"], r["crosses_boundary"])
+            for r in token_pack_offsets(
+                sdf.repartition(parts), budget, bucket_width=bw
+            ).collect()
+        }
+        assert got == expect, f"bucket_width={bw}"
+
+
+def test_token_pack_offsets_guards(spark):
+    from tstore_spark.operators.sampling import token_pack_offsets
+
+    sdf = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "n_tokens": [5]}))
+    with pytest.raises(ValueError, match="budget"):
+        token_pack_offsets(sdf, 0)

@@ -84,6 +84,15 @@ def main(sf_dir: str) -> int:
           "one documents scan — dedup via window, not groupBy+semi-join")
     check("corpus_filter.no_cartesian", "CartesianProduct" not in p, "no cross join")
 
+    # 6c. token packing: every Window is per-bucket — a global (empty
+    # partition spec) ordered window would serialize the corpus into ONE task
+    p = plan_of(qs["token_packing"](spark, sf_dir))
+    check("token_packing.no_global_window",
+          "windowspecdefinition(_bkt" in p and ", [], [" not in p,
+          "prefix-sum windows partition by bucket (no single-task global sort)")
+    check("token_packing.broadcast_bases", "BroadcastHashJoin" in p,
+          "per-bucket base offsets broadcast")
+
     # 7. multi-table LSH ANN: probe side broadcast, candidate join is hash equi
     p = plan_of(qs["ann_lsh"](spark, sf_dir))
     check("ann_lsh.broadcast", "BroadcastHashJoin" in p, "probe signatures broadcast")

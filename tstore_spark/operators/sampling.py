@@ -70,3 +70,73 @@ def deterministic_split(
     out_col: str = "split",
 ) -> DataFrame:
     return df.withColumn(out_col, split_column(id_col, fractions, seed))
+
+
+def token_pack_offsets(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+    bucket_width: int = 1_000_000,
+) -> DataFrame:
+    """Assign every document its global token offset and fixed-budget
+    training-sample id — the GPT-style concat-then-chunk sharding decision
+    (documents concatenated in ``id_col`` order, the token stream cut every
+    ``budget`` tokens). Output per document: (id, n_tokens, start_offset,
+    sample_id = start_offset div budget, crosses_boundary).
+
+    The naive formulation is ``sum(n) OVER (ORDER BY id)`` — a GLOBAL
+    ordered window, which Spark executes as a single task (every row through
+    one partition): a non-starter at corpus scale. This operator is the
+    distributed prefix sum instead:
+
+    1. coarse MONOTONE buckets of the order key (``id div bucket_width``) —
+       (bucket, id) order equals id order;
+    2. one narrow aggregation for per-bucket token sums, cumulated
+       driver-side (bucket count = id-range / bucket_width — metadata-sized;
+       pick ``bucket_width`` so this stays ~1e6 rows at your id range);
+    3. per-bucket exclusive-cumsum windows, all running in PARALLEL, each
+       offset by its bucket's broadcast base.
+
+    Deterministic by construction (pure function of (id, n) pairs; ids must
+    be unique and numeric — the order key). Oracle-checkable: the output
+    equals the naive global-window SQL row for row.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    staged = df.select(
+        F.col(id_col),
+        F.col(count_col).cast("long").alias("n_tokens"),
+        F.expr(f"{id_col} div {bucket_width}").alias("_bkt"),
+    )
+    sums = (
+        staged.groupBy("_bkt").agg(F.sum("n_tokens").alias("_s")).orderBy("_bkt").collect()
+    )
+    bases, acc = [], 0
+    for r in sums:
+        bases.append((r["_bkt"], acc))
+        acc += r["_s"]
+    base_df = df.sparkSession.createDataFrame(bases, "_bkt long, _base long")
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.col("_base") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    out = (
+        staged.join(F.broadcast(base_df), "_bkt")
+        .withColumn("start_offset", start)
+        .withColumn("sample_id", F.expr(f"start_offset div {budget}"))
+        .withColumn(
+            "crosses_boundary",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr(f"(start_offset + n_tokens - 1) div {budget}")
+                != F.col("sample_id"),
+            ).otherwise(F.lit(False)),
+        )
+    )
+    return out.select(id_col, "n_tokens", "start_offset", "sample_id", "crosses_boundary")
