@@ -508,6 +508,20 @@ def _q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination (GPT-3 app. C style): docs sharing any
+    distinct 5-gram with the held-out slice (doc_id % 7 == 0 plays the eval
+    suite) are flagged with exact hit counts. Grams ride as int64 hashes
+    (same collision argument as the shingle-Jaccard oracles); the eval-gram
+    table is broadcast, so the corpus side never shuffles."""
+    from tstore_spark.operators.corpus import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    evald = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    return ngram_contamination(corpus, evald, n=5, min_hits=1)
+
+
 def _q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-then-chunk sample assignment by global token offset.
     The naive form is a GLOBAL ordered window (one task at scale); the
@@ -658,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_batch": _q_sessions_batch,
         "train_eval_split": _q_train_eval_split,
         "token_packing": _q_token_packing,
+        "decontaminate": _q_decontaminate,
         "asof_join": _q_asof_join,
         "datetime_parts": _q_datetime_parts,
         "tswide_hourly": _q_tswide_hourly,
@@ -993,6 +1008,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000 AS duration_ms
             FROM g GROUP BY 1, 2
+        """,
+        "decontaminate": r"""
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS l
+                FROM documents),
+            g AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           generate_series(1, greatest(len(l) - 4, 1)),
+                           i -> concat_ws(' ', l[i], l[i+1], l[i+2], l[i+3], l[i+4])))) AS gram
+                FROM t),
+            e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0)
+            SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM g JOIN e USING (gram)
+            WHERE g.doc_id % 7 <> 0
+            GROUP BY 1
         """,
         "token_packing": f"""
             WITH s AS (

@@ -54,6 +54,7 @@ HEADLINE = [
     "minhash_near_dup",
     "incremental_dedup",
     "token_packing",
+    "decontaminate",
     "simhash_near_dup",
     "media_features",
     "geo_bbox",

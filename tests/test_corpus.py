@@ -64,3 +64,33 @@ def test_corpus_job_smoke(tmp_path):
     assert 0 < summary["docs_out"] <= 500
     assert set(summary["by_split"]) <= {"train", "eval"}
     assert os.path.isdir(os.path.join(out, "split=train"))
+
+
+def test_ngram_contamination(spark):
+    """Corpus docs sharing >= min_hits distinct n-grams with the eval set are
+    flagged with exact hit counts; clean docs are not."""
+    from tstore_spark.operators.corpus import ngram_contamination
+
+    evald = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100],
+        "text": ["the capital of france is paris and the capital of spain is madrid"],
+    }))
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            # contains the eval 5-gram "the capital of france is" (+ shifted ones)
+            "as everyone knows the capital of france is paris which is large",
+            "a completely unrelated document about spark shuffles and parquet",
+            # exact copy of the eval doc: max contamination
+            "the capital of france is paris and the capital of spain is madrid",
+        ],
+    }))
+    got = {r["doc_id"]: r["n_hits"] for r in
+           ngram_contamination(corpus, evald, n=5, min_hits=1).collect()}
+    assert 2 not in got
+    assert got[3] == 9  # 13 tokens -> 9 distinct 5-grams, all shared
+    assert 1 <= got[1] < 9
+    # min_hits raises the bar
+    strict = {r["doc_id"] for r in
+              ngram_contamination(corpus, evald, n=5, min_hits=9).collect()}
+    assert strict == {3}

@@ -93,6 +93,12 @@ def main(sf_dir: str) -> int:
     check("token_packing.broadcast_bases", "BroadcastHashJoin" in p,
           "per-bucket base offsets broadcast")
 
+    # 6d. decontamination: eval-gram probe broadcast — corpus side streams
+    p = plan_of(qs["decontaminate"](spark, sf_dir))
+    check("decontaminate.broadcast_eval", "BroadcastHashJoin" in p,
+          "eval grams broadcast, corpus never shuffles into the join")
+    check("decontaminate.no_cartesian", "CartesianProduct" not in p, "equi join on gram hash")
+
     # 7. multi-table LSH ANN: probe side broadcast, candidate join is hash equi
     p = plan_of(qs["ann_lsh"](spark, sf_dir))
     check("ann_lsh.broadcast", "BroadcastHashJoin" in p, "probe signatures broadcast")

@@ -72,3 +72,51 @@ def corpus_filter(
             .drop("_rn", "_fp")
         )
     return kept
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str | None = None,
+    n: int = 13,
+    min_hits: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Training-set decontamination: corpus documents sharing at least
+    ``min_hits`` distinct word ``n``-grams with an evaluation set (the
+    GPT-3-style 13-gram overlap rule, Brown et al. 2020 app. C). Returns
+    (id, n_hits) for contaminated documents — anti-join the result against
+    the corpus to scrub it.
+
+    n-grams are int64 hashes (:func:`~tstore_spark.operators.dedup.
+    with_hashed_shingles` — one xxhash64 per token + one per gram, all JVM),
+    so the match join carries 8-byte keys, never strings. Eval sets are
+    small by definition, so the distinct eval-gram table is broadcast —
+    the corpus side STREAMS through the join with no shuffle at all
+    (``broadcast_eval=False`` falls back to a shuffle hash join for
+    unusually large eval suites).
+
+    Scale notes (100 TB): corpus work is one scan + explode + broadcast
+    probe + one groupBy on contaminated doc ids only (the join filters
+    first). Distinctness per (doc, gram) is inherited from the shingle
+    sets, so ``count(*)`` after the join IS the distinct-gram hit count.
+    """
+    from tstore_spark.operators.dedup import exploded_hashed_shingles
+
+    eval_id = eval_id_col or id_col
+    eval_grams = (
+        exploded_hashed_shingles(eval_docs, eval_id, text_col, n, gram_col="_g")
+        .select("_g")
+        .distinct()
+    )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    return (
+        exploded_hashed_shingles(corpus, id_col, text_col, n, gram_col="_g")
+        .join(eval_grams, "_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .where(F.col("n_hits") >= F.lit(min_hits))
+    )

@@ -125,19 +125,48 @@ def with_hashed_shingles(
     available tokens (out-of-range token slots are null and xxhash64 skips
     nulls), mirroring word_shingles' single truncated shingle.
     """
-    staged = df.select(
+    staged = _staged_token_hashes(df, id_col, text_col)
+    sh = _hashed_shingle_expr(F.col("_th"), n)
+    return staged.select(F.col(id_col), sh.alias(out_col))
+
+
+def _staged_token_hashes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
         F.col(id_col),
         F.transform(tokens(text_col), lambda x: F.xxhash64(x)).alias("_th"),
     )
-    th = F.col("_th")
-    sh = F.array_distinct(
+
+
+def _hashed_shingle_expr(th: Column, n: int) -> Column:
+    return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(th) - F.lit(n), F.lit(0))),
             # F.get is 0-based and null (not error) out of range — ANSI-safe
             lambda i: F.xxhash64(*[F.get(th, i + k) for k in range(n)]),
         )
     )
-    return staged.select(F.col(id_col), sh.alias(out_col))
+
+
+def exploded_hashed_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    gram_col: str = "gram",
+) -> DataFrame:
+    """(id, gram) rows — one per distinct hashed word n-gram.
+
+    Deliberately NOT ``with_hashed_shingles(...).select(explode(col))``:
+    exploding a shingle ARRAY COLUMN makes InferFiltersFromGenerate add a
+    ``size(col) > 0`` filter which predicate pushdown then rewrites through
+    the projections, inlining the entire shingle construction (token hashing
+    re-expanded once per n-gram slot) into one giant interpreted Filter —
+    measured ~30x slower at sf0.1. Exploding the EXPRESSION keeps the plan a
+    bare Generate over the hoisted token-hash projection, where the work is
+    done exactly once per document."""
+    staged = _staged_token_hashes(df, id_col, text_col)
+    sh = _hashed_shingle_expr(F.col("_th"), n)
+    return staged.select(F.col(id_col), F.explode(sh).alias(gram_col))
 
 
 def jaccard(a: Column, b: Column) -> Column:
