@@ -508,6 +508,18 @@ def _q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-weighted training mixture: up-weight src0 (keep all),
+    down-sample src1, drop everything else — the same engine-portable md5
+    variate as train_eval_split, so DuckDB reproduces the exact kept set."""
+    from tstore_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, "doc_id", "source", {"src0": 1.0, "src1": 0.4}, default_weight=0.05
+    ).select("doc_id", "source")
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set decontamination (GPT-3 app. C style): docs sharing any
     distinct 5-gram with the held-out slice (doc_id % 7 == 0 plays the eval
@@ -673,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_eval_split": _q_train_eval_split,
         "token_packing": _q_token_packing,
         "decontaminate": _q_decontaminate,
+        "mixture_sample": _q_mixture_sample,
         "asof_join": _q_asof_join,
         "datetime_parts": _q_datetime_parts,
         "tswide_hourly": _q_tswide_hourly,
@@ -1008,6 +1021,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000 AS duration_ms
             FROM g GROUP BY 1, 2
+        """,
+        "mixture_sample": """
+            SELECT doc_id, source
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
+                  / 4294967296.0
+                  < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.4 ELSE 0.05 END)
         """,
         "decontaminate": r"""
             WITH t AS (

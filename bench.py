@@ -55,6 +55,7 @@ HEADLINE = [
     "incremental_dedup",
     "token_packing",
     "decontaminate",
+    "mixture_sample",
     "simhash_near_dup",
     "media_features",
     "geo_bbox",

@@ -93,3 +93,31 @@ def test_token_pack_offsets_guards(spark):
     sdf = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "n_tokens": [5]}))
     with pytest.raises(ValueError, match="budget"):
         token_pack_offsets(sdf, 0)
+
+
+def test_mixture_sample(spark):
+    from tstore_spark.operators.sampling import deterministic_sample, mixture_sample
+
+    pdf = pd.DataFrame({
+        "doc_id": range(3000),
+        "source": ["a", "b", "c"][0] * 0,  # placeholder replaced below
+    })
+    pdf["source"] = [("a", "b", "c")[i % 3] for i in range(3000)]
+    sdf = spark.createDataFrame(pdf)
+    out = mixture_sample(sdf, "doc_id", "source", {"a": 1.0, "b": 0.3}, default_weight=0.0)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["a"] == 1000          # weight 1 keeps everything
+    assert "c" not in counts            # default 0 drops unknown domains
+    assert abs(counts["b"] / 1000 - 0.3) < 0.06
+    # same variate as deterministic_sample: domain weight w == global sample w
+    only_b = sdf.where(F.col("source") == "b")
+    expect_b = {r["doc_id"] for r in deterministic_sample(only_b, "doc_id", 0.3).collect()}
+    got_b = {r["doc_id"] for r in out.where(F.col("source") == "b").collect()}
+    assert got_b == expect_b
+    # stability across partitioning
+    again = {r["doc_id"] for r in
+             mixture_sample(sdf.repartition(11), "doc_id", "source",
+                            {"a": 1.0, "b": 0.3}).collect()}
+    assert again == {r["doc_id"] for r in out.collect()}
+    with pytest.raises(ValueError, match="weight"):
+        mixture_sample(sdf, "doc_id", "source", {"a": 1.5})

@@ -72,6 +72,40 @@ def deterministic_split(
     return df.withColumn(out_col, split_column(id_col, fractions, seed))
 
 
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    default_weight: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Domain-weighted corpus mixture: keep each record with its domain's
+    retention weight (0..1), decided purely by content hash — the
+    training-mixture reweighting step (e.g. up-/down-sampling sources to hit
+    a target blend) with the same reproducibility contract as
+    :func:`deterministic_sample`: stable across reruns, cluster sizes,
+    engines, and corpus growth. Domains missing from ``weights`` fall back
+    to ``default_weight`` (0 = drop unknown sources — the safe default for
+    a curated blend).
+
+    Scale notes: a pure codegen predicate (md5 + conv + a CASE over the
+    weight map), no shuffle, no state; weights live in the plan, so the
+    sampled set is recomputable from ids alone."""
+    for k, w in weights.items():
+        if not (0.0 <= w <= 1.0):
+            raise ValueError(f"weight for {k!r} must be in [0, 1], got {w}")
+    if not (0.0 <= default_weight <= 1.0):
+        raise ValueError(f"default_weight must be in [0, 1], got {default_weight}")
+    u = hash_uniform(id_col, seed)
+    w_expr = None
+    for name, w in weights.items():
+        cond = F.col(domain_col) == F.lit(name)
+        w_expr = F.when(cond, F.lit(float(w))) if w_expr is None else w_expr.when(cond, F.lit(float(w)))
+    w_expr = F.lit(float(default_weight)) if w_expr is None else w_expr.otherwise(F.lit(float(default_weight)))
+    return df.where(u < w_expr)
+
+
 def token_pack_offsets(
     df: DataFrame,
     budget: int,
