@@ -508,6 +508,26 @@ def _q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (RefinedWeb-style). The fixture docs
+    are single-line, so the query deterministically wraps them in shared
+    chrome (a header on every doc, a footer on every 3rd) — both engines
+    derive the same input, the operator must strip exactly the shared lines
+    and preserve body order/content byte-identically."""
+    from tstore_spark.operators.corpus import remove_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("BOILERPLATE HEADER\n"),
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\nSHARED FOOTER")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(wrapped, min_docs=2)
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-weighted training mixture: up-weight src0 (keep all),
     down-sample src1, drop everything else — the same engine-portable md5
@@ -686,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_packing": _q_token_packing,
         "decontaminate": _q_decontaminate,
         "mixture_sample": _q_mixture_sample,
+        "boilerplate_lines": _q_boilerplate_lines,
         "asof_join": _q_asof_join,
         "datetime_parts": _q_datetime_parts,
         "tswide_hourly": _q_tswide_hourly,
@@ -1021,6 +1042,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000 AS duration_ms
             FROM g GROUP BY 1, 2
+        """,
+        "boilerplate_lines": """
+            WITH d AS (
+                SELECT doc_id,
+                       'BOILERPLATE HEADER' || chr(10) || text ||
+                       (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'SHARED FOOTER'
+                             ELSE '' END) AS text
+                FROM documents),
+            t AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM d),
+            e AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM t),
+            x AS (SELECT doc_id, i, l[i] AS ln FROM e),
+            f AS (SELECT ln FROM (
+                      SELECT ln, count(DISTINCT doc_id) AS dfreq FROM x GROUP BY 1)
+                  WHERE dfreq >= 2),
+            k AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY i) AS clean_text,
+                         count(*) AS n_kept
+                  FROM x WHERE ln NOT IN (SELECT ln FROM f) GROUP BY 1)
+            SELECT t.doc_id, COALESCE(k.clean_text, '') AS clean_text,
+                   CAST(len(t.l) AS BIGINT) AS n_lines,
+                   CAST(len(t.l) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+            FROM t LEFT JOIN k USING (doc_id)
         """,
         "mixture_sample": """
             SELECT doc_id, source

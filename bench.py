@@ -56,6 +56,7 @@ HEADLINE = [
     "token_packing",
     "decontaminate",
     "mixture_sample",
+    "boilerplate_lines",
     "simhash_near_dup",
     "media_features",
     "geo_bbox",

@@ -94,3 +94,31 @@ def test_ngram_contamination(spark):
     strict = {r["doc_id"] for r in
               ngram_contamination(corpus, evald, n=5, min_hits=9).collect()}
     assert strict == {3}
+
+
+def test_remove_boilerplate_lines(spark):
+    from tstore_spark.operators.corpus import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "COOKIE BANNER\nunique first article\nFOOTER",
+            "COOKIE BANNER\nanother unique body\nFOOTER",
+            "totally unique document\nwith two lines",
+            "COOKIE BANNER\nFOOTER",   # pure boilerplate
+        ],
+    }))
+    got = {r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+           for r in remove_boilerplate_lines(docs, min_docs=2).collect()}
+    assert got[1] == ("unique first article", 3, 2)
+    assert got[2] == ("another unique body", 3, 2)
+    assert got[3] == ("totally unique document\nwith two lines", 2, 0)
+    assert got[4] == ("", 2, 2)  # fully-boilerplate doc survives with empty text
+    # order preservation with an interleaved boilerplate line
+    docs2 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a\nAD\nb\nAD\nc", "x\nAD\ny"],
+    }))
+    got2 = {r["doc_id"]: r["clean_text"]
+            for r in remove_boilerplate_lines(docs2, min_docs=2).collect()}
+    assert got2[1] == "a\nb\nc" and got2[2] == "x\ny"

@@ -74,6 +74,67 @@ def corpus_filter(
     return kept
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Line-level boilerplate removal (RefinedWeb-style): delete every line
+    that appears verbatim in at least ``min_docs`` DISTINCT documents
+    (nav bars, cookie banners, footers), preserving the order of surviving
+    lines. Returns (id, clean_text, n_lines, n_removed) for every input
+    document — including documents that were pure boilerplate
+    (clean_text = '').
+
+    Plan shape: posexplode of the split EXPRESSION (never an array column —
+    see exploded_hashed_shingles for why), one groupBy on the line string
+    for document frequency, one anti-join to drop boilerplate lines, one
+    groupBy to reassemble (sorted collect_list by line index — order exact),
+    and a final broadcast-friendly left join to resurrect fully-removed
+    docs. Two shuffles ride line STRINGS; for 100 TB runs the frequency pass
+    can work on xxhash64(line) with the strings verified at the anti-join —
+    same output up to 64-bit collisions.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_i", "_ln"),
+    )
+    freq = (
+        lines.select("_ln", id_col)
+        .distinct()
+        .groupBy("_ln")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= F.lit(min_docs))
+        .select("_ln")
+    )
+    kept = lines.join(freq, "_ln", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("_i"), F.col("_ln")))),
+                lambda s: s["_ln"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), "\n")).alias("n_lines")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     eval_docs: DataFrame,
