@@ -508,6 +508,35 @@ def _q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable PII scrub: deterministic synthetic PII (an email, an
+    IP, a 16-digit card per doc) appended identically in both engines, then
+    redacted; the oracle re-applies the same RE2-compatible regex chain in
+    DuckDB and must reproduce clean_text byte-for-byte plus the per-pattern
+    audit counts (counted against the progressively-redacted text, so an
+    email's digits are never miscounted as a card number)."""
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.1.2."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" card 4111111111"),
+            F.lpad((F.col("doc_id") % 1000000).cast("string"), 6, "0"),
+        ).alias("text"),
+    )
+    c = TX.pii_counts("text")
+    return wrapped.select(
+        "doc_id",
+        TX.redact_pii("text").alias("clean_text"),
+        c.getField("n_email").cast("long").alias("n_email"),
+        c.getField("n_ip").cast("long").alias("n_ip"),
+        c.getField("n_number").cast("long").alias("n_number"),
+    )
+
+
 def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level boilerplate removal (RefinedWeb-style). The fixture docs
     are single-line, so the query deterministically wraps them in shared
@@ -707,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "mixture_sample": _q_mixture_sample,
         "boilerplate_lines": _q_boilerplate_lines,
+        "pii_redaction": _q_pii_redaction,
         "asof_join": _q_asof_join,
         "datetime_parts": _q_datetime_parts,
         "tswide_hourly": _q_tswide_hourly,
@@ -1042,6 +1072,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000 AS duration_ms
             FROM g GROUP BY 1, 2
+        """,
+        "pii_redaction": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       text || ' reach user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com from 10.1.2.'
+                            || CAST(doc_id % 256 AS VARCHAR)
+                            || ' card 4111111111'
+                            || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0') AS t
+                FROM documents),
+            r1 AS (SELECT doc_id, t,
+                          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                                         '<EMAIL>', 'g') AS t1
+                   FROM d),
+            r2 AS (SELECT doc_id, t, t1,
+                          regexp_replace(t1, '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t2
+                   FROM r1)
+            SELECT doc_id,
+                   regexp_replace(t2, '\b\d{13,19}\b', '<NUMBER>', 'g') AS clean_text,
+                   CAST(len(regexp_extract_all(t,  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(t1, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+                   CAST(len(regexp_extract_all(t2, '\b\d{13,19}\b')) AS BIGINT) AS n_number
+            FROM r2
         """,
         "boilerplate_lines": """
             WITH d AS (

@@ -57,6 +57,7 @@ HEADLINE = [
     "decontaminate",
     "mixture_sample",
     "boilerplate_lines",
+    "pii_redaction",
     "simhash_near_dup",
     "media_features",
     "geo_bbox",

@@ -172,3 +172,27 @@ def test_winnowing_deterministic(spark):
     a = {r["doc_id"]: list(r["fps"]) for r in with_winnowing_fingerprints(docs).collect()}
     b = {r["doc_id"]: list(r["fps"]) for r in with_winnowing_fingerprints(docs.repartition(7)).collect()}
     assert a == b
+
+
+def test_redact_pii(spark):
+    import pandas as pd
+
+    from tstore_spark.functions.text import pii_counts, redact_pii
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "contact alice.smith+spam@sub.example.co.uk or 10.0.255.3 today",
+            "card 4111111111111111 expires soon; short 12345 stays",
+            "clean text with no secrets at all",
+        ],
+    })
+    df = spark.createDataFrame(pdf)
+    got = {r["doc_id"]: r["t"] for r in df.select("doc_id", redact_pii("text").alias("t")).collect()}
+    assert got[1] == "contact <EMAIL> or <IP> today"
+    assert got[2] == "card <NUMBER> expires soon; short 12345 stays"
+    assert got[3] == "clean text with no secrets at all"
+    c = {r["doc_id"]: r["c"] for r in df.select("doc_id", pii_counts("text").alias("c")).collect()}
+    assert (c[1]["n_email"], c[1]["n_ip"], c[1]["n_number"]) == (1, 1, 0)
+    assert (c[2]["n_email"], c[2]["n_ip"], c[2]["n_number"]) == (0, 0, 1)
+    assert (c[3]["n_email"], c[3]["n_ip"], c[3]["n_number"]) == (0, 0, 0)

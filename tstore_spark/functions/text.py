@@ -248,3 +248,45 @@ def with_winnowing_fingerprints(df, id_col: str = "doc_id", text_col: str = "tex
         lambda j: F.array_min(F.slice(gh, j, w)),
     )
     return staged.select(F.col(id_col), F.array_distinct(wins).alias(out_col))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — deterministic regex scrubbing of the patterns a pretraining
+# pipeline must not emit (emails, IPv4 addresses, long digit runs such as
+# card/account numbers). Patterns are deliberately restricted to syntax both
+# Java regex (Spark) and RE2 (DuckDB, Go tooling) interpret identically —
+# no lookaround, no backreferences — so the scrub is engine-portable and
+# auditable in SQL. All pure codegen regexp_replace: zero shuffle.
+# ---------------------------------------------------------------------------
+
+#: applied IN ORDER (emails first: their local parts may contain digit runs)
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{13,19}\b", "<NUMBER>"),
+]
+
+
+def redact_pii(text_col: str | Column) -> Column:
+    """Text with emails, IPv4 addresses, and 13-19-digit runs replaced by
+    typed placeholders. Apply at ingest (``stats_columns``-style) or as a
+    final corpus pass; composition with the quality gates is free since all
+    are scan-time expressions."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pat, rep in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def pii_counts(text_col: str | Column) -> Column:
+    """struct(n_email, n_ip, n_number): how many of each PII pattern a
+    document contains (audit metric for the scrub pass)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    counts = []
+    names = ["n_email", "n_ip", "n_number"]
+    for (pat, rep), name in zip(PII_PATTERNS, names):
+        counts.append(F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(name))
+        # later patterns must not see earlier matches (an email's digits are
+        # not a card number) — count against the progressively-redacted text
+        c = F.regexp_replace(c, pat, rep)
+    return F.struct(*counts)
