@@ -109,6 +109,10 @@ def asof_join_bucketed(
     """
     right_time = right_time or left_time
     value_cols = value_cols or [c for c in right.columns if c not in (key, right_time)]
+    if not value_cols:
+        # nothing to carry: plain asof_join degenerates to the left rows
+        # unchanged, so the bucketed twin must too
+        return left.select(*[F.col(c) for c in left.columns])
 
     lb = left.withColumn("_bkt", F.floor(_epoch_seconds(left_time, left) / bucket_seconds))
     rb = right.withColumn("_bkt", F.floor(_epoch_seconds(right_time, right) / bucket_seconds))

@@ -375,8 +375,14 @@ def minhash_near_dup_pairs(
         .distinct()
     )
 
-    sh = sigs.select(F.col(id_col), F.col("shingles"))
-    verified = (
+    return _verify_pairs(cand, sigs.select(F.col(id_col), F.col("shingles")), id_col, threshold)
+
+
+def _verify_pairs(cand: DataFrame, sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs against a
+    one-row-per-id shingle lookup — the shared verify contract of the
+    one-shot and incremental operators (round to 4dp, filter >= threshold)."""
+    return (
         cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
         .select(
@@ -386,7 +392,6 @@ def minhash_near_dup_pairs(
         )
         .where(F.col("jaccard") >= F.lit(threshold))
     )
-    return verified
 
 
 def minhash_index(
@@ -483,19 +488,16 @@ def incremental_minhash_near_dup(
         .distinct()
     )
 
-    sh = corpus_index.select(F.col(id_col), F.col("shingles")).unionByName(
-        new_idx.select(F.col(id_col), F.col("shingles"))
-    )
-    return (
-        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+    # shingle lookup must be ONE row per id even when a re-crawled page keeps
+    # its stable doc_id in both inputs — two rows would fan the verify joins
+    # out into duplicate pairs. Precedence: the NEW batch's text wins (it is
+    # the current version of the page).
+    sh = new_idx.select(F.col(id_col), F.col("shingles")).unionByName(
+        corpus_index.select(F.col(id_col), F.col("shingles")).join(
+            new_idx.select(id_col), id_col, "left_anti"
         )
-        .where(F.col("jaccard") >= F.lit(threshold))
     )
+    return _verify_pairs(cand, sh, id_col, threshold)
 
 
 # ---------------------------------------------------------------------------

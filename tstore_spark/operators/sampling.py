@@ -149,7 +149,9 @@ def token_pack_offsets(
     bases, acc = [], 0
     for r in sums:
         bases.append((r["_bkt"], acc))
-        acc += r["_s"]
+        # a bucket whose token counts are all NULL sums to NULL — NULL rows
+        # contribute no tokens (matching SQL's null-skipping sum)
+        acc += r["_s"] or 0
     base_df = df.sparkSession.createDataFrame(bases, "_bkt long, _base long")
 
     from pyspark.sql import Window

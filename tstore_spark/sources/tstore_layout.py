@@ -308,6 +308,21 @@ def to_tstore(
     """
     if tstore_structure not in ("id-var", "var-id"):
         raise ValueError("valid tstore_structure are 'id-var' and 'var-id'")
+    bad_ids = [
+        r[0]
+        for r in tslong.df.select(tslong.descriptor.id_var)
+        .where(F.col(tslong.descriptor.id_var).contains("/") | F.col(tslong.descriptor.id_var).contains("\\"))
+        .distinct()
+        .limit(5)
+        .collect()
+    ]
+    if bad_ids:
+        # a directory-per-id layout cannot represent path separators: the
+        # unescaped rename would nest directories and the reader's
+        # last-segment extraction would silently mis-key the rows
+        raise ValueError(
+            f"tstore ids must not contain path separators; got {bad_ids}"
+        )
     if os.path.exists(base_dir):
         if not overwrite:
             raise ValueError(f"TStore already exists at {base_dir}")
