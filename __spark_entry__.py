@@ -257,6 +257,21 @@ def _q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.token_jaccard_pairs(docs, block_col="source", threshold=0.98)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-Jaccard pair list: transitive
+    near-dup families with a min-id cluster label and the family size.
+    Oracle: same pairs in DuckDB + a recursive-CTE min-label closure."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.token_jaccard_pairs(docs, block_col="source", threshold=0.98)
+    clusters = DD.dedup_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return clusters.join(sizes, "cluster_id").select(
+        F.col("node").alias("doc_id"),
+        F.col("cluster_id"),
+        F.col("cluster_size"),
+    )
+
+
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates + exact-Jaccard verify. bands=16 of 2 rows: a J>=0.9
     near-dup pair misses all 16 bands with probability (1-0.81)^16 ~ 3e-12,
@@ -714,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,
         "token_jaccard_pairs": _q_token_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         "minhash_near_dup": _q_minhash,
         "incremental_dedup": _q_incremental_dedup,
         "simhash_near_dup": _q_simhash,
@@ -943,6 +959,30 @@ def oracle_sql() -> dict[str, str]:
                              / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
                 FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
             WHERE jaccard >= 0.98
+        """,
+        # recursive-CTE min-label closure: floods every node's id along the
+        # symmetric edge list; min per node == min id of its component —
+        # exactly the Spark operator's fixpoint
+        "dedup_clusters": f"""
+            WITH RECURSIVE
+            d AS (SELECT doc_id, source, list_distinct({_TOKS}) AS toks FROM documents),
+            pairs AS (
+                SELECT id_a, id_b FROM (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                                 / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+                    FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+                WHERE jaccard >= 0.98),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+            walk(node, lab) AS (
+                SELECT DISTINCT src, src FROM edges
+                UNION
+                SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node),
+            comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY node)
+            SELECT c.doc_id, c.cluster_id,
+                   CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS cluster_size
+            FROM comp c
         """,
         "minhash_near_dup": _SHINGLE_PAIRS_ORACLE.format(thr=0.5),
         # incremental = one-shot exact pair set minus corpus-internal

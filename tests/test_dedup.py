@@ -196,3 +196,51 @@ def test_simhash_homogeneous_corpus_guard(spark):
     # disabled guard still works
     out = DD.simhash_near_dup_pairs(sdf, max_hamming=0, max_candidates=None)
     assert out.count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# connected components / survivor selection
+# ---------------------------------------------------------------------------
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(pd.DataFrame(pairs, columns=["id_a", "id_b"]))
+
+
+def test_dedup_clusters_chain_and_star(spark):
+    # chain 1-2-3-4-5 (diameter 4, forces multiple propagation rounds),
+    # star 10-{11,12,13}, isolated pair (20,21)
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13), (20, 21)]
+    got = {r["node"]: r["cluster_id"] for r in DD.dedup_clusters(_pairs_df(spark, pairs)).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_bridged_components(spark):
+    # two stars bridged by one pair -> single component labeled by global min
+    pairs = [(7, 8), (7, 9), (3, 4), (3, 5), (9, 5)]
+    got = {r["node"]: r["cluster_id"] for r in DD.dedup_clusters(_pairs_df(spark, pairs)).collect()}
+    assert set(got.values()) == {3}
+    assert set(got) == {3, 4, 5, 7, 8, 9}
+
+
+def test_dedup_clusters_convergence_guard(spark):
+    pairs = [(i, i + 1) for i in range(6)]  # path of diameter 6
+    with pytest.raises(ValueError, match="did not converge"):
+        DD.dedup_clusters(_pairs_df(spark, pairs), max_iterations=2)
+
+
+def test_near_dup_dedup_transitive_survivors(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 9], "text": ["a", "b", "c", "solo"]})
+    )
+    # a~b, b~c: one family -> only doc 1 survives; 9 untouched
+    kept = DD.near_dup_dedup(docs, _pairs_df(spark, [(1, 2), (2, 3)]))
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 9]
+
+
+def test_dedup_clusters_deterministic_across_parallelism(spark):
+    pairs = [(i, i + 100) for i in range(50)] + [(i, i + 200) for i in range(0, 50, 2)]
+    a = DD.dedup_clusters(_pairs_df(spark, pairs), num_partitions=2).collect()
+    b = DD.dedup_clusters(_pairs_df(spark, pairs), num_partitions=16).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -687,3 +687,106 @@ def simhash_near_dup_pairs(
         )
         .where(F.col("jaccard") >= F.lit(verify_jaccard))
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components over the pair list
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 25,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Connected components over an undirected near-dup pair list
+    ``(id_a, id_b)`` -> one row per node ``(node, cluster_id)`` where
+    ``cluster_id`` is the MINIMUM node id of the node's component.
+
+    This is the step every production dedup pipeline needs after any of the
+    pair operators (minhash/simhash/jaccard/embedding): near-duplication is
+    transitive in intent (a~b, b~c => one document family), so survivors must
+    be picked per *component*, not per pair — pairwise min-id survivor
+    selection would keep b when (a,b) and (b,c) overlap only at b.
+
+    Algorithm: min-label propagation to a fixpoint. Each iteration sends
+    every node's current label to its neighbors and takes the min of
+    (own label, incoming labels). Labels are monotonically non-increasing,
+    so the fixpoint is exact; iterations needed = graph diameter. Near-dup
+    components are star/clique-like (diameter 2-4 in practice), so this
+    converges in a handful of rounds; ``max_iterations`` guards pathological
+    chain graphs (for those, switch to the O(log n)-round large-star /
+    small-star contraction of Kiveris et al., "Connected Components in
+    MapReduce and Beyond").
+
+    Scale notes (100 TB): the iteration state is (node, label) — two longs
+    per *paired* document, tiny next to the corpus; each round is one
+    shuffle-join (edges x labels, both pre-partitioned on the join key) plus
+    one min-groupBy. ``localCheckpoint`` truncates lineage per round so the
+    plan does not grow with iterations. Min-label is order-independent, so
+    results are bit-identical at any parallelism.
+    """
+    spark = pairs.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    # symmetric edge list, pre-partitioned on src so every iteration's join
+    # reuses one partitioning instead of re-shuffling the edges each round
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .repartition(n_part, "src")
+        .localCheckpoint(eager=True)
+    )
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("cluster_id"))
+        .repartition(n_part, "node")
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        msgs = edges.join(
+            labels.select(F.col("node").alias("src"), "cluster_id"), "src"
+        ).select(F.col("dst").alias("node"), "cluster_id")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .repartition(n_part, "node")
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise ValueError(
+        f"dedup_clusters did not converge in {max_iterations} iterations: "
+        "the pair graph has a longer path than any near-dup corpus should "
+        "produce — raise max_iterations or use star-contraction"
+    )
+
+
+def near_dup_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Keep one survivor per near-dup component (the minimum id), plus every
+    document that appears in no pair. The cluster step makes survivor
+    selection transitive: for pairs (a,b),(b,c) only ``a`` survives, where
+    naive pairwise loser-dropping would also keep ``c`` or drop both b and c
+    depending on pair order."""
+    losers = (
+        dedup_clusters(pairs, max_iterations=max_iterations)
+        .where(F.col("cluster_id") != F.col("node"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")
