@@ -252,6 +252,45 @@ def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _html_extract_oracle() -> str:
+    """DuckDB twin of _q_html_extract, generated from the same pattern
+    tables as the Spark function so the two chains cannot drift."""
+    expr = (
+        "'<html><head><title>' || source || "
+        "'</title><style>.x{c:1}</style><script>if(1<2){alert(''<b>'')}</script></head><body><p>' || "
+        "replace(text, 'agg', '&amp;agg') || "
+        "'</p><!-- ' || lang || ' --></body></html>'"
+    )
+    for pat, rep in TX.HTML_STRIP_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    for ent, ch in TX.HTML_ENTITIES:
+        expr = f"replace({expr}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+    return f"""
+        SELECT doc_id, clean_text, CAST(length(clean_text) AS BIGINT) AS clean_len
+        FROM (SELECT doc_id, {expr} AS clean_text FROM documents)
+    """
+
+
+def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction over a deterministically constructed page:
+    title + body paragraph + entity-escaped text, with style/script/comment
+    chrome planted. Oracle constructs the identical html string in SQL and
+    runs the identical engine-portable strip/decode chain (byte-exact)."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("source"),
+        F.lit("</title><style>.x{c:1}</style><script>if(1<2){alert('<b>')}</script></head><body><p>"),
+        F.replace(F.col("text"), F.lit("agg"), F.lit("&amp;agg")),
+        F.lit("</p><!-- "), F.col("lang"), F.lit(" --></body></html>"),
+    )
+    clean = TX.html_to_text(html, input_is_binary=False)
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).cast("long").alias("clean_len"),
+    )
+
+
 def _q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return DD.token_jaccard_pairs(docs, block_col="source", threshold=0.98)
@@ -729,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,
         "token_jaccard_pairs": _q_token_jaccard,
+        "html_extract": _q_html_extract,
         "dedup_clusters": _q_dedup_clusters,
         "minhash_near_dup": _q_minhash,
         "incremental_dedup": _q_incremental_dedup,
@@ -960,6 +1000,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
             WHERE jaccard >= 0.98
         """,
+        # html construction + strip/decode chain generated from the SAME
+        # pattern tables the Spark function uses (TX.HTML_STRIP_PATTERNS /
+        # HTML_ENTITIES) — the chains cannot drift apart
+        "html_extract": _html_extract_oracle(),
         # recursive-CTE min-label closure: floods every node's id along the
         # symmetric edge list; min per node == min id of its component —
         # exactly the Spark operator's fixpoint

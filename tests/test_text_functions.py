@@ -196,3 +196,72 @@ def test_redact_pii(spark):
     assert (c[1]["n_email"], c[1]["n_ip"], c[1]["n_number"]) == (1, 1, 0)
     assert (c[2]["n_email"], c[2]["n_ip"], c[2]["n_number"]) == (0, 0, 1)
     assert (c[3]["n_email"], c[3]["n_ip"], c[3]["n_number"]) == (0, 0, 0)
+
+
+def test_html_to_text_byte_identity_on_pages(spark):
+    """The input_hint invariant: extracting the datagen html column
+    reproduces the text column byte-for-byte on every row."""
+    from tstore_spark.datagen import pages_spark
+
+    pages = pages_spark(spark, rows=500, seed=7)
+    n_bad = (
+        pages.select(TX.html_to_text("html").alias("ex"), "text")
+        .where("ex IS DISTINCT FROM text")
+        .count()
+    )
+    assert n_bad == 0
+
+
+def test_html_to_text_strip_and_entities(spark):
+    cases = [
+        # script/style/comment bodies must vanish entirely
+        ("<html><script>var x = '<b>not text</b>';</script><body>hi</body></html>", "hi"),
+        ("<style>p{color:red}</style>one<!-- secret --> two", "one two"),
+        # SCRIPT case-insensitive, multiline body
+        ("<SCRIPT type='t'>\nline1\nline2\n</SCRIPT>ok", "ok"),
+        # entity decoding, &amp; last: "&amp;lt;" is the literal text "&lt;"
+        ("a &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp; &amp; done", 'a <tag> "q" \'s\'   & done'),
+        ("escaped: &amp;lt;", "escaped: &lt;"),
+        # unclosed tag fragments stay (no tag match) — honest behavior
+        ("broken < not a tag", "broken < not a tag"),
+    ]
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame(cases, columns=["html", "want"]))
+    got = df.select(TX.html_to_text("html", input_is_binary=False).alias("ex"), "want").collect()
+    for r in got:
+        assert r["ex"] == r["want"], (r["ex"], r["want"])
+
+
+def test_html_to_text_matches_duckdb_chain(spark):
+    """Engine-portability: the identical pattern chain in DuckDB (RE2)
+    produces identical bytes on hostile inputs — the property the driver
+    oracle depends on."""
+    import duckdb
+    import pandas as pd
+
+    texts = [
+        "<html><head><title>t</title><style a=b>x{}</style></head>"
+        "<body><p class='c'>alpha &amp; beta</p><script>if (a<b) {}</script></body></html>",
+        "plain text no markup",
+        "<div><div><div>nested</div></div></div>",
+        "entities &lt;&gt;&quot;&#39;&nbsp;&amp; twice &amp;&amp;",
+        "<a href='x?y=1&z=2'>link</a> tail",
+        "",
+    ]
+    pdf = pd.DataFrame({"html": texts})
+    got = (
+        spark.createDataFrame(pdf)
+        .select(TX.html_to_text("html", input_is_binary=False).alias("ex"))
+        .toPandas()["ex"]
+        .tolist()
+    )
+    con = duckdb.connect()
+    expr = "html"
+    for pat, rep in TX.HTML_STRIP_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    for ent, ch in TX.HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{ch_sql}')"
+    want = [r[0] for r in con.execute(f"SELECT {expr} FROM pdf").fetchall()]
+    assert got == want

@@ -290,3 +290,63 @@ def pii_counts(text_col: str | Column) -> Column:
         # not a card number) — count against the progressively-redacted text
         c = F.regexp_replace(c, pat, rep)
     return F.struct(*counts)
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (the Common-Crawl ingest step)
+# ---------------------------------------------------------------------------
+
+#: strip chain for ``html_to_text``, applied in order. Patterns are
+#: restricted to the Java-regex/RE2 common subset (inline (?si) flags, lazy
+#: quantifiers, no backrefs, no lookaround) so a SQL oracle on another
+#: engine can run the identical chain — same discipline as PII_PATTERNS.
+HTML_STRIP_PATTERNS = [
+    (r"(?si)<script[^>]*>.*?</script>", ""),  # executable payloads first:
+    (r"(?si)<style[^>]*>.*?</style>", ""),    # their BODIES must not leak
+    (r"(?s)<!--.*?-->", ""),                  # into the text
+    (r"<[^>]*>", ""),                         # then any remaining tag
+]
+
+#: entity decode chain. ``&amp;`` is deliberately LAST: a literal
+#: "&amp;lt;" in the source must decode to the text "&lt;", not "<" —
+#: decoding the specific entities first cannot match the "&amp;"-escaped
+#: forms (their "&" is spelled "&amp;"), and the final pass unescapes it.
+HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def html_to_text(
+    html_col: str | Column,
+    input_is_binary: bool = True,
+    collapse_ws: bool = False,
+) -> Column:
+    """Deterministic HTML -> text extraction: drop script/style/comment
+    bodies, strip remaining tags, decode the common entities.
+
+    This is the ingest step of a Common-Crawl-style pipeline (the engine's
+    page table carries ``html binary`` next to the extracted ``text`` — the
+    per-row invariant is that extraction is reproducible byte-for-byte, cf.
+    BASELINE input_hint). Pure Catalyst expression chain: whole-stage
+    codegen, zero shuffle, runs at scan time so the raw html column can be
+    pruned immediately after.
+
+    ``collapse_ws=True`` additionally squeezes whitespace runs to single
+    spaces and trims — use for display/tokenization, NOT when byte-identity
+    against an existing text column must hold.
+    """
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    if input_is_binary:
+        c = F.decode(c, "UTF-8")
+    for pat, rep in HTML_STRIP_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    if collapse_ws:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
