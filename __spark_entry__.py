@@ -252,6 +252,62 @@ def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape-preserving downsample of each event_type's value series to 48
+    points via parallel fixed-anchor LTTB. Oracle replays the identical
+    integer-rank bucketing / mid-rank anchors / triangle-area argmax with
+    window functions."""
+    from tstore_spark.operators.downsample import lttb_downsample
+
+    ev = _t(spark, sf_dir, "events")
+    return lttb_downsample(ev, "event_type", "ts", "value", 48, tiebreak_col="event_id")
+
+
+_LTTB_ORACLE = """
+    WITH pts AS (
+      SELECT event_type AS k, ts, value,
+             CAST(epoch_us(ts) AS DOUBLE) AS t,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS r,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    interior AS (
+      SELECT *, ((r - 2) * 46) // (n - 2) AS b FROM pts WHERE r > 1 AND r < n AND n > 48),
+    endpoints AS (SELECT * FROM pts WHERE (r = 1 OR r = n) AND n > 48),
+    small AS (SELECT k, ts, value FROM pts WHERE n <= 48),
+    anch AS (
+      SELECT k, b, t AS a_t, value AS a_v FROM (
+        SELECT k, b, t, value,
+               row_number() OVER (PARTITION BY k, b ORDER BY r) AS rn,
+               count(*) OVER (PARTITION BY k, b) AS cnt
+        FROM interior)
+      WHERE rn = (cnt + 1) // 2),
+    allanch AS (
+      SELECT * FROM anch
+      UNION ALL SELECT k, -1 AS b, t, value FROM endpoints WHERE r = 1
+      UNION ALL SELECT k, 46 AS b, t, value FROM endpoints WHERE r = n),
+    neigh AS (
+      SELECT k, b,
+             lag(a_t)  OVER (PARTITION BY k ORDER BY b) AS pt,
+             lag(a_v)  OVER (PARTITION BY k ORDER BY b) AS pv,
+             lead(a_t) OVER (PARTITION BY k ORDER BY b) AS nt,
+             lead(a_v) OVER (PARTITION BY k ORDER BY b) AS nv
+      FROM allanch),
+    scored AS (
+      SELECT i.k, i.ts, i.value, i.b, i.r,
+             abs((nb.pt - nb.nt) * (i.value - nb.pv) - (nb.pt - i.t) * (nb.nv - nb.pv)) AS area
+      FROM interior i JOIN neigh nb ON i.k = nb.k AND i.b = nb.b),
+    picked AS (
+      SELECT k, ts, value FROM (
+        SELECT k, ts, value,
+               row_number() OVER (PARTITION BY k, b ORDER BY area DESC, r) AS sel
+        FROM scored)
+      WHERE sel = 1)
+    SELECT k AS event_type, ts, value FROM small
+    UNION ALL SELECT k AS event_type, ts, value FROM endpoints
+    UNION ALL SELECT * FROM picked
+"""
+
+
 def _html_extract_oracle() -> str:
     """DuckDB twin of _q_html_extract, generated from the same pattern
     tables as the Spark function so the two chains cannot drift."""
@@ -769,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "token_jaccard_pairs": _q_token_jaccard,
         "html_extract": _q_html_extract,
+        "lttb_downsample": _q_lttb,
         "dedup_clusters": _q_dedup_clusters,
         "minhash_near_dup": _q_minhash,
         "incremental_dedup": _q_incremental_dedup,
@@ -1004,6 +1061,7 @@ def oracle_sql() -> dict[str, str]:
         # pattern tables the Spark function uses (TX.HTML_STRIP_PATTERNS /
         # HTML_ENTITIES) — the chains cannot drift apart
         "html_extract": _html_extract_oracle(),
+        "lttb_downsample": _LTTB_ORACLE,
         # recursive-CTE min-label closure: floods every node's id along the
         # symmetric edge list; min per node == min id of its component —
         # exactly the Spark operator's fixpoint
