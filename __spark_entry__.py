@@ -252,6 +252,14 @@ def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide 25 most frequent word trigrams (expression-explode +
+    two-stage count + TakeOrdered). Oracle: list_transform/unnest twin."""
+    from tstore_spark.operators.corpus import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), n=3, k=25)
+
+
 def _q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shape-preserving downsample of each event_type's value series to 48
     points via parallel fixed-anchor LTTB. Oracle replays the identical
@@ -826,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_pairs": _q_token_jaccard,
         "html_extract": _q_html_extract,
         "lttb_downsample": _q_lttb,
+        "top_ngrams": _q_top_ngrams,
         "dedup_clusters": _q_dedup_clusters,
         "minhash_near_dup": _q_minhash,
         "incremental_dedup": _q_incremental_dedup,
@@ -1062,6 +1071,15 @@ def oracle_sql() -> dict[str, str]:
         # HTML_ENTITIES) — the chains cannot drift apart
         "html_extract": _html_extract_oracle(),
         "lttb_downsample": _LTTB_ORACLE,
+        "top_ngrams": f"""
+            WITH g AS (
+                SELECT unnest(list_transform(range(1, len(toks) - 1),
+                              i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS gram
+                FROM (SELECT {_TOKS} AS toks FROM documents)
+                WHERE len(toks) >= 3)
+            SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+            FROM g GROUP BY gram ORDER BY cnt DESC, gram LIMIT 25
+        """,
         # recursive-CTE min-label closure: floods every node's id along the
         # symmetric edge list; min per node == min id of its component —
         # exactly the Spark operator's fixpoint

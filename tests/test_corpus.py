@@ -122,3 +122,40 @@ def test_remove_boilerplate_lines(spark):
     got2 = {r["doc_id"]: r["clean_text"]
             for r in remove_boilerplate_lines(docs2, min_docs=2).collect()}
     assert got2[1] == "a\nb\nc" and got2[2] == "x\ny"
+
+
+def test_word_ngrams_and_top_ngrams(spark):
+    import pandas as pd
+    from tstore_spark.functions.text import word_ngrams
+    from tstore_spark.operators.corpus import top_ngrams
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "a b c d",          # grams: "a b c", "b c d"
+            "a b c",            # "a b c"
+            "x y",              # too short -> none
+            "",                 # empty -> none
+        ],
+    })
+    df = spark.createDataFrame(pdf)
+    grams = df.select("doc_id", word_ngrams("text", 3).alias("g")).collect()
+    got = {r["doc_id"]: r["g"] for r in grams}
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == ["a b c"]
+    assert got[3] == [] and got[4] == []
+
+    top = top_ngrams(df, n=3, k=2).collect()
+    assert [(r["gram"], r["cnt"]) for r in top] == [("a b c", 2), ("b c d", 1)]
+
+
+def test_top_ngrams_tiebreak_deterministic(spark):
+    import pandas as pd
+    from tstore_spark.operators.corpus import top_ngrams
+
+    # four distinct trigrams, all count 1 -> limit must cut by gram order
+    df = spark.createDataFrame(pd.DataFrame({"text": ["p q r", "k l m", "d e f", "w x y"]}))
+    a = [r["gram"] for r in top_ngrams(df.repartition(2), n=3, k=2).collect()]
+    b = [r["gram"] for r in top_ngrams(df.repartition(7), n=3, k=2).collect()]
+    assert a == b == ["d e f", "k l m"]

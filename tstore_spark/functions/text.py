@@ -350,3 +350,18 @@ def html_to_text(
     if collapse_ws:
         c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return c
+
+
+def word_ngrams(text_col: str | Column, n: int, toks: Column | None = None) -> Column:
+    """NON-distinct word n-grams joined with single spaces; empty array for
+    texts shorter than n tokens. ``sequence`` is guarded with a when():
+    Spark's sequence(1, 0) yields a DESCENDING [1, 0], not an empty list.
+    Hoist ``toks`` when composing multiple token signals (see word_bigrams)."""
+    t = toks if toks is not None else tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )

@@ -32,6 +32,8 @@ from tstore_spark.functions.text import (
     fingerprint,
     lang_id,
     quality_score,
+    tokens,
+    word_ngrams,
     ws_token_count,
 )
 
@@ -180,4 +182,39 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .where(F.col("n_hits") >= F.lit(min_hits))
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """The k most frequent word n-grams corpus-wide -> (gram, cnt), ordered
+    by (cnt desc, gram) with the tie broken inside the plan so the result
+    is a deterministic total order.
+
+    Corpus-analysis staple (boilerplate discovery, contamination probes,
+    tokenizer-vocab sanity checks). Plan shape for 100 TB: the n-gram
+    explode is an EXPRESSION over the scan (never an array column — see
+    dedup.exploded_hashed_shingles for the 30x cliff that avoids), the
+    count is a two-stage hash aggregate (map-side partial combine runs
+    before the only shuffle), and orderBy+limit compiles to TakeOrdered —
+    a per-partition top-k merged on the driver, never a full sort. Gram
+    strings ride the shuffle only AFTER partial aggregation collapsed each
+    partition to its distinct grams.
+    """
+    # hoist the token array into a named column FIRST: the transform lambda
+    # in word_ngrams references the array once per gram slot, and an
+    # un-hoisted split() is re-evaluated on every reference (the measured
+    # 22-90x pattern — see word_bigrams / _staged_token_hashes)
+    staged = df.select(tokens(text_col).alias("_toks"))
+    grams = word_ngrams(text_col, n, toks=F.col("_toks"))
+    return (
+        staged.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram"))
+        .limit(k)
     )
