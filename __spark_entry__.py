@@ -252,6 +252,66 @@ def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted hourly average of event values per type: exact
+    integer (cents x micros) integral, one double division at the end."""
+    from tstore_spark.operators.timeweighted import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "event_type", "ts", "value", "1h", tiebreak_col="event_id")
+
+
+def _q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window counter increase/rate treating event values as a counter
+    with resets (drop => post-reset reading is the increase)."""
+    from tstore_spark.operators.timeweighted import counter_rate
+
+    ev = _t(spark, sf_dir, "events")
+    return counter_rate(ev, "event_type", "ts", "value", "1h", tiebreak_col="event_id")
+
+
+_TWA_ORACLE = """
+    WITH pts AS (
+      SELECT event_type AS k, epoch_us(ts) AS t,
+             CAST(round(value * 100) AS BIGINT) AS v, event_id AS tb
+      FROM events),
+    seg0 AS (
+      SELECT k, t, v,
+             coalesce(lead(t) OVER (PARTITION BY k ORDER BY t, tb),
+                      t - t % 3600000000 + 3600000000) AS e
+      FROM pts),
+    seg AS (
+      SELECT k, t, v, e,
+             unnest(range(t - t % 3600000000, e, 3600000000)) AS w0
+      FROM seg0 WHERE e > t)
+    SELECT k AS event_type,
+           make_timestamp(w0) AS window_start,
+           CAST(sum(v * (least(e, w0 + 3600000000) - greatest(t, w0))) AS BIGINT)
+             / CAST(sum(least(e, w0 + 3600000000) - greatest(t, w0)) AS BIGINT)
+             / 100 AS twa,
+           CAST(sum(least(e, w0 + 3600000000) - greatest(t, w0)) AS BIGINT) AS covered_us
+    FROM seg GROUP BY k, w0
+"""
+
+_COUNTER_RATE_ORACLE = """
+    WITH pts AS (
+      SELECT event_type AS k, epoch_us(ts) AS t,
+             CAST(round(value * 100) AS BIGINT) AS v, event_id AS tb
+      FROM events),
+    d AS (
+      SELECT k, t - t % 3600000000 AS w0,
+             CASE WHEN lag(v) OVER (PARTITION BY k ORDER BY t, tb) IS NULL THEN NULL
+                  WHEN v >= lag(v) OVER (PARTITION BY k ORDER BY t, tb)
+                       THEN v - lag(v) OVER (PARTITION BY k ORDER BY t, tb)
+                  ELSE v END AS dv
+      FROM pts)
+    SELECT k AS event_type, make_timestamp(w0) AS window_start,
+           CAST(sum(dv) AS BIGINT) / 100 AS increase,
+           CAST(sum(dv) AS BIGINT) / 100 / 3600.0 AS rate
+    FROM d WHERE dv IS NOT NULL GROUP BY k, w0
+"""
+
+
 def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide 25 most frequent word trigrams (expression-explode +
     two-stage count + TakeOrdered). Oracle: list_transform/unnest twin."""
@@ -835,6 +895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": _q_html_extract,
         "lttb_downsample": _q_lttb,
         "top_ngrams": _q_top_ngrams,
+        "time_weighted_avg": _q_time_weighted_avg,
+        "counter_rate": _q_counter_rate,
         "dedup_clusters": _q_dedup_clusters,
         "minhash_near_dup": _q_minhash,
         "incremental_dedup": _q_incremental_dedup,
@@ -1071,6 +1133,8 @@ def oracle_sql() -> dict[str, str]:
         # HTML_ENTITIES) — the chains cannot drift apart
         "html_extract": _html_extract_oracle(),
         "lttb_downsample": _LTTB_ORACLE,
+        "time_weighted_avg": _TWA_ORACLE,
+        "counter_rate": _COUNTER_RATE_ORACLE,
         "top_ngrams": f"""
             WITH g AS (
                 SELECT unnest(list_transform(range(1, len(toks) - 1),

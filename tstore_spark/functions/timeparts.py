@@ -53,6 +53,17 @@ def ntz_epoch_micros(col: str | Column) -> Column:
     return whole_min * 60_000_000 + sec_us
 
 
+def ntz_from_epoch_micros(col: str | Column) -> Column:
+    """Inverse of :func:`ntz_epoch_micros`: wall-clock epoch microseconds
+    -> TIMESTAMP_NTZ. Uses ``timestampadd`` on an NTZ base — the ONE
+    NTZ arithmetic path that is wall-clock-safe in Spark 4 (long
+    quantities accepted; verified to land exactly on nonexistent DST wall
+    hours in a DST-observing session, unlike timestamp casts)."""
+    c = F.col(col) if isinstance(col, str) else col
+    base = F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00"))
+    return F.timestamp_add("MICROSECOND", c, base)
+
+
 def check_partitioning(partitioning: str | None) -> list[str]:
     """Validate and split a partitioning string (reference partitions.py:57-100)."""
     if partitioning is None or partitioning == "":
