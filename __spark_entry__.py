@@ -312,6 +312,152 @@ _COUNTER_RATE_ORACLE = """
 """
 
 
+def _q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-row mean/std per event_type: integer (count, Σv, Σv²)
+    window state, one float expression per row in a fixed op order — the
+    oracle mirrors the order, so the doubles are bit-identical."""
+    from tstore_spark.operators.rolling import rolling_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_stats(ev, "event_type", "ts", "value", n_preceding=19, tiebreak_col="event_id")
+
+
+def _q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score outliers (baseline = 20 preceding rows, candidate
+    excluded). The anomaly DECISION is exact integer cross-products — no
+    float enters until the reported zscore — so near-tie rows cannot flip
+    between engines."""
+    from tstore_spark.operators.rolling import zscore_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    return zscore_anomalies(
+        ev, "event_type", "ts", "value", n_preceding=20, threshold=2.5, tiebreak_col="event_id"
+    )
+
+
+def _q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event_type: open/close by total (ts, event_id)
+    order, exact integer high/low, single-shuffle window+agg plan."""
+    from tstore_spark.operators.rolling import ohlc
+
+    ev = _t(spark, sf_dir, "events")
+    return ohlc(ev, "event_type", "ts", "value", "1h", tiebreak_col="event_id")
+
+
+def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA (alpha=0.2, k=20 kernel) per event_type: the weight
+    kernel is integerized driver-side and shared verbatim with the oracle,
+    so the weighted sums are exact longs in both engines."""
+    from tstore_spark.operators.rolling import ewma_truncated
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma_truncated(ev, "event_type", "ts", "value", alpha=0.2, k=20, tiebreak_col="event_id")
+
+
+_ROLLING_STATS_ORACLE = """
+    WITH pts AS (
+      SELECT event_type AS k, ts, value, epoch_us(ts) AS t,
+             CAST(round(value * 100) AS BIGINT) AS v, event_id AS tb
+      FROM events),
+    b AS (
+      SELECT k, ts, value,
+             count(v) OVER w AS n,
+             CAST(sum(v) OVER w AS BIGINT) AS s1,
+             CAST(sum(v * v) OVER w AS BIGINT) AS s2
+      FROM pts
+      WINDOW w AS (PARTITION BY k ORDER BY t, tb
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    SELECT k AS event_type, ts, value, n AS roll_n,
+           s1 / n / 100 AS roll_mean,
+           CASE WHEN n > 1
+                THEN sqrt((n * s2 - s1 * s1) / (n * (n - 1))) / 100 END AS roll_std
+    FROM b
+"""
+
+# integer anomaly decision mirrored from operators/rolling.zscore_anomalies:
+# (n*v - s1)^2 * (n-1) * 1e6  >  thr1000^2 * n * (n*s2 - s1*s1), in HUGEINT
+# (Spark side uses DECIMAL(38,0)) so neither engine can overflow or round
+_ZSCORE_ORACLE = """
+    WITH pts AS (
+      SELECT event_type AS k, ts, value, epoch_us(ts) AS t,
+             CAST(round(value * 100) AS BIGINT) AS v, event_id AS tb
+      FROM events),
+    b AS (
+      SELECT k, ts, value, v,
+             count(v) OVER w AS n,
+             CAST(sum(v) OVER w AS BIGINT) AS s1,
+             CAST(sum(v * v) OVER w AS BIGINT) AS s2
+      FROM pts
+      WINDOW w AS (PARTITION BY k ORDER BY t, tb
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+    f AS (
+      SELECT * FROM b
+      WHERE n >= 5 AND (n * s2 - s1 * s1) > 0
+        AND CAST(n * v - s1 AS HUGEINT) * CAST(n * v - s1 AS HUGEINT)
+              * CAST(n - 1 AS HUGEINT) * CAST(1000000 AS HUGEINT)
+            > CAST(6250000 AS HUGEINT) * CAST(n AS HUGEINT)
+              * CAST(n * s2 - s1 * s1 AS HUGEINT))
+    SELECT k AS event_type, ts, value, n AS base_n,
+           s1 / n / 100 AS base_mean,
+           sqrt((n * s2 - s1 * s1) / (n * (n - 1))) / 100 AS base_std,
+           (value - s1 / n / 100) / (sqrt((n * s2 - s1 * s1) / (n * (n - 1))) / 100) AS zscore
+    FROM f
+"""
+
+_OHLC_ORACLE = """
+    WITH pts AS (
+      SELECT event_type AS k, epoch_us(ts) AS t,
+             CAST(round(value * 100) AS BIGINT) AS v, event_id AS tb
+      FROM events),
+    r AS (
+      SELECT k, t - t % 3600000000 AS w0, v,
+             row_number() OVER (PARTITION BY k, t - t % 3600000000
+                                ORDER BY t, tb) AS ra,
+             row_number() OVER (PARTITION BY k, t - t % 3600000000
+                                ORDER BY t DESC, tb DESC) AS rd
+      FROM pts)
+    SELECT k AS event_type, make_timestamp(w0) AS window_start,
+           CAST(max(CASE WHEN ra = 1 THEN v END) AS BIGINT) / 100 AS open,
+           CAST(max(v) AS BIGINT) / 100 AS high,
+           CAST(min(v) AS BIGINT) / 100 AS low,
+           CAST(max(CASE WHEN rd = 1 THEN v END) AS BIGINT) / 100 AS close,
+           count(*) AS n_points
+    FROM r GROUP BY k, w0
+"""
+
+
+def _ewma_oracle() -> str:
+    """EWMA oracle with the SAME integer weight kernel the Spark plan uses
+    (tstore_spark.operators.rolling.ewma_weights) — injected as literals so
+    neither engine rounds its own pow()."""
+    from tstore_spark.operators.rolling import ewma_weights
+
+    values = ", ".join(f"({j}, {w})" for j, w in enumerate(ewma_weights(0.2, 20)))
+    return f"""
+    WITH pts AS (
+      SELECT event_type AS k, ts, value, epoch_us(ts) AS t,
+             CAST(round(value * 100) AS BIGINT) AS v, event_id AS tb
+      FROM events),
+    base AS (
+      SELECT k, ts, value, v,
+             row_number() OVER (PARTITION BY k ORDER BY t, tb) AS rn
+      FROM pts),
+    wt (j, wgt) AS (VALUES {values}),
+    contrib AS (
+      SELECT b.k, b.rn + w.j AS target, b.v * w.wgt AS wv, w.wgt
+      FROM base b CROSS JOIN wt w),
+    agg AS (
+      SELECT k, target,
+             CAST(sum(wv) AS BIGINT) AS swv,
+             CAST(sum(wgt) AS BIGINT) AS sw,
+             count(*) AS ewma_n
+      FROM contrib GROUP BY k, target)
+    SELECT b.k AS event_type, b.ts, b.value, a.ewma_n,
+           a.swv / a.sw / 100 AS ewma
+    FROM base b JOIN agg a ON b.k = a.k AND b.rn = a.target
+"""
+
+
 def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide 25 most frequent word trigrams (expression-explode +
     two-stage count + TakeOrdered). Oracle: list_transform/unnest twin."""
@@ -897,6 +1043,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": _q_top_ngrams,
         "time_weighted_avg": _q_time_weighted_avg,
         "counter_rate": _q_counter_rate,
+        "rolling_stats": _q_rolling_stats,
+        "rolling_zscore": _q_rolling_zscore,
+        "ohlc_1h": _q_ohlc,
+        "ewma_events": _q_ewma,
         "dedup_clusters": _q_dedup_clusters,
         "minhash_near_dup": _q_minhash,
         "incremental_dedup": _q_incremental_dedup,
@@ -1135,6 +1285,10 @@ def oracle_sql() -> dict[str, str]:
         "lttb_downsample": _LTTB_ORACLE,
         "time_weighted_avg": _TWA_ORACLE,
         "counter_rate": _COUNTER_RATE_ORACLE,
+        "rolling_stats": _ROLLING_STATS_ORACLE,
+        "rolling_zscore": _ZSCORE_ORACLE,
+        "ohlc_1h": _OHLC_ORACLE,
+        "ewma_events": _ewma_oracle(),
         "top_ngrams": f"""
             WITH g AS (
                 SELECT unnest(list_transform(range(1, len(toks) - 1),
