@@ -458,6 +458,73 @@ def _ewma_oracle() -> str:
 """
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join without a nested loop: per-user error
+    windows [ts, ts+45m) gather the user's events via the 1h-bucketed
+    equi-join (operators/rangejoin.py). Oracle = the naive inequality join."""
+    from tstore_spark.operators.rangejoin import interval_point_join
+
+    ev = _t(spark, sf_dir, "events")
+    ivs = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("iid"),
+        F.col("ts").alias("start"),
+        F.expr("timestampadd(MINUTE, 45, ts)").alias("end"),
+    )
+    pts = ev.select("user_id", "ts", F.col("event_id").alias("pid"), _cents("value").alias("v"))
+    joined = interval_point_join(pts, ivs, "ts", "start", "end", "1h", keys=["user_id"])
+    return joined.groupBy("iid").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("v").alias("cents_sum")
+    )
+
+
+def _q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping per-user error windows, each pair emitted exactly once
+    from the bucket of the later start (no distinct pass). Oracle = naive
+    pairwise overlap SQL."""
+    from tstore_spark.operators.rangejoin import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.where(F.col("event_type") == "error")
+    left = base.select(
+        "user_id",
+        F.col("event_id").alias("lid"),
+        F.col("ts").alias("ls"),
+        F.expr("timestampadd(MINUTE, 45, ts)").alias("le"),
+    )
+    right = base.select(
+        "user_id",
+        F.col("event_id").alias("rid"),
+        F.col("ts").alias("rs"),
+        F.expr("timestampadd(MINUTE, 45, ts)").alias("re"),
+    )
+    pairs = interval_overlap_join(left, right, "ls", "le", "rs", "re", "1h", keys=["user_id"])
+    return pairs.where(F.col("lid") < F.col("rid")).select("user_id", "lid", "rid")
+
+
+_INTERVAL_JOIN_ORACLE = """
+    WITH iv AS (
+      SELECT user_id, event_id AS iid, ts AS s, ts + INTERVAL 45 MINUTE AS e
+      FROM events WHERE event_type = 'error'),
+    j AS (
+      SELECT iv.iid, CAST(round(p.value * 100) AS BIGINT) AS v
+      FROM iv JOIN events p
+        ON p.user_id = iv.user_id AND p.ts >= iv.s AND p.ts < iv.e)
+    SELECT iid, count(*) AS n_events, CAST(sum(v) AS BIGINT) AS cents_sum
+    FROM j GROUP BY iid
+"""
+
+_INTERVAL_OVERLAP_ORACLE = """
+    WITH iv AS (
+      SELECT user_id, event_id AS eid, ts AS s, ts + INTERVAL 45 MINUTE AS e
+      FROM events WHERE event_type = 'error')
+    SELECT a.user_id, a.eid AS lid, b.eid AS rid
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id AND a.eid < b.eid
+     AND greatest(a.s, b.s) < least(a.e, b.e)
+"""
+
+
 def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide 25 most frequent word trigrams (expression-explode +
     two-stage count + TakeOrdered). Oracle: list_transform/unnest twin."""
@@ -1047,6 +1114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_zscore": _q_rolling_zscore,
         "ohlc_1h": _q_ohlc,
         "ewma_events": _q_ewma,
+        "interval_join_counts": _q_interval_join,
+        "interval_overlap_pairs": _q_interval_overlap,
         "dedup_clusters": _q_dedup_clusters,
         "minhash_near_dup": _q_minhash,
         "incremental_dedup": _q_incremental_dedup,
@@ -1289,6 +1358,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_zscore": _ZSCORE_ORACLE,
         "ohlc_1h": _OHLC_ORACLE,
         "ewma_events": _ewma_oracle(),
+        "interval_join_counts": _INTERVAL_JOIN_ORACLE,
+        "interval_overlap_pairs": _INTERVAL_OVERLAP_ORACLE,
         "top_ngrams": f"""
             WITH g AS (
                 SELECT unnest(list_transform(range(1, len(toks) - 1),

@@ -78,6 +78,15 @@ def main(sf_dir: str) -> int:
         p = plan_of(qs[name](spark, sf_dir))
         check(f"{name}.no_cartesian", "CartesianProduct" not in p, "no accidental cross join")
 
+    # 6a2. range joins: the whole point is NOT being a nested loop — assert
+    # the bucketed equi-join survived optimization (an inequality-only join
+    # would show BroadcastNestedLoopJoin/CartesianProduct)
+    for name in ["interval_join_counts", "interval_overlap_pairs"]:
+        p = plan_of(qs[name](spark, sf_dir))
+        check(f"{name}.no_cartesian",
+              "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+              "range join is bucketed equi, not nested loop")
+
     # 6b. corpus filter: ONE scan of documents (window dedup, no self-join)
     p = plan_of(qs["corpus_filter"](spark, sf_dir))
     check("corpus_filter.single_scan", p.count("Location: InMemoryFileIndex") == 1,
