@@ -525,6 +525,46 @@ _INTERVAL_OVERLAP_ORACLE = """
 """
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table with the oracle-mirrorable seeded
+    assignment (seeds = vec_id < 8, Catalyst distance expressions): cluster,
+    within-cluster cosine >= 0.45, min-id survivor. The k-means centroid
+    path (same semantics, numpy kernel) is pytest-covered."""
+    from tstore_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
+    )
+    return semantic_dedup(emb, threshold=0.45, seeds=seeds)
+
+
+_SEMANTIC_DEDUP_ORACLE = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+    s AS (SELECT vec_id AS sid, x AS sv FROM v WHERE vec_id < 8),
+    d AS (
+      SELECT v.vec_id, s.sid,
+             round(list_dot_product(x, x) - 2 * list_dot_product(x, sv)
+                   + list_dot_product(sv, sv), 6) AS d2
+      FROM v CROSS JOIN s),
+    a AS (
+      SELECT vec_id, sid AS cluster FROM (
+        SELECT vec_id, sid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, sid) AS rn
+        FROM d)
+      WHERE rn = 1),
+    av AS (SELECT a.vec_id, a.cluster, v.x FROM a JOIN v USING (vec_id)),
+    dup AS (
+      SELECT DISTINCT b.vec_id FROM av a JOIN av b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.x, b.x)
+                  / (sqrt(list_dot_product(a.x, a.x)) * sqrt(list_dot_product(b.x, b.x))), 3)
+            >= 0.45)
+    SELECT av.vec_id, av.cluster, (dup.vec_id IS NULL) AS keep
+    FROM av LEFT JOIN dup ON av.vec_id = dup.vec_id
+"""
+
+
 def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide 25 most frequent word trigrams (expression-explode +
     two-stage count + TakeOrdered). Oracle: list_transform/unnest twin."""
@@ -1116,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_events": _q_ewma,
         "interval_join_counts": _q_interval_join,
         "interval_overlap_pairs": _q_interval_overlap,
+        "semantic_dedup": _q_semantic_dedup,
         "dedup_clusters": _q_dedup_clusters,
         "minhash_near_dup": _q_minhash,
         "incremental_dedup": _q_incremental_dedup,
@@ -1360,6 +1401,7 @@ def oracle_sql() -> dict[str, str]:
         "ewma_events": _ewma_oracle(),
         "interval_join_counts": _INTERVAL_JOIN_ORACLE,
         "interval_overlap_pairs": _INTERVAL_OVERLAP_ORACLE,
+        "semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
         "top_ngrams": f"""
             WITH g AS (
                 SELECT unnest(list_transform(range(1, len(toks) - 1),

@@ -109,3 +109,111 @@ def test_embedding_near_dup_lsh_subset_of_exact(emb_sdf):
         assert exact[k] == v
     if exact:
         assert len(lsh) / len(exact) >= 0.2  # bucketing keeps meaningful recall
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+
+def _planted_dup_vectors():
+    """60 base vectors + near-copies of the first 10 (tiny jitter -> cosine
+    ~0.9999) and one far-off copy that must NOT be removed."""
+    rng = np.random.default_rng(31)
+    base = rng.standard_normal((60, DIM))
+    near = base[:10] + 1e-4 * rng.standard_normal((10, DIM))
+    rows = np.vstack([base, near])
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(rows), dtype=np.int64),
+            "embedding": [r.astype(np.float32).tolist() for r in rows],
+        }
+    )
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def dup_sdf(spark):
+    return spark.createDataFrame(
+        _planted_dup_vectors(), schema="vec_id long, embedding array<float>"
+    ).cache()
+
+
+def _seeds(sdf, n=6):
+    from pyspark.sql import functions as F
+
+    return sdf.where(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
+    )
+
+
+def test_semantic_dedup_seeded_removes_planted(dup_sdf):
+    out = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in SIM.semantic_dedup(dup_sdf, threshold=0.95, seeds=_seeds(dup_sdf)).collect()
+    }
+    assert len(out) == 70
+    # every near-copy (ids 60..69) shares a cluster with its base (its
+    # nearest seed is the same) and must be removed; all base rows survive
+    for i in range(10):
+        assert out[60 + i][1] is False, f"near-copy {60+i} kept"
+        assert out[60 + i][0] == out[i][0]
+    assert all(out[i][1] for i in range(60))
+
+
+def test_semantic_dedup_centroid_path(dup_sdf):
+    cent = SIM.ivf_build_centroids(dup_sdf, DIM, n_centroids=6, sample=70)
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in SIM.semantic_dedup(dup_sdf, threshold=0.95, centroids=cent).collect()
+    }
+    assert all(out[60 + i] is False for i in range(10))
+    assert all(out[i] for i in range(60))
+
+
+def test_semantic_dedup_guard_subbuckets_giant_cluster(dup_sdf):
+    # one seed -> one giant cluster; the guard sub-buckets it, and the
+    # planted near-identical pairs still land in the same LSH bucket
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in SIM.semantic_dedup(
+            dup_sdf,
+            threshold=0.95,
+            seeds=_seeds(dup_sdf, 1),
+            max_cluster_rows=10,
+            dim=DIM,
+        ).collect()
+    }
+    assert all(out[60 + i] is False for i in range(10))
+    assert all(out[i] for i in range(60))
+
+
+def test_semantic_dedup_deterministic_across_parallelism(dup_sdf):
+    a = sorted(
+        map(
+            tuple,
+            SIM.semantic_dedup(
+                dup_sdf.repartition(2), threshold=0.95, seeds=_seeds(dup_sdf)
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            SIM.semantic_dedup(
+                dup_sdf.repartition(16), threshold=0.95, seeds=_seeds(dup_sdf)
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_semantic_dedup_arg_validation(dup_sdf):
+    with pytest.raises(ValueError):
+        SIM.semantic_dedup(dup_sdf, seeds=None, centroids=None)
+    with pytest.raises(ValueError):
+        SIM.semantic_dedup(
+            dup_sdf, seeds=_seeds(dup_sdf), centroids=np.zeros((2, DIM))
+        )
+    with pytest.raises(ValueError):
+        SIM.semantic_dedup(dup_sdf, seeds=_seeds(dup_sdf), max_cluster_rows=10)  # no dim

@@ -282,6 +282,119 @@ def ivf_topk(
     return ranked.where(F.col("rank") <= k).select("query_id", "neighbor_id", "rank", "cos_sim")
 
 
+def assign_nearest_seed(
+    vectors: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_id_col: str = "seed_id",
+    seed_vec_col: str = "seed_vec",
+    out_col: str = "cluster",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Append nearest-seed cluster ids using pure Catalyst expressions: the
+    (small) seed set is broadcast, squared distance is the fixed-order
+    expression ``dot(x,x) − 2·dot(x,c) + dot(c,c)`` rounded to
+    ``round_digits``, and ties break on lowest seed id — so an oracle engine
+    mirroring the expression reproduces the assignment bit-for-bit. This is
+    the JVM/oracle twin of :func:`ivf_assign` (same semantics, numpy batch
+    kernel) for seed sets small enough to broadcast."""
+    s = seeds.select(F.col(seed_id_col).alias("_sid"), F.col(seed_vec_col).alias("_sv"))
+    x = F.col(vec_col)
+    d2 = F.round(
+        dot_product(x, x) - 2.0 * dot_product(x, F.col("_sv")) + dot_product(F.col("_sv"), F.col("_sv")),
+        round_digits,
+    )
+    cand = vectors.crossJoin(F.broadcast(s)).withColumn("_d2", d2)
+    w = Window.partitionBy(id_col).orderBy(F.asc("_d2"), F.asc("_sid"))
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_d2", "_rn")
+        .withColumnRenamed("_sid", out_col)
+        .drop("_sv")
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.8,
+    seeds: DataFrame | None = None,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 3,
+    max_cluster_rows: int | None = None,
+    dim: int | None = None,
+    guard_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, §3):
+    cluster the embeddings, compute pairwise cosine only WITHIN clusters,
+    and drop every vector that has a lower-id cluster-mate with similarity
+    ≥ ``threshold`` (the deterministic min-id survivor rule, matching
+    :func:`tstore_spark.operators.dedup.exact_dedup_groups`). Returns all
+    input ids as ``(id, cluster, keep)``.
+
+    Clustering: pass ``seeds`` (``seed_id``/``seed_vec`` columns — e.g. a
+    fixed id-prefix of the corpus) for the broadcast Catalyst assignment
+    that an oracle can mirror in SQL, or ``centroids`` (trained with
+    :func:`ivf_build_centroids`) for the numpy batch path. Exactly one of
+    the two.
+
+    Scale guard: within-cluster pairing is O(size²) per cluster. With
+    ``max_cluster_rows`` set, clusters above it are sub-bucketed by a
+    deterministic ``guard_planes``-plane LSH signature (requires ``dim``)
+    before pairing — recall inside a giant cluster drops to same-bucket
+    pairs, which is the documented LSH trade (near-identical vectors share
+    buckets with high probability), and the worst-case pair count becomes
+    cluster²/2^planes in expectation instead of cluster².
+    """
+    if (seeds is None) == (centroids is None):
+        raise ValueError("pass exactly one of seeds= or centroids=")
+    v = vectors.select(id_col, vec_col)
+    if seeds is not None:
+        assigned = assign_nearest_seed(v, seeds, id_col, vec_col)
+    else:
+        assigned = ivf_assign(v, centroids, vec_col, out_col="cluster")
+    join_keys = ["cluster"]
+    if max_cluster_rows is not None:
+        if dim is None:
+            raise ValueError("dim is required when max_cluster_rows is set")
+        sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csz"))
+        assigned = (
+            add_lsh_bucket(assigned, dim, guard_planes, seed, vec_col, out_col="_sub")
+            .join(F.broadcast(sizes), "cluster")
+            .withColumn(
+                "_sub", F.when(F.col("_csz") > max_cluster_rows, F.col("_sub")).otherwise(F.lit(0))
+            )
+            .drop("_csz")
+        )
+        join_keys = ["cluster", "_sub"]
+    assigned = assigned.cache()  # reused by the pair join (both sides) + output
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    sim = F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), round_digits)
+    dup_ids = (
+        a.join(
+            b,
+            [F.col(f"a.{k}") == F.col(f"b.{k}") for k in join_keys]
+            + [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")],
+        )
+        .where(sim >= F.lit(threshold))
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dup_ids.withColumn("_dup", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def add_lsh_tables(
     df: DataFrame,
     dim: int,
