@@ -1116,6 +1116,35 @@ def _q_tstore_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse maintenance, end to end: write the events stream as an
+    archive, fragment it into small files (6 simulated ingest batches per
+    partition), bin-pack it back with compact_archive, and return the
+    reopened rows — which must hash-match the source table exactly. The
+    summary is sanity-checked so the query fails loudly if the compactor
+    ever no-ops instead of rewriting."""
+    import re as _re
+
+    from tstore_spark.model.tslong import TSLong
+    from tstore_spark.sources.archive import PAGES_DIR, open_archive, write_archive
+    from tstore_spark.sources.compact import compact_archive
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    tl = TSLong.wrap(ev, id_var="user_id", time_var="ts", ts_vars={"metrics": ["value"]})
+    base = "/tmp/tstore_spark_compact_rt_" + _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    write_archive(tl, base, num_buckets=2, check_static_uniqueness=False)
+    root = f"{base}/{PAGES_DIR}"
+    frag = spark.read.option("basePath", root).parquet(root).repartition(6)
+    frag.write.mode("overwrite").partitionBy("p_day", "p_bucket").parquet(root)
+    summary = compact_archive(spark, base, target_file_bytes=1 << 30)
+    if summary["partitions_compacted"] == 0:
+        raise RuntimeError("compaction unexpectedly a no-op on a fragmented archive")
+    back = open_archive(spark, base, with_attributes=False)
+    return back.df.select(
+        F.col("user_id").cast("long").alias("user_id"), "ts", "value"
+    )
+
+
 def _q_tslong_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tstore_spark.model.tslong import TSLong
 
@@ -1168,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": _q_embedding_norms,
         "tslong_roundtrip": _q_tslong_roundtrip,
         "tstore_layout_roundtrip": _q_tstore_layout_roundtrip,
+        "compaction_roundtrip": _q_compaction_roundtrip,
         "geo_bbox": _q_geo_bbox,
         "corpus_filter": _q_corpus_filter,
         "rollup_1h_ddsketch": _q_rollup_dd,
@@ -1479,6 +1509,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tslong_roundtrip": "SELECT user_id, ts, value FROM events",
         "tstore_layout_roundtrip": "SELECT user_id, ts, value FROM events",
+        "compaction_roundtrip": "SELECT user_id, ts, value FROM events",
         "winnowing_fps": """
             WITH t AS (
                 SELECT doc_id, text, greatest(length(text) - 5 + 1, 1) AS G

@@ -49,7 +49,7 @@ def canon(rows, cols):
     return out, [cols[i] for i in order]
 
 
-def main(sf_dir: str, tz: str | None = None) -> int:
+def main(sf_dir: str, tz: str | None = None, only: list[str] | None = None) -> int:
     spark = get_spark("verify_entry", master="local[8]")
     if tz:
         spark.conf.set("spark.sql.session.timeZone", tz)
@@ -58,6 +58,8 @@ def main(sf_dir: str, tz: str | None = None) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = E.queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = E.oracle_sql()
     failures = []
     for name, fn in qs.items():
@@ -106,6 +108,13 @@ def main(sf_dir: str, tz: str | None = None) -> int:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--tz=")]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     tzs = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--tz=")]
-    sys.exit(main(args[0] if args else "/root/testdata/sf0.001", tz=tzs[0] if tzs else None))
+    onlys = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
+    sys.exit(
+        main(
+            args[0] if args else "/root/testdata/sf0.001",
+            tz=tzs[0] if tzs else None,
+            only=onlys[0].split(",") if onlys else None,
+        )
+    )

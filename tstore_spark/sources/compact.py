@@ -1,0 +1,142 @@
+"""Small-file compaction — lakehouse OPTIMIZE / bin-packing for the archive.
+
+The reference writes one file per (id, var, year, month) tree and never
+revisits it (tstore/archive/io.py:28-48 defines the layout; there is no
+maintenance pass). At web scale that model breaks differently: frequent
+incremental ingests into the same partition leave hundreds of KB-sized
+files per (day, bucket), and scan cost becomes file listing + per-file
+footer reads instead of IO bandwidth. Iceberg/Delta solve it with OPTIMIZE
+(bin-packing rewrite committed as one snapshot); this module is the same
+operation over the plain-Parquet hidden-partition layout:
+
+1. ``partition_stats``   — driver-side METADATA walk (O(#files) listing, no
+   data read) of the leaf partition directories.
+2. ``compaction_plan``   — pick directories whose file count exceeds the
+   bin-packed target ``ceil(bytes / target_file_bytes)``.
+3. ``compact_archive``   — rewrite every selected directory in ONE
+   distributed job: a broadcast join attaches each row's target file count,
+   ``repartition(p_day, p_bucket, _split)`` lines tasks up with output
+   files, ``sortWithinPartitions(id, time)`` restores the row-group
+   clustering the ingest write produced (Parquet min/max skipping keeps
+   working), and the swap of old -> new directories is a metadata-only
+   rename done last (with Iceberg this is the atomic snapshot commit; on
+   the Parquet fallback it is best-effort per-directory and idempotent —
+   rerunning after a crash re-plans only the still-fragmented dirs).
+
+Scale: the rewrite shuffles ONLY the selected partitions' bytes, never the
+whole table; the driver holds one small dict per fragmented directory.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from tstore_spark.sources.archive import PAGES_DIR, read_metadata
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def partition_stats(root: str) -> list[dict]:
+    """n_files / bytes per leaf partition directory (dirs with parquet files).
+
+    Pure filesystem metadata — no Spark job, no file opens. On object
+    storage this is the same LIST the scan planner already issues.
+    """
+    stats = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        parts = [f for f in filenames if f.endswith(".parquet")]
+        if not parts:
+            continue
+        rel = os.path.relpath(dirpath, root)
+        size = sum(os.path.getsize(os.path.join(dirpath, f)) for f in parts)
+        stats.append({"rel_dir": rel, "n_files": len(parts), "bytes": size})
+    return sorted(stats, key=lambda s: s["rel_dir"])
+
+
+def compaction_plan(
+    root: str, target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES
+) -> list[dict]:
+    """Directories worth rewriting: bin-packed target ``n_out`` files each.
+
+    A directory is selected iff rewriting strictly reduces its file count —
+    which also makes compaction idempotent (after a pass, every selected
+    dir has exactly ``n_out`` files and no longer qualifies)."""
+    plan = []
+    for s in partition_stats(root):
+        n_out = max(1, math.ceil(s["bytes"] / target_file_bytes))
+        if s["n_files"] > n_out:
+            plan.append(s | {"n_out": n_out})
+    return plan
+
+
+def compact_archive(
+    spark: SparkSession,
+    base_dir: str,
+    table: str = PAGES_DIR,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> dict:
+    """Bin-pack every fragmented partition of ``<base_dir>/<table>`` in one
+    distributed rewrite job; returns a summary dict (no-op when nothing is
+    fragmented). Row content is preserved exactly (the gate query
+    ``compaction_roundtrip`` hash-checks it against the source table)."""
+    d, _num_buckets = read_metadata(base_dir)
+    root = os.path.join(base_dir, table)
+    plan = compaction_plan(root, target_file_bytes)
+    summary = {
+        "partitions_compacted": len(plan),
+        "files_before": sum(p["n_files"] for p in plan),
+        "files_after": sum(p["n_out"] for p in plan),
+        "bytes_rewritten": sum(p["bytes"] for p in plan),
+    }
+    if not plan:
+        return summary
+
+    # one scan restricted to the fragmented directories; basePath keeps the
+    # partition columns in the schema so the rewrite lands in the same dirs
+    paths = [os.path.join(root, p["rel_dir"]) for p in plan]
+    df = spark.read.option("basePath", root).parquet(*paths)
+    part_cols = [
+        seg.split("=", 1)[0] for seg in plan[0]["rel_dir"].split(os.sep) if "=" in seg
+    ]
+
+    # broadcast (partition-key -> n_out); the key is the dir-name string form,
+    # rebuilt from the typed partition columns (dates render as yyyy-MM-dd)
+    key = F.concat_ws(
+        "/", *[F.concat(F.lit(f"{c}="), F.col(c).cast("string")) for c in part_cols]
+    )
+    plan_df = spark.createDataFrame(
+        [(p["rel_dir"].replace(os.sep, "/"), p["n_out"]) for p in plan],
+        "_key string, _n_out int",
+    )
+    staged = df.withColumn("_key", key).join(F.broadcast(plan_df), "_key")
+    staged = staged.withColumn(
+        "_split", F.pmod(F.xxhash64(F.col(d.id_var)), F.col("_n_out"))
+    )
+
+    tmp = root + ".compact__tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        staged.repartition(max(summary["files_after"], 1), *part_cols, "_split")
+        .drop("_key", "_n_out", "_split")
+        # partition cols lead the sort so the dynamic-partition writer's
+        # required ordering is already satisfied and it does NOT inject its
+        # own (id,time)-destroying sort-by-partition-value pass
+        .sortWithinPartitions(*part_cols, d.id_var, d.time_var)
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(tmp)
+    )
+
+    # metadata-only swap, done last (Iceberg analog: the snapshot commit)
+    for p in plan:
+        src = os.path.join(tmp, p["rel_dir"])
+        dst = os.path.join(root, p["rel_dir"])
+        shutil.rmtree(dst)
+        os.replace(src, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return summary
