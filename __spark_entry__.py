@@ -1145,6 +1145,42 @@ def _q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics, end to end: archive the events stream keyed by
+    (event_id, ts), upsert a batch that restates values for event_id % 10 == 3
+    (matched -> update) and appends brand-new ids (unmatched -> insert), then
+    reopen. Only the touched (day, bucket) partitions are rewritten; the
+    oracle is the same MERGE expressed in plain SQL."""
+    import re as _re
+
+    from tstore_spark.model.tslong import TSLong
+    from tstore_spark.sources.archive import open_archive, write_archive
+    from tstore_spark.sources.merge import merge_upsert
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    tl = TSLong.wrap(ev, id_var="event_id", time_var="ts", ts_vars={"metrics": ["value"]})
+    base = "/tmp/tstore_spark_merge_rt_" + _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    write_archive(tl, base, num_buckets=2, check_static_uniqueness=False)
+    batch = (
+        ev.where(F.col("event_id") % 10 == 3)
+        .select("event_id", "ts", (F.col("value") + 1000.0).alias("value"))
+        .unionByName(
+            ev.where(F.col("event_id") % 97 == 0).select(
+                (F.col("event_id") + 10_000_000).alias("event_id"),
+                "ts",
+                (F.col("value") * 2.0).alias("value"),
+            )
+        )
+    )
+    summary = merge_upsert(spark, base, batch)
+    if summary["rows_updated"] == 0:
+        raise RuntimeError("merge unexpectedly matched no existing rows")
+    back = open_archive(spark, base, with_attributes=False)
+    return back.df.select(
+        F.col("event_id").cast("long").alias("event_id"), "ts", "value"
+    )
+
+
 def _q_tslong_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tstore_spark.model.tslong import TSLong
 
@@ -1198,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tslong_roundtrip": _q_tslong_roundtrip,
         "tstore_layout_roundtrip": _q_tstore_layout_roundtrip,
         "compaction_roundtrip": _q_compaction_roundtrip,
+        "merge_upsert_roundtrip": _q_merge_upsert_roundtrip,
         "geo_bbox": _q_geo_bbox,
         "corpus_filter": _q_corpus_filter,
         "rollup_1h_ddsketch": _q_rollup_dd,
@@ -1510,6 +1547,19 @@ def oracle_sql() -> dict[str, str]:
         "tslong_roundtrip": "SELECT user_id, ts, value FROM events",
         "tstore_layout_roundtrip": "SELECT user_id, ts, value FROM events",
         "compaction_roundtrip": "SELECT user_id, ts, value FROM events",
+        "merge_upsert_roundtrip": """
+            WITH u AS (
+                SELECT event_id, ts, value + 1000.0 AS value
+                FROM events WHERE event_id % 10 = 3
+                UNION ALL
+                SELECT event_id + 10000000, ts, value * 2.0
+                FROM events WHERE event_id % 97 = 0)
+            SELECT e.event_id, e.ts, e.value FROM events e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM u WHERE u.event_id = e.event_id AND u.ts = e.ts)
+            UNION ALL
+            SELECT event_id, ts, value FROM u
+        """,
         "winnowing_fps": """
             WITH t AS (
                 SELECT doc_id, text, greatest(length(text) - 5 + 1, 1) AS G

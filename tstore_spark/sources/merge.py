@@ -1,0 +1,126 @@
+"""MERGE INTO / upsert — copy-on-write partition rewrite for the archive.
+
+The reference has no update path at all: an archive is written once per
+(id, var) tree and corrections mean regenerating it (tstore/archive/io.py
+only ever creates). A web-scale store ingests corrections continuously
+(re-crawls, late data, metric restatements), so this module implements the
+lakehouse MERGE semantics (Delta/Iceberg ``MERGE INTO t USING u ON key``,
+matched -> update, unmatched -> insert) over the plain-Parquet layout:
+
+1. Derive the update rows' partition values with the SAME transforms the
+   ingest write uses (``p_day = days(time)``, ``p_bucket = bucket(N, id)``).
+2. The affected-partition list is ``distinct (p_day, p_bucket)`` of the
+   update batch — the ONLY thing collected to the driver, O(#touched
+   partitions), never row data.
+3. One distributed job reads ONLY the affected directories, anti-joins out
+   rows whose (id, time) key appears in the batch, unions the batch back
+   in, restores the (id, time) in-file clustering, and writes to a temp
+   tree. Untouched partitions are never read, shuffled, or rewritten —
+   merge cost is proportional to the touched slice, not the table.
+4. The old -> new directory swap is metadata-only and done last (Iceberg
+   analog: the snapshot commit; a crash before the swap leaves the archive
+   unchanged, and the temp tree is rebuilt from scratch on retry).
+
+Update batches must be key-unique on (id, time) — enforced, because
+"last writer wins" inside one batch is order-dependent and would break
+the repo's determinism-under-parallelism contract.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tstore_spark.functions.timeparts import bucket_column
+from tstore_spark.sources.archive import PAGES_DIR, read_metadata
+
+_PART_COLS = ["p_day", "p_bucket"]
+
+
+def merge_upsert(
+    spark: SparkSession,
+    base_dir: str,
+    updates: DataFrame,
+    table: str = PAGES_DIR,
+) -> dict:
+    """Upsert ``updates`` (fact-schema rows keyed by (id_var, time_var))
+    into ``<base_dir>/<table>``; returns a summary dict."""
+    d, num_buckets = read_metadata(base_dir)
+    root = os.path.join(base_dir, table)
+
+    # normalize the id dtype to the stored one (wrap() casts ids to string)
+    stored = spark.read.parquet(root)
+    fact_cols = [c for c in stored.columns if c not in _PART_COLS]
+    missing = [c for c in fact_cols if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates missing fact columns {missing}")
+    id_type = dict(stored.dtypes)[d.id_var]
+    updates = updates.select(
+        *[
+            F.col(c).cast(id_type).alias(c) if c == d.id_var else F.col(c)
+            for c in fact_cols
+        ]
+    )
+
+    keys = [d.id_var, d.time_var]
+    dup = updates.groupBy(*keys).count().where(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError("update batch has duplicate (id, time) keys — "
+                         "last-writer-wins inside a batch is order-dependent; "
+                         "pre-aggregate the batch to one row per key")
+
+    staged = updates.withColumn("p_day", F.to_date(F.col(d.time_var))).withColumn(
+        "p_bucket", bucket_column(d.id_var, num_buckets)
+    )
+    staged = staged.persist()
+    kept = None
+    try:
+        affected = [
+            (str(r["p_day"]), int(r["p_bucket"]))
+            for r in staged.select(*_PART_COLS).distinct().collect()
+        ]
+        existing = [
+            os.path.join(root, f"p_day={day}", f"p_bucket={b}")
+            for day, b in affected
+            if os.path.isdir(os.path.join(root, f"p_day={day}", f"p_bucket={b}"))
+        ]
+        n_updated = 0
+        if existing:
+            base = spark.read.option("basePath", root).parquet(*existing)
+            # base.count() is a parquet-footer count (no data read); kept is
+            # persisted so the anti-join runs once, not once per action
+            kept = base.join(staged.select(*keys), keys, "left_anti").persist()
+            n_updated = base.count() - kept.count()
+            merged = kept.unionByName(staged)
+        else:
+            merged = staged
+
+        tmp = root + ".merge__tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            merged.repartition(*_PART_COLS)
+            .sortWithinPartitions(*_PART_COLS, d.id_var, d.time_var)
+            .write.mode("overwrite")
+            .partitionBy(*_PART_COLS)
+            .parquet(tmp)
+        )
+    finally:
+        staged.unpersist()
+        if kept is not None:
+            kept.unpersist()
+
+    for day, b in affected:
+        rel = os.path.join(f"p_day={day}", f"p_bucket={b}")
+        src, dst = os.path.join(tmp, rel), os.path.join(root, rel)
+        shutil.rmtree(dst, ignore_errors=True)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(src, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "partitions_touched": len(affected),
+        "partitions_created": len(affected) - len(existing),
+        "rows_updated": n_updated,
+    }
