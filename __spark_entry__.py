@@ -573,6 +573,41 @@ def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(_t(spark, sf_dir, "documents"), n=3, k=25)
 
 
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch vs exact counts over the corpus token stream, as an
+    oracle-checkable contract: for the exact top-20 tokens, the sketch
+    estimate must (a) never undercount — a theorem, integer sums with no
+    deletions — and (b) sit within the classic eps*N band (w=8192). The
+    sketch is d*w cells of long sums with fixed hashes, so both booleans
+    are deterministic. explode_outer (not explode) keeps the inferred
+    size()>0 filter out of the plan — tokens() never re-evaluates in an
+    interpreted scan filter, and empty docs still tokenize to [''] so no
+    rows are lost."""
+    from tstore_spark.operators.countmin import cms_estimate, cms_from_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(TX.tokens("text").alias("_toks"))
+    toks = staged.select(F.explode_outer("_toks").alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    sk = cms_from_counts(counts, "token", "exact_cnt", d=4, w=8192)
+    top = counts.orderBy(F.desc("exact_cnt"), F.asc("token")).limit(20)
+    est = cms_estimate(sk, top.select("token"), "token", d=4, w=8192)
+    total = counts.agg(F.sum("exact_cnt").alias("_n"))
+    return (
+        top.join(est, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "exact_cnt",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("lower_bounded"),
+            (
+                (F.col("cms_est") - F.col("exact_cnt"))
+                <= F.greatest(F.lit(8.0), F.lit(3.0) * F.col("_n") / 8192)
+            ).alias("within_eps"),
+        )
+    )
+
+
 def _q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shape-preserving downsample of each event_type's value series to 48
     points via parallel fixed-anchor LTTB. Oracle replays the identical
@@ -1213,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": _q_html_extract,
         "lttb_downsample": _q_lttb,
         "top_ngrams": _q_top_ngrams,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "time_weighted_avg": _q_time_weighted_avg,
         "counter_rate": _q_counter_rate,
         "rolling_stats": _q_rolling_stats,
@@ -1501,6 +1537,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, c.cluster_id,
                    CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS cluster_size
             FROM comp c
+        """,
+        "cms_heavy_hitters": f"""
+            WITH c AS (
+                SELECT tok AS token, count(*) AS exact_cnt FROM (
+                    SELECT unnest({_TOKS}) AS tok FROM documents)
+                GROUP BY tok)
+            SELECT token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+                   TRUE AS lower_bounded, TRUE AS within_eps
+            FROM c ORDER BY exact_cnt DESC, token LIMIT 20
         """,
         "minhash_near_dup": _SHINGLE_PAIRS_ORACLE.format(thr=0.5),
         # incremental = one-shot exact pair set minus corpus-internal
