@@ -1023,6 +1023,16 @@ def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate_lines(wrapped, min_docs=2)
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n-per-stratum sample (bottom-n by content hash): the scale path
+    (count-prefiltered window) must reproduce the naive rank-over-hash SQL
+    row for row."""
+    from tstore_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "source", "doc_id", n=30).select("doc_id", "source")
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-weighted training mixture: up-weight src0 (keep all),
     down-sample src1, drop everything else — the same engine-portable md5
@@ -1282,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_packing": _q_token_packing,
         "decontaminate": _q_decontaminate,
         "mixture_sample": _q_mixture_sample,
+        "stratified_sample": _q_stratified_sample,
         "boilerplate_lines": _q_boilerplate_lines,
         "pii_redaction": _q_pii_redaction,
         "asof_join": _q_asof_join,
@@ -1773,6 +1784,18 @@ def oracle_sql() -> dict[str, str]:
                         THEN ((start_offset + n_tokens - 1) // 2048) <> (start_offset // 2048)
                         ELSE FALSE END AS crosses_boundary
             FROM o
+        """,
+        "stratified_sample": """
+            WITH v AS (
+                SELECT doc_id, source,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
+                         / 4294967296.0 AS u
+                FROM documents),
+            r AS (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+                FROM v)
+            SELECT doc_id, source FROM r WHERE rn <= 30
         """,
         "train_eval_split": """
             SELECT doc_id,

@@ -121,3 +121,56 @@ def test_mixture_sample(spark):
     assert again == {r["doc_id"] for r in out.collect()}
     with pytest.raises(ValueError, match="weight"):
         mixture_sample(sdf, "doc_id", "source", {"a": 1.5})
+
+
+# -- stratified_sample --------------------------------------------------------
+
+def _strat_naive(spark, df, strata_col, id_col, n, seed=42):
+    from pyspark.sql import Window
+    from tstore_spark.operators.sampling import hash_uniform
+
+    w = Window.partitionBy(strata_col).orderBy(hash_uniform(id_col, seed), F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= n).drop("_rn")
+
+
+def test_stratified_exact_n_per_stratum(spark, pages_sdf):
+    from tstore_spark.functions.urls import domain_of
+    from tstore_spark.operators.sampling import stratified_sample
+
+    pages = pages_sdf.withColumn("domain", domain_of("url"))
+    got = stratified_sample(pages, "domain", "url", n=7)
+    sizes = {r["domain"]: r["n"] for r in got.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {r["domain"]: r["n"] for r in pages.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {d: min(7, c) for d, c in full.items()}
+
+
+def test_stratified_equals_naive_window(spark, pages_sdf):
+    """The prefiltered scale path must return EXACTLY the naive bottom-n-by-
+    hash window result (the oracle semantics)."""
+    from tstore_spark.functions.urls import domain_of
+    from tstore_spark.operators.sampling import stratified_sample
+
+    pages = pages_sdf.withColumn("domain", domain_of("url"))
+    got = stratified_sample(pages, "domain", "url", n=5).select("domain", "url")
+    exp = _strat_naive(spark, pages, "domain", "url", 5).select("domain", "url")
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_stratified_small_stratum_fully_kept(spark):
+    import pandas as pd
+    from tstore_spark.operators.sampling import stratified_sample
+
+    pdf = pd.DataFrame({"k": ["a"] * 3 + ["b"] * 50, "id": [str(i) for i in range(53)]})
+    got = stratified_sample(spark.createDataFrame(pdf), "k", "id", n=10)
+    sizes = {r["k"]: r["n"] for r in got.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {"a": 3, "b": 10}
+
+
+def test_stratified_deterministic_across_parallelism(spark, pages_sdf):
+    from tstore_spark.functions.urls import domain_of
+    from tstore_spark.operators.sampling import stratified_sample
+
+    pages = pages_sdf.withColumn("domain", domain_of("url"))
+    a = stratified_sample(pages.repartition(1), "domain", "url", n=6).select("domain", "url")
+    b = stratified_sample(pages.repartition(16), "domain", "url", n=6).select("domain", "url")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -176,3 +176,45 @@ def token_pack_offsets(
         )
     )
     return out.select(id_col, "n_tokens", "start_offset", "sample_id", "crosses_boundary")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    n: int,
+    seed: int = 42,
+    prefilter_margin: float = 4.0,
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, chosen as the n
+    SMALLEST id-hash variates (ties broken on id) — a deterministic,
+    engine-portable "bottom-n by hash" sample: stable across reruns,
+    cluster sizes, and engines, and oracle-checkable as a window rank
+    over the same md5 arithmetic.
+
+    Scale shape: the naive form is a full per-stratum sort. Here a
+    per-stratum count (one cheap pre-aggregation) sets a hash cutoff
+    ``prefilter_margin * n / count`` so the window only ever sorts
+    ~margin*n rows per stratum regardless of stratum size; strata with
+    <= n rows skip the cutoff entirely. The cutoff admits fewer than n
+    rows with probability ~exp(-n) per stratum (Chernoff) — and being a
+    pure function of the data, a given dataset either passes its oracle
+    or fails loudly, never flickers."""
+    u = hash_uniform(id_col, seed)
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    staged = (
+        df.withColumn("_u", u)
+        .join(counts, strata_col)
+        .where(
+            (F.col("_cnt") <= F.lit(n))
+            | (F.col("_u") < F.lit(float(prefilter_margin) * n) / F.col("_cnt"))
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(F.col("_u").asc(), F.col(id_col).asc())
+    return (
+        staged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_u", "_cnt", "_rn")
+    )
