@@ -1190,6 +1190,27 @@ def _q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping, end to end: range-cluster the events table
+    into 16 files on `value`, build zone maps from Parquet FOOTERS only
+    (one distributed metadata job), then answer a value-range query reading
+    only the files whose [min,max] can match. The query fails loudly unless
+    files were actually skipped, and the surviving rows must hash-match the
+    plain full-scan SQL."""
+    import re as _re
+
+    from tstore_spark.sources.zonemaps import pruned_read, zone_maps
+
+    root = "/tmp/tstore_spark_zm_" + _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    ev.repartitionByRange(16, "value").write.mode("overwrite").parquet(root)
+    zm = zone_maps(spark, root, ["value"])
+    got, report = pruned_read(spark, root, zm, {"value": (100.0, 150.0)})
+    if report["files_read"] >= report["files_total"]:
+        raise RuntimeError(f"zone maps skipped nothing: {report}")
+    return got.select("event_id", "ts", "value")
+
+
 def _q_merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics, end to end: archive the events stream keyed by
     (event_id, ts), upsert a batch that restates values for event_id % 10 == 3
@@ -1281,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tstore_layout_roundtrip": _q_tstore_layout_roundtrip,
         "compaction_roundtrip": _q_compaction_roundtrip,
         "merge_upsert_roundtrip": _q_merge_upsert_roundtrip,
+        "zonemap_scan": _q_zonemap_scan,
         "geo_bbox": _q_geo_bbox,
         "corpus_filter": _q_corpus_filter,
         "rollup_1h_ddsketch": _q_rollup_dd,
@@ -1603,6 +1625,10 @@ def oracle_sql() -> dict[str, str]:
         "tslong_roundtrip": "SELECT user_id, ts, value FROM events",
         "tstore_layout_roundtrip": "SELECT user_id, ts, value FROM events",
         "compaction_roundtrip": "SELECT user_id, ts, value FROM events",
+        "zonemap_scan": """
+            SELECT event_id, ts, value FROM events
+            WHERE value >= 100.0 AND value <= 150.0
+        """,
         "merge_upsert_roundtrip": """
             WITH u AS (
                 SELECT event_id, ts, value + 1000.0 AS value

@@ -79,11 +79,20 @@ def compact_archive(
     base_dir: str,
     table: str = PAGES_DIR,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """Bin-pack every fragmented partition of ``<base_dir>/<table>`` in one
     distributed rewrite job; returns a summary dict (no-op when nothing is
     fragmented). Row content is preserved exactly (the gate query
-    ``compaction_roundtrip`` hash-checks it against the source table)."""
+    ``compaction_roundtrip`` hash-checks it against the source table).
+
+    ``cluster_by``: optional Z-ordering-lite — instead of hash-splitting a
+    directory's rows across its output files, ``repartitionByRange`` on
+    (partition cols, cluster cols) gives every output file a TIGHT value
+    slice of the cluster columns. That is what makes zone-map file
+    skipping (sources/zonemaps.py) bite: a point/range predicate on the
+    cluster column then prunes to ~1 file per directory instead of
+    matching all of them."""
     d, _num_buckets = read_metadata(base_dir)
     root = os.path.join(base_dir, table)
     plan = compaction_plan(root, target_file_bytes)
@@ -113,20 +122,33 @@ def compact_archive(
         [(p["rel_dir"].replace(os.sep, "/"), p["n_out"]) for p in plan],
         "_key string, _n_out int",
     )
-    staged = df.withColumn("_key", key).join(F.broadcast(plan_df), "_key")
-    staged = staged.withColumn(
-        "_split", F.pmod(F.xxhash64(F.col(d.id_var)), F.col("_n_out"))
-    )
+    n_total = max(summary["files_after"], 1)
+    if cluster_by:
+        # range clustering: contiguous (partition, cluster-col) slices per
+        # output file; boundaries come from Spark's range sampling, which
+        # moves file SPLIT POINTS, never row content
+        staged = df.repartitionByRange(n_total, *part_cols, *cluster_by)
+        sort_tail = []
+        for c in [*cluster_by, d.id_var, d.time_var]:
+            if c not in part_cols and c not in sort_tail:
+                sort_tail.append(c)
+    else:
+        staged = (
+            df.withColumn("_key", key)
+            .join(F.broadcast(plan_df), "_key")
+            .withColumn("_split", F.pmod(F.xxhash64(F.col(d.id_var)), F.col("_n_out")))
+            .repartition(n_total, *part_cols, "_split")
+            .drop("_key", "_n_out", "_split")
+        )
+        sort_tail = [d.id_var, d.time_var]
 
     tmp = root + ".compact__tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     (
-        staged.repartition(max(summary["files_after"], 1), *part_cols, "_split")
-        .drop("_key", "_n_out", "_split")
         # partition cols lead the sort so the dynamic-partition writer's
         # required ordering is already satisfied and it does NOT inject its
         # own (id,time)-destroying sort-by-partition-value pass
-        .sortWithinPartitions(*part_cols, d.id_var, d.time_var)
+        staged.sortWithinPartitions(*part_cols, *sort_tail)
         .write.mode("overwrite")
         .partitionBy(*part_cols)
         .parquet(tmp)

@@ -1,0 +1,129 @@
+"""Zone maps — file-level data skipping from Parquet footer statistics.
+
+Spark already skips ROW GROUPS inside a file once a task has opened it
+(parquet predicate pushdown), but every file still costs a task, an open,
+and a footer read at QUERY time. Iceberg/Delta move those min/max stats
+into a manifest consulted at PLANNING time so non-matching files are never
+scheduled at all. This module is that manifest for the plain-Parquet
+layout:
+
+* ``zone_maps``    — ONE distributed job (mapInPandas over the file list)
+  reads only footers (no data pages) and emits one row per file with
+  row_count + per-column min/max. At 100 TB this is a metadata scan of
+  ~1M footers fanned across the cluster, not a driver loop.
+* ``prune_paths``  — intersect [min, max] with the query's ranges; a file
+  is kept iff it can contain a match. Overlap logic is conservative
+  (missing stats => keep), so pruning can never lose rows.
+* ``pruned_read``  — read only surviving files and re-apply the exact
+  predicate; semantically identical to the full scan, with the file list
+  cut down before Spark plans a single task.
+
+Zone maps only bite when the data is CLUSTERED on the pruned column —
+that is compaction's job (``compact_archive(cluster_by=[...])`` range-
+partitions files so each covers a tight value slice). Random layout =>
+every file overlaps every range => zero skipping; the test suite asserts
+both the correctness invariant and the clustered-layout effectiveness.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _list_parquet(root: str) -> list[str]:
+    out = []
+    for dirpath, _d, files in os.walk(root):
+        out.extend(os.path.join(dirpath, f) for f in files if f.endswith(".parquet"))
+    return sorted(out)
+
+
+def zone_maps(spark: SparkSession, root: str, columns: list[str]) -> DataFrame:
+    """One row per file: ``path, row_count, <col>_min, <col>_max ...``.
+
+    Footer-only reads, distributed over the cluster. Output column types
+    mirror the data columns (read from one footer's schema driver-side).
+    Files whose footer lacks stats for a column get NULL min/max — which
+    ``prune_paths`` treats as "always keep"."""
+    paths = _list_parquet(root)
+    if not paths:
+        raise ValueError(f"no parquet files under {root}")
+
+    import pyarrow.parquet as pq
+
+    arrow_schema = pq.read_schema(paths[0])
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    fields = ["path string", "row_count long"]
+    for c in columns:
+        t = from_arrow_type(arrow_schema.field(c).type).simpleString()
+        fields += [f"{c}_min {t}", f"{c}_max {t}"]
+    schema = ", ".join(fields)
+    cols = list(columns)
+
+    def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                md = pq.ParquetFile(path).metadata
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                rec: dict = {"path": path, "row_count": md.num_rows}
+                for c in cols:
+                    lo = hi = None
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx[c]).statistics
+                        if st is None or not st.has_min_max:
+                            lo = hi = None
+                            break
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                    rec[f"{c}_min"], rec[f"{c}_max"] = lo, hi
+                rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    files_df = spark.createDataFrame([(p,) for p in paths], "path string")
+    n_tasks = max(1, min(len(paths), 256))
+    return files_df.repartition(n_tasks).mapInPandas(read_footers, schema)
+
+
+def prune_paths(
+    zmaps: DataFrame, ranges: dict[str, tuple[object, object]]
+) -> tuple[list[str], int]:
+    """Paths that may contain rows with ``lo <= col <= hi`` for every given
+    range (either bound may be None = unbounded). Conservative: files with
+    NULL stats are kept. Returns (surviving paths, total files)."""
+    keep = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            keep = keep & (F.col(f"{c}_max").isNull() | (F.col(f"{c}_max") >= F.lit(lo)))
+        if hi is not None:
+            keep = keep & (F.col(f"{c}_min").isNull() | (F.col(f"{c}_min") <= F.lit(hi)))
+    rows = zmaps.select("path", keep.alias("_keep")).collect()
+    return sorted(r["path"] for r in rows if r["_keep"]), len(rows)
+
+
+def pruned_read(
+    spark: SparkSession,
+    root: str,
+    zmaps: DataFrame,
+    ranges: dict[str, tuple[object, object]],
+) -> tuple[DataFrame, dict]:
+    """Scan only the files the zone maps cannot rule out, then re-apply the
+    exact predicate — result rows are identical to the full-scan filter;
+    only the planned file set shrinks. Returns (df, skipping report)."""
+    paths, total = prune_paths(zmaps, ranges)
+    report = {"files_total": total, "files_read": len(paths)}
+    if not paths:
+        df = spark.read.option("basePath", root).parquet(root).limit(0)
+    else:
+        df = spark.read.option("basePath", root).parquet(*paths)
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            df = df.where(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(c) <= F.lit(hi))
+    return df, report
