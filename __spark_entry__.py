@@ -573,6 +573,38 @@ def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(_t(spark, sf_dir, "documents"), n=3, k=25)
 
 
+def _q_bloom_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-crawl admission filter: even doc_ids play the ingested corpus,
+    odd the new crawl. The corpus's fingerprint Bloom filter (a broadcast
+    bitset, built with mergeable bit_or sums) marks each new doc maybe-seen
+    or definitely-new; the no-false-negative theorem — bloom says new =>
+    truly new — is the oracle-checked boolean, alongside the exact
+    membership DuckDB recomputes."""
+    from tstore_spark.operators.bloom import (
+        bloom_build,
+        bloom_dense,
+        bloom_maybe_contains,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "fp", F.md5(F.lower(F.trim("text")))
+    )
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    dense = bloom_dense(bloom_build(corpus.select("fp"), "fp"))
+    probed = bloom_maybe_contains(dense, new.select("doc_id", "fp"), "fp")
+    seen = corpus.select("fp").distinct().withColumn("_seen", F.lit(True))
+    truly_seen = F.coalesce("_seen", F.lit(False))
+    return (
+        probed.join(seen, "fp", "left")
+        .select(
+            "doc_id",
+            truly_seen.alias("truly_seen"),
+            (F.col("bloom_maybe") | ~truly_seen).alias("no_false_negative"),
+        )
+    )
+
+
 def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch vs exact counts over the corpus token stream, as an
     oracle-checkable contract: for the exact top-20 tokens, the sketch
@@ -1280,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_downsample": _q_lttb,
         "top_ngrams": _q_top_ngrams,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "bloom_new_docs": _q_bloom_new_docs,
         "time_weighted_avg": _q_time_weighted_avg,
         "counter_rate": _q_counter_rate,
         "rolling_stats": _q_rolling_stats,
@@ -1570,6 +1603,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, c.cluster_id,
                    CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS cluster_size
             FROM comp c
+        """,
+        "bloom_new_docs": """
+            WITH fp AS (
+                SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+            seen AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0)
+            SELECT f.doc_id, (s.fp IS NOT NULL) AS truly_seen,
+                   TRUE AS no_false_negative
+            FROM fp f LEFT JOIN seen s ON f.fp = s.fp
+            WHERE f.doc_id % 2 = 1
         """,
         "cms_heavy_hitters": f"""
             WITH c AS (
