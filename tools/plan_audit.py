@@ -129,6 +129,26 @@ def main(sf_dir: str) -> int:
           "attrs dim broadcast at read")
     check("tstore_layout.no_cartesian", "CartesianProduct" not in p, "align join is equi")
 
+    # 11. bloom probe: the bitset rides a BROADCAST nested-loop (single-row
+    # build side), never an unbounded CartesianProduct; membership join is equi
+    p = plan_of(qs["bloom_new_docs"](spark, sf_dir))
+    check("bloom.broadcast_bitset", "BroadcastNestedLoopJoin Cross BuildRight" in p,
+          "single-row bitset broadcast to the probe side")
+    check("bloom.no_cartesian", "CartesianProduct" not in p, "no unbounded cross join")
+
+    # 12. CMS: sketch side broadcast at estimation; probes never shuffle wide
+    p = plan_of(qs["cms_heavy_hitters"](spark, sf_dir))
+    check("cms.broadcast_sketch", "BroadcastHashJoin" in p, "d*w cell table broadcast")
+    check("cms.no_cartesian", "CartesianProduct" not in p, "cell join is equi")
+
+    # 13. stratified sample: per-stratum counts broadcast; the window input is
+    # the prefiltered slice (predicate visible in the join condition)
+    p = plan_of(qs["stratified_sample"](spark, sf_dir))
+    check("stratified.broadcast_counts", "BroadcastHashJoin" in p,
+          "stratum-count table broadcast")
+    check("stratified.prefilter", "_cnt" in p and "30" in p,
+          "hash cutoff bounds the window input")
+
     spark.stop()
     print(f"\n{'ALL PASS' if not failures else 'FAILURES: ' + ', '.join(failures)}")
     return 1 if failures else 0
