@@ -131,6 +131,18 @@ def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return piv.select("day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES])
 
 
+def _q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(event_type, day): all four grouping levels (full, by-type,
+    by-day, grand total) in ONE pass — Spark expands grouping sets inside
+    a single two-stage hash aggregate, no per-level rescans. Integer-cents
+    sums keep every level exact."""
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return ev.cube("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_cents("value")).alias("value_cents"),
+    )
+
+
 def _q_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "events").select("event_type").distinct()
 
@@ -696,6 +708,19 @@ _LTTB_ORACLE = """
 """
 
 
+def _url_canonicalize_oracle() -> str:
+    """DuckDB twin of _q_url_canonicalize, generated from the same pattern
+    table as the Spark function so the two chains cannot drift."""
+    from tstore_spark.functions.urls import canonical_url_sql
+
+    messy = (
+        "'HTTP://Example-' || source || '.COM:80/docs/' || CAST(doc_id AS VARCHAR)"
+        " || '?utm_source=feed&utm_campaign=c&q=' || CAST(doc_id AS VARCHAR)"
+        " || '&fbclid=xyz#frag'"
+    )
+    return f"SELECT doc_id, {canonical_url_sql(messy)} AS canon_url FROM documents"
+
+
 def _html_extract_oracle() -> str:
     """DuckDB twin of _q_html_extract, generated from the same pattern
     tables as the Spark function so the two chains cannot drift."""
@@ -733,6 +758,23 @@ def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.alias("clean_text"),
         F.length(clean).cast("long").alias("clean_len"),
     )
+
+
+def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over deterministically constructed messy URLs
+    (upper-case scheme/host, default port, tracking params, fragment). The
+    oracle runs the SQL twin generated from the SAME pattern table
+    (functions/urls.canonical_url_sql), so output is byte-checked."""
+    from tstore_spark.functions.urls import canonical_url
+
+    docs = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("HTTP://Example-"), F.col("source"), F.lit(".COM:80/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&utm_campaign=c&q="), F.col("doc_id").cast("string"),
+        F.lit("&fbclid=xyz#frag"),
+    )
+    return docs.select("doc_id", canonical_url(messy).alias("canon_url"))
 
 
 def _q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1296,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_users_by_value": _q_top_users,
         "pivot_event_counts": _q_pivot,
         "distinct_event_types": _q_distinct_types,
+        "cube_rollup": _q_cube_rollup,
         "time_filter_left": _q_time_filter,
         "customer_nation_join": _q_nation_join,
         "user_event_gaps": _q_user_gaps,
@@ -1308,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,
         "token_jaccard_pairs": _q_token_jaccard,
+        "url_canonicalize": _q_url_canonicalize,
         "html_extract": _q_html_extract,
         "lttb_downsample": _q_lttb,
         "top_ngrams": _q_top_ngrams,
@@ -1448,6 +1492,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "cube_rollup": """
+            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events
+            GROUP BY CUBE (event_type, CAST(ts AS DATE))
+        """,
         "time_filter_left": """
             SELECT event_type, count(*) AS n_events,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
@@ -1557,6 +1607,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
             WHERE jaccard >= 0.98
         """,
+        "url_canonicalize": _url_canonicalize_oracle(),
         # html construction + strip/decode chain generated from the SAME
         # pattern tables the Spark function uses (TX.HTML_STRIP_PATTERNS /
         # HTML_ENTITIES) — the chains cannot drift apart

@@ -265,3 +265,53 @@ def test_html_to_text_matches_duckdb_chain(spark):
         expr = f"replace({expr}, '{ent}', '{ch_sql}')"
     want = [r[0] for r in con.execute(f"SELECT {expr} FROM pdf").fetchall()]
     assert got == want
+
+
+# -- canonical_url -------------------------------------------------------------
+
+CANON_CASES = [
+    ("HTTP://ExAmple.COM:80/Path/To?q=1#frag", "http://example.com/Path/To?q=1"),
+    ("https://Host.Org:443/", "https://host.org/"),
+    ("https://host.org:8443/x", "https://host.org:8443/x"),
+    ("http://a.b/p?utm_source=x&utm_medium=y&utm_campaign=z&q=2", "http://a.b/p?q=2"),
+    ("http://a.b/p?q=2&fbclid=abc", "http://a.b/p?q=2"),
+    ("http://a.b/p?utm_source=x", "http://a.b/p"),
+    ("http://a.b/p?gclid=1&utm_a=2&utm_b=3&utm_c=4&utm_d=5", "http://a.b/p"),
+    ("http://a.b/p?xutm_a=keep&q=3", "http://a.b/p?xutm_a=keep&q=3"),
+    ("no-scheme/path?utm_source=x", "no-scheme/path"),
+]
+
+
+def test_canonical_url_cases(spark):
+    import pandas as pd
+    from tstore_spark.functions.urls import canonical_url
+
+    pdf = pd.DataFrame({"u": [c[0] for c in CANON_CASES]})
+    got = [
+        r["c"]
+        for r in spark.createDataFrame(pdf)
+        .select(canonical_url("u").alias("c"))
+        .collect()
+    ]
+    assert got == [c[1] for c in CANON_CASES]
+
+
+def test_canonical_url_sql_twin_agrees(spark):
+    """The generated DuckDB chain must produce byte-identical output."""
+    import duckdb
+    import pandas as pd
+    from tstore_spark.functions.urls import canonical_url, canonical_url_sql
+
+    inputs = [c[0] for c in CANON_CASES] + [
+        "HTTPS://WWW.Site.com:443/A/B?fbclid=z&utm_x=1&keep=2#x",
+        "http://h:80", "http://h:80?utm_a=1",
+    ]
+    pdf = pd.DataFrame({"u": inputs})
+    spark_out = [
+        r["c"]
+        for r in spark.createDataFrame(pdf).select(canonical_url("u").alias("c")).collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    duck_out = [r[0] for r in con.execute(f"SELECT {canonical_url_sql('u')} FROM t").fetchall()]
+    assert spark_out == duck_out

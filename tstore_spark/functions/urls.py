@@ -6,6 +6,68 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# canonicalization pattern table — shared verbatim with the SQL twin
+# (canonical_url_sql) so the two chains cannot drift. RE2-compatible (no
+# backrefs/lookaround), literal replacements only; the tracking-param pass
+# is applied TRACKING_PASSES times because consecutive params hide behind
+# the separator the previous match consumed.
+SCHEME_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+TRACKING_PATTERNS: list[tuple[str, str]] = [
+    (r"\?(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&", "?"),
+    (r"&(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&", "&"),
+    (r"\?(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*$", ""),
+    (r"&(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*$", ""),
+]
+TRACKING_PASSES = 3
+
+
+def canonical_url(url: str | Column) -> Column:
+    """Engine-portable URL canonicalization, all codegen expressions:
+    fragment stripped, scheme+host lowercased (path/query case preserved),
+    default ports (:80 http / :443 https) dropped, utm_*/fbclid/gclid
+    tracking params removed. The exact same chain is emitted as SQL by
+    :func:`canonical_url_sql`, which is what makes dedup keys computed here
+    auditable in any other engine."""
+    c = F.col(url) if isinstance(url, str) else url
+    u0 = F.regexp_replace(c, "#.*$", "")
+    pref = F.regexp_extract(u0, SCHEME_HOST_RE, 0)
+    rest = F.substring(u0, F.length(pref) + F.lit(1), F.lit(1 << 30))
+    pl = F.lower(pref)
+    pl = (
+        F.when(pl.startswith("http://") & pl.endswith(":80"),
+               F.substring(pl, F.lit(1), F.length(pl) - F.lit(3)))
+        .when(pl.startswith("https://") & pl.endswith(":443"),
+              F.substring(pl, F.lit(1), F.length(pl) - F.lit(4)))
+        .otherwise(pl)
+    )
+    u = F.concat(pl, rest)
+    for _ in range(TRACKING_PASSES):
+        for pat, rep in TRACKING_PATTERNS:
+            u = F.regexp_replace(u, pat, rep)
+    return u
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB SQL twin of :func:`canonical_url`, generated from the SAME
+    pattern table (the _html_extract_oracle pattern)."""
+    u0 = f"regexp_replace({expr}, '#.*$', '')"
+    pref = f"regexp_extract({u0}, '{SCHEME_HOST_RE}')"
+    pl = f"lower({pref})"
+    pl = (
+        f"CASE WHEN starts_with({pl}, 'http://') AND ends_with({pl}, ':80') "
+        f"THEN substr({pl}, 1, length({pl}) - 3) "
+        f"WHEN starts_with({pl}, 'https://') AND ends_with({pl}, ':443') "
+        f"THEN substr({pl}, 1, length({pl}) - 4) ELSE {pl} END"
+    )
+    u = f"({pl} || substr({u0}, length({pref}) + 1))"
+    for _ in range(TRACKING_PASSES):
+        for pat, rep in TRACKING_PATTERNS:
+            # standard SQL single-quote strings are raw: the '\?' escape
+            # reaches RE2 untouched, matching Spark's Java-regex reading
+            u = f"regexp_replace({u}, '{pat}', '{rep}', 'g')"
+    return u
+
+
 def domain_of(url: str | Column) -> Column:
     """Extract the host from an http(s) URL with a built-in expression.
 
