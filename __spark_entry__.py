@@ -1321,6 +1321,47 @@ def _q_merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation, end to end: archive the events stream, pin
+    snapshot v1, run a destructive MERGE (updates + inserts), then read
+    v1 — which must still hash-match the ORIGINAL table even though the
+    live tree changed underneath it. Footer row counts prove the live
+    tree really did diverge before we return the pinned version."""
+    import re as _re
+
+    import pyarrow.dataset as pads
+
+    from tstore_spark.model.tslong import TSLong
+    from tstore_spark.sources.archive import PAGES_DIR, write_archive
+    from tstore_spark.sources.merge import merge_upsert
+    from tstore_spark.sources.snapshots import (
+        open_snapshot,
+        read_manifest,
+        snapshot_commit,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    tl = TSLong.wrap(ev, id_var="event_id", time_var="ts", ts_vars={"metrics": ["value"]})
+    base = "/tmp/tstore_spark_snap_rt_" + _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    import shutil as _sh
+
+    _sh.rmtree(base, ignore_errors=True)  # fresh run: version numbering from v1
+    write_archive(tl, base, num_buckets=2, check_static_uniqueness=False)
+    v1 = snapshot_commit(base)
+    batch = ev.where(F.col("event_id") % 11 == 5).select(
+        (F.col("event_id") + 20_000_000).alias("event_id"), "ts", "value"
+    )
+    merge_upsert(spark, base, batch)
+    live_rows = pads.dataset(f"{base}/{PAGES_DIR}", format="parquet").count_rows()
+    snap = open_snapshot(spark, base, v1)
+    vdir = f"{base}/snapshots/{PAGES_DIR}/v{v1}"
+    snap_files = [f"{vdir}/{e['path']}" for e in read_manifest(base, PAGES_DIR, v1)["files"]]
+    snap_rows = pads.dataset(snap_files, format="parquet").count_rows()
+    if live_rows <= snap_rows:
+        raise RuntimeError(f"merge did not diverge the live tree ({live_rows} vs {snap_rows})")
+    return snap.select(F.col("event_id").cast("long").alias("event_id"), "ts", "value")
+
+
 def _q_tslong_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tstore_spark.model.tslong import TSLong
 
@@ -1380,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_roundtrip": _q_compaction_roundtrip,
         "merge_upsert_roundtrip": _q_merge_upsert_roundtrip,
         "zonemap_scan": _q_zonemap_scan,
+        "snapshot_time_travel": _q_snapshot_time_travel,
         "geo_bbox": _q_geo_bbox,
         "corpus_filter": _q_corpus_filter,
         "rollup_1h_ddsketch": _q_rollup_dd,
@@ -1718,6 +1760,7 @@ def oracle_sql() -> dict[str, str]:
         "tslong_roundtrip": "SELECT user_id, ts, value FROM events",
         "tstore_layout_roundtrip": "SELECT user_id, ts, value FROM events",
         "compaction_roundtrip": "SELECT user_id, ts, value FROM events",
+        "snapshot_time_travel": "SELECT event_id, ts, value FROM events",
         "zonemap_scan": """
             SELECT event_id, ts, value FROM events
             WHERE value >= 100.0 AND value <= 150.0

@@ -1,0 +1,97 @@
+"""Snapshots: version pinning across destructive maintenance, rollback,
+expiry, and zero-copy behavior (hardlinks, not data copies)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tstore_spark.functions.urls import domain_of
+from tstore_spark.model.tslong import TSLong
+from tstore_spark.sources.archive import PAGES_DIR, open_archive, write_archive
+from tstore_spark.sources.compact import compact_archive
+from tstore_spark.sources.merge import merge_upsert
+from tstore_spark.sources.snapshots import (
+    expire_snapshots,
+    list_snapshots,
+    open_snapshot,
+    rollback,
+    snapshot_commit,
+)
+
+
+@pytest.fixture()
+def archive(spark, pages_sdf, tmp_path):
+    base = str(tmp_path / "archive")
+    pages = pages_sdf.withColumn("domain", domain_of("url"))
+    tsl = TSLong.wrap(
+        pages, id_var="domain", time_var="warc_ts",
+        ts_vars={"content": ["url", "html", "text", "lang"]},
+    )
+    write_archive(tsl, base, num_buckets=2, check_static_uniqueness=False)
+    return base
+
+
+def _digest(df):
+    cols = sorted(df.columns)
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.crc32(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))).alias("h"),
+    ).head()
+    return (row["n"], row["h"])
+
+
+def test_snapshot_survives_merge_and_compaction(spark, archive):
+    live0 = open_archive(spark, archive, with_attributes=False).df
+    d0 = _digest(live0)
+    v1 = snapshot_commit(archive)
+    assert v1 == 1 and list_snapshots(archive) == [1]
+
+    batch = (
+        live0.orderBy("domain", "warc_ts").limit(3)
+        .withColumn("lang", F.lit("zz")).localCheckpoint()
+    )
+    merge_upsert(spark, archive, batch)
+    root = os.path.join(archive, PAGES_DIR)
+    frag = spark.read.option("basePath", root).parquet(root).repartition(4)
+    frag.write.mode("overwrite").partitionBy("p_day", "p_bucket").parquet(root)
+    compact_archive(spark, archive, target_file_bytes=1 << 30)
+
+    # pinned version still reads the ORIGINAL rows, live reads the merged ones
+    snap = open_snapshot(spark, archive, v1).drop("p_day", "p_bucket")
+    assert _digest(snap) == d0
+    live1 = open_archive(spark, archive, with_attributes=False).df
+    assert _digest(live1) != d0
+    assert live1.where(F.col("lang") == "zz").count() == 3
+
+
+def test_rollback_restores_exactly(spark, archive):
+    live0 = open_archive(spark, archive, with_attributes=False).df
+    d0 = _digest(live0)
+    v1 = snapshot_commit(archive)
+    batch = (
+        live0.orderBy("domain", "warc_ts").limit(2)
+        .withColumn("lang", F.lit("yy")).localCheckpoint()
+    )
+    merge_upsert(spark, archive, batch)
+    rollback(archive, v1)
+    assert _digest(open_archive(spark, archive, with_attributes=False).df) == d0
+
+
+def test_snapshots_are_hardlinks_not_copies(spark, archive):
+    root = os.path.join(archive, PAGES_DIR)
+    snapshot_commit(archive)
+    for dirpath, _d, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                # every live file now has >= 2 links (live + snapshot)
+                assert os.stat(os.path.join(dirpath, f)).st_nlink >= 2
+
+
+def test_expire_snapshots(spark, archive):
+    v1 = snapshot_commit(archive)
+    v2 = snapshot_commit(archive)
+    dropped = expire_snapshots(archive, keep_last=1)
+    assert dropped == [v1] and list_snapshots(archive) == [v2]
+    # the surviving snapshot still reads
+    assert open_snapshot(spark, archive, v2).count() > 0
