@@ -95,3 +95,28 @@ def test_expire_snapshots(spark, archive):
     assert dropped == [v1] and list_snapshots(archive) == [v2]
     # the surviving snapshot still reads
     assert open_snapshot(spark, archive, v2).count() > 0
+
+
+def test_maintenance_job_smoke(spark, archive, tmp_path):
+    """CLI loop: snapshot -> fragment -> compact (auto-snapshots) -> expire."""
+    import json
+    import subprocess
+    import sys
+
+    root = os.path.join(archive, PAGES_DIR)
+    frag = spark.read.option("basePath", root).parquet(root).repartition(4)
+    frag.write.mode("overwrite").partitionBy("p_day", "p_bucket").parquet(root)
+
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    run = lambda *a: json.loads(subprocess.run(
+        [sys.executable, "jobs/maintenance_job.py", "--archive", archive, *a],
+        capture_output=True, text=True, check=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ).stdout.strip().splitlines()[-1])
+
+    s = run("snapshot")
+    assert s["version"] == 1
+    c = run("compact", "--target-mb", "1024")
+    assert c["pre_snapshot"] == 2 and c["summary"]["partitions_compacted"] > 0
+    e = run("expire", "--keep-last", "1")
+    assert e["dropped_versions"] == [1] and list_snapshots(archive) == [2]
