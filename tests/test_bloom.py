@@ -60,3 +60,36 @@ def test_deterministic_across_parallelism(spark, corpus):
     a = bloom_build(corpus.repartition(1), "item", m_bits=M, k=K)
     b = bloom_build(corpus.repartition(16), "item", m_bits=M, k=K)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_streaming_admission_equals_batch(spark, corpus, dense, tmp_path):
+    """bloom_maybe_expr is a stateless projection: the streaming admission
+    filter (drop maybe-seen items) admits exactly the batch-filtered set."""
+    import pandas as pd
+    from tstore_spark.operators.bloom import bloom_maybe_expr, bloom_words
+
+    words = bloom_words(dense)
+    mixed = pd.DataFrame(
+        {"item": [f"url-{i}" for i in range(0, 2000, 2)] + [f"new-{i}" for i in range(1000)]}
+    )
+    sdf = spark.createDataFrame(mixed)
+    src = str(tmp_path / "src")
+    sdf.repartition(3).write.parquet(src)
+
+    pred = ~bloom_maybe_expr(words, "item", m_bits=M, k=K)
+    batch_admitted = sorted(r["item"] for r in sdf.where(pred).collect())
+
+    stream = spark.readStream.schema(sdf.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream.where(pred)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["item"] for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    assert got == batch_admitted
+    # no-false-negative theorem: every admitted item is truly unseen
+    assert all(i.startswith("new-") for i in got)

@@ -98,3 +98,32 @@ def bloom_maybe_contains(
         )
         tests.append(word.bitwiseAND(mask) != 0)
     return probed.withColumn(out_col, reduce(lambda a, b: a & b, tests)).drop("words")
+
+
+def bloom_words(dense: DataFrame) -> list[int]:
+    """Collect the dense bitset to the driver (m/64 longs — 128 KiB at
+    m = 2^20): the form that embeds into a STREAMING plan, where a
+    cross-join against a static DataFrame is not available as a stateless
+    projection. Bounded by construction — this is sketch state, not data."""
+    return list(dense.head()["words"])
+
+
+def bloom_maybe_expr(
+    words: list[int],
+    item_col: str,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> Column:
+    """The k-bit membership test as a pure Column over a LITERAL bitset —
+    usable identically in batch and Structured Streaming (stateless, no
+    join at all). ``item_col`` must be a plain column name."""
+    arr = F.lit(words)
+    tests = []
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(F.col(item_col), F.lit(i)), F.lit(m_bits))
+        word = F.element_at(arr, (pos / 64).cast("int") + F.lit(1))
+        mask = F.expr(
+            f"shiftleft(1L, CAST(pmod(pmod(xxhash64({item_col}, {i}), {m_bits}), 64) AS INT))"
+        )
+        tests.append(word.bitwiseAND(mask) != 0)
+    return reduce(lambda a, b: a & b, tests)
