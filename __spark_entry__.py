@@ -1362,6 +1362,45 @@ def _q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.select(F.col("event_id").cast("long").alias("event_id"), "ts", "value")
 
 
+def _q_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data feed between versions: archive events, pin v1, MERGE a
+    batch (value restatements for event_id % 10 == 3, brand-new ids for
+    % 97 == 0), pin v2, then diff v1 -> v2. The feed must contain exactly
+    the batch as inserts plus the updated keys' OLD rows as deletes —
+    which the oracle states in plain SQL."""
+    import re as _re
+    import shutil as _sh
+
+    from tstore_spark.model.tslong import TSLong
+    from tstore_spark.sources.archive import write_archive
+    from tstore_spark.sources.merge import merge_upsert
+    from tstore_spark.sources.snapshots import snapshot_commit, snapshot_diff
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    tl = TSLong.wrap(ev, id_var="event_id", time_var="ts", ts_vars={"metrics": ["value"]})
+    base = "/tmp/tstore_spark_cdc_rt_" + _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    _sh.rmtree(base, ignore_errors=True)
+    write_archive(tl, base, num_buckets=2, check_static_uniqueness=False)
+    v1 = snapshot_commit(base)
+    batch = (
+        ev.where(F.col("event_id") % 10 == 3)
+        .select("event_id", "ts", (F.col("value") + 1000.0).alias("value"))
+        .unionByName(
+            ev.where(F.col("event_id") % 97 == 0).select(
+                (F.col("event_id") + 10_000_000).alias("event_id"),
+                "ts",
+                (F.col("value") * 2.0).alias("value"),
+            )
+        )
+    )
+    merge_upsert(spark, base, batch)
+    v2 = snapshot_commit(base)
+    diff = snapshot_diff(spark, base, v1, v2)
+    return diff.select(
+        F.col("event_id").cast("long").alias("event_id"), "ts", "value", "_change"
+    )
+
+
 def _q_tslong_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tstore_spark.model.tslong import TSLong
 
@@ -1422,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_roundtrip": _q_merge_upsert_roundtrip,
         "zonemap_scan": _q_zonemap_scan,
         "snapshot_time_travel": _q_snapshot_time_travel,
+        "snapshot_cdc": _q_snapshot_cdc,
         "geo_bbox": _q_geo_bbox,
         "corpus_filter": _q_corpus_filter,
         "rollup_1h_ddsketch": _q_rollup_dd,
@@ -1761,6 +1801,18 @@ def oracle_sql() -> dict[str, str]:
         "tstore_layout_roundtrip": "SELECT user_id, ts, value FROM events",
         "compaction_roundtrip": "SELECT user_id, ts, value FROM events",
         "snapshot_time_travel": "SELECT event_id, ts, value FROM events",
+        "snapshot_cdc": """
+            WITH upd AS (
+                SELECT event_id, ts, value FROM events WHERE event_id % 10 = 3),
+            ins AS (
+                SELECT event_id + 10000000 AS event_id, ts, value * 2.0 AS value
+                FROM events WHERE event_id % 97 = 0)
+            SELECT event_id, ts, value + 1000.0 AS value, 'insert' AS _change FROM upd
+            UNION ALL
+            SELECT event_id, ts, value, 'insert' AS _change FROM ins
+            UNION ALL
+            SELECT event_id, ts, value, 'delete' AS _change FROM upd
+        """,
         "zonemap_scan": """
             SELECT event_id, ts, value FROM events
             WHERE value >= 100.0 AND value <= 150.0

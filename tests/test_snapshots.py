@@ -120,3 +120,23 @@ def test_maintenance_job_smoke(spark, archive, tmp_path):
     assert c["pre_snapshot"] == 2 and c["summary"]["partitions_compacted"] > 0
     e = run("expire", "--keep-last", "1")
     assert e["dropped_versions"] == [1] and list_snapshots(archive) == [2]
+
+
+def test_snapshot_diff_is_the_merge_delta(spark, archive):
+    from tstore_spark.sources.snapshots import snapshot_diff
+
+    live0 = open_archive(spark, archive, with_attributes=False).df
+    v1 = snapshot_commit(archive)
+    victims = live0.orderBy("domain", "warc_ts").limit(2).localCheckpoint()
+    batch = victims.withColumn("lang", F.lit("zz")).unionByName(
+        victims.withColumn("domain", F.concat(F.lit("new-"), "domain"))
+    )
+    merge_upsert(spark, archive, batch)
+    v2 = snapshot_commit(archive)
+
+    diff = snapshot_diff(spark, archive, v1, v2).drop("p_day", "p_bucket")
+    ins = diff.where(F.col("_change") == "insert").drop("_change")
+    dele = diff.where(F.col("_change") == "delete").drop("_change")
+    # inserts == exactly the merge batch; deletes == the pre-merge victims
+    assert ins.exceptAll(batch).count() == 0 and batch.exceptAll(ins).count() == 0
+    assert dele.exceptAll(victims).count() == 0 and victims.exceptAll(dele).count() == 0

@@ -126,3 +126,33 @@ def expire_snapshots(base_dir: str, table: str = PAGES_DIR, keep_last: int = 1) 
     for v in dropped:
         shutil.rmtree(os.path.join(_snap_root(base_dir, table), f"v{v}"))
     return dropped
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    base_dir: str,
+    from_version: int,
+    to_version: int,
+    table: str = PAGES_DIR,
+) -> DataFrame:
+    """Change-data feed between two pinned versions: every row with a
+    ``_change`` column ('insert' = present only in ``to``, 'delete' =
+    present only in ``from``; an update appears as its delete + insert,
+    multiset semantics — duplicate rows diff by count). Iceberg analog:
+    the changelog scan between snapshot ids.
+
+    Plan shape: two manifest-pinned scans + one exceptAll each way — the
+    diff shuffles only the two snapshots' rows, and Catalyst prunes both
+    scans to the columns the caller selects downstream."""
+    a = open_snapshot(spark, base_dir, from_version, table)
+    b = open_snapshot(spark, base_dir, to_version, table)
+    cols = [c for c in b.columns]
+    from pyspark.sql import functions as F
+
+    inserted = b.select(*cols).exceptAll(a.select(*cols)).withColumn(
+        "_change", F.lit("insert")
+    )
+    deleted = a.select(*cols).exceptAll(b.select(*cols)).withColumn(
+        "_change", F.lit("delete")
+    )
+    return inserted.unionByName(deleted)
