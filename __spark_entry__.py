@@ -1362,6 +1362,34 @@ def _q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.select(F.col("event_id").cast("long").alias("event_id"), "ts", "value")
 
 
+def _q_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE WHERE, end to end: archive the events stream (with the
+    event_type payload), copy-on-write-delete the 'error' rows — touching
+    only partitions that contain matches — and reopen; the survivors must
+    hash-match the plain SQL anti-filter."""
+    import re as _re
+    import shutil as _sh
+
+    from tstore_spark.model.tslong import TSLong
+    from tstore_spark.sources.archive import open_archive, write_archive
+    from tstore_spark.sources.merge import delete_where
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    tl = TSLong.wrap(
+        ev, id_var="event_id", time_var="ts", ts_vars={"metrics": ["event_type", "value"]}
+    )
+    base = "/tmp/tstore_spark_del_rt_" + _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    _sh.rmtree(base, ignore_errors=True)
+    write_archive(tl, base, num_buckets=2, check_static_uniqueness=False)
+    summary = delete_where(spark, base, F.col("event_type") == "error")
+    if summary["rows_deleted"] == 0:
+        raise RuntimeError("delete_where unexpectedly matched nothing")
+    back = open_archive(spark, base, with_attributes=False)
+    return back.df.select(
+        F.col("event_id").cast("long").alias("event_id"), "ts", "event_type", "value"
+    )
+
+
 def _q_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data feed between versions: archive events, pin v1, MERGE a
     batch (value restatements for event_id % 10 == 3, brand-new ids for
@@ -1462,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_scan": _q_zonemap_scan,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "snapshot_cdc": _q_snapshot_cdc,
+        "delete_where_roundtrip": _q_delete_where,
         "geo_bbox": _q_geo_bbox,
         "corpus_filter": _q_corpus_filter,
         "rollup_1h_ddsketch": _q_rollup_dd,
@@ -1801,6 +1830,10 @@ def oracle_sql() -> dict[str, str]:
         "tstore_layout_roundtrip": "SELECT user_id, ts, value FROM events",
         "compaction_roundtrip": "SELECT user_id, ts, value FROM events",
         "snapshot_time_travel": "SELECT event_id, ts, value FROM events",
+        "delete_where_roundtrip": """
+            SELECT event_id, ts, event_type, value FROM events
+            WHERE event_type <> 'error'
+        """,
         "snapshot_cdc": """
             WITH upd AS (
                 SELECT event_id, ts, value FROM events WHERE event_id % 10 = 3),

@@ -97,3 +97,56 @@ def test_missing_column_rejected(spark, archive):
     before = open_archive(spark, archive, with_attributes=False).df
     with pytest.raises(ValueError, match="missing fact columns"):
         merge_upsert(spark, archive, before.drop("lang").limit(1))
+
+
+# -- delete_where --------------------------------------------------------------
+
+def test_delete_where_rows(spark, archive):
+    from tstore_spark.sources.merge import delete_where
+
+    before = open_archive(spark, archive, with_attributes=False).df
+    n_before = before.count()
+    n_match = before.where(F.col("lang") == "en").count()
+    assert 0 < n_match < n_before
+
+    summary = delete_where(spark, archive, F.col("lang") == "en")
+    assert summary["rows_deleted"] == n_match
+
+    after = open_archive(spark, archive, with_attributes=False).df
+    assert after.count() == n_before - n_match
+    assert after.where(F.col("lang") == "en").count() == 0
+
+
+def test_delete_where_untouched_partitions_not_rewritten(spark, archive):
+    from tstore_spark.sources.merge import delete_where
+
+    before = open_archive(spark, archive, with_attributes=False).df
+    victim = before.orderBy("domain", "warc_ts").head()
+    root = os.path.join(archive, PAGES_DIR)
+    mt_before = _mtimes(root)
+    s = delete_where(
+        spark, archive,
+        (F.col("domain") == victim["domain"]) & (F.col("warc_ts") == victim["warc_ts"]),
+    )
+    assert s["rows_deleted"] >= 1 and s["partitions_touched"] == 1
+    mt_after = _mtimes(root)
+    changed_dirs = {
+        os.path.dirname(p) for p in mt_before if mt_before[p] != mt_after.get(p, -1)
+    }
+    assert len(changed_dirs) == 1
+
+
+def test_delete_where_no_match_noop(spark, archive):
+    from tstore_spark.sources.merge import delete_where
+
+    s = delete_where(spark, archive, F.col("lang") == "nonexistent-lang")
+    assert s == {"partitions_touched": 0, "rows_deleted": 0}
+
+
+def test_delete_where_sql_string_predicate(spark, archive):
+    from tstore_spark.sources.merge import delete_where
+
+    before = open_archive(spark, archive, with_attributes=False).df.count()
+    s = delete_where(spark, archive, "lang = 'de'")
+    after = open_archive(spark, archive, with_attributes=False).df.count()
+    assert after == before - s["rows_deleted"]

@@ -124,3 +124,63 @@ def merge_upsert(
         "partitions_created": len(affected) - len(existing),
         "rows_updated": n_updated,
     }
+
+
+def delete_where(
+    spark: SparkSession,
+    base_dir: str,
+    predicate,
+    table: str = PAGES_DIR,
+) -> dict:
+    """DELETE FROM <table> WHERE <predicate> — copy-on-write, scoped to the
+    partitions that actually contain matches.
+
+    One scan finds the distinct (p_day, p_bucket) values holding matching
+    rows (partition columns only ride the aggregation — tiny); only those
+    directories are re-read, filtered to the KEEPERS, rewritten, and
+    swapped metadata-only. Partitions without matches are never rewritten.
+    ``predicate`` is a Column or SQL string over the fact columns. Iceberg
+    analog: DELETE WHERE with copy-on-write row filtering; its
+    partition-level fast path (drop whole partitions when the predicate
+    subsumes them) is apply_retention (sources/archive.py)."""
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    root = os.path.join(base_dir, table)
+
+    stored = spark.read.option("basePath", root).parquet(root)
+    affected = [
+        (str(r["p_day"]), int(r["p_bucket"]))
+        for r in stored.where(pred).select(*_PART_COLS).distinct().collect()
+    ]
+    if not affected:
+        return {"partitions_touched": 0, "rows_deleted": 0}
+
+    paths = [
+        os.path.join(root, f"p_day={day}", f"p_bucket={b}") for day, b in affected
+    ]
+    base = spark.read.option("basePath", root).parquet(*paths)
+    kept = base.where(~F.coalesce(pred, F.lit(False))).persist()
+    try:
+        n_deleted = base.count() - kept.count()
+        d, _num_buckets = read_metadata(base_dir)
+        tmp = root + ".delete__tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            kept.repartition(*_PART_COLS)
+            .sortWithinPartitions(*_PART_COLS, d.id_var, d.time_var)
+            .write.mode("overwrite")
+            .partitionBy(*_PART_COLS)
+            .parquet(tmp)
+        )
+    finally:
+        kept.unpersist()
+
+    for day, b in affected:
+        rel = os.path.join(f"p_day={day}", f"p_bucket={b}")
+        src, dst = os.path.join(tmp, rel), os.path.join(root, rel)
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.isdir(src):
+            os.replace(src, dst)
+        # a partition whose every row matched has no keeper output: the
+        # directory simply disappears (partition-level delete)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"partitions_touched": len(affected), "rows_deleted": n_deleted}
