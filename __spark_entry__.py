@@ -1362,6 +1362,35 @@ def _q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.select(F.col("event_id").cast("long").alias("event_id"), "ts", "value")
 
 
+_EXPECT_RULES = {
+    # names sort in this order; quarantine reports them sorted
+    "type_known": lambda: F.col("event_type").isin(*EVENT_TYPES),
+    "user_id_lt_100": lambda: F.col("user_id") < 100,
+    "value_min_5c": lambda: F.col("value") >= 0.05,
+}
+
+
+def _q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report: every rule evaluated in ONE scan /
+    one aggregate (conditional long sums, NULL counts as violation)."""
+    from tstore_spark.operators.expectations import expectation_report
+
+    ev = _t(spark, sf_dir, "events")
+    return expectation_report(ev, {k: v() for k, v in _EXPECT_RULES.items()})
+
+
+def _q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine split: rows violating any rule, with the sorted list of
+    failed rule names (stringified — the audit trail), one projection."""
+    from tstore_spark.operators.expectations import quarantine
+
+    ev = _t(spark, sf_dir, "events")
+    _clean, bad = quarantine(ev, {k: v() for k, v in _EXPECT_RULES.items()})
+    return bad.select(
+        "event_id", F.concat_ws(",", "failed_rules").alias("failed")
+    )
+
+
 def _q_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETE WHERE, end to end: archive the events stream (with the
     event_type payload), copy-on-write-delete the 'error' rows — touching
@@ -1491,6 +1520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_time_travel": _q_snapshot_time_travel,
         "snapshot_cdc": _q_snapshot_cdc,
         "delete_where_roundtrip": _q_delete_where,
+        "expectations_report": _q_expectations_report,
+        "quarantine_split": _q_quarantine,
         "geo_bbox": _q_geo_bbox,
         "corpus_filter": _q_corpus_filter,
         "rollup_1h_ddsketch": _q_rollup_dd,
@@ -1830,6 +1861,36 @@ def oracle_sql() -> dict[str, str]:
         "tstore_layout_roundtrip": "SELECT user_id, ts, value FROM events",
         "compaction_roundtrip": "SELECT user_id, ts, value FROM events",
         "snapshot_time_travel": "SELECT event_id, ts, value FROM events",
+        "expectations_report": """
+            SELECT 'type_known' AS rule, count(*) AS n_rows,
+                   CAST(count(*) FILTER (WHERE NOT coalesce(
+                       event_type IN ('click','error','purchase','signup','view'), FALSE))
+                       AS BIGINT) AS n_violations
+            FROM events
+            UNION ALL
+            SELECT 'user_id_lt_100', count(*),
+                   CAST(count(*) FILTER (WHERE NOT coalesce(user_id < 100, FALSE)) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'value_min_5c', count(*),
+                   CAST(count(*) FILTER (WHERE NOT coalesce(value >= 0.05, FALSE)) AS BIGINT)
+            FROM events
+        """,
+        "quarantine_split": """
+            WITH f AS (
+                SELECT event_id,
+                       array_to_string(list_filter([
+                           CASE WHEN NOT coalesce(
+                               event_type IN ('click','error','purchase','signup','view'),
+                               FALSE) THEN 'type_known' END,
+                           CASE WHEN NOT coalesce(user_id < 100, FALSE)
+                                THEN 'user_id_lt_100' END,
+                           CASE WHEN NOT coalesce(value >= 0.05, FALSE)
+                                THEN 'value_min_5c' END
+                       ], x -> x IS NOT NULL), ',') AS failed
+                FROM events)
+            SELECT event_id, failed FROM f WHERE failed <> ''
+        """,
         "delete_where_roundtrip": """
             SELECT event_id, ts, event_type, value FROM events
             WHERE event_type <> 'error'
