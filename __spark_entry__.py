@@ -186,6 +186,38 @@ def _q_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance: build the 1h tier, then apply a
+    change set (delete all 'error' events on 2024-01-05; insert +30min
+    echoes of the user_id%13==4 slice at doubled value) and refresh ONLY
+    the invalidated (key, window) slices. The oracle recomputes the whole
+    tier from the modified raw in SQL — the incremental splice must
+    hash-match a full rebuild."""
+    from tstore_spark.operators.metric_rollup import refresh_tier_incremental
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value", "user_id")
+    deleted = (F.col("event_type") == "error") & (
+        F.to_date("ts") == F.lit("2024-01-05")
+    )
+    inserts = ev.where((F.col("user_id") % 13 == 4) & (F.col("event_type") != "error")).select(
+        "event_type",
+        F.expr("timestampadd(MINUTE, 30, ts)").alias("ts"),
+        (F.col("value") * 2.0).alias("value"),
+        "user_id",
+    )
+    from tstore_spark.operators.metric_rollup import metric_rollup_from_raw
+
+    state0 = metric_rollup_from_raw(ev, "1h")
+    raw1 = ev.where(~deleted).unionByName(inserts)
+    changes = ev.where(deleted).select("event_type", "ts").unionByName(
+        inserts.select("event_type", "ts")
+    )
+    refreshed, rep = refresh_tier_incremental(raw1, state0, changes, "1h")
+    if rep["windows_invalidated"] == 0:
+        raise RuntimeError("refresh unexpectedly invalidated nothing")
+    return finalize(refreshed)
+
+
 def _q_gap_fill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     tier = (
@@ -1483,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h": _q_rollup("1h"),
         "rollup_1d": _q_rollup("1d"),
         "gap_fill_1h": _q_gap_fill_1h,
+        "incremental_refresh": _q_incremental_refresh,
         "gorilla_roundtrip": _q_gorilla,
         "salted_agg_events": _q_salted_agg,
         "dedup_exact": _q_dedup_exact,
@@ -1696,6 +1729,23 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": """
             SELECT vec_id AS query_id, CAST(3 AS INTEGER) AS k, TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 5
+        """,
+        "incremental_refresh": """
+            WITH raw1 AS (
+                SELECT event_type, ts, value, user_id FROM events
+                WHERE NOT (event_type = 'error' AND CAST(ts AS DATE) = DATE '2024-01-05')
+                UNION ALL
+                SELECT event_type, ts + INTERVAL 30 MINUTE, value * 2.0, user_id
+                FROM events WHERE user_id % 13 = 4 AND event_type <> 'error')
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                   count(*) AS event_count,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS value_sum,
+                   count(DISTINCT user_id) AS user_distinct,
+                   round(quantile_cont(value, 0.50), 4) AS value_p50,
+                   round(quantile_cont(value, 0.90), 4) AS value_p90,
+                   round(quantile_cont(value, 0.99), 4) AS value_p99
+            FROM raw1 GROUP BY 1, 2
         """,
         "gap_fill_1h": """
             WITH tier AS (

@@ -118,3 +118,91 @@ def test_value_sketch_cascade_and_accuracy(events_sdf):
                 assert abs(g - e) <= tol * e + 0.02, (k, c, g, e)
                 checked += 1
     assert checked > 10
+
+
+# -- refresh_tier_incremental ---------------------------------------------------
+
+def _events_pdf(n=4000, seed=7):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "ts": pd.Timestamp("2024-03-01") + pd.to_timedelta(rng.integers(0, 86400 * 3, n), unit="s"),
+            "value": np.round(rng.uniform(0, 50, n), 2),
+            "user_id": rng.integers(0, 200, n),
+        }
+    )
+
+
+def _frames_equal(a, b):
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_incremental_refresh_equals_full_rebuild(spark):
+    from tstore_spark.operators.metric_rollup import (
+        finalize,
+        metric_rollup_from_raw,
+        refresh_tier_incremental,
+    )
+    import pyspark.sql.functions as F
+
+    raw0 = spark.createDataFrame(_events_pdf()).cache()
+    state0 = metric_rollup_from_raw(raw0, "1h")
+
+    # deletes: all of type 'b' on day 2; inserts: late +30min echoes of a slice
+    deleted = (F.col("event_type") == "b") & (F.to_date("ts") == F.lit("2024-03-02"))
+    # inserts avoid type 'b' so the fully-deleted b/day-2 windows get no
+    # replacement rows and must vanish from the refreshed state
+    inserts = raw0.where((F.col("user_id") % 17 == 3) & (F.col("event_type") != "b")).select(
+        "event_type",
+        F.expr("timestampadd(MINUTE, 30, ts)").alias("ts"),
+        (F.col("value") * 2.0).alias("value"),
+        "user_id",
+    )
+    raw1 = raw0.where(~deleted).unionByName(inserts).cache()
+    changes = raw0.where(deleted).select("event_type", "ts").unionByName(
+        inserts.select("event_type", "ts")
+    )
+
+    refreshed, rep = refresh_tier_incremental(raw1, state0, changes, "1h")
+    assert rep["windows_invalidated"] > 0
+    full = metric_rollup_from_raw(raw1, "1h")
+    assert _frames_equal(finalize(refreshed), finalize(full))
+
+    # fully-deleted windows disappear from the refreshed state
+    gone = (
+        state0.where(F.col("event_type") == "b")
+        .where(F.to_date("window_start") == F.lit("2024-03-02"))
+        .count()
+    )
+    still = (
+        refreshed.where(F.col("event_type") == "b")
+        .where(F.to_date("window_start") == F.lit("2024-03-02"))
+        .count()
+    )
+    assert gone > 0 and still == 0
+
+    # cascade built on the refreshed state == cascade on the full rebuild
+    from tstore_spark.operators.metric_rollup import metric_rollup_cascade
+
+    assert _frames_equal(
+        finalize(metric_rollup_cascade(refreshed, "1d")),
+        finalize(metric_rollup_cascade(full, "1d")),
+    )
+
+
+def test_incremental_refresh_no_changes_is_identity(spark):
+    from tstore_spark.operators.metric_rollup import (
+        metric_rollup_from_raw,
+        refresh_tier_incremental,
+    )
+
+    raw = spark.createDataFrame(_events_pdf(800))
+    state = metric_rollup_from_raw(raw, "1h")
+    refreshed, rep = refresh_tier_incremental(raw, state, raw.limit(0), "1h")
+    assert rep == {"windows_invalidated": 0}
+    assert _frames_equal(refreshed.drop("id_set", "hist_cents", "hist_cnts"),
+                         state.drop("id_set", "hist_cents", "hist_cnts"))

@@ -278,3 +278,78 @@ def metric_rollup_all_tiers(
     tiers["1h"] = metric_rollup_cascade(tiers["1m"], "1h", key)
     tiers["1d"] = metric_rollup_cascade(tiers["1h"], "1d", key)
     return tiers
+
+
+def refresh_tier_incremental(
+    raw: DataFrame,
+    tier_state: DataFrame,
+    changes: DataFrame,
+    tier: str,
+    key: str = "event_type",
+    time_col: str = "ts",
+    **rollup_kwargs,
+) -> tuple[DataFrame, dict]:
+    """Incremental continuous-aggregate maintenance (TimescaleDB-style
+    invalidation): given the CURRENT raw table, the tier STATE built before
+    a change, and the changed rows (inserts AND deletes — only their key +
+    event time matter), rebuild ONLY the invalidated (key, window) slices.
+
+    Distinct sets / histograms / sketches are mergeable but not
+    subtractable, so deletes cannot be "un-aggregated" — the correct
+    primitive is invalidate-and-recompute per touched window:
+
+    1. invalidation set = distinct (key, window_start) of the changes —
+       tiny (bounded by #windows), broadcast everywhere below;
+    2. the raw scan is clamped to [min, max] of the touched windows
+       (parquet/partition pushdown does the coarse cut) and then
+       left_semi-joined to exactly the invalidated slices;
+    3. splice = old state anti-join invalidation ∪ freshly rolled slices —
+       a window whose rows were all deleted simply disappears.
+
+    Refresh cost is proportional to the CHANGED slice of raw, never the
+    table; the result is bit-identical to a full from-raw rebuild (the
+    pytest asserts frame equality), so cascades built on the refreshed
+    state stay exact.
+    """
+    from datetime import timedelta
+
+    from tstore_spark.functions.filters import time_range_filter
+
+    unit = TIERS[tier]
+    is_ntz = dict(raw.dtypes).get(time_col) == "timestamp_ntz"
+    ws = F.date_trunc(unit, F.col(time_col))
+    if is_ntz:
+        ws = ws.cast("timestamp_ntz")
+
+    # one job over the changes computes the invalidation set; it is collected
+    # into a LOCAL relation (bounded by #touched windows x keys — window
+    # metadata, never row data) so the three consumers below embed it as a
+    # broadcast literal instead of re-running the changes plan
+    inval_q = changes.select(F.col(key), ws.alias("window_start")).distinct()
+    rows = inval_q.collect()
+    report = {"windows_invalidated": len(rows)}
+    if not rows:
+        return tier_state, report
+    spark = raw.sparkSession
+    inval = spark.createDataFrame(rows, inval_q.schema)
+
+    lo = min(r["window_start"] for r in rows)
+    hi = max(r["window_start"] for r in rows)
+    step = {"minute": timedelta(minutes=1), "hour": timedelta(hours=1), "day": timedelta(days=1)}[unit]
+    sliced = raw.where(
+        time_range_filter(time_col, str(lo), str(hi + step), inclusive="left", ntz=is_ntz)
+    )
+    target = (
+        sliced.withColumn("_ws", ws)
+        .join(
+            F.broadcast(inval.withColumnRenamed("window_start", "_ws")),
+            [key, "_ws"],
+            "left_semi",
+        )
+        .drop("_ws")
+    )
+    recomputed = metric_rollup_from_raw(
+        target, tier, key=key, time_col=time_col, **rollup_kwargs
+    )
+    kept = tier_state.join(F.broadcast(inval), [key, "window_start"], "left_anti")
+    return kept.unionByName(recomputed), report
