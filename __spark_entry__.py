@@ -1500,6 +1500,60 @@ def _q_tslong_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.df.select(F.col("user_id").cast("long").alias("user_id"), "ts", "value")
 
 
+def _q_realtime_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time continuous aggregate: the 1h tier is materialized only up to
+    a mid-stream watermark (not window-aligned); the view serves frozen
+    complete windows from the tier and re-rolls the raw tail (including the
+    partial boundary window) on the fly. Oracle = full from-raw recompute —
+    the union must hash-match a complete rebuild."""
+    from tstore_spark.operators.metric_rollup import metric_rollup_from_raw, realtime_view
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = "2024-01-15 11:30:00"
+    state = metric_rollup_from_raw(
+        ev.where(time_range_filter("ts", None, cutoff, inclusive="neither", ntz=True)), "1h"
+    )
+    return finalize(realtime_view(ev, state, "1h", cutoff))
+
+
+def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tstore_spark.operators.behavior import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+_FUNNEL_WITHIN_US = 7 * 24 * 3600 * 1_000_000  # 7 days
+
+
+def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel per user (greedy == chained-min,
+    proven by the oracle's chained-min SQL), each later step within 7 days
+    of the first view."""
+    from tstore_spark.operators.behavior import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"], within_us=_FUNNEL_WITHIN_US)
+
+
+def _q_hll_union_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch mergeability through the gate: per-day HLL sketches merged to a
+    per-type total must estimate within 2% of the exact distinct count —
+    i.e. merging daily registers is as good as sketching the raw stream
+    (they are bit-identical by construction of the register max-merge)."""
+    from tstore_spark.operators.sketches import hll_merge, hll_sketch, with_hll_estimate
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = hll_sketch(ev, ["event_type", "day"], "user_id")
+    merged = with_hll_estimate(hll_merge(daily.drop("day"), ["event_type"]))
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("user_distinct"))
+    within = (
+        F.abs(F.col("distinct_est") - F.col("user_distinct")) <= 0.02 * F.col("user_distinct")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type", "user_distinct", within.alias("merged_within_2pct")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -1575,6 +1629,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "hll_distinct_users": _q_hll_users,
         "embedding_near_dup": _q_embedding_near_dup,
+        "realtime_rollup_1h": _q_realtime_rollup,
+        "retention_cohorts": _q_retention_cohorts,
+        "funnel_steps": _q_funnel_steps,
+        "hll_union_daily": _q_hll_union_daily,
     }
 
 
@@ -2231,6 +2289,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(minute(ts) AS INTEGER) AS mm,
                    CAST(second(ts) AS INTEGER) AS ss
             FROM events
+        """,
+        "realtime_rollup_1h": _ROLLUP_ORACLE.format(unit="hour"),
+        "retention_cohorts": """
+            WITH a AS (
+                SELECT DISTINCT user_id AS uid, CAST(ts AS DATE) AS day FROM events),
+            c AS (
+                SELECT uid, day, min(day) OVER (PARTITION BY uid) AS cohort FROM a)
+            SELECT cohort,
+                   CAST(datediff('day', cohort, day) AS INT) AS day_offset,
+                   count(*) AS active_users
+            FROM c GROUP BY 1, 2
+        """,
+        "funnel_steps": f"""
+            WITH e AS (
+                SELECT user_id AS uid, event_type AS et, epoch_us(ts) AS t FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')),
+            s0 AS (SELECT uid, min(t) AS t0 FROM e WHERE et = 'view' GROUP BY uid),
+            s1 AS (
+                SELECT e.uid, min(e.t) AS t1 FROM e JOIN s0 ON e.uid = s0.uid
+                WHERE e.et = 'click' AND e.t > s0.t0
+                  AND e.t - s0.t0 <= {_FUNNEL_WITHIN_US}
+                GROUP BY e.uid),
+            s2 AS (
+                SELECT e.uid, min(e.t) AS t2 FROM e
+                JOIN s1 ON e.uid = s1.uid JOIN s0 ON e.uid = s0.uid
+                WHERE e.et = 'purchase' AND e.t > s1.t1
+                  AND e.t - s0.t0 <= {_FUNNEL_WITHIN_US}
+                GROUP BY e.uid),
+            u AS (SELECT DISTINCT uid FROM e)
+            SELECT u.uid AS user_id, s0.t0 AS t0_us, s1.t1 AS t1_us, s2.t2 AS t2_us,
+                   CAST(CASE WHEN s2.t2 IS NOT NULL THEN 3
+                             WHEN s1.t1 IS NOT NULL THEN 2
+                             WHEN s0.t0 IS NOT NULL THEN 1
+                             ELSE 0 END AS INT) AS depth
+            FROM u
+            LEFT JOIN s0 ON u.uid = s0.uid
+            LEFT JOIN s1 ON u.uid = s1.uid
+            LEFT JOIN s2 ON u.uid = s2.uid
+        """,
+        "hll_union_daily": """
+            SELECT event_type, count(DISTINCT user_id) AS user_distinct,
+                   TRUE AS merged_within_2pct
+            FROM events GROUP BY event_type
         """,
         # remaining no-oracle entries: none — every query above carries a
         # DuckDB-checkable formulation (approx operators as invariants:

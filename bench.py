@@ -67,6 +67,9 @@ HEADLINE = [
     "asof_join",
     "hll_distinct_users",
     "binary_meta",
+    "realtime_rollup_1h",
+    "retention_cohorts",
+    "funnel_steps",
 ]
 
 

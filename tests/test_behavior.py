@@ -1,0 +1,172 @@
+"""Retention cohorts + funnel: known-answer, brute-force, and parallelism tests."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tstore_spark.operators.behavior import funnel, funnel_counts, retention_cohorts
+
+DAY_US = 86400 * 1_000_000
+
+
+def _events(n=3000) -> pd.DataFrame:
+    i = np.arange(n, dtype=np.int64)
+    h = (i * 2654435761) % (1 << 32)
+    ts = pd.Timestamp("2024-03-01") + pd.to_timedelta(
+        (h % (20 * 86400)).astype(np.int64), unit="s"
+    )
+    return pd.DataFrame(
+        {
+            "event_type": np.array(["click", "view", "error", "signup", "purchase"])[i % 5],
+            "ts": ts.astype("datetime64[us]"),
+            "user_id": (h % 40).astype(np.int64),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def ev_sdf(spark):
+    return spark.createDataFrame(_events()).cache()
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts
+# ---------------------------------------------------------------------------
+
+
+def test_retention_cohorts_brute_force(spark, ev_sdf):
+    got = {
+        (r["cohort"], r["day_offset"]): r["active_users"]
+        for r in retention_cohorts(ev_sdf).collect()
+    }
+    pdf = _events()
+    pdf["day"] = pdf["ts"].dt.date
+    active = pdf[["user_id", "day"]].drop_duplicates()
+    cohort = active.groupby("user_id")["day"].min().rename("cohort")
+    j = active.join(cohort, on="user_id")
+    j["off"] = (pd.to_datetime(j["day"]) - pd.to_datetime(j["cohort"])).dt.days
+    want = j.groupby(["cohort", "off"]).size()
+    assert len(got) == len(want)
+    for (c, off), n in want.items():
+        assert got[(c, int(off))] == n
+
+
+def test_retention_day0_totals_match_user_count(spark, ev_sdf):
+    out = retention_cohorts(ev_sdf)
+    day0 = out.where("day_offset = 0").agg({"active_users": "sum"}).collect()[0][0]
+    assert day0 == ev_sdf.select("user_id").distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "event_type", "ts"]).astype(
+            {"user_id": "int64", "ts": "datetime64[us]"}
+        )
+    )
+
+
+def test_funnel_known_answer(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    df = _mk(
+        spark,
+        [
+            # u1 completes in order
+            (1, "view", at(0)),
+            (1, "click", at(10)),
+            (1, "purchase", at(20)),
+            # u2: click BEFORE the first view must not count; no purchase
+            (2, "click", at(0)),
+            (2, "view", at(5)),
+            (2, "click", at(9)),
+            # u3: purchase before click -> depth 2 only after a later purchase is absent
+            (3, "view", at(0)),
+            (3, "purchase", at(1)),
+            (3, "click", at(2)),
+            # u4: only non-step events are filtered out entirely
+            (4, "error", at(0)),
+        ],
+    )
+    got = {r["user_id"]: r for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["depth"] == 3 and got[1]["t2_us"] - got[1]["t0_us"] == 20 * 1_000_000
+    assert got[2]["depth"] == 2 and got[2]["t1_us"] - got[2]["t0_us"] == 4 * 1_000_000
+    assert got[3]["depth"] == 2  # purchase at t1 precedes click at t2 -> not counted
+    assert got[3]["t2_us"] is None
+
+
+def test_funnel_within_window(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    df = _mk(
+        spark,
+        [
+            (1, "view", t0),
+            (1, "click", t0 + dt.timedelta(days=2)),  # outside 1-day window
+            (2, "view", t0),
+            (2, "click", t0 + dt.timedelta(hours=12)),
+        ],
+    )
+    got = {r["user_id"]: r["depth"] for r in funnel(df, ["view", "click"], within_us=DAY_US).collect()}
+    assert got == {1: 1, 2: 2}
+    # without the window both convert
+    got2 = {r["user_id"]: r["depth"] for r in funnel(df, ["view", "click"]).collect()}
+    assert got2 == {1: 2, 2: 2}
+
+
+def _brute_funnel(pdf, steps, within_us=None):
+    """Chained-min reference: step i = min t of step-i events strictly after
+    step i-1 (and within the window of step 0)."""
+    out = {}
+    ep = pdf.assign(t=pdf["ts"].astype("int64"))
+    for uid, grp in ep[ep["event_type"].isin(steps)].groupby("user_id"):
+        times = [None] * len(steps)
+        for i, s in enumerate(steps):
+            cand = grp[grp["event_type"] == s]["t"]
+            if i > 0:
+                if times[i - 1] is None:
+                    break
+                cand = cand[cand > times[i - 1]]
+                if within_us is not None:
+                    cand = cand[cand - times[0] <= within_us]
+            if len(cand) == 0:
+                break
+            times[i] = int(cand.min())
+        out[uid] = times
+    return out
+
+
+def test_funnel_brute_force_random(spark, ev_sdf):
+    steps = ["view", "click", "purchase"]
+    got = {
+        r["user_id"]: [r["t0_us"], r["t1_us"], r["t2_us"]]
+        for r in funnel(ev_sdf, steps, within_us=3 * DAY_US).collect()
+    }
+    want = _brute_funnel(_events(), steps, within_us=3 * DAY_US)
+    assert got == want
+
+
+def test_funnel_deterministic_across_parallelism(spark, ev_sdf):
+    steps = ["view", "click", "purchase"]
+    a = sorted(map(tuple, funnel(ev_sdf, steps).collect()))
+    b = sorted(map(tuple, funnel(ev_sdf.repartition(13), steps).collect()))
+    assert a == b
+
+
+def test_funnel_counts(spark, ev_sdf):
+    steps = ["view", "click", "purchase"]
+    f = funnel(ev_sdf, steps)
+    counts = {r["step"]: r["users_reached"] for r in funnel_counts(f, 3).collect()}
+    depths = [r["depth"] for r in f.collect()]
+    for s in (1, 2, 3):
+        assert counts[s] == sum(1 for d in depths if d >= s)
+    assert counts[1] >= counts[2] >= counts[3]

@@ -206,3 +206,44 @@ def test_incremental_refresh_no_changes_is_identity(spark):
     assert rep == {"windows_invalidated": 0}
     assert _frames_equal(refreshed.drop("id_set", "hist_cents", "hist_cnts"),
                          state.drop("id_set", "hist_cents", "hist_cnts"))
+
+
+def test_realtime_view_equals_full_rollup(spark):
+    from tstore_spark.operators.metric_rollup import (
+        metric_rollup_from_raw,
+        realtime_view,
+    )
+
+    raw = spark.createDataFrame(_events_pdf()).cache()
+    # mid-window watermark: the 12:00 window is PARTIAL in the state and must
+    # be recomputed from raw, not served frozen
+    wm = "2024-03-02 12:47:11"
+    state = metric_rollup_from_raw(raw.where(F.col("ts") < F.lit(wm)), "1h")
+    view = realtime_view(raw, state, "1h", wm)
+    full = metric_rollup_from_raw(raw, "1h")
+    assert _frames_equal(finalize(view), finalize(full))
+
+    # window-aligned watermark: boundary window complete in state; still exact
+    wm2 = "2024-03-02 00:00:00"
+    state2 = metric_rollup_from_raw(raw.where(F.col("ts") < F.lit(wm2)), "1h")
+    assert _frames_equal(finalize(realtime_view(raw, state2, "1h", wm2)), finalize(full))
+
+
+def test_realtime_view_serves_frozen_windows_from_state(spark):
+    """Windows strictly before the floor must come from the tier (poisoned
+    state shows through), windows at/after the floor from raw (poison dropped)."""
+    from tstore_spark.operators.metric_rollup import (
+        metric_rollup_from_raw,
+        realtime_view,
+    )
+
+    raw = spark.createDataFrame(_events_pdf()).cache()
+    wm = "2024-03-02 12:47:11"
+    state = metric_rollup_from_raw(raw.where(F.col("ts") < F.lit(wm)), "1h")
+    poisoned = state.withColumn("event_count", F.col("event_count") + 1_000_000)
+    view = finalize(realtime_view(raw, poisoned, "1h", wm))
+    before = view.where(F.col("window_start") < F.lit("2024-03-02 12:00:00"))
+    after = view.where(F.col("window_start") >= F.lit("2024-03-02 12:00:00"))
+    assert before.where(F.col("event_count") <= 1_000_000).count() == 0
+    assert after.where(F.col("event_count") > 1_000_000).count() == 0
+    assert after.count() > 0

@@ -1,0 +1,129 @@
+"""Behavioral analytics over event streams: retention cohorts and funnels.
+
+The reference's event-analytics surface stops at per-id time series
+(tstore/tslong/tslong.py); these are the two classic page/user-level rollups
+a web-scale event warehouse adds on top. Both are exact and
+order-independent (integer epochs, distinct sets, greedy folds over sorted
+arrays), so results are bit-identical at any parallelism.
+
+Scale notes (100 TB):
+- ``retention_cohorts`` is two shuffles: groupBy(user) with map-side-combined
+  ``collect_set(day)`` (state bounded by the user's active-day span, never
+  raw events), then groupBy(cohort, offset) integer counts.
+- ``funnel`` filters to step events FIRST (predicate pushdown removes the
+  non-funnel bulk at the scan), then one shuffle to groupBy(user); the fold
+  over each user's sorted step events is a JVM higher-order ``aggregate`` —
+  no Python, state is k longs per user.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tstore_spark.functions.timeparts import ntz_epoch_micros
+
+
+def retention_cohorts(
+    df: DataFrame,
+    id_col: str = "user_id",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Classic retention triangle: users bucketed by first-seen day (cohort),
+    counted on each subsequent active day.
+
+    Output: (cohort date, day_offset int, active_users long) where
+    ``active_users`` counts DISTINCT users of that cohort active exactly
+    ``day_offset`` days after their first day. ``to_date`` on TIMESTAMP_NTZ
+    is field extraction (wall-clock, session-TZ-proof)."""
+    day = F.to_date(time_col)
+    per_user = (
+        df.select(F.col(id_col).alias("_uid"), day.alias("_day"))
+        .groupBy("_uid")
+        .agg(F.array_sort(F.collect_set("_day")).alias("_days"))
+    )
+    # the user's first active day is element 0 of the sorted distinct days;
+    # exploding the AGGREGATED column is safe (nothing to re-inline upstream)
+    exploded = per_user.select(
+        F.col("_days")[0].alias("cohort"), F.explode("_days").alias("_day")
+    )
+    return exploded.groupBy(
+        "cohort", F.datediff("_day", "cohort").alias("day_offset")
+    ).agg(F.count(F.lit(1)).alias("active_users"))
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    id_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "ts",
+    within_us: int | None = None,
+) -> DataFrame:
+    """Ordered conversion funnel: per user, step i's time is the EARLIEST
+    step-i event STRICTLY after step i-1's time (greedy, equal to the
+    chained-min formulation because events are folded in ascending time
+    order); ``within_us`` additionally requires every later step to land
+    within that many microseconds of step 0.
+
+    Output: (id, t0_us..t{k-1}_us bigint nullable, depth int). Non-null
+    step times always form a prefix, so ``depth`` = #steps reached. Epochs
+    are wall-clock field extractions for TIMESTAMP_NTZ inputs (Spark 4
+    casts/timestampdiff would route NTZ through the session zone).
+    """
+    k = len(steps)
+    if k == 0:
+        raise ValueError("steps must be non-empty")
+    is_ntz = dict(df.dtypes).get(time_col) == "timestamp_ntz"
+    t = ntz_epoch_micros(time_col) if is_ntz else F.unix_micros(F.col(time_col))
+    step_arr = F.array(*[F.lit(s) for s in steps])
+
+    evs = (
+        df.where(F.col(type_col).isin(list(steps)))  # pushdown: drop non-funnel bulk at the scan
+        .select(
+            F.col(id_col).alias("_uid"),
+            t.alias("_t"),
+            F.array_position(step_arr, F.col(type_col)).cast("int").alias("_s"),  # 1-based
+        )
+    )
+    per_user = evs.groupBy("_uid").agg(
+        F.array_sort(F.collect_list(F.struct("_t", "_s"))).alias("_evs")
+    )
+
+    win = (
+        f" AND e._t - element_at(acc, 1) <= {int(within_us)}" if within_us is not None else ""
+    )
+    # greedy fold: acc is k nullable epoch slots; CASE keeps element_at(acc, 0)
+    # from ever evaluating (ANSI) by handling the s=1 branch first
+    fold = f"""
+        aggregate(
+          _evs,
+          array_repeat(CAST(NULL AS BIGINT), {k}),
+          (acc, e) -> transform(acc, (x, i) ->
+            CASE WHEN i = e._s - 1 AND x IS NULL THEN
+                   CASE WHEN e._s = 1 THEN e._t
+                        WHEN element_at(acc, e._s - 1) IS NOT NULL
+                             AND e._t > element_at(acc, e._s - 1){win}
+                          THEN e._t
+                        ELSE x END
+                 ELSE x END)
+        )
+    """
+    out = per_user.withColumn("_f", F.expr(fold))
+    return out.select(
+        F.col("_uid").alias(id_col),
+        *[F.col("_f")[i].alias(f"t{i}_us") for i in range(k)],
+        F.expr("size(filter(_f, x -> x IS NOT NULL))").cast("int").alias("depth"),
+    )
+
+
+def funnel_counts(funnel_df: DataFrame, k: int) -> DataFrame:
+    """(step int, users_reached long) from a :func:`funnel` result — the
+    funnel chart. One tiny aggregation over per-user depths."""
+    depth_counts = funnel_df.groupBy("depth").agg(F.count(F.lit(1)).alias("_n"))
+    steps = funnel_df.sparkSession.range(1, k + 1).select(F.col("id").cast("int").alias("step"))
+    return (
+        steps.join(F.broadcast(depth_counts), F.col("depth") >= F.col("step"), "left")
+        .groupBy("step")
+        .agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("users_reached"))
+    )

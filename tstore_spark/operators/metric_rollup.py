@@ -280,6 +280,67 @@ def metric_rollup_all_tiers(
     return tiers
 
 
+def realtime_view(
+    raw: DataFrame,
+    tier_state: DataFrame,
+    tier: str,
+    materialized_through,
+    key: str = "event_type",
+    time_col: str = "ts",
+    **rollup_kwargs,
+) -> DataFrame:
+    """Real-time continuous aggregate (TimescaleDB-style): serve COMPLETE
+    windows from the materialized tier and aggregate only the raw tail.
+
+    ``materialized_through`` is the instant the materializer has processed up
+    to (its watermark — need not be window-aligned). The window containing it
+    is partial in ``tier_state``, so the split point is the tier-floor of the
+    watermark: state rows with ``window_start`` strictly below the floor are
+    served as-is; raw rows at or after the floor are re-rolled on the fly
+    (recomputing the boundary window completely). The union is bit-identical
+    to a full from-raw rollup of the current table — mergeable state out,
+    apply :func:`finalize` to present.
+
+    Scale: the expensive side is the raw tail scan, and its predicate
+    (``time >= floor``) is a plain comparison that pushes down to parquet
+    row groups / time partitions — the materialized history is never
+    re-read from raw. State-side pruning is the mirror-image predicate on
+    ``window_start``. Pass the same ``id_sketch``/``value_sketch`` kwargs the
+    state was built with so the two sides union with one schema."""
+    from tstore_spark.functions.filters import check_time, time_range_filter
+
+    unit = TIERS[tier]
+    wm = check_time(materialized_through)
+    if wm is None:
+        raise ValueError("materialized_through is required")
+    floor = {
+        "minute": wm.replace(second=0, microsecond=0),
+        "hour": wm.replace(minute=0, second=0, microsecond=0),
+        "day": wm.replace(hour=0, minute=0, second=0, microsecond=0),
+    }[unit]
+
+    frozen = tier_state.where(
+        time_range_filter(
+            "window_start",
+            None,
+            floor,
+            inclusive="neither",
+            ntz=dict(tier_state.dtypes).get("window_start") == "timestamp_ntz",
+        )
+    )
+    tail = raw.where(
+        time_range_filter(
+            time_col,
+            floor,
+            None,
+            inclusive="left",
+            ntz=dict(raw.dtypes).get(time_col) == "timestamp_ntz",
+        )
+    )
+    fresh = metric_rollup_from_raw(tail, tier, key=key, time_col=time_col, **rollup_kwargs)
+    return frozen.unionByName(fresh)
+
+
 def refresh_tier_incremental(
     raw: DataFrame,
     tier_state: DataFrame,
