@@ -1554,6 +1554,23 @@ def _q_hll_union_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_T0, _RANGE_T1 = "2024-01-03 00:07:00", "2024-01-27 19:54:00"
+
+
+def _q_range_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered range read: an arbitrary minute-aligned [t0, t1) aggregate
+    answered from the MINIMAL tile cover (1d interior, 1h day-edges, 1m
+    hour-edges) by merging the tiers' mergeable state — never re-scanning
+    raw for the interior. Oracle recomputes the same range directly from
+    raw; equality proves the cover partitions the range exactly."""
+    from tstore_spark.operators.metric_rollup import metric_rollup_all_tiers
+    from tstore_spark.operators.tierselect import range_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    tiers = metric_rollup_all_tiers(ev)
+    return finalize(range_aggregate(tiers, _RANGE_T0, _RANGE_T1))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -1633,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _q_retention_cohorts,
         "funnel_steps": _q_funnel_steps,
         "hll_union_daily": _q_hll_union_daily,
+        "range_aggregate": _q_range_aggregate,
     }
 
 
@@ -2332,6 +2350,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS user_distinct,
                    TRUE AS merged_within_2pct
             FROM events GROUP BY event_type
+        """,
+        "range_aggregate": f"""
+            SELECT event_type,
+                   TIMESTAMP '{_RANGE_T0}' AS window_start,
+                   count(*) AS event_count,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS value_sum,
+                   count(DISTINCT user_id) AS user_distinct,
+                   round(quantile_cont(value, 0.50), 4) AS value_p50,
+                   round(quantile_cont(value, 0.90), 4) AS value_p90,
+                   round(quantile_cont(value, 0.99), 4) AS value_p99
+            FROM events
+            WHERE ts >= TIMESTAMP '{_RANGE_T0}' AND ts < TIMESTAMP '{_RANGE_T1}'
+            GROUP BY event_type
         """,
         # remaining no-oracle entries: none — every query above carries a
         # DuckDB-checkable formulation (approx operators as invariants:

@@ -70,6 +70,7 @@ HEADLINE = [
     "realtime_rollup_1h",
     "retention_cohorts",
     "funnel_steps",
+    "range_aggregate",
 ]
 
 
