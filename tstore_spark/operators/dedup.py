@@ -200,6 +200,7 @@ def token_jaccard_pairs(
     next to the pairwise join it protects); ``max_block_candidates=None``
     disables it. Same guard pattern as ``TSLong.to_tswide``'s id cap.
     """
+    _evict_prior_caches()
     if block_col is None and max_block_candidates is not None:
         # unblocked = one global block: guard on the total row count
         n = df.count()
@@ -246,12 +247,31 @@ def token_jaccard_pairs(
         F.least(F.col("a.n_toks"), F.col("b.n_toks"))
         >= F.lit(threshold) * F.greatest(F.col("a.n_toks"), F.col("b.n_toks"))
     )
-    return (
-        a.join(b, cond)
-        .select(
+    # intersection-only Jaccard: |A∪B| = |A| + |B| - |A∩B| for distinct
+    # arrays, so the expensive array_union per pair is replaced by two ints
+    # already at hand — bit-identical result (same integers into the same
+    # division). The pared table is MATERIALIZED (scoped cache of 4 ints per
+    # surviving candidate — bounded by max_block_candidates) before the
+    # threshold filter: left lazy, Catalyst substitutes the filter's jaccard
+    # expression back into the JOIN condition, re-running array_intersect for
+    # every raw block pair instead of only the length-filtered survivors
+    # (measured ~8x slower at sf0.1: 622k vs 41k intersects).
+    pared = _cache_scoped(
+        a.join(b, cond).select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(jaccard(F.col("a.toks"), F.col("b.toks")), 4).alias("jaccard"),
+            F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).alias("_inter"),
+            (F.col("a.n_toks") + F.col("b.n_toks")).alias("_tot"),
+        )
+    )
+    u = F.col("_tot") - F.col("_inter")
+    return (
+        pared.select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.when(u == 0, F.lit(0.0)).otherwise(F.col("_inter") / u), 4
+            ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= F.lit(threshold))
     )
@@ -381,14 +401,43 @@ def minhash_near_dup_pairs(
 def _verify_pairs(cand: DataFrame, sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs against a
     one-row-per-id shingle lookup — the shared verify contract of the
-    one-shot and incremental operators (round to 4dp, filter >= threshold)."""
-    return (
-        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+    one-shot and incremental operators (round to 4dp, filter >= threshold).
+
+    Uses the intersection-only identity |A∪B| = |A| + |B| - |A∩B| (arrays
+    are distinct) so each pair pays one array_intersect, not intersect +
+    union — bit-identical Jaccard. The pared (ids, inter, tot) table is
+    materialized (scoped cache, 4 ints per candidate) so the threshold
+    filter cannot be substituted back into the lookup joins and re-run the
+    intersect per pre-filter row (the token_jaccard_pairs plan cliff)."""
+    look = sh.select(F.col(id_col), F.col("shingles"), F.size("shingles").alias("_n"))
+    pared = _cache_scoped(
+        cand.join(
+            look.select(
+                F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"), F.col("_n").alias("_na")
+            ),
+            "id_a",
+        )
+        .join(
+            look.select(
+                F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"), F.col("_n").alias("_nb")
+            ),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+            F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).alias("_inter"),
+            (F.col("_na") + F.col("_nb")).alias("_tot"),
+        )
+    )
+    u = F.col("_tot") - F.col("_inter")
+    return (
+        pared.select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.when(u == 0, F.lit(0.0)).otherwise(F.col("_inter") / u), 4
+            ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= F.lit(threshold))
     )
@@ -607,7 +656,24 @@ def simhash_near_dup_pairs(
             return shifted
         return shifted.bitwiseAND(F.lit((1 << width) - 1))
 
-    sigs = simhash(df, id_col, text_col)
+    # ONE tokenize+hash pass feeds BOTH the signature kernel and (when
+    # verifying) the shingle sets — the per-doc token work is the dominant
+    # doc-proportional cost and used to run twice. The staged cache holds
+    # (id, token-hash array, trimmed length): a few longs per token.
+    c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col, F.lit(""))
+    staged = _cache_scoped(
+        df.select(
+            F.col(id_col),
+            F.transform(tokens(c), lambda t: F.xxhash64(t)).alias("_th"),
+            F.length(F.trim(c)).alias("_tl"),
+        )
+    )
+    # empty/NULL docs vote with an empty arena -> signature 0 (same contract
+    # as simhash()); shingles still use the single-truncated-shingle form
+    sig_input = F.when(F.col("_tl") == 0, F.array().cast("array<bigint>")).otherwise(
+        F.col("_th")
+    )
+    sigs = staged.select(F.col(id_col), _simhash64_from_hashes(sig_input).alias("simhash"))
 
     # cache: banded is consumed three times (bucket-size guard + both sides
     # of the self-join) and its lineage carries the doc-proportional work
@@ -628,7 +694,6 @@ def simhash_near_dup_pairs(
             ).alias("b"),
         )
         .select(id_col, "simhash", "b.band", "b.bits")
-        .cache()
     )
 
     if max_candidates is not None:
@@ -669,24 +734,13 @@ def simhash_near_dup_pairs(
     )
     if verify_jaccard is None:
         return pairs
-    # int64-hashed shingles: same Jaccard (collisions ~1e-14 per pair), far
-    # cheaper to build and to intersect than strings; cached because the
-    # verify joins scan it once per pair side
-    sh = _cache_scoped(
-        with_hashed_shingles(df, id_col, text_col, shingle_n, out_col="_sh").select(
-            id_col, "_sh"
-        )
+    # int64-hashed shingles derived from the SAME cached token hashes the
+    # signatures used (no second tokenize pass); verification shares the
+    # intersection-only kernel with minhash via _verify_pairs
+    sh = staged.select(
+        F.col(id_col), _hashed_shingle_expr(F.col("_th"), shingle_n).alias("shingles")
     )
-    return (
-        pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha")), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(jaccard(F.col("_sha"), F.col("_shb")), 4).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= F.lit(verify_jaccard))
-    )
+    return _verify_pairs(pairs, sh, id_col, verify_jaccard)
 
 
 # ---------------------------------------------------------------------------
