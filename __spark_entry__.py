@@ -1554,6 +1554,24 @@ def _q_hll_union_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_top_days_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped top-k: the 3 highest-revenue days per event_type via a
+    rank window over the daily pre-aggregate — the shuffle carries one row
+    per (type, day), never raw events, and ties break on the day for
+    determinism."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(_cents("value")).alias("day_cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("day_cents"), F.asc("day"))
+    return (
+        daily.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("event_type", "day", "day_cents", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 _RANGE_T0, _RANGE_T1 = "2024-01-03 00:07:00", "2024-01-27 19:54:00"
 
 
@@ -1651,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": _q_funnel_steps,
         "hll_union_daily": _q_hll_union_daily,
         "range_aggregate": _q_range_aggregate,
+        "top_days_per_type": _q_top_days_per_type,
     }
 
 
@@ -2350,6 +2369,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS user_distinct,
                    TRUE AS merged_within_2pct
             FROM events GROUP BY event_type
+        """,
+        "top_days_per_type": """
+            WITH d AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+                FROM events GROUP BY 1, 2)
+            SELECT event_type, day, day_cents, CAST(rnk AS INT) AS rnk FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_type ORDER BY day_cents DESC, day ASC) AS rnk
+                FROM d)
+            WHERE rnk <= 3
         """,
         "range_aggregate": f"""
             SELECT event_type,

@@ -149,6 +149,23 @@ def main(sf_dir: str) -> int:
     check("stratified.prefilter", "_cnt" in p and "30" in p,
           "hash cutoff bounds the window input")
 
+    # 14. bucketed co-located join: same-bucketed tables join with NO Exchange
+    # on either side (the 100 TB bucket-once-join-forever strategy)
+    from pyspark.sql import functions as F
+
+    from tstore_spark.sources.bucketed import bucketed_join, write_bucketed
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "event_id", "value")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    write_bucketed(ev, "pa_bkt_events", "user_id", num_buckets=8, sort_cols=["user_id"])
+    write_bucketed(dim, "pa_bkt_users", "user_id", num_buckets=8, sort_cols=["user_id"])
+    p = plan_of(bucketed_join(spark, "pa_bkt_events", "pa_bkt_users", "user_id"))
+    check("bucketed.no_exchange", "Exchange" not in p,
+          "bucket-aligned join reads co-located buckets, zero shuffle")
+    check("bucketed.smj", "SortMergeJoin" in p, "merge join over pre-sorted buckets")
+    spark.sql("DROP TABLE IF EXISTS pa_bkt_events")
+    spark.sql("DROP TABLE IF EXISTS pa_bkt_users")
+
     spark.stop()
     print(f"\n{'ALL PASS' if not failures else 'FAILURES: ' + ', '.join(failures)}")
     return 1 if failures else 0

@@ -42,9 +42,15 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local[N] -> N; local[*] / cluster masters -> cpus
+        # local[N] -> 4N; local[*] / cluster masters -> 4*cpus. The 4x-cores
+        # multiplier smooths stragglers under skew (Zipf domains: with one
+        # task per core the slowest partition stalls its core for the whole
+        # stage; finer tasks rebalance) — measured 15-19% faster on the 24M-doc
+        # cascade at BOTH 2 and 8 cores, while AQE coalescing collapses the
+        # extra partitions for small shuffles so tiny queries pay nothing.
+        # 8x measured slower (task overhead beats the balance gain).
         inner = master[master.find("[") + 1 : master.rfind("]")] if "[" in master else ""
-        shuffle_partitions = int(inner) if inner.isdigit() else cpus
+        shuffle_partitions = 4 * (int(inner) if inner.isdigit() else cpus)
 
     builder = (
         SparkSession.builder.appName(app_name)
