@@ -1002,6 +1002,46 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _err_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest error value per (user, instant) — the shared deduplicated right
+    side of the asof queries (max_by tiebreak keeps both engines exact)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("event_id", "value")).alias("_m"))
+        .select("user_id", "ts", F.col("_m.value").alias("err_value"), F.col("_m.event_id").alias("_eid"))
+    )
+
+
+def _q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each event joined to the user's EARLIEST error at or
+    after it (DuckDB mirrors with ASOF ... ON l.ts <= r.ts)."""
+    from tstore_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts", "value")
+    return asof_join(
+        left, _err_right(spark, sf_dir),
+        key="user_id", left_time="ts", value_cols=["err_value"],
+        tiebreak_col="_eid", direction="forward",
+    )
+
+
+def _q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of (ties to backward): the oracle recombines DuckDB's
+    backward and forward ASOF joins with the identical closer-side CASE."""
+    from tstore_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts", "value")
+    return asof_join(
+        left, _err_right(spark, sf_dir),
+        key="user_id", left_time="ts", value_cols=["err_value"],
+        tiebreak_col="_eid", direction="nearest",
+    )
+
+
 def _q_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tstore_spark.functions.timeparts import PARTITION_COMPONENTS
 
@@ -1670,6 +1710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_union_daily": _q_hll_union_daily,
         "range_aggregate": _q_range_aggregate,
         "top_days_per_type": _q_top_days_per_type,
+        "asof_join_forward": _q_asof_forward,
+        "asof_join_nearest": _q_asof_nearest,
     }
 
 
@@ -2369,6 +2411,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS user_distinct,
                    TRUE AS merged_within_2pct
             FROM events GROUP BY event_type
+        """,
+        "asof_join_forward": """
+            WITH err AS (
+                SELECT user_id, ts, max_by(value, event_id) AS err_value
+                FROM events WHERE event_type = 'error' GROUP BY user_id, ts)
+            SELECT e.event_id, e.user_id, e.ts, e.value, err.err_value AS err_value_asof
+            FROM events e ASOF LEFT JOIN err
+              ON e.user_id = err.user_id AND e.ts <= err.ts
+        """,
+        "asof_join_nearest": """
+            WITH err AS (
+                SELECT user_id, ts, max_by(value, event_id) AS err_value
+                FROM events WHERE event_type = 'error' GROUP BY user_id, ts),
+            b AS (
+                SELECT e.event_id, err.ts AS bt, err.err_value AS bv
+                FROM events e ASOF LEFT JOIN err
+                  ON e.user_id = err.user_id AND e.ts >= err.ts),
+            f AS (
+                SELECT e.event_id, err.ts AS ft, err.err_value AS fv
+                FROM events e ASOF LEFT JOIN err
+                  ON e.user_id = err.user_id AND e.ts <= err.ts)
+            SELECT e.event_id, e.user_id, e.ts, e.value,
+                   CASE WHEN bv IS NOT NULL AND fv IS NOT NULL THEN
+                            CASE WHEN (e.ts - bt) <= (ft - e.ts) THEN bv ELSE fv END
+                        WHEN bv IS NOT NULL THEN bv
+                        ELSE fv END AS err_value_asof
+            FROM events e
+            LEFT JOIN b ON e.event_id = b.event_id
+            LEFT JOIN f ON e.event_id = f.event_id
         """,
         "top_days_per_type": """
             WITH d AS (

@@ -176,3 +176,95 @@ def test_bucketed_left_before_any_right(spark):
     )
     out = asof_join_bucketed(left, right, key="k", left_time="ts", value_cols=["val"]).collect()
     assert out[0]["val_asof"] is None
+
+
+def _brute_directional(left, right, direction, tolerance_us=None):
+    """Straight-line reference for forward/nearest/tolerance: per left row,
+    scan candidates; among equal-time rights the highest qid wins."""
+    out = []
+    tol = tolerance_us
+    for _, lr in left.iterrows():
+        k, t = lr["k"], lr["t"]
+        rk = right[right["k"] == k]
+        back = rk[rk["t"] <= t]
+        fwd = rk[rk["t"] >= t]
+        bv = bt = fv = ft = None
+        if len(back):
+            bm = back[back["t"] == back["t"].max()].sort_values("qid").iloc[-1]
+            bv, bt = bm["quote"], bm["t"]
+        if len(fwd):
+            fm = fwd[fwd["t"] == fwd["t"].min()].sort_values("qid").iloc[-1]
+            fv, ft = fm["quote"], fm["t"]
+        if tol is not None:
+            if bt is not None and (t - bt).value // 1000 > tol:
+                bv = bt = None
+            if ft is not None and (ft - t).value // 1000 > tol:
+                fv = ft = None
+        if direction == "backward":
+            out.append(bv)
+        elif direction == "forward":
+            out.append(fv)
+        else:  # nearest, ties to backward
+            if bv is not None and fv is not None:
+                out.append(bv if (t - bt) <= (ft - t) else fv)
+            else:
+                out.append(bv if bv is not None else fv)
+    return out
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("tolerance_us", [None, 90 * 60 * 1_000_000])
+def test_asof_directions_match_brute_force(spark, direction, tolerance_us):
+    left, right = _frames()
+    got = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        key="k",
+        left_time="t",
+        value_cols=["quote"],
+        tiebreak_col="qid",
+        direction=direction,
+        tolerance_us=tolerance_us,
+    )
+    g = {r["obs_id"]: r["quote_asof"] for r in got.collect()}
+    expect = dict(zip(left["obs_id"], _brute_directional(left, right, direction, tolerance_us)))
+    assert len(g) == len(left)
+    for k, v in expect.items():
+        assert g[k] == pytest.approx(v) if v is not None else g[k] is None, (
+            f"{direction} tol={tolerance_us} obs {k}: got {g[k]} want {v}"
+        )
+
+
+def test_asof_forward_null_values_carry_per_column(spark):
+    left = pd.DataFrame(
+        {"k": ["a"], "t": [pd.Timestamp("2024-01-01 00:00")], "obs_id": [0]}
+    )
+    right = pd.DataFrame(
+        {
+            "k": ["a", "a"],
+            "t": [pd.Timestamp("2024-01-01 00:10"), pd.Timestamp("2024-01-01 00:20")],
+            "x": [None, 1.5],
+            "y": [2.5, None],
+            "qid": [0, 1],
+        }
+    )
+    got = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        key="k",
+        left_time="t",
+        value_cols=["x", "y"],
+        tiebreak_col="qid",
+        direction="forward",
+    ).collect()[0]
+    # each column independently takes its nearest FOLLOWING non-null
+    assert got["x_asof"] == 1.5 and got["y_asof"] == 2.5
+
+
+def test_asof_direction_guard(spark):
+    left, right = _frames()
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            key="k", left_time="t", direction="sideways",
+        )

@@ -40,9 +40,26 @@ def asof_join(
     value_cols: list[str] | None = None,
     tiebreak_col: str | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
-    """Backward as-of join; returns left columns + right ``value_cols``
-    renamed with ``suffix`` (null when no right row is at-or-before)."""
+    """As-of join; returns left columns + right ``value_cols`` renamed with
+    ``suffix`` (null when no right row matches).
+
+    direction='backward' (default): most recent right row at-or-before the
+    left time. 'forward': earliest right row at-or-after. 'nearest': the
+    closer of the two, ties to backward (pandas ``merge_asof`` semantics).
+    ``tolerance_us`` nulls a match whose |left - right| time gap exceeds it.
+    Each value column carries independently (a NULL in a later right row
+    does not erase an earlier non-null); among right rows at the exact same
+    instant the highest ``tiebreak_col`` wins, in every direction."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
+    if direction != "backward" or tolerance_us is not None:
+        return _asof_join_general(
+            left, right, key, left_time, right_time or left_time,
+            value_cols, tiebreak_col, suffix, direction, tolerance_us,
+        )
     right_time = right_time or left_time
     value_cols = value_cols or [c for c in right.columns if c not in (key, right_time)]
 
@@ -67,6 +84,96 @@ def asof_join(
     for c in value_cols:
         u = u.withColumn(f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w))
     return u.where(F.col("_side") == 1).select(*l_cols, *[F.col(f"{c}{suffix}") for c in value_cols])
+
+
+def _epoch_micros(df: DataFrame, col_name: str) -> F.Column:
+    """TZ-safe epoch microseconds (field extraction for NTZ columns)."""
+    if dict(df.dtypes).get(col_name) == "timestamp_ntz":
+        from tstore_spark.functions.timeparts import ntz_epoch_micros
+
+        return ntz_epoch_micros(col_name)
+    return F.unix_micros(F.col(col_name))
+
+
+def _asof_join_general(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str] | None,
+    tiebreak_col: str | None,
+    suffix: str,
+    direction: str,
+    tolerance_us: int | None,
+) -> DataFrame:
+    """Directional/tolerance as-of: same union + carry construction as the
+    backward fast path, but each value column carries an atomic
+    (match-time, value) struct so tolerance and nearest-pick can test the
+    ACTUAL source row's time per column. 'nearest' runs the backward and
+    forward carries over the same union — one shuffle, two in-partition
+    sorts. Epochs are wall-clock field extractions for NTZ inputs."""
+    value_cols = value_cols or [c for c in right.columns if c not in (key, right_time)]
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+
+    l_tag = (
+        left.withColumn("_tus", _epoch_micros(left, left_time))
+        .withColumn("_side", F.lit(1))
+        .withColumn("_tb", F.lit(None).cast("long"))
+    )
+    r_tus = _epoch_micros(right, right_time)
+    r_tag = right.select(
+        F.col(key),
+        r_tus.alias("_tus"),
+        F.lit(0).alias("_side"),
+        tb.cast("long").alias("_tb"),
+        *[
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(r_tus.alias("_mt"), F.col(c).alias("v")),
+            ).alias(f"_s_{c}")
+            for c in value_cols
+        ],
+    )
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    wb = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_tus").asc(), F.col("_side").asc(), F.col("_tb").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_tus").desc(), F.col("_side").asc(), F.col("_tb").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in value_cols:
+        if direction in ("backward", "nearest"):
+            u = u.withColumn(f"_b_{c}", F.last(f"_s_{c}", ignorenulls=True).over(wb))
+        if direction in ("forward", "nearest"):
+            u = u.withColumn(f"_f_{c}", F.last(f"_s_{c}", ignorenulls=True).over(wf))
+
+    out_cols = []
+    for c in value_cols:
+        b = F.col(f"_b_{c}")
+        f = F.col(f"_f_{c}")
+        d_b = F.col("_tus") - b.getField("_mt")  # >= 0 when matched
+        d_f = f.getField("_mt") - F.col("_tus")  # >= 0 when matched
+        ok_b = b.isNotNull() if tolerance_us is None else (b.isNotNull() & (d_b <= tolerance_us))
+        ok_f = f.isNotNull() if tolerance_us is None else (f.isNotNull() & (d_f <= tolerance_us))
+        if direction == "backward":
+            val = F.when(ok_b, b.getField("v"))
+        elif direction == "forward":
+            val = F.when(ok_f, f.getField("v"))
+        else:  # nearest: closer side wins, exact ties to backward
+            val = (
+                F.when(ok_b & ok_f, F.when(d_b <= d_f, b.getField("v")).otherwise(f.getField("v")))
+                .when(ok_b, b.getField("v"))
+                .when(ok_f, f.getField("v"))
+            )
+        out_cols.append(val.alias(f"{c}{suffix}"))
+    l_cols = [F.col(c) for c in left.columns]
+    return u.where(F.col("_side") == 1).select(*l_cols, *out_cols)
 
 
 def _epoch_seconds(col_name: str, df: DataFrame) -> F.Column:
