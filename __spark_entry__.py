@@ -1540,6 +1540,37 @@ def _q_tslong_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.df.select(F.col("user_id").cast("long").alias("user_id"), "ts", "value")
 
 
+def _q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution round-trip: archive the first half of events with
+    (value), append the second half carrying a NEW variable value2 = 2*value,
+    and read the union back via the metadata schema (old files null-fill
+    value2 at scan, no rewrite, no mergeSchema sweep). Oracle = the same
+    union in SQL."""
+    import re as _re
+    import shutil as _sh
+
+    from tstore_spark.model.tslong import TSLong
+    from tstore_spark.sources.archive import append_archive, open_archive, write_archive
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    v1 = ev.where(F.col("event_id") % 2 == 0)
+    v2 = ev.where(F.col("event_id") % 2 == 1).withColumn("value2", F.col("value") * 2.0)
+    base = "/tmp/tstore_spark_evo_rt_" + _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    _sh.rmtree(base, ignore_errors=True)
+    write_archive(
+        TSLong.wrap(v1, id_var="event_id", time_var="ts", ts_vars={"m": ["value"]}),
+        base, num_buckets=2, check_static_uniqueness=False,
+    )
+    append_archive(
+        TSLong.wrap(v2, id_var="event_id", time_var="ts", ts_vars={"m": ["value", "value2"]}),
+        base,
+    )
+    back = open_archive(spark, base, with_attributes=False)
+    return back.df.select(
+        F.col("event_id").cast("long").alias("event_id"), "ts", "value", "value2"
+    )
+
+
 def _q_realtime_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-time continuous aggregate: the 1h tier is materialized only up to
     a mid-stream watermark (not window-aligned); the view serves frozen
@@ -1712,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_days_per_type": _q_top_days_per_type,
         "asof_join_forward": _q_asof_forward,
         "asof_join_nearest": _q_asof_nearest,
+        "schema_evolution_roundtrip": _q_schema_evolution,
     }
 
 
@@ -2411,6 +2443,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS user_distinct,
                    TRUE AS merged_within_2pct
             FROM events GROUP BY event_type
+        """,
+        "schema_evolution_roundtrip": """
+            SELECT event_id, ts, value, CAST(NULL AS DOUBLE) AS value2
+            FROM events WHERE event_id % 2 = 0
+            UNION ALL
+            SELECT event_id, ts, value, value * 2.0 AS value2
+            FROM events WHERE event_id % 2 = 1
         """,
         "asof_join_forward": """
             WITH err AS (

@@ -32,9 +32,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
-# defaults sized so a full bench stays under ~5 minutes; BENCH.md carries the
-# larger 12M-doc evidence runs (SPARK_GRAFT_BENCH_SCALE_ROWS=12000000 to reproduce)
-SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_ROWS", "4000000"))
+# defaults sized so a full bench stays under ~7 minutes. 8M rows puts the
+# measurement in the amortized regime (4M is fixed-cost-dominated and
+# under-reads efficiency by ~0.1; see BENCH.md input-size sweep); the 12M/24M
+# evidence runs are in BENCH.md (SPARK_GRAFT_BENCH_SCALE_ROWS to reproduce)
+SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_ROWS", "8000000"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "2"))
 SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_ROUNDS", "2"))
 

@@ -1,0 +1,110 @@
+"""Schema evolution: append batches with new ts variables; old files
+null-fill at read via the metadata schema (no mergeSchema footer sweep)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from tstore_spark.model.tslong import TSLong
+from tstore_spark.sources.archive import (
+    append_archive,
+    open_archive,
+    read_metadata,
+    write_archive,
+)
+
+
+def _batch(day: str, n=300, with_extra=False) -> pd.DataFrame:
+    i = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame(
+        {
+            "sensor": (i % 7).astype(np.int64).astype(str),
+            "ts": (pd.Timestamp(day) + pd.to_timedelta(i * 97 % 86400, unit="s")).astype(
+                "datetime64[us]"
+            ),
+            "value": np.round((i * 13 % 1000) / 10.0, 2),
+        }
+    )
+    if with_extra:
+        df["value2"] = df["value"] * 2.0
+    return df
+
+
+@pytest.fixture()
+def evolved_dir(spark, tmp_path):
+    base = str(tmp_path / "evo")
+    v1 = TSLong.wrap(
+        spark.createDataFrame(_batch("2024-05-01")),
+        id_var="sensor", time_var="ts", ts_vars={"m": ["value"]},
+    )
+    write_archive(v1, base, num_buckets=2, check_static_uniqueness=False)
+    v2 = TSLong.wrap(
+        spark.createDataFrame(_batch("2024-05-02", with_extra=True)),
+        id_var="sensor", time_var="ts", ts_vars={"m": ["value", "value2"]},
+    )
+    append_archive(v2, base)
+    return base
+
+
+def test_evolved_read_union_schema(spark, evolved_dir):
+    tl = open_archive(spark, evolved_dir, with_attributes=False)
+    assert "value2" in tl.df.columns
+    rows = tl.df.count()
+    assert rows == 600
+    # old partition null-fills the new column; new partition carries it
+    old = tl.df.where(F.to_date("ts") == F.lit("2024-05-01"))
+    new = tl.df.where(F.to_date("ts") == F.lit("2024-05-02"))
+    assert old.where(F.col("value2").isNotNull()).count() == 0
+    assert new.where(F.col("value2").isNull()).count() == 0
+    assert new.where(F.col("value2") != F.col("value") * 2.0).count() == 0
+
+
+def test_evolved_metadata_merged(evolved_dir):
+    d, _ = read_metadata(evolved_dir)
+    assert d.ts_vars == {"m": ["value", "value2"]}
+
+
+def test_evolved_time_and_id_filters_still_prune(spark, evolved_dir):
+    tl = open_archive(
+        spark, evolved_dir, start_time="2024-05-02", end_time="2024-05-03",
+        inclusive="left", ids=["3"], with_attributes=False,
+    )
+    assert tl.df.count() > 0
+    assert tl.df.where(F.col("sensor") != "3").count() == 0
+
+
+def test_append_guards(spark, evolved_dir):
+    bad_key = TSLong.wrap(
+        spark.createDataFrame(_batch("2024-05-03")).withColumnRenamed("sensor", "dev"),
+        id_var="dev", time_var="ts", ts_vars={"m": ["value"]},
+    )
+    with pytest.raises(ValueError, match="id/time vars"):
+        append_archive(bad_key, evolved_dir)
+
+    retyped = TSLong.wrap(
+        spark.createDataFrame(_batch("2024-05-03")).withColumn(
+            "value", F.col("value").cast("string")
+        ),
+        id_var="sensor", time_var="ts", ts_vars={"m": ["value"]},
+    )
+    with pytest.raises(ValueError, match="type changed"):
+        append_archive(retyped, evolved_dir)
+
+
+def test_plain_append_no_evolution(spark, tmp_path):
+    base = str(tmp_path / "plain")
+    v1 = TSLong.wrap(
+        spark.createDataFrame(_batch("2024-05-01")),
+        id_var="sensor", time_var="ts", ts_vars={"m": ["value"]},
+    )
+    write_archive(v1, base, num_buckets=2, check_static_uniqueness=False)
+    v2 = TSLong.wrap(
+        spark.createDataFrame(_batch("2024-05-02")),
+        id_var="sensor", time_var="ts", ts_vars={"m": ["value"]},
+    )
+    append_archive(v2, base)
+    tl = open_archive(spark, base, with_attributes=False)
+    assert tl.df.count() == 600
+    assert set(tl.df.columns) == {"sensor", "ts", "value"}

@@ -49,12 +49,24 @@ ATTRS_DIR = "attributes"
 
 # -- metadata (reference tstore/archive/metadata/{writers,readers}.py) -------
 
-def write_metadata(base_dir: str, descriptor: TableDescriptor, num_buckets: int) -> None:
+def write_metadata(
+    base_dir: str,
+    descriptor: TableDescriptor,
+    num_buckets: int,
+    fact_schema_json: str | None = None,
+) -> None:
     """Write the descriptor as BOTH json and yaml (same dict) — the yaml
     mirror matches the reference's metadata format family
     (tstore/archive/metadata/writers.py:22-35) so yaml-first tooling can
-    introspect a Spark-native archive; read_metadata accepts either."""
+    introspect a Spark-native archive; read_metadata accepts either.
+
+    ``fact_schema_json`` records the fact table's unified schema (Iceberg's
+    schema-in-metadata pattern): readers pass it to the parquet scan, so
+    schema EVOLUTION (columns added by later appends) needs no mergeSchema
+    footer sweep — old files null-fill the new columns at scan time."""
     meta = descriptor.to_dict() | {"num_buckets": num_buckets, "tstore_structure": "spark-hidden-partition"}
+    if fact_schema_json is not None:
+        meta["fact_schema"] = fact_schema_json
     os.makedirs(base_dir, exist_ok=True)
     with open(os.path.join(base_dir, METADATA_FILE), "w") as f:
         json.dump(meta, f, indent=2, sort_keys=True)
@@ -64,7 +76,7 @@ def write_metadata(base_dir: str, descriptor: TableDescriptor, num_buckets: int)
         yaml.dump(meta, f)
 
 
-def read_metadata(base_dir: str) -> tuple[TableDescriptor, int]:
+def read_metadata_all(base_dir: str) -> tuple[TableDescriptor, int, dict]:
     json_path = os.path.join(base_dir, METADATA_FILE)
     if os.path.exists(json_path):
         with open(json_path) as f:
@@ -74,7 +86,12 @@ def read_metadata(base_dir: str) -> tuple[TableDescriptor, int]:
 
         with open(os.path.join(base_dir, METADATA_FILE.replace(".json", ".yaml"))) as f:
             meta = yaml.safe_load(f)
-    return TableDescriptor.from_dict(meta), int(meta["num_buckets"])
+    return TableDescriptor.from_dict(meta), int(meta["num_buckets"]), meta
+
+
+def read_metadata(base_dir: str) -> tuple[TableDescriptor, int]:
+    d, n, _ = read_metadata_all(base_dir)
+    return d, n
 
 
 # -- write path (reference write lifecycle, SURVEY §3.1) ----------------------
@@ -124,7 +141,80 @@ def write_archive(
         .partitionBy("p_day", "p_bucket")
         .parquet(os.path.join(base_dir, PAGES_DIR))
     )
-    write_metadata(base_dir, d, num_buckets)
+    write_metadata(
+        base_dir, d, num_buckets,
+        fact_schema_json=fact.drop("p_day", "p_bucket").schema.json(),
+    )
+
+
+def append_archive(
+    tslong: TSLong,
+    base_dir: str,
+    stats_columns: dict | None = None,
+) -> None:
+    """Append a batch to an existing archive, EVOLVING the schema when the
+    batch carries new ts variables.
+
+    Compatibility contract: same id/time vars; existing columns keep their
+    meaning (types must match — parquet enforces it at read). New columns
+    simply appear in the metadata's unified ``fact_schema``; historical
+    files never get rewritten — readers null-fill the new columns at scan
+    time because :func:`open_archive` passes the metadata schema to the
+    parquet source (no mergeSchema footer sweep, the Iceberg
+    schema-in-metadata pattern). That makes adding a variable an O(metadata)
+    operation at any archive size."""
+    from pyspark.sql.types import StructType
+
+    d_old, num_buckets, meta = read_metadata_all(base_dir)
+    d_new = tslong.descriptor
+    if (d_new.id_var, d_new.time_var) != (d_old.id_var, d_old.time_var):
+        raise ValueError(
+            f"append id/time vars ({d_new.id_var!r}, {d_new.time_var!r}) do not "
+            f"match archive ({d_old.id_var!r}, {d_old.time_var!r})"
+        )
+
+    merged_ts_vars = {g: list(cols) for g, cols in d_old.ts_vars.items()}
+    for g, cols in d_new.ts_vars.items():
+        tgt = merged_ts_vars.setdefault(g, [])
+        tgt.extend(c for c in cols if c not in tgt)
+    merged = TableDescriptor(
+        d_old.id_var, d_old.time_var, merged_ts_vars, d_old.static_vars, d_old.partitioning
+    )
+
+    fact = tslong.df.select(d_new.id_var, d_new.time_var, *d_new.ts_columns)
+    for name, col in (stats_columns or {}).items():
+        fact = fact.withColumn(name, col)
+    fact = (
+        fact.withColumn("p_day", F.to_date(F.col(d_new.time_var)))
+        .withColumn("p_bucket", bucket_column(d_new.id_var, num_buckets))
+    )
+    (
+        fact.repartition("p_day", "p_bucket")
+        .sortWithinPartitions(d_new.id_var, d_new.time_var)
+        .write.mode("append")
+        .partitionBy("p_day", "p_bucket")
+        .parquet(os.path.join(base_dir, PAGES_DIR))
+    )
+
+    # unified schema = old unified schema ∪ new batch columns (order: old
+    # first, then newly introduced) with type-conflict detection
+    new_schema = fact.drop("p_day", "p_bucket").schema
+    if "fact_schema" in meta:
+        old_schema = StructType.fromJson(json.loads(meta["fact_schema"]))
+    else:  # pre-evolution archive: reconstruct from the new batch's overlap
+        old_schema = StructType([f for f in new_schema.fields])
+    by_name = {f.name: f for f in old_schema.fields}
+    for f_new in new_schema.fields:
+        if f_new.name in by_name:
+            if by_name[f_new.name].dataType != f_new.dataType:
+                raise ValueError(
+                    f"column {f_new.name!r} type changed: archive has "
+                    f"{by_name[f_new.name].dataType}, batch has {f_new.dataType}"
+                )
+        else:
+            old_schema = old_schema.add(f_new)
+            by_name[f_new.name] = f_new
+    write_metadata(base_dir, merged, num_buckets, fact_schema_json=old_schema.json())
 
 
 # -- read path (reference read lifecycle, SURVEY §3.2) ------------------------
@@ -142,8 +232,17 @@ def open_archive(
 ) -> TSLong:
     """Open the archive as a TSLong; one Catalyst plan does scan + prune +
     filter + broadcast-join (the reference's steps 2-4 collapsed)."""
-    d, num_buckets = read_metadata(base_dir)
-    df = spark.read.parquet(os.path.join(base_dir, PAGES_DIR))
+    d, num_buckets, meta = read_metadata_all(base_dir)
+    reader = spark.read
+    if "fact_schema" in meta:
+        # schema-on-read from metadata (Iceberg pattern): after evolution,
+        # files written before a column existed null-fill it at scan time —
+        # no mergeSchema footer sweep over the whole archive. Partition
+        # columns (p_day/p_bucket) are appended by partition discovery.
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(meta["fact_schema"])))
+    df = reader.parquet(os.path.join(base_dir, PAGES_DIR))
 
     # partition pruning: day from the time range, bucket from the id list
     if start_time is not None or end_time is not None:
