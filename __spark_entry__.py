@@ -1540,6 +1540,22 @@ def _q_tslong_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.df.select(F.col("user_id").cast("long").alias("user_id"), "ts", "value")
 
 
+def _q_resample_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-interval tumbling resample (15 min grid) via wall-clock
+    epoch floor — the ad-hoc-grid complement of the fixed 1m/1h/1d tiers."""
+    from tstore_spark.operators.resample import resample
+
+    return resample(_t(spark, sf_dir, "events"), 900)
+
+
+def _q_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows: 1h width sliding every 15 min — each event explodes
+    into exactly its 4 covering windows (literal offset array, JVM-side)."""
+    from tstore_spark.operators.resample import sliding_agg
+
+    return sliding_agg(_t(spark, sf_dir, "events"), 3600, 900)
+
+
 def _q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution round-trip: archive the first half of events with
     (value), append the second half carrying a NEW variable value2 = 2*value,
@@ -1744,6 +1760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_forward": _q_asof_forward,
         "asof_join_nearest": _q_asof_nearest,
         "schema_evolution_roundtrip": _q_schema_evolution,
+        "resample_15m": _q_resample_15m,
+        "sliding_1h_15m": _q_sliding_1h_15m,
     }
 
 
@@ -2443,6 +2461,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS user_distinct,
                    TRUE AS merged_within_2pct
             FROM events GROUP BY event_type
+        """,
+        "resample_15m": """
+            SELECT event_type,
+                   make_timestamp(epoch_us(ts) - epoch_us(ts) % 900000000) AS window_start,
+                   count(*) AS event_count,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "sliding_1h_15m": """
+            WITH e AS (
+                SELECT event_type, epoch_us(ts) AS t,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events),
+            x AS (
+                SELECT event_type, c,
+                       t - t % 900000000 - unnest(range(0, 4)) * 900000000 AS ws
+                FROM e)
+            SELECT event_type, make_timestamp(ws) AS window_start,
+                   count(*) AS event_count,
+                   CAST(sum(c) AS BIGINT) / 100.0 AS value_sum
+            FROM x GROUP BY 1, 2
         """,
         "schema_evolution_roundtrip": """
             SELECT event_id, ts, value, CAST(NULL AS DOUBLE) AS value2
