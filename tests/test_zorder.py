@@ -1,0 +1,181 @@
+"""Z-order clustering: key correctness vs a straight-line Python reference,
+multi-dimension file skipping (where lexicographic range clustering fails),
+row fidelity, and parallelism determinism of the key."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tstore_spark.sources.zonemaps import prune_paths, pruned_read, zone_maps
+from tstore_spark.sources.zorder import (
+    column_bounds,
+    with_zorder_key,
+    zorder_write,
+)
+
+
+def _ref_z(cells: list[int], bits: int) -> int:
+    k = len(cells)
+    z = 0
+    for i in range(bits):
+        for j, cell in enumerate(cells):
+            z |= ((cell >> i) & 1) << (i * k + j)
+    return z
+
+
+def _ref_cell(v: float, lo: float, hi: float, bits: int) -> int:
+    top = (1 << bits) - 1
+    if hi <= lo:
+        return 0
+    import math
+
+    return min(max(math.floor((v - lo) / (hi - lo) * float(top)), 0), top)
+
+
+def test_zorder_key_matches_python_reference(spark):
+    pdf = pd.DataFrame({"x": [0, 3, 7, 15, 9], "y": [0, 12, 7, 15, 2]})
+    df = spark.createDataFrame(pdf)
+    out = (
+        with_zorder_key(df, ["x", "y"], bits=4, bounds={"x": (0, 15), "y": (0, 15)})
+        .orderBy("x")
+        .collect()
+    )
+    for r in out:
+        assert r["_z"] == _ref_z([int(r["x"]), int(r["y"])], 4)
+    # interleaving, not concatenation: (15, 0) and (0, 15) differ
+    lone = with_zorder_key(
+        spark.createDataFrame(pd.DataFrame({"x": [15, 0], "y": [0, 15]})),
+        ["x", "y"],
+        bits=4,
+        bounds={"x": (0, 15), "y": (0, 15)},
+    ).collect()
+    zs = {(r["x"], r["y"]): r["_z"] for r in lone}
+    assert zs[(15, 0)] == 0b01010101 and zs[(0, 15)] == 0b10101010
+
+
+def test_zorder_quadrant_locality(spark):
+    """Points in the same 2x2 quadrant share the top 2 z bits — the tile
+    property that makes every dimension prunable."""
+    pdf = pd.DataFrame(
+        [(x, y) for x in range(16) for y in range(16)], columns=["x", "y"]
+    )
+    rows = with_zorder_key(
+        spark.createDataFrame(pdf), ["x", "y"], bits=4,
+        bounds={"x": (0, 15), "y": (0, 15)},
+    ).collect()
+    for r in rows:
+        quadrant = (int(r["x"]) >= 8, int(r["y"]) >= 8)
+        top2 = (r["_z"] >> 6) & 0b11
+        assert (bool(top2 & 0b01), bool(top2 & 0b10)) == quadrant
+
+
+def test_scaling_clamps_nulls_and_constant_columns(spark):
+    pdf = pd.DataFrame({"x": [1.0, None, 5.0], "y": [7.0, 7.0, 7.0]})
+    rows = with_zorder_key(
+        spark.createDataFrame(pdf), ["x", "y"], bits=4,
+        bounds={"x": (1.0, 5.0), "y": (7.0, 7.0)},
+    ).collect()
+    by_x = {r["x"]: r["_z"] for r in rows}
+    assert by_x[None] == 0  # NULL -> cell 0 (NULLS FIRST)
+    assert by_x[1.0] == 0 and by_x[5.0] == _ref_z([15, 0], 4)
+
+
+def test_guards(spark, pages_sdf):
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        with_zorder_key(pages_sdf, ["warc_ts"])
+    with pytest.raises(ValueError, match="> 63 key bits"):
+        with_zorder_key(
+            pages_sdf.select(
+                F.length("text").alias("a"), F.length("url").alias("b"),
+                F.length("lang").alias("c"), F.length("html").alias("d"),
+            ),
+            ["a", "b", "c", "d"],
+            bits=16,
+        )
+
+
+def test_timestamp_dimension_and_bounds(spark, pages_sdf):
+    df = pages_sdf.select("warc_ts", F.length("text").alias("n"))
+    b = column_bounds(df, ["warc_ts", "n"])
+    assert b["warc_ts"][0] < b["warc_ts"][1]  # epochs in the double domain
+    out = with_zorder_key(df, ["warc_ts", "n"], bits=8, bounds=b)
+    assert out.where(F.col("_z").isNull()).count() == 0
+
+
+@pytest.fixture(scope="module")
+def grid_roots(spark, tmp_path_factory):
+    """The same uniform 2-D table written twice: z-ordered on (x, y) vs
+    lexicographically range-clustered on (x, y)."""
+    base = tmp_path_factory.mktemp("zorder")
+    pdf = pd.DataFrame(
+        [(i, (i * 7919) % 4096, i % 4096) for i in range(16384)],
+        columns=["rid", "x", "y"],
+    )
+    df = spark.createDataFrame(pdf)
+    z_root, lex_root = str(base / "z"), str(base / "lex")
+    zorder_write(df, z_root, ["x", "y"], n_files=16, bits=12)
+    (
+        df.repartitionByRange(16, "x", "y")
+        .sortWithinPartitions("x", "y")
+        .write.mode("overwrite")
+        .parquet(lex_root)
+    )
+    return z_root, lex_root
+
+
+def test_zorder_write_preserves_rows(spark, grid_roots):
+    z_root, _ = grid_roots
+    got = spark.read.parquet(z_root)
+    assert got.count() == 16384
+    assert got.select(F.sum("rid"), F.sum("x"), F.sum("y")).collect()[0] == (
+        16384 * 16383 // 2,
+        sum((i * 7919) % 4096 for i in range(16384)),
+        sum(i % 4096 for i in range(16384)),
+    )
+
+
+def test_zorder_prunes_every_dimension(spark, grid_roots):
+    """A y-range probe skips files on the z layout but not on the
+    lexicographic (x, y) layout — the reason z-order exists."""
+    z_root, lex_root = grid_roots
+    zm_z = zone_maps(spark, z_root, ["x", "y"])
+    zm_lex = zone_maps(spark, lex_root, ["x", "y"])
+
+    x_paths, total = prune_paths(zm_z, {"x": (0, 511)})
+    y_paths, _ = prune_paths(zm_z, {"y": (0, 511)})
+    assert total == 16
+    assert len(x_paths) < 16 and len(y_paths) < 16  # both dims prune
+
+    lex_y, lex_total = prune_paths(zm_lex, {"y": (0, 511)})
+    assert lex_total == 16 and len(lex_y) == 16  # prefix layout: y never prunes
+    # ... and the 2-D box is tighter than either slab on the z layout
+    box_paths, _ = prune_paths(zm_z, {"x": (0, 511), "y": (0, 511)})
+    assert len(box_paths) <= min(len(x_paths), len(y_paths))
+
+
+def test_zorder_pruned_read_equals_full_scan(spark, grid_roots):
+    z_root, _ = grid_roots
+    zm = zone_maps(spark, z_root, ["x", "y"])
+    got, report = pruned_read(
+        spark, z_root, zm, {"x": (100, 1500), "y": (2000, 3000)}
+    )
+    exp = spark.read.parquet(z_root).where(
+        (F.col("x") >= 100) & (F.col("x") <= 1500)
+        & (F.col("y") >= 2000) & (F.col("y") <= 3000)
+    )
+    assert report["files_read"] < report["files_total"]
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_zorder_key_deterministic_across_parallelism(spark):
+    pdf = pd.DataFrame(
+        [(i, (i * 31) % 997, (i * 17) % 997) for i in range(5000)],
+        columns=["rid", "x", "y"],
+    )
+    b = {"x": (0.0, 996.0), "y": (0.0, 996.0)}
+    outs = []
+    for n in (1, 4):
+        df = spark.createDataFrame(pdf).repartition(n)
+        z = with_zorder_key(df, ["x", "y"], bits=10, bounds=b)
+        outs.append({r["rid"]: r["_z"] for r in z.collect()})
+    assert outs[0] == outs[1]
