@@ -80,6 +80,50 @@ def test_compact_is_idempotent(spark, fragmented_archive):
     assert second["files_before"] == 0
 
 
+def test_compact_zorder_clusters_every_dimension(spark, pages_sdf, tmp_path):
+    """zorder_by compaction: row fidelity, and inside a multi-file directory
+    a range probe on the SECOND z column prunes files — the property the
+    lexicographic cluster_by path cannot deliver off-prefix."""
+    from tstore_spark.sources.zonemaps import prune_paths, zone_maps
+
+    base = str(tmp_path / "zarch")
+    pages = pages_sdf.withColumn("domain", domain_of("url"))
+    tsl = TSLong.wrap(
+        pages.select(
+            "domain", "warc_ts",
+            F.length("text").cast("long").alias("tl"),
+            F.xxhash64("url").alias("uh"),
+        ),
+        id_var="domain", time_var="warc_ts", ts_vars={"m": ["tl", "uh"]},
+    )
+    write_archive(tsl, base, num_buckets=1)
+    root = os.path.join(base, PAGES_DIR)
+    frag = spark.read.option("basePath", root).parquet(root).repartition(12)
+    frag.write.mode("overwrite").partitionBy("p_day", "p_bucket").parquet(root)
+
+    before = _digest(open_archive(spark, base, with_attributes=False).df)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        compact_archive(spark, base, cluster_by=["tl"], zorder_by=["tl", "uh"])
+    # target sized so the biggest directory bin-packs to ~4 output files
+    target = max(s["bytes"] for s in partition_stats(root)) // 4 + 1
+    summary = compact_archive(
+        spark, base, target_file_bytes=target, zorder_by=["tl", "uh"], zorder_bits=12
+    )
+    assert summary["partitions_compacted"] > 0
+    assert _digest(open_archive(spark, base, with_attributes=False).df) == before
+
+    for s in partition_stats(root):
+        if s["n_files"] >= 4:
+            zm = zone_maps(spark, os.path.join(root, s["rel_dir"]), ["tl", "uh"])
+            # uh = xxhash64 is uniform, so >= 4 contiguous z slices pigeonhole
+            # at least one file wholly into the uh-top-bit half -> it prunes
+            kept, total = prune_paths(zm, {"uh": (-(1 << 63), -1)})
+            assert total == s["n_files"] and len(kept) < total
+            break
+    else:
+        pytest.fail("no directory with >= 4 files after z-compaction")
+
+
 def test_compact_sorts_within_files(spark, fragmented_archive):
     """The rewrite restores (id, time) clustering inside each file so
     Parquet min/max row-group skipping keeps working after compaction."""

@@ -37,6 +37,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from tstore_spark.sources.archive import PAGES_DIR, read_metadata
+from tstore_spark.sources.zorder import DEFAULT_BITS, with_zorder_key
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
@@ -80,6 +81,8 @@ def compact_archive(
     table: str = PAGES_DIR,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     cluster_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = DEFAULT_BITS,
 ) -> dict:
     """Bin-pack every fragmented partition of ``<base_dir>/<table>`` in one
     distributed rewrite job; returns a summary dict (no-op when nothing is
@@ -92,7 +95,17 @@ def compact_archive(
     slice of the cluster columns. That is what makes zone-map file
     skipping (sources/zonemaps.py) bite: a point/range predicate on the
     cluster column then prunes to ~1 file per directory instead of
-    matching all of them."""
+    matching all of them.
+
+    ``zorder_by``: full multi-dimension clustering (sources/zorder.py) —
+    files slice the bit-interleaved z curve instead of a lexicographic
+    (c1, c2, ...) order, so zone maps prune on EVERY listed column, not
+    just the prefix. Costs one extra min/max pass over the selected dirs
+    (grid bounds) and trades away the (id, time) in-file ordering the
+    default path restores — pick it when multi-column range probes, not
+    id/time scans, dominate reads."""
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
     d, _num_buckets = read_metadata(base_dir)
     root = os.path.join(base_dir, table)
     plan = compaction_plan(root, target_file_bytes)
@@ -123,7 +136,14 @@ def compact_archive(
         "_key string, _n_out int",
     )
     n_total = max(summary["files_after"], 1)
-    if cluster_by:
+    if zorder_by:
+        # z clustering: partition dirs lead the range key so output tasks
+        # stay dir-major; within a dir, files are contiguous z slices —
+        # tight [min,max] tiles of every zorder_by column at once
+        staged = with_zorder_key(df, zorder_by, bits=zorder_bits)
+        staged = staged.repartitionByRange(n_total, *part_cols, "_z")
+        sort_tail = ["_z"]
+    elif cluster_by:
         # range clustering: contiguous (partition, cluster-col) slices per
         # output file; boundaries come from Spark's range sampling, which
         # moves file SPLIT POINTS, never row content
@@ -144,15 +164,13 @@ def compact_archive(
 
     tmp = root + ".compact__tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    (
-        # partition cols lead the sort so the dynamic-partition writer's
-        # required ordering is already satisfied and it does NOT inject its
-        # own (id,time)-destroying sort-by-partition-value pass
-        staged.sortWithinPartitions(*part_cols, *sort_tail)
-        .write.mode("overwrite")
-        .partitionBy(*part_cols)
-        .parquet(tmp)
-    )
+    # partition cols lead the sort so the dynamic-partition writer's
+    # required ordering is already satisfied and it does NOT inject its
+    # own (id,time)-destroying sort-by-partition-value pass
+    sorted_df = staged.sortWithinPartitions(*part_cols, *sort_tail)
+    if zorder_by:
+        sorted_df = sorted_df.drop("_z")
+    sorted_df.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
 
     # metadata-only swap, done last (Iceberg analog: the snapshot commit)
     for p in plan:
