@@ -1357,6 +1357,30 @@ def _q_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select("event_id", "ts", "value")
 
 
+def _q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering, end to end: rewrite the events table as 16 files
+    slicing the bit-interleaved (value, event_id) z curve, then answer a
+    range query on event_id — the SECOND z column, which a lexicographic
+    (value, event_id) layout could never prune — reading only the files
+    whose [min,max] can match. Fails loudly unless files were actually
+    skipped; surviving rows must hash-match the plain full-scan SQL.
+    The cutoff is max(event_id)/4 so the probe is scale-independent."""
+    import re as _re
+
+    from tstore_spark.sources.zonemaps import pruned_read, zone_maps
+    from tstore_spark.sources.zorder import zorder_write
+
+    root = "/tmp/tstore_spark_zo_" + _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    zorder_write(ev, root, ["value", "event_id"], n_files=16, bits=12)
+    zm = zone_maps(spark, root, ["value", "event_id"])
+    hi = int(ev.agg(F.max("event_id")).head()[0]) // 4
+    got, report = pruned_read(spark, root, zm, {"event_id": (0, hi)})
+    if report["files_read"] >= report["files_total"]:
+        raise RuntimeError(f"z layout skipped nothing on the off-prefix dim: {report}")
+    return got.select(F.col("event_id").cast("long").alias("event_id"), "ts", "value")
+
+
 def _q_merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics, end to end: archive the events stream keyed by
     (event_id, ts), upsert a batch that restates values for event_id % 10 == 3
@@ -1726,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_roundtrip": _q_compaction_roundtrip,
         "merge_upsert_roundtrip": _q_merge_upsert_roundtrip,
         "zonemap_scan": _q_zonemap_scan,
+        "zorder_scan": _q_zorder_scan,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "snapshot_cdc": _q_snapshot_cdc,
         "delete_where_roundtrip": _q_delete_where,
@@ -2147,6 +2172,12 @@ def oracle_sql() -> dict[str, str]:
         "zonemap_scan": """
             SELECT event_id, ts, value FROM events
             WHERE value >= 100.0 AND value <= 150.0
+        """,
+        "zorder_scan": """
+            SELECT CAST(event_id AS BIGINT) AS event_id, ts, value FROM events
+            WHERE event_id >= 0
+              AND event_id <= (SELECT CAST(floor(max(event_id) / 4.0) AS BIGINT)
+                               FROM events)
         """,
         "merge_upsert_roundtrip": """
             WITH u AS (
