@@ -6,7 +6,9 @@ nightly (Iceberg analog in parentheses):
     spark-submit --py-files tstore_spark.zip jobs/maintenance_job.py \\
         --archive <base dir> snapshot                  # commit a version
         --archive <base dir> compact [--target-mb 128] [--cluster-by col,..]
+                                     [--zorder-by col,col[,..]]
                                                        # OPTIMIZE / bin-pack
+                                                       # (ZORDER BY variant)
         --archive <base dir> retention --keep-after YYYY-MM-DD
                                                        # DELETE + expire
         --archive <base dir> expire --keep-last N      # expire_snapshots
@@ -40,6 +42,8 @@ def main(argv: list[str] | None = None) -> int:
     p_c = sub.add_parser("compact")
     p_c.add_argument("--target-mb", type=int, default=128)
     p_c.add_argument("--cluster-by", default=None, help="comma-separated columns")
+    p_c.add_argument("--zorder-by", default=None,
+                     help="comma-separated columns (>= 2) for z-order clustering")
     p_r = sub.add_parser("retention")
     p_r.add_argument("--keep-after", required=True)
     p_e = sub.add_parser("expire")
@@ -71,12 +75,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "compact":
         spark = get_spark(app_name="tstore-maintenance")
         cluster = args.cluster_by.split(",") if args.cluster_by else None
+        zorder = args.zorder_by.split(",") if args.zorder_by else None
         out["summary"] = compact_archive(
             spark,
             args.archive,
             table=args.table,
             target_file_bytes=args.target_mb * 1024 * 1024,
             cluster_by=cluster,
+            zorder_by=zorder,
         )
     elif args.cmd == "retention":
         out["dropped_partitions"] = apply_retention(

@@ -118,6 +118,13 @@ def test_maintenance_job_smoke(spark, archive, tmp_path):
     assert s["version"] == 1
     c = run("compact", "--target-mb", "1024")
     assert c["pre_snapshot"] == 2 and c["summary"]["partitions_compacted"] > 0
+    # re-fragment, then the ZORDER BY variant of compact through the CLI
+    frag2 = spark.read.option("basePath", root).parquet(root).repartition(4)
+    frag2.write.mode("overwrite").partitionBy("p_day", "p_bucket").parquet(root)
+    z = run("--no-snapshot", "compact", "--target-mb", "1024",
+            "--zorder-by", "warc_ts,p_bucket")
+    assert z["summary"]["partitions_compacted"] > 0
+
     e = run("expire", "--keep-last", "1")
     assert e["dropped_versions"] == [1] and list_snapshots(archive) == [2]
 
