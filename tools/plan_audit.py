@@ -166,6 +166,20 @@ def main(sf_dir: str) -> int:
     spark.sql("DROP TABLE IF EXISTS pa_bkt_events")
     spark.sql("DROP TABLE IF EXISTS pa_bkt_users")
 
+    # 15. z-order key: a pure Catalyst projection — whole-stage codegen, no
+    # Python evaluation, no shuffle beyond the single range repartition the
+    # clustered rewrite needs anyway
+    from tstore_spark.sources.zorder import with_zorder_key
+
+    zin = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "value")
+    p = plan_of(with_zorder_key(zin, ["value", "event_id"],
+                                bounds={"value": (0.0, 600.0), "event_id": (0.0, 1e6)}))
+    check("zorder.jvm_key", "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "bit-interleave is Catalyst shift/and/or, not a UDF")
+    check("zorder.codegen", "codegen id" in p, "key evaluates inside codegen")
+    check("zorder.no_shuffle", "Exchange" not in p,
+          "key projection alone adds no shuffle")
+
     spark.stop()
     print(f"\n{'ALL PASS' if not failures else 'FAILURES: ' + ', '.join(failures)}")
     return 1 if failures else 0
