@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from tstore_spark.sources.zonemaps import prune_paths, pruned_read, zone_maps
 from tstore_spark.sources.zorder import (
     column_bounds,
+    load_bounds,
     with_zorder_key,
     zorder_write,
 )
@@ -169,6 +170,42 @@ def test_zorder_pruned_read_equals_full_scan(spark, grid_roots):
     )
     assert report["files_read"] < report["files_total"]
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_bounds_persist_for_incremental_rewrites(spark, tmp_path):
+    """zorder_write saves its grid as a sidecar; a later batch keyed on the
+    LOADED grid gets the same cells as under the original bounds (shared
+    tiling), not the cells its own narrower bounds would give — and the
+    underscore-prefixed sidecar is invisible to the parquet reader."""
+    pdf = pd.DataFrame(
+        [(i, (i * 7919) % 4096, i % 4096) for i in range(4096)],
+        columns=["rid", "x", "y"],
+    )
+    df = spark.createDataFrame(pdf)
+    root = str(tmp_path / "z1")
+    zorder_write(df, root, ["x", "y"], n_files=4, bits=10)
+    spec = load_bounds(root)
+    assert spec["cols"] == ["x", "y"] and spec["bits"] == 10
+    assert spec["bounds"] == column_bounds(df, ["x", "y"])
+    assert spark.read.parquet(root).count() == 4096  # sidecar ignored
+
+    batch = df.where((F.col("x") < 100) & (F.col("y") < 100))  # narrow slice
+    shared = {
+        r["rid"]: r["_z"]
+        for r in with_zorder_key(batch, ["x", "y"], bits=10,
+                                 bounds=spec["bounds"]).collect()
+    }
+    original = {
+        r["rid"]: r["_z"]
+        for r in with_zorder_key(df, ["x", "y"], bits=10,
+                                 bounds=spec["bounds"]).collect()
+    }
+    own = {
+        r["rid"]: r["_z"]
+        for r in with_zorder_key(batch, ["x", "y"], bits=10).collect()
+    }
+    assert shared == {k: original[k] for k in shared}  # same grid => same keys
+    assert shared != own  # its own bounds would re-tile the narrow slice
 
 
 def test_zorder_key_deterministic_across_parallelism(spark):

@@ -35,6 +35,8 @@ zone maps always re-check real file stats, so correctness is untouched.
 
 from __future__ import annotations
 
+import json
+import os
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -43,6 +45,7 @@ from pyspark.sql import functions as F
 from tstore_spark.functions.timeparts import ntz_epoch_micros
 
 DEFAULT_BITS = 16
+BOUNDS_FILE = "_zorder_bounds.json"
 
 
 def _as_double(df: DataFrame, col: str) -> Column:
@@ -117,6 +120,29 @@ def with_zorder_key(
     return df.withColumn(out_col, zorder_key_expr(cells, bits))
 
 
+def save_bounds(
+    path: str, cols: list[str], bits: int, bounds: dict[str, tuple[float, float]]
+) -> None:
+    """Persist the z grid next to the layout (``_zorder_bounds.json``) so
+    later incremental rewrites reuse ONE grid — old and new files then tile
+    the same z space and their zone-map ranges stay comparable. Metadata
+    only; zone maps re-check real file stats, so a stale grid can weaken
+    pruning but never correctness."""
+    with open(os.path.join(path, BOUNDS_FILE), "w") as f:
+        json.dump({"cols": cols, "bits": bits, "bounds": bounds}, f, indent=1)
+
+
+def load_bounds(path: str) -> dict | None:
+    """The persisted grid from ``save_bounds`` (cols/bits/bounds), or None."""
+    p = os.path.join(path, BOUNDS_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        spec = json.load(f)
+    spec["bounds"] = {c: tuple(v) for c, v in spec["bounds"].items()}
+    return spec
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
@@ -129,7 +155,13 @@ def zorder_write(
     z-range, i.e. a tight [min,max] tile of EVERY ``cols`` member — the
     layout ``zone_maps`` + ``prune_paths`` need for multi-column skipping.
     In-file rows are z-sorted too, so Parquet row-group stats nest the
-    same way for free."""
+    same way for free.
+
+    The grid (cols/bits/bounds) is persisted via ``save_bounds``; pass
+    ``bounds=load_bounds(path)["bounds"]`` on an incremental rewrite of a
+    sibling partition to keep every file on one shared grid."""
+    if bounds is None:
+        bounds = column_bounds(df, cols)
     staged = with_zorder_key(df, cols, bits=bits, bounds=bounds)
     (
         staged.repartitionByRange(n_files, "_z")
@@ -138,3 +170,4 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+    save_bounds(path, cols, bits, bounds)
