@@ -11,6 +11,7 @@ from tstore_spark.operators.rollup import rollup_from_raw
 from tstore_spark.streaming.stream_rollup import (
     read_pages_stream,
     stream_rollup_1m,
+    stream_rollup_cascade_1h,
     write_stream_tier,
 )
 
@@ -46,6 +47,34 @@ def test_stream_rollup_matches_batch(spark, stream_dirs):
     expected = {k: v for k, v in b.items() if k[1] < cutoff}
     assert g == expected
     assert len(g) >= 0.9 * len(b)  # only the in-flight tail is withheld
+
+
+def test_stream_cascade_1h_matches_batch(spark, stream_dirs):
+    """The chained 1m->1h streaming cascade (one query, two stateful window
+    aggs) emits exactly the hours the watermark closed, with count/byte sums
+    equal to the batch 1h rollup."""
+    base, src, sdf = stream_dirs
+    stream = read_pages_stream(spark, src, sdf.schema, max_files_per_trigger=2)
+    tier = stream_rollup_cascade_1h(stream, watermark="0 seconds")
+    q = write_stream_tier(tier, f"{base}/tier1h", f"{base}/ckpt1h", trigger_available_now=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{base}/tier1h")
+    batch = rollup_from_raw(sdf, "1h").select(
+        "domain", "window_start", "doc_count", "bytes_total")
+    g = {(r["domain"], r["window_start"]): (r["doc_count"], r["bytes_total"])
+         for r in got.collect()}
+    b = {(r["domain"], r["window_start"]): (r["doc_count"], r["bytes_total"])
+         for r in batch.collect()}
+    # an hour [H, H+1) emits once the final watermark (max event time at 0s
+    # delay) reaches H+1
+    import datetime
+
+    max_ts = sdf.agg(F.max("warc_ts")).head()[0]
+    expected = {k: v for k, v in b.items()
+                if k[1] + datetime.timedelta(hours=1) <= max_ts}
+    assert g == expected
+    assert len(g) > 0  # the fixture spans multiple hours
 
 
 def test_stream_restart_is_idempotent(spark, stream_dirs):
