@@ -11,6 +11,7 @@ from tstore_spark.operators.rollup import rollup_from_raw
 from tstore_spark.streaming.stream_rollup import (
     read_pages_stream,
     stream_rollup_1m,
+    stream_rollup_cascade,
     stream_rollup_cascade_1h,
     write_stream_tier,
 )
@@ -75,6 +76,35 @@ def test_stream_cascade_1h_matches_batch(spark, stream_dirs):
                 if k[1] + datetime.timedelta(hours=1) <= max_ts}
     assert g == expected
     assert len(g) > 0  # the fixture spans multiple hours
+
+
+def test_stream_cascade_three_tiers(spark, stream_dirs):
+    """1m -> 1h -> 1d: three chained stateful window aggs in one query;
+    closed days match the batch 1d rollup exactly."""
+    import datetime
+
+    base, src, sdf = stream_dirs
+    stream = read_pages_stream(spark, src, sdf.schema)
+    tier = stream_rollup_cascade(stream, ("1m", "1h", "1d"), watermark="0 seconds")
+    q = write_stream_tier(tier, f"{base}/tier1d", f"{base}/ckpt1d", trigger_available_now=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{base}/tier1d")
+    batch = rollup_from_raw(sdf, "1d").select(
+        "domain", "window_start", "doc_count", "bytes_total")
+    g = {(r["domain"], r["window_start"]): (r["doc_count"], r["bytes_total"])
+         for r in got.collect()}
+    max_ts = sdf.agg(F.max("warc_ts")).head()[0]
+    expected = {
+        (r["domain"], r["window_start"]): (r["doc_count"], r["bytes_total"])
+        for r in batch.collect()
+        if r["window_start"] + datetime.timedelta(days=1) <= max_ts
+    }
+    assert g == expected
+    assert len(g) > 0  # the fixture spans multiple days
+
+    with pytest.raises(ValueError, match="prefix"):
+        stream_rollup_cascade(stream, ("1h", "1d"))
 
 
 def test_stream_restart_is_idempotent(spark, stream_dirs):

@@ -69,45 +69,66 @@ def stream_rollup_1m(
     )
 
 
+_TIER_WIDTH = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
+
+
+def stream_rollup_cascade(
+    pages_stream: DataFrame,
+    tiers: tuple[str, ...] = ("1m", "1h"),
+    watermark: str = "10 minutes",
+    key_col: Column | None = None,
+    time_col: str = "warc_ts",
+) -> DataFrame:
+    """Fully-streaming tier cascade in ONE query — chained time-window
+    aggregations (Spark >= 3.5 multiple stateful operators): each stage
+    groups on ``window_time`` of the previous stage's windows, so its state
+    merges PARTIALS, never raw rows (the shuffle into the hour tier carries
+    one row per (domain, minute), into the day tier one per (domain, hour) —
+    the batch cascade's two-stage merge kept entirely in streaming state).
+    Each window emits exactly once when the watermark passes its end.
+
+    Only streaming-mergeable metrics chain (exact count / byte sums) —
+    ``approx_count_distinct`` keeps no re-mergeable state across stages, so
+    distinct-language stays on the 1m tier / batch exactness path (module
+    docstring). Returns the FINAL tier as
+    (domain, window_start, doc_count, bytes_total).
+    """
+    if list(tiers) != ["1m", "1h", "1d"][: len(tiers)] or not tiers:
+        raise ValueError(f"tiers must be a prefix of ('1m','1h','1d'), got {tiers}")
+    key = key_col if key_col is not None else domain_of("url")
+    agg = (
+        pages_stream.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), _TIER_WIDTH[tiers[0]]), key.alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum(F.octet_length("html")).alias("bytes_total"),
+        )
+    )
+    for tier in tiers[1:]:
+        agg = agg.groupBy(
+            F.window(F.window_time("window"), _TIER_WIDTH[tier]), "domain"
+        ).agg(
+            F.sum("doc_count").alias("doc_count"),
+            F.sum("bytes_total").alias("bytes_total"),
+        )
+    return agg.select(
+        "domain",
+        F.col("window.start").alias("window_start"),
+        "doc_count",
+        "bytes_total",
+    )
+
+
 def stream_rollup_cascade_1h(
     pages_stream: DataFrame,
     watermark: str = "10 minutes",
     key_col: Column | None = None,
     time_col: str = "warc_ts",
 ) -> DataFrame:
-    """Fully-streaming 1m -> 1h cascade in ONE query — chained time-window
-    aggregations (Spark >= 3.5 multiple stateful operators): the 1h stage
-    groups on ``window_time`` of the 1m windows, so its state merges 1m
-    PARTIALS (never raw rows; the shuffle into the hour tier carries one row
-    per (domain, minute), the same two-stage merge as the batch cascade) and
-    each hour emits exactly once when the watermark passes its end.
-
-    Only streaming-mergeable metrics chain (exact count / byte sums) —
-    ``approx_count_distinct`` keeps no re-mergeable state across stages, so
-    distinct-language stays on the 1m tier / batch exactness path (module
-    docstring). Returns (domain, window_start, doc_count, bytes_total).
-    """
-    key = key_col if key_col is not None else domain_of("url")
-    m1 = (
-        pages_stream.withWatermark(time_col, watermark)
-        .groupBy(F.window(F.col(time_col), "1 minute"), key.alias("domain"))
-        .agg(
-            F.count(F.lit(1)).alias("doc_count"),
-            F.sum(F.octet_length("html")).alias("bytes_total"),
-        )
-    )
-    h1 = (
-        m1.groupBy(F.window(F.window_time("window"), "1 hour"), "domain")
-        .agg(
-            F.sum("doc_count").alias("doc_count"),
-            F.sum("bytes_total").alias("bytes_total"),
-        )
-    )
-    return h1.select(
-        "domain",
-        F.col("window.start").alias("window_start"),
-        "doc_count",
-        "bytes_total",
+    """The two-tier (1m -> 1h) special case of ``stream_rollup_cascade``."""
+    return stream_rollup_cascade(
+        pages_stream, ("1m", "1h"), watermark=watermark,
+        key_col=key_col, time_col=time_col,
     )
 
 
