@@ -1381,6 +1381,62 @@ def _q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select(F.col("event_id").cast("long").alias("event_id"), "ts", "value")
 
 
+def _q_stream_cascade_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully-streaming 1m->1h cascade, end to end: events replayed as a
+    file-source stream (several files -> several micro-batches), two CHAINED
+    stateful window aggregations in one query (the hour tier's state merges
+    minute partials, never raw rows), availableNow trigger, parquet sink +
+    checkpoint. With a 0s watermark every hour whose end <= max event time
+    emits exactly once; the oracle recomputes those closed hours in plain
+    SQL. Payload bytes are the decimal digits of event_id so both engines
+    count identical bytes."""
+    import re as _re
+    import shutil as _sh
+
+    from tstore_spark.streaming.stream_rollup import (
+        read_pages_stream,
+        stream_rollup_cascade,
+        write_stream_tier,
+    )
+
+    from tstore_spark.functions.timeparts import ntz_epoch_seconds
+
+    base = "/tmp/tstore_spark_sc_" + _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    _sh.rmtree(base, ignore_errors=True)
+    # watermarks demand session-zoned TIMESTAMP; the driver's ts is NTZ.
+    # TZ-proof bridge: field-extraction epoch -> timestamp_seconds gives an
+    # instant whose UTC rendering IS the wall clock, so window boundaries are
+    # exact wall-clock hours under ANY session zone (no NTZ->TIMESTAMP cast,
+    # which would collapse nonexistent DST hours — CLAUDE.md constraint)
+    src = _t(spark, sf_dir, "events").select(
+        F.timestamp_seconds(ntz_epoch_seconds("ts")).alias("ts"),
+        F.col("event_type").alias("etype"),
+        F.encode(F.col("event_id").cast("string"), "utf-8").alias("html"),
+    )
+    src.repartition(4).write.parquet(f"{base}/src")
+    stream = read_pages_stream(spark, f"{base}/src", src.schema)
+    tier = stream_rollup_cascade(
+        stream, ("1m", "1h"), watermark="0 seconds",
+        key_col=F.col("etype"), time_col="ts",
+    )
+    q = write_stream_tier(tier, f"{base}/tier1h", f"{base}/ckpt")
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(f"{base}/tier1h")
+        .select(
+            F.col("domain").alias("event_type"),
+            # instant -> NTZ wall clock, TZ-proof (timestampadd on NTZ is
+            # wall-clock-safe; unix_seconds of an instant is absolute)
+            F.expr(
+                "timestampadd(SECOND, unix_seconds(window_start),"
+                " to_timestamp_ntz('1970-01-01'))"
+            ).alias("window_start"),
+            "doc_count",
+            "bytes_total",
+        )
+    )
+
+
 def _q_merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics, end to end: archive the events stream keyed by
     (event_id, ts), upsert a batch that restates values for event_id % 10 == 3
@@ -1751,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_roundtrip": _q_merge_upsert_roundtrip,
         "zonemap_scan": _q_zonemap_scan,
         "zorder_scan": _q_zorder_scan,
+        "stream_cascade_1h": _q_stream_cascade_1h,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "snapshot_cdc": _q_snapshot_cdc,
         "delete_where_roundtrip": _q_delete_where,
@@ -2178,6 +2235,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_id >= 0
               AND event_id <= (SELECT CAST(floor(max(event_id) / 4.0) AS BIGINT)
                                FROM events)
+        """,
+        "stream_cascade_1h": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS window_start,
+                   CAST(COUNT(*) AS BIGINT) AS doc_count,
+                   CAST(SUM(length(CAST(event_id AS VARCHAR))) AS BIGINT)
+                       AS bytes_total
+            FROM events
+            WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+                  <= (SELECT max(ts) FROM events)
+            GROUP BY event_type, date_trunc('hour', ts)
         """,
         "merge_upsert_roundtrip": """
             WITH u AS (
