@@ -1437,6 +1437,33 @@ def _q_stream_cascade_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive full-text search via the inverted index: one explode +
+    one groupBy builds the (token, doc_id, tf) posting table, the AND query
+    is a posting intersection (term filter + one count-groupBy, no joins).
+    Oracle: the same whole-token membership in plain SQL."""
+    from tstore_spark.operators.search import build_inverted_index, search_all_terms
+
+    idx = build_inverted_index(_t(spark, sf_dir, "documents"))
+    return search_all_terms(idx, ["spark", "window", "hash"]).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-term document frequency + total term frequency from the
+    inverted index — the integer inputs BM25's idf needs, oracle-checked
+    against a tokenize-and-count in SQL."""
+    from tstore_spark.operators.search import build_inverted_index, term_stats
+
+    idx = build_inverted_index(_t(spark, sf_dir, "documents"))
+    return term_stats(idx, ["spark", "window", "hash", "merge"]).select(
+        "token",
+        F.col("df").cast("long").alias("df"),
+        F.col("tf_total").cast("long").alias("tf_total"),
+    )
+
+
 def _q_merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics, end to end: archive the events stream keyed by
     (event_id, ts), upsert a batch that restates values for event_id % 10 == 3
@@ -1808,6 +1835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_scan": _q_zonemap_scan,
         "zorder_scan": _q_zorder_scan,
         "stream_cascade_1h": _q_stream_cascade_1h,
+        "text_search": _q_text_search,
+        "term_stats": _q_term_stats,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "snapshot_cdc": _q_snapshot_cdc,
         "delete_where_roundtrip": _q_delete_where,
@@ -2246,6 +2275,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
                   <= (SELECT max(ts) FROM events)
             GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "text_search": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+            WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'spark')
+              AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'window')
+              AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'hash')
+        """,
+        "term_stats": """
+            WITH t AS (
+                SELECT doc_id, u.tok
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(tok)
+                WHERE u.tok IN ('spark', 'window', 'hash', 'merge'))
+            SELECT tok AS token,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+                   CAST(COUNT(*) AS BIGINT) AS tf_total
+            FROM t GROUP BY tok
         """,
         "merge_upsert_roundtrip": """
             WITH u AS (

@@ -1,0 +1,78 @@
+"""Full-text search: index shape, conjunctive intersection vs brute force,
+exact term stats, BM25 vs a straight-line Python reference, guards."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tstore_spark.operators.search import (
+    bm25_reference,
+    bm25_topk,
+    build_inverted_index,
+    search_all_terms,
+    term_stats,
+)
+
+TEXTS = {
+    0: "spark window agg window window",
+    1: "spark table scan",
+    2: "window table spark spark",
+    3: "hash join only",
+    4: "Spark, WINDOW!  punct-uation splits;",
+    5: "",
+}
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(TEXTS), "text": list(TEXTS.values())})
+    )
+    return build_inverted_index(docs).cache()
+
+
+def test_index_one_row_per_token_doc_with_tf(index):
+    rows = {(r["token"], r["doc_id"]): r["tf"] for r in index.collect()}
+    assert rows[("window", 0)] == 3 and rows[("spark", 2)] == 2
+    assert rows[("spark", 4)] == 1 and rows[("window", 4)] == 1  # case/punct
+    assert ("", 5) not in rows and not any(d == 5 for _, d in rows)
+
+
+def test_conjunctive_search_is_posting_intersection(index):
+    got = sorted(r["doc_id"] for r in search_all_terms(index, ["spark", "window"]).collect())
+    brute = sorted(
+        d for d, s in TEXTS.items()
+        if "spark" in s.lower().replace(",", " ").replace("!", " ").split()
+        and "window" in s.lower().replace("!", " ").replace(",", " ").split()
+    )
+    assert got == brute == [0, 2, 4]
+    assert [r["doc_id"] for r in search_all_terms(index, ["only"]).collect()] == [3]
+    assert search_all_terms(index, ["spark", "nosuchterm"]).count() == 0
+    with pytest.raises(ValueError, match="non-empty term"):
+        search_all_terms(index, ["  ", ""])
+
+
+def test_term_stats_exact_integers(index):
+    got = {r["token"]: (r["df"], r["tf_total"]) for r in
+           term_stats(index, ["spark", "window", "only"]).collect()}
+    assert got == {"spark": (4, 5), "window": (3, 5), "only": (1, 1)}
+
+
+def test_bm25_matches_python_reference(index):
+    got = [(r["doc_id"], r["score"]) for r in bm25_topk(index, ["spark", "window"], k=4).collect()]
+    ref = bm25_reference(TEXTS, ["spark", "window"], k=4)
+    assert [d for d, _ in got] == [d for d, _ in ref]
+    for (_, a), (_, b) in zip(got, ref):
+        assert abs(a - b) < 1e-9
+
+
+def test_bm25_plan_is_broadcast_and_takeordered(index):
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bm25_topk(index, ["spark", "window"], k=3).explain()
+    p = buf.getvalue()
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p

@@ -1,0 +1,162 @@
+"""Full-text search — inverted index, conjunctive queries, BM25 ranking.
+
+The reference stores and filters time-series variables; a webtext archive
+also needs to FIND documents. Classic IR over a 100 TB corpus decomposes
+into exactly the shapes Spark does well:
+
+* ``build_inverted_index`` — the index IS a DataFrame ``(token, doc_id,
+  tf)``: one explode + one groupBy, no driver-side dict and no
+  ``collect_set`` posting arrays (a stopword's posting list is
+  corpus-sized — as a flat table it spreads over the cluster; as an array
+  column it is a single-row bomb). Persist it partitioned/bucketed by
+  ``token`` and term lookups become partition-pruned scans.
+* ``search_all_terms`` — conjunctive (AND) query as posting-list
+  intersection: filter the index to the query terms (an ``isin`` that
+  pushes into the scan), then ONE groupBy counting matched terms per doc;
+  a doc survives iff it matched all of them. No joins, no explode, no
+  per-term passes — shuffle carries only postings of the query terms.
+* ``term_stats`` / ``bm25_topk`` — document frequency + total tf per term
+  (exact integers), and BM25 ranking: idf and length normalization are a
+  broadcast-sized per-term table joined onto the candidate postings, the
+  score is one sum-aggregate per doc, and the top-k is a ``TakeOrdered``
+  (never a full sort).
+
+Scale: every step is bounded by |postings of query terms|, not corpus
+size, once the index exists; building the index is one shuffle of the
+tokenized corpus (the same hoisted-tokenization discipline as
+functions/text.py — tokens computed once, JVM-side regex split).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _tokens(text_col: str):
+    """Lowercased alphanumeric tokens, JVM-side; empties dropped (regex
+    split yields '' at string edges)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda t: t != F.lit("")
+    )
+
+
+def build_inverted_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Posting table ``(token, doc_id, tf)`` — tf is the within-doc term
+    count. One explode of the hoisted token array + one groupBy."""
+    tok = docs.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("token")
+    )
+    return tok.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
+
+
+def _norm_terms(terms: list[str]) -> list[str]:
+    t = sorted({w.lower().strip() for w in terms if w and w.strip()})
+    if not t:
+        raise ValueError("search needs at least one non-empty term")
+    return t
+
+
+def search_all_terms(
+    index: DataFrame, terms: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Docs containing EVERY term (conjunctive search): the index holds one
+    row per (token, doc), so a plain count after the term filter equals the
+    number of distinct query terms the doc matched."""
+    t = _norm_terms(terms)
+    hits = (
+        index.where(F.col("token").isin(t))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_matched"))
+    )
+    return hits.where(F.col("_matched") == len(t)).select(id_col)
+
+
+def term_stats(index: DataFrame, terms: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Exact integer ``(token, df, tf_total)`` for the given terms — the
+    inputs BM25's idf needs, kept oracle-checkable (no floats)."""
+    t = _norm_terms(terms)
+    return (
+        index.where(F.col("token").isin(t))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("tf_total"),
+        )
+    )
+
+
+def bm25_topk(
+    index: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k docs by BM25 over the query terms.
+
+    idf uses the standard Robertson form ``ln(1 + (N - df + .5)/(df + .5))``.
+    N (corpus size) and per-doc length come from the index itself (sum of
+    tf), so no second pass over raw text. The per-term table (df, idf) is
+    tiny — broadcast onto the candidate postings; ``orderBy(...).limit(k)``
+    plans as TakeOrdered, never a full sort. Ties break on doc id for
+    determinism."""
+    t = _norm_terms(terms)
+    dl = index.groupBy(id_col).agg(F.sum("tf").alias("_dl"))
+    n_docs, avgdl = dl.agg(F.count(F.lit(1)), F.avg("_dl")).head()
+    if not n_docs:
+        raise ValueError("empty index")
+    stats = term_stats(index, t, id_col=id_col).withColumn(
+        "_idf",
+        F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+    )
+    cand = (
+        index.where(F.col("token").isin(t))
+        .join(F.broadcast(stats.select("token", "_idf")), "token")
+        .join(dl, id_col)
+    )
+    score = F.col("_idf") * (
+        (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("_dl") / float(avgdl)))
+    )
+    return (
+        cand.groupBy(id_col)
+        .agg(F.sum(score).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def bm25_reference(
+    texts: dict[int, str], terms: list[str], k: int, k1: float = 1.2, b: float = 0.75
+) -> list[tuple[int, float]]:
+    """Straight-line Python BM25 for tests (same tokenizer semantics)."""
+    import re
+
+    toks = {d: [w for w in re.split(TOKEN_SPLIT, s.lower()) if w] for d, s in texts.items()}
+    toks = {d: v for d, v in toks.items() if v}  # zero-token docs are not in
+    # the index, so they are not corpus members for N/avgdl either
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    t = _norm_terms(terms)
+    dfs = {w: sum(1 for v in toks.values() if w in v) for w in t}
+    out = []
+    for d, v in toks.items():
+        s = 0.0
+        for w in t:
+            tf = v.count(w)
+            if not tf or not dfs[w]:
+                continue
+            idf = math.log(1 + (n - dfs[w] + 0.5) / (dfs[w] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if s > 0:
+            out.append((d, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
