@@ -1450,6 +1450,19 @@ def _q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact consecutive-phrase search via the positional index: per-term
+    postings self-joined on (doc, pos - offset) — each side bounded by one
+    term's postings. Oracle: the same adjacency join over SQL-tokenized
+    (token, ordinal) pairs."""
+    from tstore_spark.operators.search import build_positional_index, phrase_search
+
+    pidx = build_positional_index(_t(spark, sf_dir, "documents"))
+    return phrase_search(pidx, ["spark", "window"]).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
 def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-term document frequency + total term frequency from the
     inverted index — the integer inputs BM25's idf needs, oracle-checked
@@ -1837,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cascade_1h": _q_stream_cascade_1h,
         "text_search": _q_text_search,
         "term_stats": _q_term_stats,
+        "phrase_search": _q_phrase_search,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "snapshot_cdc": _q_snapshot_cdc,
         "delete_where_roundtrip": _q_delete_where,
@@ -2281,6 +2295,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'spark')
               AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'window')
               AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'hash')
+        """,
+        "phrase_search": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(text), '[^a-z0-9]+') AS l
+                FROM documents),
+            tok AS (
+                SELECT doc_id, unnest(l) AS tok,
+                       generate_subscripts(l, 1) AS ord
+                FROM toks)
+            SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_id
+            FROM tok a JOIN tok b
+              ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+            WHERE a.tok = 'spark' AND b.tok = 'window'
         """,
         "term_stats": """
             WITH t AS (

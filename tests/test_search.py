@@ -9,6 +9,8 @@ from tstore_spark.operators.search import (
     bm25_reference,
     bm25_topk,
     build_inverted_index,
+    build_positional_index,
+    phrase_search,
     search_all_terms,
     term_stats,
 )
@@ -56,6 +58,40 @@ def test_term_stats_exact_integers(index):
     got = {r["token"]: (r["df"], r["tf_total"]) for r in
            term_stats(index, ["spark", "window", "only"]).collect()}
     assert got == {"spark": (4, 5), "window": (3, 5), "only": (1, 1)}
+
+
+def test_phrase_search_consecutive_in_order(spark):
+    import re
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(TEXTS), "text": list(TEXTS.values())})
+    )
+    pidx = build_positional_index(docs).cache()
+    # brute force on the same tokenizer
+    toks = {d: [w for w in re.split("[^a-z0-9]+", s.lower()) if w]
+            for d, s in TEXTS.items()}
+
+    def brute(*phrase):
+        k = len(phrase)
+        return sorted(
+            d for d, v in toks.items()
+            if any(tuple(v[i:i + k]) == phrase for i in range(len(v) - k + 1))
+        )
+
+    got = sorted(r["doc_id"] for r in phrase_search(pidx, ["spark", "window"]).collect())
+    assert got == brute("spark", "window") == [0, 4]
+    # order matters: reversed phrase matches different docs
+    got_rev = sorted(r["doc_id"] for r in phrase_search(pidx, ["window", "spark"]).collect())
+    assert got_rev == brute("window", "spark")
+    assert got_rev != got
+    # repeated-token phrase (same term twice must need two POSITIONS)
+    got2 = sorted(r["doc_id"] for r in phrase_search(pidx, ["window", "window"]).collect())
+    assert got2 == brute("window", "window") == [0]
+    # three-word phrase
+    got3 = sorted(r["doc_id"] for r in phrase_search(pidx, ["spark", "window", "agg"]).collect())
+    assert got3 == brute("spark", "window", "agg") == [0]
+    with pytest.raises(ValueError, match=">= 2"):
+        phrase_search(pidx, ["spark"])
 
 
 def test_bm25_matches_python_reference(index):

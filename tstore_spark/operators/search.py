@@ -56,6 +56,43 @@ def build_inverted_index(
     return tok.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
 
 
+def build_positional_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional posting table ``(doc_id, pos, token)`` (0-based token
+    positions) — ``posexplode`` of the same hoisted token array. Roughly
+    |tokens| rows; build it once and persist bucketed by token, like the
+    tf index."""
+    return docs.select(
+        F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "token")
+    )
+
+
+def phrase_search(
+    pindex: DataFrame, phrase: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Docs containing the terms CONSECUTIVELY, in order: a k-way self-join
+    of per-term postings on (doc, pos - offset). Each join side is the
+    filtered posting set of ONE term — postings-bounded, never corpus-sized;
+    order is preserved (no sorting/dedup of the phrase)."""
+    terms = [w.lower().strip() for w in phrase]
+    if len(terms) < 2 or any(not w for w in terms):
+        raise ValueError("phrase_search needs >= 2 non-empty terms")
+    out = (
+        pindex.where(F.col("token") == terms[0])
+        .select(F.col(id_col).alias("_doc"), F.col("pos").alias("_anchor"))
+    )
+    for i, w in enumerate(terms[1:], start=1):
+        nxt = pindex.where(F.col("token") == w).select(
+            F.col(id_col).alias("_doc2"), (F.col("pos") - i).alias("_anchor2")
+        )
+        out = out.join(
+            nxt,
+            (out["_doc"] == nxt["_doc2"]) & (out["_anchor"] == nxt["_anchor2"]),
+        ).select("_doc", "_anchor")
+    return out.select(F.col("_doc").alias(id_col)).distinct()
+
+
 def _norm_terms(terms: list[str]) -> list[str]:
     t = sorted({w.lower().strip() for w in terms if w and w.strip()})
     if not t:
