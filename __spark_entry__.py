@@ -1463,6 +1463,24 @@ def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization on the JVM-native session_window operator
+    (batch mode): per-user sessions closed by a 24h inactivity gap, with
+    session_end = last event (explicit max, not the gap-extended window
+    edge). Oracle: the classic lag/cumulative-sum session id in SQL —
+    break on diff >= gap, matching session_window's end-exclusive merge."""
+    from tstore_spark.streaming.sessions import sessionize_native
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    out = sessionize_native(ev, "user_id", "ts", gap_seconds=86400)
+    return out.select(
+        F.col("key").cast("long").alias("user_id"),
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-term document frequency + total term frequency from the
     inverted index — the integer inputs BM25's idf needs, oracle-checked
@@ -1851,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search": _q_text_search,
         "term_stats": _q_term_stats,
         "phrase_search": _q_phrase_search,
+        "sessionize_events": _q_sessionize_events,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "snapshot_cdc": _q_snapshot_cdc,
         "delete_where_roundtrip": _q_delete_where,
@@ -2295,6 +2314,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'spark')
               AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'window')
               AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'hash')
+        """,
+        "sessionize_events": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 IS NULL
+                              OR ts - lag(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts)
+                                 >= INTERVAL 24 HOUR
+                            THEN 1 ELSE 0 END AS brk
+                FROM events),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "phrase_search": """
             WITH toks AS (

@@ -65,3 +65,45 @@ def test_sessionize_matches_oracle(spark):
         assert got == sorted(emitted)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_sessionize_native_matches_oracle_and_custom(spark):
+    """The session_window-based variant: same sessions as the oracle for
+    every watermark-closed window (append emits when watermark >= last+gap),
+    and identical output schema to the custom stateful operator."""
+    from tstore_spark.streaming.sessions import sessionize_native
+
+    base = tempfile.mkdtemp(prefix="ts_sessn_")
+    try:
+        pdf = _events()
+        sdf = spark.createDataFrame(pdf)
+        sdf.repartition(2).write.parquet(f"{base}/src")
+        stream = spark.readStream.schema(sdf.schema).parquet(f"{base}/src")
+        sessions = sessionize_native(stream, "key", "ts", gap_seconds=3600)
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r["key"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.read.parquet(f"{base}/out").collect()
+        )
+        expect = _oracle_sessions(pdf, 3600)
+        closed = [s for s in expect
+                  if (pdf["ts"].max() - s[2]).total_seconds() >= 3600]
+        assert got == sorted(closed) and len(got) > 0
+
+        # batch mode: no watermark gate, EVERY session present
+        batch = sessionize_native(spark.createDataFrame(pdf), "key", "ts", gap_seconds=3600)
+        got_b = sorted(
+            (r["key"], r["session_start"], r["session_end"], r["n_events"])
+            for r in batch.collect()
+        )
+        assert got_b == sorted(expect)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -109,3 +109,35 @@ def sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def sessionize_native(
+    stream: DataFrame,
+    key_col: str,
+    time_col: str,
+    gap_seconds: int = 1800,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """JVM-native sessionization via ``F.session_window`` — same output
+    schema and semantics as :func:`sessionize` (``session_end`` = last event
+    time, via an explicit ``max``; the raw window end is last + gap), with
+    session merging / watermark expiry handled by Spark's session-window
+    operator and zero Python in the loop. Prefer this whenever the
+    per-session result is expressible as aggregates; ``sessionize`` remains
+    the template for custom per-session state. Works on batch DataFrames
+    too (the watermark is a streaming-only concern)."""
+    from pyspark.sql import functions as F
+
+    src = stream.withWatermark(time_col, watermark) if stream.isStreaming else stream
+    return (
+        src.groupBy(
+            F.session_window(F.col(time_col), f"{gap_seconds} seconds"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(
+            F.min(time_col).alias("session_start"),
+            F.max(time_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("key", "session_start", "session_end", "n_events")
+    )
