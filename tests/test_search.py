@@ -102,6 +102,32 @@ def test_bm25_matches_python_reference(index):
         assert abs(a - b) < 1e-9
 
 
+def test_bucketed_index_prunes_buckets_on_term_lookup(spark, index):
+    """Persisted bucketed-by-token, a term equality probe reads ONE bucket
+    (SelectedBucketsCount in the scan) and returns the same postings."""
+    import io
+    from contextlib import redirect_stdout
+
+    from tstore_spark.sources.bucketed import write_bucketed
+
+    prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        write_bucketed(index, "ts_search_idx", "token", num_buckets=8, sort_cols=["token"])
+        probe = spark.table("ts_search_idx").where(F.col("token") == "window")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            probe.explain()
+        assert "SelectedBucketsCount: 1 out of 8" in buf.getvalue()
+        got = {(r["doc_id"], r["tf"]) for r in probe.collect()}
+        exp = {(r["doc_id"], r["tf"]) for r in
+               index.where(F.col("token") == "window").collect()}
+        assert got == exp and got
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+        spark.sql("DROP TABLE IF EXISTS ts_search_idx")
+
+
 def test_bm25_plan_is_broadcast_and_takeordered(index):
     import io
     from contextlib import redirect_stdout

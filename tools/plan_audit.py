@@ -166,6 +166,19 @@ def main(sf_dir: str) -> int:
     spark.sql("DROP TABLE IF EXISTS pa_bkt_events")
     spark.sql("DROP TABLE IF EXISTS pa_bkt_users")
 
+    # 15b. bucketed search index: a term equality probe reads ONE bucket
+    from tstore_spark.operators.search import build_inverted_index
+    from tstore_spark.sources.bucketed import write_bucketed
+
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    idx = build_inverted_index(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    write_bucketed(idx, "pa_search_idx", "token", num_buckets=8, sort_cols=["token"])
+    p = plan_of(spark.table("pa_search_idx").where(F.col("token") == "spark"))
+    check("search.bucket_pruned", "SelectedBucketsCount: 1 out of 8" in p,
+          "term lookup opens one bucket of the persisted index")
+    spark.sql("DROP TABLE IF EXISTS pa_search_idx")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+
     # 15. z-order key: a pure Catalyst projection — whole-stage codegen, no
     # Python evaluation, no shuffle beyond the single range repartition the
     # clustered rewrite needs anyway
