@@ -128,6 +128,42 @@ def test_bucketed_index_prunes_buckets_on_term_lookup(spark, index):
         spark.sql("DROP TABLE IF EXISTS ts_search_idx")
 
 
+def test_append_to_index_is_incremental(spark):
+    """Index old docs, append a new batch: the table equals a full rebuild
+    and the pre-existing bucket files are byte-untouched."""
+    import os
+
+    from tstore_spark.operators.search import append_to_index
+    from tstore_spark.sources.bucketed import write_bucketed
+
+    old = {d: s for d, s in TEXTS.items() if d < 3}
+    new = {d: s for d, s in TEXTS.items() if d >= 3}
+    mk = lambda m: spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(m), "text": list(m.values())})
+    )
+    try:
+        write_bucketed(build_inverted_index(mk(old)), "ts_inc_idx", "token",
+                       num_buckets=4, sort_cols=["token"])
+        loc = (spark.sql("DESCRIBE TABLE EXTENDED ts_inc_idx")
+               .where("col_name = 'Location'").head()["data_type"])
+        path = loc.replace("file:", "")
+        before = {f: os.path.getmtime(os.path.join(path, f))
+                  for f in os.listdir(path) if not f.startswith(("_", "."))}
+        append_to_index(mk(new), "ts_inc_idx", num_buckets=4, sort_cols=["token"])
+        after = {f: os.path.getmtime(os.path.join(path, f))
+                 for f in os.listdir(path) if not f.startswith(("_", "."))}
+        assert set(before) <= set(after) and len(after) > len(before)
+        assert all(after[f] == before[f] for f in before)  # old files untouched
+
+        got = {(r["token"], r["doc_id"], r["tf"])
+               for r in spark.table("ts_inc_idx").collect()}
+        full = {(r["token"], r["doc_id"], r["tf"])
+                for r in build_inverted_index(mk(TEXTS)).collect()}
+        assert got == full
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ts_inc_idx")
+
+
 def test_bm25_plan_is_broadcast_and_takeordered(index):
     import io
     from contextlib import redirect_stdout

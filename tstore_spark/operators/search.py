@@ -64,6 +64,35 @@ def build_inverted_index(
     return tok.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
 
 
+def append_to_index(
+    new_docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Incremental index maintenance (crawl-over-crawl): postings are keyed
+    by (token, doc), so a batch of NEW documents only ADDS rows — their
+    postings append to the bucketed table as new per-bucket files while
+    every existing file stays byte-untouched. Per-crawl work is
+    proportional to the new batch, never the accumulated index. The caller
+    guarantees new doc ids are disjoint from indexed ones (the same
+    new-batch contract as dedup's incremental path). ``num_buckets`` and
+    ``sort_cols`` must match the existing table's bucket spec exactly —
+    Spark refuses a mismatched append."""
+    from tstore_spark.sources.bucketed import write_bucketed
+
+    write_bucketed(
+        build_inverted_index(new_docs, text_col=text_col, id_col=id_col),
+        table,
+        "token",
+        num_buckets=num_buckets,
+        sort_cols=sort_cols,
+        mode="append",
+    )
+
+
 def build_positional_index(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
