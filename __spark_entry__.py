@@ -1481,6 +1481,26 @@ def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan data profile of the events table: per-column row/null/
+    exact-distinct counts and min/max (native-type order, string-rendered),
+    all statistics in ONE aggregate. Oracle: per-column UNION ALL in SQL."""
+    from tstore_spark.operators.profile import profile
+
+    ev = _t(spark, sf_dir, "events")
+    return profile(ev, ["event_id", "user_id", "event_type", "value"])
+
+
+def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-width histogram of events.value over fixed [0, 600) x12:
+    integer bucket counts (clamped edges, empty buckets emitted as zero) —
+    deterministic at any parallelism. Oracle: the same floor arithmetic in
+    SQL over a generated bucket grid."""
+    from tstore_spark.operators.profile import numeric_histogram
+
+    return numeric_histogram(_t(spark, sf_dir, "events"), "value", 0.0, 600.0, 12)
+
+
 def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-term document frequency + total term frequency from the
     inverted index — the integer inputs BM25's idf needs, oracle-checked
@@ -1870,6 +1890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": _q_term_stats,
         "phrase_search": _q_phrase_search,
         "sessionize_events": _q_sessionize_events,
+        "profile_events": _q_profile_events,
+        "value_histogram": _q_value_histogram,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "snapshot_cdc": _q_snapshot_cdc,
         "delete_where_roundtrip": _q_delete_where,
@@ -2314,6 +2336,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'spark')
               AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'window')
               AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'hash')
+        """,
+        "profile_events": """
+            SELECT 'event_id' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                   CAST(MIN(event_id) AS VARCHAR) AS min_val,
+                   CAST(MAX(event_id) AS VARCHAR) AS max_val
+            FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT),
+                   CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT),
+                   CAST(MIN(event_type) AS VARCHAR), CAST(MAX(event_type) AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'value', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT value) AS BIGINT),
+                   CAST(MIN(value) AS VARCHAR), CAST(MAX(value) AS VARCHAR)
+            FROM events
+        """,
+        "value_histogram": """
+            WITH b AS (
+                SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS BIGINT),
+                                      0), 11) AS bucket
+                FROM events WHERE value IS NOT NULL),
+            g AS (SELECT * FROM range(12) AS t(bucket))
+            SELECT CAST(g.bucket AS BIGINT) AS bucket,
+                   CAST(COUNT(b.bucket) AS BIGINT) AS n
+            FROM g LEFT JOIN b ON b.bucket = g.bucket
+            GROUP BY g.bucket
         """,
         "sessionize_events": """
             WITH o AS (
