@@ -1501,6 +1501,19 @@ def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numeric_histogram(_t(spark, sf_dir, "events"), "value", 0.0, 600.0, 12)
 
 
+def _q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity query over the positional index: docs where two terms
+    occur within 3 tokens of each other (either order) — per-term postings
+    joined with a position band. Oracle: the same band join over
+    SQL-tokenized (token, ordinal) pairs."""
+    from tstore_spark.operators.search import build_positional_index, proximity_search
+
+    pidx = build_positional_index(_t(spark, sf_dir, "documents"))
+    return proximity_search(pidx, "spark", "hash", max_distance=3).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
 def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-term document frequency + total term frequency from the
     inverted index — the integer inputs BM25's idf needs, oracle-checked
@@ -1892,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize_events,
         "profile_events": _q_profile_events,
         "value_histogram": _q_value_histogram,
+        "proximity_search": _q_proximity_search,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "snapshot_cdc": _q_snapshot_cdc,
         "delete_where_roundtrip": _q_delete_where,
@@ -2408,6 +2422,20 @@ def oracle_sql() -> dict[str, str]:
             FROM tok a JOIN tok b
               ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
             WHERE a.tok = 'spark' AND b.tok = 'window'
+        """,
+        "proximity_search": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(text), '[^a-z0-9]+') AS l
+                FROM documents),
+            tok AS (
+                SELECT doc_id, unnest(l) AS tok,
+                       generate_subscripts(l, 1) AS ord
+                FROM toks)
+            SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_id
+            FROM tok a JOIN tok b
+              ON a.doc_id = b.doc_id AND abs(a.ord - b.ord) <= 3
+            WHERE a.tok = 'spark' AND b.tok = 'hash'
         """,
         "term_stats": """
             WITH t AS (

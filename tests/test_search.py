@@ -94,6 +94,35 @@ def test_phrase_search_consecutive_in_order(spark):
         phrase_search(pidx, ["spark"])
 
 
+def test_proximity_search_band(spark):
+    import re
+
+    from tstore_spark.operators.search import proximity_search
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(TEXTS), "text": list(TEXTS.values())})
+    )
+    pidx = build_positional_index(docs).cache()
+    toks = {d: [w for w in re.split("[^a-z0-9]+", s.lower()) if w]
+            for d, s in TEXTS.items()}
+
+    def brute(a, b, dist):
+        return sorted(
+            d for d, v in toks.items()
+            if any(x == a and y == b or x == b and y == a
+                   for i, x in enumerate(v)
+                   for j, y in enumerate(v)
+                   if i != j and abs(i - j) <= dist)
+        )
+
+    for a, b, dist in (("spark", "table", 2), ("spark", "agg", 1),
+                       ("spark", "agg", 2), ("table", "scan", 1)):
+        got = sorted(r["doc_id"] for r in proximity_search(pidx, a, b, dist).collect())
+        assert got == brute(a, b, dist), (a, b, dist, got)
+    with pytest.raises(ValueError, match="max_distance"):
+        proximity_search(pidx, "spark", "table", 0)
+
+
 def test_bm25_matches_python_reference(index):
     got = [(r["doc_id"], r["score"]) for r in bm25_topk(index, ["spark", "window"], k=4).collect()]
     ref = bm25_reference(TEXTS, ["spark", "window"], k=4)

@@ -130,6 +130,35 @@ def phrase_search(
     return out.select(F.col("_doc").alias(id_col)).distinct()
 
 
+def proximity_search(
+    pindex: DataFrame,
+    term_a: str,
+    term_b: str,
+    max_distance: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Docs where ``term_a`` and ``term_b`` occur within ``max_distance``
+    token positions of each other (either order): the two per-term posting
+    sets joined per doc with a band predicate on positions. Each join side
+    is one term's postings — postings-bounded, never corpus-sized; a doc
+    qualifies if ANY position pair is close enough."""
+    a, b = term_a.lower().strip(), term_b.lower().strip()
+    if not a or not b or max_distance < 1:
+        raise ValueError("proximity_search needs two non-empty terms and max_distance >= 1")
+    pa = pindex.where(F.col("token") == a).select(
+        F.col(id_col).alias("_doc"), F.col("pos").alias("_pa")
+    )
+    pb = pindex.where(F.col("token") == b).select(
+        F.col(id_col).alias("_doc2"), F.col("pos").alias("_pb")
+    )
+    pairs = pa.join(
+        pb,
+        (pa["_doc"] == pb["_doc2"])
+        & (F.abs(pa["_pa"] - pb["_pb"]) <= max_distance),
+    )
+    return pairs.select(F.col("_doc").alias(id_col)).distinct()
+
+
 def _norm_terms(terms: list[str]) -> list[str]:
     t = sorted({w.lower().strip() for w in terms if w and w.strip()})
     if not t:
