@@ -1481,6 +1481,23 @@ def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series Pearson correlation between the per-event-type 1-minute
+    value series (exact integer cents sums aligned on the minute grid):
+    every unordered type pair with its integer sufficient statistics and the
+    derived r. Oracle computes the identical fixed formula in SQL — same
+    integers, same op order, identical double bits."""
+    from tstore_spark.operators.seriescorr import pairwise_correlation
+
+    ev = _t(spark, sf_dir, "events")
+    ser = ev.groupBy(
+        F.col("event_type").alias("k"),
+        # wall-clock trunc: NTZ -> session-zoned trunc -> back to NTZ
+        F.date_trunc("minute", "ts").cast("timestamp_ntz").alias("t"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+    return pairwise_correlation(ser, "k", "t", "v", cents=False)
+
+
 def _q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-scan data profile of the events table: per-column row/null/
     exact-distinct counts and min/max (native-type order, string-rendered),
@@ -1906,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events": _q_profile_events,
         "value_histogram": _q_value_histogram,
         "proximity_search": _q_proximity_search,
+        "series_corr": _q_series_corr,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "snapshot_cdc": _q_snapshot_cdc,
         "delete_where_roundtrip": _q_delete_where,
@@ -2350,6 +2368,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'spark')
               AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'window')
               AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'hash')
+        """,
+        "series_corr": """
+            WITH s AS (
+                SELECT event_type AS k, date_trunc('minute', ts) AS t,
+                       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+                FROM events GROUP BY 1, 2),
+            p AS (
+                SELECT a.k AS key_a, b.k AS key_b, a.v AS x, b.v AS y
+                FROM s a JOIN s b ON a.t = b.t AND a.k < b.k),
+            st AS (
+                SELECT key_a, key_b,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx,
+                       CAST(SUM(y * y) AS BIGINT) AS syy
+                FROM p GROUP BY key_a, key_b)
+            SELECT key_a, key_b, n, sx, sy, sxy, sxx, syy,
+                   CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE)) > 0
+                        THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                    * CAST(n * syy - sy * sy AS DOUBLE))
+                        ELSE NULL END AS r
+            FROM st
         """,
         "profile_events": """
             SELECT 'event_id' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
