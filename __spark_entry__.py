@@ -1498,6 +1498,23 @@ def _q_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_correlation(ser, "k", "t", "v", cents=False)
 
 
+def _q_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag scan between the click and view 1-minute value series:
+    Pearson r of (click at t, view at t+lag) for four lags. Same exact
+    integer statistics as series_corr; the oracle replays the shifted
+    equi-join and fixed formula in SQL."""
+    from tstore_spark.operators.seriescorr import lead_lag_correlation
+
+    ev = _t(spark, sf_dir, "events")
+    ser = ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.date_trunc("minute", "ts").cast("timestamp_ntz").alias("t"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+    return lead_lag_correlation(
+        ser, "k", "t", "v", "click", "view", [-120, 0, 120, 3600], cents=False
+    )
+
+
 def _q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-scan data profile of the events table: per-column row/null/
     exact-distinct counts and min/max (native-type order, string-rendered),
@@ -1924,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": _q_value_histogram,
         "proximity_search": _q_proximity_search,
         "series_corr": _q_series_corr,
+        "lead_lag_corr": _q_lead_lag_corr,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "snapshot_cdc": _q_snapshot_cdc,
         "delete_where_roundtrip": _q_delete_where,
@@ -2387,6 +2405,39 @@ def oracle_sql() -> dict[str, str]:
                        CAST(SUM(y * y) AS BIGINT) AS syy
                 FROM p GROUP BY key_a, key_b)
             SELECT key_a, key_b, n, sx, sy, sxy, sxx, syy,
+                   CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE)) > 0
+                        THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                    * CAST(n * syy - sy * sy AS DOUBLE))
+                        ELSE NULL END AS r
+            FROM st
+        """,
+        "lead_lag_corr": """
+            WITH s AS (
+                SELECT event_type AS k, date_trunc('minute', ts) AS t,
+                       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+                FROM events GROUP BY 1, 2),
+            lags AS (SELECT * FROM (VALUES (-120), (0), (120), (3600))
+                     AS l(lag_seconds)),
+            a AS (
+                SELECT l.lag_seconds,
+                       s.t + l.lag_seconds * INTERVAL 1 SECOND AS ts,
+                       s.v AS x
+                FROM s, lags l WHERE s.k = 'click'),
+            b AS (SELECT t AS tb, v AS y FROM s WHERE k = 'view'),
+            p AS (SELECT lag_seconds, x, y FROM a JOIN b ON a.ts = b.tb),
+            st AS (
+                SELECT lag_seconds,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx,
+                       CAST(SUM(y * y) AS BIGINT) AS syy
+                FROM p GROUP BY lag_seconds)
+            SELECT CAST(lag_seconds AS INT) AS lag_seconds,
+                   n, sx, sy, sxy, sxx, syy,
                    CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
                                   * CAST(n * syy - sy * sy AS DOUBLE)) > 0
                         THEN CAST(n * sxy - sx * sy AS DOUBLE)

@@ -61,6 +61,29 @@ def test_correlations_match_numpy(spark, series_pdf):
         assert got[key]["r"] is None
 
 
+def test_lead_lag_finds_the_shift(spark):
+    """B is A delayed by 120 s (plus noise-free construction): the lag scan
+    peaks at +120 with r == 1, and mismatched lags align fewer/uncorrelated
+    points."""
+    from tstore_spark.operators.seriescorr import lead_lag_correlation
+
+    rng = np.random.default_rng(3)
+    t = pd.date_range("2024-01-01", periods=300, freq="1min")
+    a_vals = rng.normal(50, 10, 300).round(2)
+    rows = [("a", ts, v) for ts, v in zip(t, a_vals)]
+    rows += [("b", ts + pd.Timedelta(seconds=120), v) for ts, v in zip(t, a_vals)]
+    sdf = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "ts", "v"]))
+
+    got = {r["lag_seconds"]: r for r in lead_lag_correlation(
+        sdf, "k", "ts", "v", "a", "b", [-120, 0, 60, 120, 240]).collect()}
+    assert got[120]["r"] == pytest.approx(1.0, abs=1e-12)
+    assert got[120]["n"] == 300
+    assert got[0]["n"] == 298          # overlap shrinks off the true lag
+    assert abs(got[0]["r"]) < 0.3      # shifted alignment decorrelates
+    with pytest.raises(ValueError, match="at least one lag"):
+        lead_lag_correlation(sdf, "k", "ts", "v", "a", "b", [])
+
+
 def test_correlation_deterministic_across_parallelism(spark, series_pdf):
     outs = []
     for n in (1, 8):

@@ -61,7 +61,49 @@ def pairwise_correlation(
         F.col("a._v").alias("_x"),
         F.col("b._v").alias("_y"),
     )
-    stats = pairs.groupBy("key_a", "key_b").agg(
+    return _corr_from_pairs(pairs, ["key_a", "key_b"])
+
+
+def lead_lag_correlation(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    key_a: str,
+    key_b: str,
+    lags_seconds: list[int],
+    cents: bool = True,
+) -> DataFrame:
+    """Lead-lag analysis for ONE series pair: Pearson r of (A at t, B at
+    t + lag) for each requested lag. A positive-lag peak means A LEADS B by
+    that amount. Lags materialize as a literal explode (one row per lag per
+    A-point — |lags| is a handful), the shifted join stays an equi-join on
+    the time column (never a cartesian band), and each lag aggregates its
+    own exact integer statistics. Returns
+    ``(lag_seconds, n, sx, sy, sxy, sxx, syy, r)``."""
+    if not lags_seconds:
+        raise ValueError("lead_lag_correlation needs at least one lag")
+    v = F.col(value_col)
+    v = F.round(v * 100).cast("long") if cents else v.cast("long")
+    s = df.select(
+        F.col(key_col).alias("_k"), F.col(time_col).alias("_t"), v.alias("_v")
+    )
+    a = s.where(F.col("_k") == key_a).select(
+        F.explode(F.array(*[F.lit(int(l)) for l in lags_seconds])).alias("lag_seconds"),
+        F.col("_t").alias("_ta"),
+        F.col("_v").alias("_x"),
+    )
+    # timestampadd on NTZ is wall-clock-safe (repo timezone constraint)
+    a = a.withColumn("_ts", F.expr("timestampadd(SECOND, lag_seconds, _ta)"))
+    b = s.where(F.col("_k") == key_b).select(
+        F.col("_t").alias("_tb"), F.col("_v").alias("_y")
+    )
+    pairs = a.join(b, a["_ts"] == b["_tb"]).select("lag_seconds", "_x", "_y")
+    return _corr_from_pairs(pairs, ["lag_seconds"])
+
+
+def _corr_from_pairs(pairs: DataFrame, group_cols: list[str]) -> DataFrame:
+    stats = pairs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("_x").alias("sx"),
         F.sum("_y").alias("sy"),
