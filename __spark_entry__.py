@@ -1515,6 +1515,30 @@ def _q_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift statistics over the per-type 1-minute value
+    series (integer cents), using the cumsum-minus-running-min identity —
+    two window functions, no recursion. Oracle replays the identical
+    windows in SQL."""
+    from tstore_spark.operators.changepoint import cusum
+
+    ev = _t(spark, sf_dir, "events")
+    ser = ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.date_trunc("minute", "ts").cast("timestamp_ntz").alias("t"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+    out = cusum(ser, "k", "t", "v", target=5000.0, threshold=50000.0,
+                slack=1000.0, cents=False)
+    return out.select(
+        F.col("k").alias("event_type"),
+        F.col("t").alias("window_start"),
+        F.col("v").alias("value_cents"),
+        "cusum_up",
+        "cusum_down",
+        "alarm",
+    )
+
+
 def _q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-scan data profile of the events table: per-column row/null/
     exact-distinct counts and min/max (native-type order, string-rendered),
@@ -1942,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_search": _q_proximity_search,
         "series_corr": _q_series_corr,
         "lead_lag_corr": _q_lead_lag_corr,
+        "cusum_drift": _q_cusum_drift,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "snapshot_cdc": _q_snapshot_cdc,
         "delete_where_roundtrip": _q_delete_where,
@@ -2412,6 +2437,31 @@ def oracle_sql() -> dict[str, str]:
                                     * CAST(n * syy - sy * sy AS DOUBLE))
                         ELSE NULL END AS r
             FROM st
+        """,
+        "cusum_drift": """
+            WITH s AS (
+                SELECT event_type AS k, date_trunc('minute', ts) AS t,
+                       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+                FROM events GROUP BY 1, 2),
+            c AS (
+                SELECT k, t, v,
+                       CAST(SUM(v - 6000) OVER w AS BIGINT) AS cu,
+                       CAST(SUM(v - 4000) OVER w AS BIGINT) AS cd
+                FROM s
+                WINDOW w AS (PARTITION BY k ORDER BY t, v
+                             ROWS UNBOUNDED PRECEDING)),
+            u AS (
+                SELECT k, t, v,
+                       cu - LEAST(CAST(MIN(cu) OVER w AS BIGINT), 0) AS up,
+                       GREATEST(CAST(MAX(cd) OVER w AS BIGINT), 0) - cd AS down
+                FROM c
+                WINDOW w AS (PARTITION BY k ORDER BY t, v
+                             ROWS UNBOUNDED PRECEDING))
+            SELECT k AS event_type, t AS window_start, v AS value_cents,
+                   CAST(up AS DOUBLE) AS cusum_up,
+                   CAST(down AS DOUBLE) AS cusum_down,
+                   (up > 50000 OR down > 50000) AS alarm
+            FROM u
         """,
         "lead_lag_corr": """
             WITH s AS (
