@@ -1539,6 +1539,20 @@ def _q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonal baseline per event type: exact integer
+    (n, Σcents, Σcents²) per cohort plus mean/std derived by one fixed
+    expression. Oracle recomputes the same buckets (isodow-1)*24+hour and
+    formula in SQL."""
+    from tstore_spark.operators.seasonal import seasonal_baseline
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_baseline(ev, "event_type", "ts", "value").select(
+        F.col("key").alias("event_type"),
+        "bucket", "n", "sum_cents", "sumsq_cents", "mean", "std",
+    )
+
+
 def _q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-scan data profile of the events table: per-column row/null/
     exact-distinct counts and min/max (native-type order, string-rendered),
@@ -1967,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_corr": _q_series_corr,
         "lead_lag_corr": _q_lead_lag_corr,
         "cusum_drift": _q_cusum_drift,
+        "seasonal_baseline": _q_seasonal_baseline,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "snapshot_cdc": _q_snapshot_cdc,
         "delete_where_roundtrip": _q_delete_where,
@@ -2436,6 +2451,25 @@ def oracle_sql() -> dict[str, str]:
                              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
                                     * CAST(n * syy - sy * sy AS DOUBLE))
                         ELSE NULL END AS r
+            FROM st
+        """,
+        "seasonal_baseline": """
+            WITH x AS (
+                SELECT event_type,
+                       CAST((isodow(ts) - 1) * 24 + hour(ts) AS INT) AS bucket,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events),
+            st AS (
+                SELECT event_type, bucket,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(c) AS BIGINT) AS sum_cents,
+                       CAST(SUM(c * c) AS BIGINT) AS sumsq_cents
+                FROM x GROUP BY event_type, bucket)
+            SELECT event_type, bucket, n, sum_cents, sumsq_cents,
+                   CAST(sum_cents AS DOUBLE) / n / 100.0 AS mean,
+                   sqrt(GREATEST(CAST(n * sumsq_cents
+                                      - sum_cents * sum_cents AS DOUBLE), 0.0))
+                       / n / 100.0 AS std
             FROM st
         """,
         "cusum_drift": """
