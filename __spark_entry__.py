@@ -1553,6 +1553,22 @@ def _q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DRIFT_A = ("src0", "src1", "src2", "src3", "src4")
+
+
+def _q_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-distribution drift between two document cohorts (sources
+    src0-4 vs the rest): exact per-lang counts full-outer aligned, shares
+    and share_diff derived by fixed expressions. Oracle replays the same
+    counts and divisions in SQL."""
+    from tstore_spark.operators.drift import categorical_drift
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.where(F.col("source").isin(*_DRIFT_A))
+    b = d.where(~F.col("source").isin(*_DRIFT_A))
+    return categorical_drift(a, b, "lang")
+
+
 def _q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-scan data profile of the events table: per-column row/null/
     exact-distinct counts and min/max (native-type order, string-rendered),
@@ -1982,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lead_lag_corr": _q_lead_lag_corr,
         "cusum_drift": _q_cusum_drift,
         "seasonal_baseline": _q_seasonal_baseline,
+        "lang_drift": _q_lang_drift,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "snapshot_cdc": _q_snapshot_cdc,
         "delete_where_roundtrip": _q_delete_where,
@@ -2452,6 +2469,28 @@ def oracle_sql() -> dict[str, str]:
                                     * CAST(n * syy - sy * sy AS DOUBLE))
                         ELSE NULL END AS r
             FROM st
+        """,
+        "lang_drift": """
+            WITH a AS (
+                SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_a FROM documents
+                WHERE source IN ('src0','src1','src2','src3','src4')
+                  AND lang IS NOT NULL GROUP BY lang),
+            b AS (
+                SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_b FROM documents
+                WHERE source NOT IN ('src0','src1','src2','src3','src4')
+                  AND lang IS NOT NULL GROUP BY lang),
+            j AS (
+                SELECT COALESCE(a.lang, b.lang) AS category,
+                       COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+                FROM a FULL OUTER JOIN b ON a.lang = b.lang),
+            t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+                         CAST(SUM(n_b) AS BIGINT) AS tb FROM j)
+            SELECT category, n_a, n_b,
+                   CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE) AS share_a,
+                   CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS share_b,
+                   CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+                       - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS share_diff
+            FROM j, t
         """,
         "seasonal_baseline": """
             WITH x AS (

@@ -1,0 +1,95 @@
+"""Distribution drift — did the data's mix shift between two snapshots?
+
+The pipeline-monitoring companion to the quality gates: compare a
+categorical column's distribution between two datasets (yesterday's crawl
+vs today's, train vs eval, source A vs source B) and quantify the shift.
+Everything reduces to exact integer category counts plus fixed-formula
+derivations, the repo's oracle discipline:
+
+* ``categorical_drift``  — full-outer align the two count tables (a
+  category missing on one side counts 0) and emit per-category
+  ``(n_a, n_b, share_a, share_b, share_diff)``.
+* ``drift_summary``      — scalars from the same counts: total variation
+  distance ``TVD = 0.5 * Σ|p_a − p_b|`` (the fraction of mass that moved;
+  0 = identical, 1 = disjoint) and Pearson's chi-square statistic against
+  the pooled distribution. Computed with one fixed expression so any
+  engine reproduces the bits.
+
+Plan shape: two map-side-combined count aggregates (one per input), a
+full-outer join on the category (category cardinality-sized — tiny), and
+for the summary one final 1-row aggregate. Nothing data-sized ever
+reaches the driver or a single task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _counts(df: DataFrame, col: str, alias: str) -> DataFrame:
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("category"))
+        .agg(F.count(F.lit(1)).alias(alias))
+    )
+
+
+def categorical_drift(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
+    """Per-category comparison: ``(category, n_a, n_b, share_a, share_b,
+    share_diff)``. Missing categories count 0 on that side; shares divide
+    by each side's non-null total (computed from the same counts, no second
+    scan)."""
+    a, b = _counts(df_a, col, "n_a"), _counts(df_b, col, "n_b")
+    j = (
+        a.join(b, "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    tot = j.agg(F.sum("n_a"), F.sum("n_b")).head()
+    ta, tb = int(tot[0] or 0), int(tot[1] or 0)
+    if ta == 0 or tb == 0:
+        raise ValueError("categorical_drift needs non-null rows on both sides")
+    share_a = F.col("n_a").cast("double") / F.lit(float(ta))
+    share_b = F.col("n_b").cast("double") / F.lit(float(tb))
+    return j.select(
+        "category",
+        "n_a",
+        "n_b",
+        share_a.alias("share_a"),
+        share_b.alias("share_b"),
+        (share_a - share_b).alias("share_diff"),
+    )
+
+
+def drift_summary(df_a: DataFrame, df_b: DataFrame, col: str) -> dict:
+    """``{tvd, chi2, n_categories, n_a, n_b}`` from the same exact counts.
+    chi2 is the two-sample statistic against the pooled distribution:
+    ``Σ_sides Σ_cats (n - e)² / e`` with ``e = total_side * pooled_share``.
+    Returned as a plain dict (it is a handful of scalars)."""
+    d = categorical_drift(df_a, df_b, col)
+    row = d.agg(
+        F.sum(F.abs(F.col("share_a") - F.col("share_b"))).alias("l1"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_a").alias("ta"),
+        F.sum("n_b").alias("tb"),
+    ).head()
+    ta, tb = int(row["ta"]), int(row["tb"])
+    chi = d.select(
+        (
+            (F.col("n_a") - (F.col("n_a") + F.col("n_b")) * ta / (ta + tb)) ** 2
+            / ((F.col("n_a") + F.col("n_b")) * ta / (ta + tb))
+            + (F.col("n_b") - (F.col("n_a") + F.col("n_b")) * tb / (ta + tb)) ** 2
+            / ((F.col("n_a") + F.col("n_b")) * tb / (ta + tb))
+        ).alias("c")
+    ).agg(F.sum("c")).head()[0]
+    return {
+        "tvd": 0.5 * float(row["l1"]),
+        "chi2": float(chi),
+        "n_categories": int(row["k"]),
+        "n_a": ta,
+        "n_b": tb,
+    }
