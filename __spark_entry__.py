@@ -1569,6 +1569,20 @@ def _q_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return categorical_drift(a, b, "lang")
 
 
+def _q_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric drift between the click/view cohort's value distribution and
+    everyone else's: both sides bucketed on the same fixed [0, 600) x 12
+    grid, per-bucket exact counts and derived shares. (The TVD/chi2 scalar
+    summary stays pytest-proven — its cross-row double sums are not
+    bit-order-stable across engines, per the repo float discipline.)"""
+    from tstore_spark.operators.drift import numeric_drift
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type").isin("click", "view"))
+    b = ev.where(~F.col("event_type").isin("click", "view"))
+    return numeric_drift(a, b, "value", 0.0, 600.0, 12)
+
+
 def _q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-scan data profile of the events table: per-column row/null/
     exact-distinct counts and min/max (native-type order, string-rendered),
@@ -1999,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_drift": _q_cusum_drift,
         "seasonal_baseline": _q_seasonal_baseline,
         "lang_drift": _q_lang_drift,
+        "value_drift": _q_value_drift,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "snapshot_cdc": _q_snapshot_cdc,
         "delete_where_roundtrip": _q_delete_where,
@@ -2486,6 +2501,34 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
                          CAST(SUM(n_b) AS BIGINT) AS tb FROM j)
             SELECT category, n_a, n_b,
+                   CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE) AS share_a,
+                   CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS share_b,
+                   CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+                       - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS share_diff
+            FROM j, t
+        """,
+        "value_drift": """
+            WITH g AS (SELECT * FROM range(12) AS t(bucket)),
+            a AS (
+                SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0)
+                                           AS BIGINT), 0), 11) AS bucket
+                FROM events
+                WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+            b AS (
+                SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0)
+                                           AS BIGINT), 0), 11) AS bucket
+                FROM events
+                WHERE value IS NOT NULL AND event_type NOT IN ('click', 'view')),
+            ca AS (SELECT CAST(g.bucket AS BIGINT) AS bucket,
+                          CAST(COUNT(a.bucket) AS BIGINT) AS n_a
+                   FROM g LEFT JOIN a ON a.bucket = g.bucket GROUP BY g.bucket),
+            cb AS (SELECT CAST(g.bucket AS BIGINT) AS bucket,
+                          CAST(COUNT(b.bucket) AS BIGINT) AS n_b
+                   FROM g LEFT JOIN b ON b.bucket = g.bucket GROUP BY g.bucket),
+            j AS (SELECT ca.bucket, n_a, n_b FROM ca JOIN cb USING (bucket)),
+            t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+                         CAST(SUM(n_b) AS BIGINT) AS tb FROM j)
+            SELECT bucket, n_a, n_b,
                    CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE) AS share_a,
                    CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS share_b,
                    CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)

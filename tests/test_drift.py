@@ -53,6 +53,27 @@ def test_identical_distributions_have_zero_drift(spark, two_sides):
     assert s["tvd"] == 0.0 and s["chi2"] == pytest.approx(0.0, abs=1e-9)
 
 
+def test_numeric_drift_buckets(spark):
+    from tstore_spark.operators.drift import numeric_drift
+
+    rng = np.random.default_rng(17)
+    a = rng.uniform(0, 100, 1000)
+    b = rng.uniform(20, 120, 800)  # shifted distribution
+    df_a = spark.createDataFrame(pd.DataFrame({"v": a}))
+    df_b = spark.createDataFrame(pd.DataFrame({"v": b}))
+    got = {r["bucket"]: r for r in numeric_drift(df_a, df_b, "v", 0.0, 120.0, 12).collect()}
+    assert len(got) == 12
+    ba = np.clip(np.floor(a / 10.0), 0, 11).astype(int)
+    bb = np.clip(np.floor(b / 10.0), 0, 11).astype(int)
+    for k in range(12):
+        assert got[k]["n_a"] == int((ba == k).sum())
+        assert got[k]["n_b"] == int((bb == k).sum())
+        assert got[k]["share_diff"] == pytest.approx(
+            (ba == k).mean() - (bb == k).mean(), abs=1e-12)
+    # drift direction: low buckets heavier in A, high buckets in B
+    assert got[0]["share_diff"] > 0 and got[11]["share_diff"] < 0
+
+
 def test_guard_on_empty_side(spark, two_sides):
     df_a, _, _, _ = two_sides
     with pytest.raises(ValueError, match="both sides"):

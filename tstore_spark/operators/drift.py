@@ -65,31 +65,68 @@ def categorical_drift(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
     )
 
 
-def drift_summary(df_a: DataFrame, df_b: DataFrame, col: str) -> dict:
-    """``{tvd, chi2, n_categories, n_a, n_b}`` from the same exact counts.
-    chi2 is the two-sample statistic against the pooled distribution:
-    ``Σ_sides Σ_cats (n - e)² / e`` with ``e = total_side * pooled_share``.
-    Returned as a plain dict (it is a handful of scalars)."""
+def drift_summary_table(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
+    """One-row DataFrame ``(n_categories, n_a, n_b, tvd, chi2)`` from the
+    same exact counts. chi2 is the two-sample statistic against the pooled
+    distribution: ``Σ_sides Σ_cats (n − e)² / e`` with
+    ``e = total_side * pooled_share``."""
     d = categorical_drift(df_a, df_b, col)
-    row = d.agg(
-        F.sum(F.abs(F.col("share_a") - F.col("share_b"))).alias("l1"),
-        F.count(F.lit(1)).alias("k"),
-        F.sum("n_a").alias("ta"),
-        F.sum("n_b").alias("tb"),
-    ).head()
-    ta, tb = int(row["ta"]), int(row["tb"])
-    chi = d.select(
-        (
-            (F.col("n_a") - (F.col("n_a") + F.col("n_b")) * ta / (ta + tb)) ** 2
-            / ((F.col("n_a") + F.col("n_b")) * ta / (ta + tb))
-            + (F.col("n_b") - (F.col("n_a") + F.col("n_b")) * tb / (ta + tb)) ** 2
-            / ((F.col("n_a") + F.col("n_b")) * tb / (ta + tb))
-        ).alias("c")
-    ).agg(F.sum("c")).head()[0]
+    tot = d.agg(F.sum("n_a"), F.sum("n_b")).head()
+    ta, tb = int(tot[0]), int(tot[1])
+    pooled = (F.col("n_a") + F.col("n_b")).cast("double") / F.lit(float(ta + tb))
+    ea, eb = pooled * F.lit(float(ta)), pooled * F.lit(float(tb))
+    chi_c = (F.col("n_a") - ea) ** 2 / ea + (F.col("n_b") - eb) ** 2 / eb
+    return d.agg(
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum("n_a").alias("n_a"),
+        F.sum("n_b").alias("n_b"),
+        (F.sum(F.abs(F.col("share_a") - F.col("share_b"))) * 0.5).alias("tvd"),
+        F.sum(chi_c).alias("chi2"),
+    )
+
+
+def drift_summary(df_a: DataFrame, df_b: DataFrame, col: str) -> dict:
+    """``{tvd, chi2, n_categories, n_a, n_b}`` — the dict form of
+    :func:`drift_summary_table`."""
+    r = drift_summary_table(df_a, df_b, col).head()
     return {
-        "tvd": 0.5 * float(row["l1"]),
-        "chi2": float(chi),
-        "n_categories": int(row["k"]),
-        "n_a": ta,
-        "n_b": tb,
+        "tvd": float(r["tvd"]),
+        "chi2": float(r["chi2"]),
+        "n_categories": int(r["n_categories"]),
+        "n_a": int(r["n_a"]),
+        "n_b": int(r["n_b"]),
     }
+
+
+def numeric_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Histogram-based drift for a NUMERIC column: both sides bucketed on
+    the same fixed [lo, hi) grid (operators/profile.numeric_histogram —
+    clamped edges, zero-filled empty buckets, exact integer counts), then
+    per-bucket ``(n_a, n_b, share_a, share_b, share_diff)``. Fixed common
+    bounds are what make the two histograms comparable."""
+    from tstore_spark.operators.profile import numeric_histogram
+
+    ha = numeric_histogram(df_a, col, lo, hi, bins).withColumnRenamed("n", "n_a")
+    hb = numeric_histogram(df_b, col, lo, hi, bins).withColumnRenamed("n", "n_b")
+    j = ha.join(hb, "bucket")
+    tot = j.agg(F.sum("n_a"), F.sum("n_b")).head()
+    ta, tb = int(tot[0] or 0), int(tot[1] or 0)
+    if ta == 0 or tb == 0:
+        raise ValueError("numeric_drift needs non-null rows on both sides")
+    share_a = F.col("n_a").cast("double") / F.lit(float(ta))
+    share_b = F.col("n_b").cast("double") / F.lit(float(tb))
+    return j.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        share_a.alias("share_a"),
+        share_b.alias("share_b"),
+        (share_a - share_b).alias("share_diff"),
+    )
