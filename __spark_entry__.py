@@ -1583,6 +1583,25 @@ def _q_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numeric_drift(a, b, "value", 0.0, 600.0, 12)
 
 
+def _q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union coverage of overlapping intervals per event type: each event
+    spans [ts, ts + (1 + event_id % 300) s) — deterministic synthetic
+    durations with real overlaps — merged by the gaps-and-islands sweep
+    (three window functions, exact integer floor-second epochs). Oracle
+    replays the identical windows in SQL with epoch_us // 1000000."""
+    from tstore_spark.operators.coverage import interval_coverage
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.expr("timestampadd(SECOND, 1 + event_id % 300, ts)").alias("te"),
+    )
+    return interval_coverage(ev, "event_type", "ts", "te").select(
+        F.col("key").alias("event_type"), "n_intervals", "n_islands",
+        "covered_seconds",
+    )
+
+
 def _q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-scan data profile of the events table: per-column row/null/
     exact-distinct counts and min/max (native-type order, string-rendered),
@@ -2014,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_baseline": _q_seasonal_baseline,
         "lang_drift": _q_lang_drift,
         "value_drift": _q_value_drift,
+        "interval_coverage": _q_interval_coverage,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "snapshot_cdc": _q_snapshot_cdc,
         "delete_where_roundtrip": _q_delete_where,
@@ -2506,6 +2526,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
                        - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS share_diff
             FROM j, t
+        """,
+        "interval_coverage": """
+            WITH iv AS (
+                SELECT event_type AS k,
+                       epoch_us(ts) // 1000000 AS s,
+                       epoch_us(ts) // 1000000 + 1 + event_id % 300 AS e
+                FROM events),
+            f AS (
+                SELECT k, s, e,
+                       CASE WHEN MAX(e) OVER (PARTITION BY k ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) IS NULL
+                              OR s > MAX(e) OVER (PARTITION BY k ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING)
+                            THEN 1 ELSE 0 END AS newi
+                FROM iv),
+            g AS (
+                SELECT k, s, e,
+                       SUM(newi) OVER (PARTITION BY k ORDER BY s, e
+                                       ROWS UNBOUNDED PRECEDING) AS island
+                FROM f),
+            isl AS (
+                SELECT k, island, COUNT(*) AS n, MAX(e) - MIN(s) AS len
+                FROM g GROUP BY k, island)
+            SELECT k AS event_type,
+                   CAST(SUM(n) AS BIGINT) AS n_intervals,
+                   CAST(COUNT(*) AS BIGINT) AS n_islands,
+                   CAST(SUM(len) AS BIGINT) AS covered_seconds
+            FROM isl GROUP BY k
         """,
         "value_drift": """
             WITH g AS (SELECT * FROM range(12) AS t(bucket)),
