@@ -88,3 +88,29 @@ def test_roundtrip_hypothesis(ts_deltas, data):
     ts2, vals2 = decode(chunk)
     assert (ts2 == ts).all()
     assert (vals2.view(np.uint64) == vals.view(np.uint64)).all()
+
+
+def test_chunk_stats_accounting(spark):
+    """Stats are pure arithmetic over (n_points, octet_length); a smooth
+    regular series compresses well (ratio >> 1)."""
+    import pandas as pd
+
+    from tstore_spark.operators.gorilla import (
+        chunk_stats,
+        chunk_stats_summary,
+        compress_tier,
+    )
+
+    t = pd.date_range("2024-01-01", periods=1440, freq="1min")
+    pdf = pd.DataFrame({
+        "domain": "d", "window_start": t,
+        "doc_count": (100 + (pd.Series(range(1440)) % 3)).astype("float64"),
+    })
+    chunks = compress_tier(spark.createDataFrame(pdf))
+    rows = chunk_stats(chunks).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["raw_bytes"] == r["n_points"] * 16 == 1440 * 16
+    assert r["encoded_bytes"] > 0 and r["ratio"] > 4  # smooth series packs tight
+    s = chunk_stats_summary(chunks)
+    assert s["points"] == 1440 and s["ratio"] == pytest.approx(r["ratio"])

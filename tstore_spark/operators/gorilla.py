@@ -261,3 +261,39 @@ def decompress_chunks(
 
     schema = f"domain string, window_start {time_type}, {value_col} double"
     return chunks_df.mapInPandas(unpack, schema=schema)
+
+
+def chunk_stats(chunks_df: DataFrame) -> DataFrame:
+    """Storage accounting per chunk, pure Catalyst (no decode): encoded
+    bytes from ``octet_length(chunk)``, raw bytes as ``n_points * 16``
+    (8 B timestamp + 8 B float64 per point — the columns the chunk
+    replaces), and the compression ratio. One scan of chunk METADATA-sized
+    columns; the blob itself is only measured, never shipped to Python."""
+    enc = F.octet_length("chunk").cast("long")
+    raw = (F.col("n_points") * 16).cast("long")
+    return chunks_df.select(
+        "domain",
+        "p_day",
+        "n_points",
+        enc.alias("encoded_bytes"),
+        raw.alias("raw_bytes"),
+        (raw.cast("double") / enc).alias("ratio"),
+    )
+
+
+def chunk_stats_summary(chunks_df: DataFrame) -> dict:
+    """Whole-table totals: ``{chunks, points, raw_bytes, encoded_bytes,
+    ratio}`` — the compression evidence for BENCH.md."""
+    r = chunk_stats(chunks_df).agg(
+        F.count(F.lit(1)).alias("chunks"),
+        F.sum("n_points").alias("points"),
+        F.sum("raw_bytes").alias("raw"),
+        F.sum("encoded_bytes").alias("enc"),
+    ).head()
+    return {
+        "chunks": int(r["chunks"]),
+        "points": int(r["points"]),
+        "raw_bytes": int(r["raw"]),
+        "encoded_bytes": int(r["enc"]),
+        "ratio": float(r["raw"]) / float(r["enc"]),
+    }
