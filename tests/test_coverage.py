@@ -67,8 +67,10 @@ def test_guard_rejects_empty_intervals(spark, intervals):
             {"s": "datetime64[us]", "e": "datetime64[us]"}
         )
     )
-    with pytest.raises(ValueError, match="end > start"):
-        interval_coverage(sdf, "k", "s", "e")
+    # the guard is folded into the single scan (no eager validation pass),
+    # so it fires at action time as a Spark job failure carrying the message
+    with pytest.raises(Exception, match="end > start"):
+        interval_coverage(sdf, "k", "s", "e").collect()
 
 
 def test_coverage_deterministic_across_parallelism(spark, intervals):

@@ -98,3 +98,32 @@ def test_deterministic_across_parallelism(spark, ev_sdf):
     a = sorted(map(tuple, resample(ev_sdf, 900).collect()))
     b = sorted(map(tuple, resample(ev_sdf.repartition(13), 900).collect()))
     assert a == b
+
+
+def test_resample_negative_epochs_floor(spark):
+    """Pre-1970 timestamps: window start must FLOOR (sign-safe pmod), not
+    round toward zero — an 1969-12-31 23:59:30 event in a 60s grid belongs
+    to the 23:59:00 window, not 00:00:00."""
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["a", "a", "a"],
+            "ts": pd.to_datetime(
+                ["1969-12-31 23:59:30", "1969-12-31 23:58:10", "1970-01-01 00:00:30"]
+            ).astype("datetime64[us]"),
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    got = {
+        str(r["window_start"]): r["event_count"]
+        for r in resample(spark.createDataFrame(pdf), 60).collect()
+    }
+    assert got == {
+        "1969-12-31 23:59:00": 1,
+        "1969-12-31 23:58:00": 1,
+        "1970-01-01 00:00:00": 1,
+    }
+    # sliding windows use the same anchor: every event lands in w/s windows
+    rows = sliding_agg(spark.createDataFrame(pdf), 120, 60).collect()
+    starts = {str(r["window_start"]) for r in rows}
+    assert "1969-12-31 23:59:00" in starts and "1969-12-31 23:58:00" in starts
+    assert sum(r["event_count"] for r in rows) == 6

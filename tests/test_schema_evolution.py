@@ -93,6 +93,58 @@ def test_append_guards(spark, evolved_dir):
         append_archive(retyped, evolved_dir)
 
 
+def test_rejected_append_leaves_archive_untouched(spark, evolved_dir):
+    """A type-conflict append must validate BEFORE writing: no mixed-type
+    data files land under pages/ and the archive stays fully readable."""
+    retyped = TSLong.wrap(
+        spark.createDataFrame(_batch("2024-05-09")).withColumn(
+            "value", F.col("value").cast("string")
+        ),
+        id_var="sensor", time_var="ts", ts_vars={"m": ["value"]},
+    )
+    with pytest.raises(ValueError, match="type changed"):
+        append_archive(retyped, evolved_dir)
+    tl = open_archive(spark, evolved_dir, with_attributes=False)
+    assert tl.df.count() == 600  # the rejected batch's 300 rows never landed
+    assert tl.df.where(F.to_date("ts") == F.lit("2024-05-09")).count() == 0
+    assert dict(tl.df.dtypes)["value"] == "double"
+
+
+def test_legacy_append_keeps_historical_columns(spark, tmp_path):
+    """Appending to a pre-evolution archive (metadata without fact_schema)
+    with a NARROWER batch must not drop historical columns: the unified
+    schema is reconstructed from a stored file footer, not the new batch."""
+    import json as _json
+    import os as _os
+
+    base = str(tmp_path / "legacy")
+    v1 = TSLong.wrap(
+        spark.createDataFrame(_batch("2024-05-01", with_extra=True)),
+        id_var="sensor", time_var="ts", ts_vars={"m": ["value", "value2"]},
+    )
+    write_archive(v1, base, num_buckets=2, check_static_uniqueness=False)
+    # simulate a legacy archive: strip fact_schema from the metadata
+    meta_path = _os.path.join(base, "tstore_metadata.json")
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    meta.pop("fact_schema")
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+
+    narrow = TSLong.wrap(
+        spark.createDataFrame(_batch("2024-05-02")),  # no value2
+        id_var="sensor", time_var="ts", ts_vars={"m": ["value"]},
+    )
+    append_archive(narrow, base)
+    tl = open_archive(spark, base, with_attributes=False)
+    assert "value2" in tl.df.columns  # historical column survived
+    assert tl.df.count() == 600
+    old = tl.df.where(F.to_date("ts") == F.lit("2024-05-01"))
+    assert old.where(F.col("value2").isNull()).count() == 0
+    new = tl.df.where(F.to_date("ts") == F.lit("2024-05-02"))
+    assert new.where(F.col("value2").isNotNull()).count() == 0
+
+
 def test_plain_append_no_evolution(spark, tmp_path):
     base = str(tmp_path / "plain")
     v1 = TSLong.wrap(

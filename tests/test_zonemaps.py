@@ -97,3 +97,41 @@ def test_clustered_compaction_enables_skipping(spark, pages_sdf, tmp_path):
     exp = spark.read.option("basePath", root).parquet(root).where(F.col("domain") == dom)
     assert report["files_read"] < report["files_total"]
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_prune_filter_runs_distributed(spark):
+    """prune_paths ships ONE agg row to the driver: survivors ride a
+    collect_list over a when(keep) (NULL for losers, which collect_list
+    skips) — the full file list is never materialized driver-side."""
+    zm = spark.createDataFrame(
+        [
+            ("f_lo", 100, 0, 999),
+            ("f_mid", 100, 1000, 1999),
+            ("f_hi", 100, 2000, 2999),
+            ("f_nostats", 100, None, None),  # conservative: always kept
+        ],
+        "path string, row_count long, k_min int, k_max int",
+    )
+    paths, total = prune_paths(zm, {"k": (1500, 1600)})
+    assert total == 4
+    assert paths == ["f_mid", "f_nostats"]
+    # unbounded ranges keep everything
+    paths, total = prune_paths(zm, {"k": (None, None)})
+    assert sorted(paths) == ["f_hi", "f_lo", "f_mid", "f_nostats"]
+
+
+def test_materialize_evicts_prior_manifest(spark, clustered_root):
+    """Repeated zone_maps(materialize=True) calls must not accumulate cached
+    manifests in a long-lived session (bench loops, maintenance jobs)."""
+    from pyspark import StorageLevel
+
+    from tstore_spark.sources import zonemaps as zmod
+
+    first = zone_maps(spark, clustered_root, ["k"])
+    assert first.storageLevel != StorageLevel.NONE
+    second = zone_maps(spark, clustered_root, ["k"])
+    assert second.storageLevel != StorageLevel.NONE
+    assert first.storageLevel == StorageLevel.NONE  # evicted by the refresh
+    assert len(zmod._LIVE_MANIFESTS) == 1
+    zmod._evict_prior_manifests()
+    assert second.storageLevel == StorageLevel.NONE

@@ -46,9 +46,24 @@ def interval_coverage(
         ntz_epoch_seconds(start_col).alias("_s"),
         ntz_epoch_seconds(end_col).alias("_e"),
     )
-    bad = s.where(F.col("_e") <= F.col("_s")).limit(1).count()
-    if bad:
-        raise ValueError("interval_coverage requires end > start for every row")
+    # Validity guard folded into the SAME scan: end > start is asserted
+    # per-row inside the plan (a raise_error branch on _s), so a bad interval
+    # fails the job at action time without a separate eager validation pass
+    # over the input — at 100 TB an up-front `.count()` guard would double
+    # the read. The error surfaces wrapped in Spark's job failure.
+    s = s.withColumn(
+        "_s",
+        F.when(
+            F.col("_e") <= F.col("_s"),
+            F.raise_error(
+                F.format_string(
+                    "interval_coverage requires end > start for every row "
+                    "(key=%s start_epoch=%d end_epoch=%d)",
+                    F.col("key").cast("string"), F.col("_s"), F.col("_e"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("_s")),
+    )
     w = Window.partitionBy("key").orderBy("_s", "_e")
     prior_max_end = F.max("_e").over(
         w.rowsBetween(Window.unboundedPreceding, -1)

@@ -47,7 +47,9 @@ def resample(
         raise ValueError(f"every_seconds must be positive, got {every_seconds}")
     step = int(every_seconds) * 1_000_000
     t, is_ntz = _epoch_us(df, time_col)
-    ws = _to_ts(t - (t % step), is_ntz)
+    # pmod: sign-safe floor — `t - (t % step)` rounds toward zero for
+    # negative epochs (pre-1970), assigning the window start AFTER the event
+    ws = _to_ts(t - F.pmod(t, F.lit(step)), is_ntz)
     return (
         df.groupBy(F.col(key), ws.alias("window_start"))
         .agg(
@@ -83,7 +85,7 @@ def sliding_agg(
     k = width_seconds // slide_seconds
     s = int(slide_seconds) * 1_000_000
     t, is_ntz = _epoch_us(df, time_col)
-    anchor = t - (t % s)  # latest window start at-or-before the event
+    anchor = t - F.pmod(t, F.lit(s))  # latest window start at-or-before the event (sign-safe floor)
     starts = F.array(*[anchor - j * s for j in range(k)])
     base = df.select(
         F.col(key),

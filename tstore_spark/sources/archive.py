@@ -188,21 +188,25 @@ def append_archive(
         fact.withColumn("p_day", F.to_date(F.col(d_new.time_var)))
         .withColumn("p_bucket", bucket_column(d_new.id_var, num_buckets))
     )
-    (
-        fact.repartition("p_day", "p_bucket")
-        .sortWithinPartitions(d_new.id_var, d_new.time_var)
-        .write.mode("append")
-        .partitionBy("p_day", "p_bucket")
-        .parquet(os.path.join(base_dir, PAGES_DIR))
-    )
 
     # unified schema = old unified schema ∪ new batch columns (order: old
-    # first, then newly introduced) with type-conflict detection
+    # first, then newly introduced) with type-conflict detection. Validation
+    # happens BEFORE any file lands: a rejected append must leave the archive
+    # byte-identical (no mixed-type data files under pages/, no stale
+    # metadata) — the Iceberg commit discipline, schema check then write.
     new_schema = fact.drop("p_day", "p_bucket").schema
     if "fact_schema" in meta:
         old_schema = StructType.fromJson(json.loads(meta["fact_schema"]))
-    else:  # pre-evolution archive: reconstruct from the new batch's overlap
-        old_schema = StructType([f for f in new_schema.fields])
+    else:
+        # pre-evolution archive (metadata without fact_schema): the unified
+        # schema is whatever the STORED files carry — read it from a file
+        # footer (one-footer schema inference), never from the new batch,
+        # which may carry fewer ts columns than the historical files and
+        # would silently drop them from every later read.
+        stored = tslong.df.sparkSession.read.parquet(os.path.join(base_dir, PAGES_DIR))
+        old_schema = StructType(
+            [f for f in stored.schema.fields if f.name not in ("p_day", "p_bucket")]
+        )
     by_name = {f.name: f for f in old_schema.fields}
     for f_new in new_schema.fields:
         if f_new.name in by_name:
@@ -214,6 +218,14 @@ def append_archive(
         else:
             old_schema = old_schema.add(f_new)
             by_name[f_new.name] = f_new
+
+    (
+        fact.repartition("p_day", "p_bucket")
+        .sortWithinPartitions(d_new.id_var, d_new.time_var)
+        .write.mode("append")
+        .partitionBy("p_day", "p_bucket")
+        .parquet(os.path.join(base_dir, PAGES_DIR))
+    )
     write_metadata(base_dir, merged, num_buckets, fact_schema_json=old_schema.json())
 
 

@@ -76,7 +76,6 @@ def merge_upsert(
         "p_bucket", bucket_column(d.id_var, num_buckets)
     )
     staged = staged.persist()
-    kept = None
     try:
         affected = [
             (str(r["p_day"]), int(r["p_bucket"]))
@@ -87,13 +86,20 @@ def merge_upsert(
             for day, b in affected
             if os.path.isdir(os.path.join(root, f"p_day={day}", f"p_bucket={b}"))
         ]
-        n_updated = 0
+        obs = n_base = None
         if existing:
             base = spark.read.option("basePath", root).parquet(*existing)
-            # base.count() is a parquet-footer count (no data read); kept is
-            # persisted so the anti-join runs once, not once per action
-            kept = base.join(staged.select(*keys), keys, "left_anti").persist()
-            n_updated = base.count() - kept.count()
+            # n_updated rides the SINGLE rewrite pass: an Observation on the
+            # anti-join output counts keepers during the write action itself
+            # (no second scan of the touched partitions); base.count() is a
+            # parquet-footer count (empty ReadSchema — no data pages read)
+            from pyspark.sql import Observation
+
+            n_base = base.count()
+            obs = Observation()
+            kept = base.join(staged.select(*keys), keys, "left_anti").observe(
+                obs, F.count(F.lit(1)).alias("n_kept")
+            )
             merged = kept.unionByName(staged)
         else:
             merged = staged
@@ -107,10 +113,9 @@ def merge_upsert(
             .partitionBy(*_PART_COLS)
             .parquet(tmp)
         )
+        n_updated = (n_base - int(obs.get["n_kept"])) if obs is not None else 0
     finally:
         staged.unpersist()
-        if kept is not None:
-            kept.unpersist()
 
     for day, b in affected:
         rel = os.path.join(f"p_day={day}", f"p_bucket={b}")
@@ -158,21 +163,27 @@ def delete_where(
         os.path.join(root, f"p_day={day}", f"p_bucket={b}") for day, b in affected
     ]
     base = spark.read.option("basePath", root).parquet(*paths)
-    kept = base.where(~F.coalesce(pred, F.lit(False))).persist()
-    try:
-        n_deleted = base.count() - kept.count()
-        d, _num_buckets = read_metadata(base_dir)
-        tmp = root + ".delete__tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        (
-            kept.repartition(*_PART_COLS)
-            .sortWithinPartitions(*_PART_COLS, d.id_var, d.time_var)
-            .write.mode("overwrite")
-            .partitionBy(*_PART_COLS)
-            .parquet(tmp)
-        )
-    finally:
-        kept.unpersist()
+    # n_deleted rides the single rewrite pass: the Observation counts keepers
+    # during the write action (no extra scan); base.count() is a parquet-
+    # footer count (empty ReadSchema — no data pages read)
+    from pyspark.sql import Observation
+
+    n_base = base.count()
+    obs = Observation()
+    kept = base.where(~F.coalesce(pred, F.lit(False))).observe(
+        obs, F.count(F.lit(1)).alias("n_kept")
+    )
+    d, _num_buckets = read_metadata(base_dir)
+    tmp = root + ".delete__tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        kept.repartition(*_PART_COLS)
+        .sortWithinPartitions(*_PART_COLS, d.id_var, d.time_var)
+        .write.mode("overwrite")
+        .partitionBy(*_PART_COLS)
+        .parquet(tmp)
+    )
+    n_deleted = n_base - int(obs.get["n_kept"])
 
     for day, b in affected:
         rel = os.path.join(f"p_day={day}", f"p_bucket={b}")

@@ -42,6 +42,21 @@ def _list_parquet(root: str) -> list[str]:
     return sorted(out)
 
 
+#: persisted manifests from zone_maps(materialize=True); a fresh materialize
+#: evicts the prior generation so long-lived sessions (bench loops,
+#: maintenance jobs) never accumulate cached copies — the same discipline as
+#: operators/dedup._evict_prior_caches.
+_LIVE_MANIFESTS: list[DataFrame] = []
+
+
+def _evict_prior_manifests() -> None:
+    while _LIVE_MANIFESTS:
+        try:
+            _LIVE_MANIFESTS.pop().unpersist(False)
+        except Exception:
+            pass
+
+
 def zone_maps(
     spark: SparkSession, root: str, columns: list[str], materialize: bool = True
 ) -> DataFrame:
@@ -96,7 +111,9 @@ def zone_maps(
     n_tasks = max(1, min(len(paths), 256))
     zm = files_df.repartition(n_tasks).mapInPandas(read_footers, schema)
     if materialize:
+        _evict_prior_manifests()
         zm = zm.persist()
+        _LIVE_MANIFESTS.append(zm)
         zm.count()
     return zm
 
@@ -106,15 +123,27 @@ def prune_paths(
 ) -> tuple[list[str], int]:
     """Paths that may contain rows with ``lo <= col <= hi`` for every given
     range (either bound may be None = unbounded). Conservative: files with
-    NULL stats are kept. Returns (surviving paths, total files)."""
+    NULL stats are kept. Returns (surviving paths, total files).
+
+    The overlap filter runs DISTRIBUTED over the manifest: one aggregation
+    ships a single row to the driver carrying only the SURVIVING paths plus
+    the total count — the driver never materializes the full file list (at
+    100 TB the manifest is 10^6-10^7 rows; a selective probe's survivors are
+    orders of magnitude fewer). The survivor list itself is inherently
+    driver-side because the pruned read is planned from explicit paths — the
+    Iceberg analog is the planner consuming manifest entries."""
     keep = F.lit(True)
     for c, (lo, hi) in ranges.items():
         if lo is not None:
             keep = keep & (F.col(f"{c}_max").isNull() | (F.col(f"{c}_max") >= F.lit(lo)))
         if hi is not None:
             keep = keep & (F.col(f"{c}_min").isNull() | (F.col(f"{c}_min") <= F.lit(hi)))
-    rows = zmaps.select("path", keep.alias("_keep")).collect()
-    return sorted(r["path"] for r in rows if r["_keep"]), len(rows)
+    row = zmaps.agg(
+        F.count(F.lit(1)).alias("_total"),
+        # collect_list skips NULLs: non-surviving paths never leave the executors
+        F.sort_array(F.collect_list(F.when(keep, F.col("path")))).alias("_paths"),
+    ).head()
+    return list(row["_paths"]), int(row["_total"])
 
 
 def pruned_read(
