@@ -67,6 +67,12 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # benchmark hook: e.g. "-Xms20g -XX:+AlwaysPreTouch" preallocates the heap
+    # so first-big-job heap growth isn't billed to a timed run (bench.py sets
+    # this for the scaling subprocesses only; unset = Spark defaults)
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import sys
 import time
 
@@ -53,6 +54,7 @@ def run(
     input_path: str | None = None,
     narrow: bool = False,
     fused_digest: bool = True,
+    repeat: int = 1,
 ) -> dict:
     """Times the rollup cascade + digest at the given parallelism.
 
@@ -60,6 +62,9 @@ def run(
     table scan -> tiers) instead of generating; rows is ignored then.
     gen_in_window=True instead times generation+rollup as one pipeline.
     Default: pre-materialize generated input in cache, time the rollup alone.
+    repeat: number of timed samples from the SAME warmed process (bench
+    pairs sample i across parallelism levels); "seconds" is the min,
+    "samples_sec" carries all of them.
     """
     from tstore_spark.datagen import pages_spark
     from tstore_spark.operators.rollup import rollup_all_tiers, rollup_from_raw
@@ -67,13 +72,65 @@ def run(
 
     spark = get_spark(app_name=f"parcheck-{master}", master=master)
 
-    # Warmup: run the identical pipeline shape at tiny scale so Python worker
-    # spawn + whole-stage codegen compilation happen outside the timed window.
-    # We measure steady-state throughput (the north rule's scaling metric),
-    # not first-job latency.
-    warm = pages_spark(spark, rows=2000)
-    for name, tdf in (rollup_all_tiers(warm) if tier == "all" else {tier: rollup_from_raw(warm, tier)}).items():
-        _tier_digest(tdf)
+    if tier == "substrate":
+        # Scaling SUBSTRATE: a bare payload scan+sum (decompress html+text,
+        # aggregate octet lengths — no rollup machinery). This is the floor
+        # any scan-shaped job on this host inherits; the cascade's whole-job
+        # efficiency should be read against it, not against 1.0.
+        import glob
+
+        from pyspark.sql import functions as F
+
+        assert input_path is not None, "--substrate requires --input"
+        files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+        warm = spark.read.parquet(files[0]) if files else pages_spark(spark, rows=2000)
+        for _ in range(2):
+            warm.agg(F.sum(F.octet_length("html")), F.sum(F.length("text"))).head()
+        pages = spark.read.parquet(input_path)
+        n = pages.count()
+        samples = []
+        row = None
+        for _ in range(max(1, repeat)):
+            t0 = time.time()
+            row = pages.agg(
+                F.sum(F.octet_length("html")).alias("hb"),
+                F.sum(F.length("text")).alias("tl"),
+                F.count(F.lit(1)).alias("n"),
+            ).head()
+            samples.append(round(time.time() - t0, 3))
+        digest = hashlib.sha256(
+            json.dumps([int(row["hb"]), int(row["tl"]), int(row["n"])]).encode()
+        ).hexdigest()
+        spark.stop()
+        return {
+            "digest": digest, "rows": n, "windows": {},
+            "seconds": min(samples), "samples_sec": samples,
+        }
+
+    kw = {"bytes_col": "html_bytes", "len_col": "text_len"} if narrow else {}
+
+    def build_tiers(src):
+        return rollup_all_tiers(src, **kw) if tier == "all" else {tier: rollup_from_raw(src, tier, **kw)}
+
+    # Warmup: run the identical pipeline shape so Python worker spawn +
+    # whole-stage codegen + C2 JIT compilation happen outside the timed
+    # window. We measure steady-state throughput (the north rule's scaling
+    # metric), not first-job latency — at 10^12 docs warmup amortizes to
+    # nothing. With a real input, warm on ONE of its files, twice (C2 needs
+    # real volume; a tiny generated warmup leaves ~20% JIT residue in the
+    # first timed sample — measured on the 24M-doc cascade).
+    if input_path is not None:
+        import glob
+
+        files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+        warm, n_warm = (spark.read.parquet(files[0]), 2) if files else (pages_spark(spark, rows=2000), 1)
+    else:
+        warm, n_warm = pages_spark(spark, rows=2000), 1
+    if narrow and "html_bytes" not in warm.columns:
+        raise ValueError("--narrow needs an input written with html_bytes/text_len stat columns")
+    for _ in range(n_warm):
+        for _name, tdf in build_tiers(warm).items():
+            _tier_digest(tdf)
 
     if input_path is not None:
         # deliberately NOT cached: the timed job is the production shape —
@@ -81,59 +138,63 @@ def run(
         # the OS page cache serves the bytes after the count() touches them.
         pages = spark.read.parquet(input_path)
         n = pages.count()  # footer-stats count; warms file metadata
-        if narrow:
-            # ingest-time stat columns (archive stats_columns): the rollup
-            # scans 4 narrow columns, Parquet prunes html/text entirely
-            assert "html_bytes" in pages.columns and "text_len" in pages.columns, (
-                "--narrow needs an input written with html_bytes/text_len stat columns"
-            )
-        t0 = time.time()
     elif gen_in_window:
         pages = pages_spark(spark, rows=rows)
         n = rows
-        t0 = time.time()
     else:
         pages = pages_spark(spark, rows=rows).cache()
         n = pages.count()  # materialize input outside the timed window
+
+    samples: list[float] = []
+    digests: dict = {}
+    windows: dict = {}
+    for _i in range(max(1, repeat)):
         t0 = time.time()
-    kw = {"bytes_col": "html_bytes", "len_col": "text_len"} if narrow else {}
-    if tier == "all":
-        tiers = rollup_all_tiers(pages, **kw)
-        # 1m feeds its own digest AND the 1h cascade (same shape as the
-        # pipeline's tier writes) — cache to avoid recomputing the raw scan
-        tiers["1m"] = tiers["1m"].cache()
-        tiers["1h"] = tiers["1h"].cache()
-    else:
-        tiers = {tier: rollup_from_raw(pages, tier, **kw)}
-    digests = {}
-    windows = {}
-    if fused_digest and len(tiers) > 1:
-        # ONE action for all tier digests (union of 1-row aggs): the three
-        # sequential head() calls serialize on driver round-trips — fixed
-        # cost that Amdahl charges disproportionately to the bigger cluster.
-        # Same digests, same work, better pipelining (~12% at 8 cores).
-        from functools import reduce
+        if tier == "all":
+            tiers = build_tiers(pages)
+            # 1m feeds its own digest AND the 1h cascade (same shape as the
+            # pipeline's tier writes) — cache to avoid recomputing the raw scan
+            tiers["1m"] = tiers["1m"].cache()
+            tiers["1h"] = tiers["1h"].cache()
+        else:
+            tiers = build_tiers(pages)
+        d_run: dict = {}
+        w_run: dict = {}
+        if fused_digest and len(tiers) > 1:
+            # ONE action for all tier digests (union of 1-row aggs): the three
+            # sequential head() calls serialize on driver round-trips — fixed
+            # cost that Amdahl charges disproportionately to the bigger cluster.
+            # Same digests, same work, better pipelining (~12% at 8 cores).
+            from functools import reduce
 
-        from pyspark.sql import functions as F
+            from pyspark.sql import functions as F
 
-        aggs = [
-            tdf.agg(
-                F.lit(name).alias("tier"),
-                F.bit_xor(_row_hash()).alias("x"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            for name, tdf in tiers.items()
-        ]
-        for r in reduce(lambda a, b: a.unionByName(b), aggs).collect():
-            digests[r["tier"]], windows[r["tier"]] = int(r["x"]), int(r["n"])
-    else:
-        for name, tdf in tiers.items():
-            digests[name], windows[name] = _tier_digest(tdf)
-    elapsed = time.time() - t0
+            aggs = [
+                tdf.agg(
+                    F.lit(name).alias("tier"),
+                    F.bit_xor(_row_hash()).alias("x"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                for name, tdf in tiers.items()
+            ]
+            for r in reduce(lambda a, b: a.unionByName(b), aggs).collect():
+                d_run[r["tier"]], w_run[r["tier"]] = int(r["x"]), int(r["n"])
+        else:
+            for name, tdf in tiers.items():
+                d_run[name], w_run[name] = _tier_digest(tdf)
+        samples.append(round(time.time() - t0, 3))
+        for tdf in tiers.values():
+            tdf.unpersist(False)  # no-op on uncached tiers
+        if digests and d_run != digests:
+            raise AssertionError(f"digest drift across repeats: {digests} vs {d_run}")
+        digests, windows = d_run, w_run
 
     digest = hashlib.sha256(json.dumps(digests, sort_keys=True).encode()).hexdigest()
     spark.stop()
-    return {"digest": digest, "rows": n, "windows": windows, "seconds": round(elapsed, 3)}
+    return {
+        "digest": digest, "rows": n, "windows": windows,
+        "seconds": min(samples), "samples_sec": samples,
+    }
 
 
 if __name__ == "__main__":
@@ -145,7 +206,10 @@ if __name__ == "__main__":
     narrow = "--narrow" in sys.argv
     fused = "--sequential-digest" not in sys.argv
     input_path = None
+    repeat = 1
     for a in sys.argv[1:]:
         if a.startswith("--input="):
             input_path = a.split("=", 1)[1]
-    print(json.dumps(run(master, rows, tier, gen_in_window, input_path, narrow, fused)))
+        elif a.startswith("--repeat="):
+            repeat = int(a.split("=", 1)[1])
+    print(json.dumps(run(master, rows, tier, gen_in_window, input_path, narrow, fused, repeat)))
