@@ -31,11 +31,7 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
-import sys
 
-# repo-local launch convenience; a no-op under spark-submit --py-files
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:
