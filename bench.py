@@ -22,9 +22,11 @@ Protocol (round-3 hardening — the artifact must carry its own context):
   payloads — digests are bit-identical to the payload-scan path
   (tests/test_stats_columns.py); 24M docs puts the doc-proportional phase
   in its asymptotic regime (BENCH.md input-size sweep).
-- >=3 interleaved PAIRED rounds (both levels back-to-back inside a round so
-  they see the same host conditions); headline efficiency = MEDIAN of the
-  per-round efficiencies; per-round + min-based figures ride alongside.
+- one WARMED process per level emits >=3 steady-state samples each; sample i
+  at N cores is ratioed against sample i at 4N cores and the headline
+  efficiency is the MEDIAN of those ratios (robust to a single noise episode
+  at either level); per-sample lists + the min-per-level estimator ride
+  alongside so the artifact shows its own spread.
 - two substrate probes ride in the JSON: a Spark-free pure-CPU
   multiprocessing probe (the host's achievable scaling ceiling — measured
   0.8-0.85 on quiet windows) and a bare payload scan+sum pair (the IO/decode
@@ -236,7 +238,8 @@ def run_scaling() -> dict:
     rows = level[masters[0]]["rows"]
     windows = level[masters[0]]["windows"]
     points = sum(windows.values())
-    # efficiency per round = sample i at N cores vs sample i at 4N cores;
+    # efficiency per round = sample i at N cores vs sample i at 4N cores
+    # (each level's samples come from ONE warmed steady-state process);
     # headline = MEDIAN across rounds. min-per-level reported alongside.
     pair_effs = [
         round((a / b) / 4, 3)

@@ -117,3 +117,61 @@ def test_stream_restart_is_idempotent(spark, stream_dirs):
     q.awaitTermination(120)
     got = spark.read.parquet(f"{base}/tier1m").groupBy("domain", "window_start").count()
     assert got.where("count > 1").count() == 0
+
+
+def test_stream_cascade_hll_registers_match_batch_sketch(spark, stream_dirs):
+    """HLL distincts through the chained cascade: register state (max rank
+    per register) carries through every stateful stage, so each CLOSED hour's
+    sparse register array is IDENTICAL to the batch hll_sketch over the same
+    rows — the streamed sketch is the batch sketch, not an approximation of
+    it — and the estimate lands within the p=12 error bound of exact."""
+    import datetime
+
+    from tstore_spark.operators.sketches import hll_sketch, with_hll_estimate
+
+    base, src, sdf = stream_dirs
+    stream = read_pages_stream(spark, src, sdf.schema, max_files_per_trigger=2)
+    tier = stream_rollup_cascade(
+        stream, ("1m", "1h"), watermark="0 seconds", distinct_col="lang")
+    q = write_stream_tier(
+        tier, f"{base}/tier1h_hll", f"{base}/ckpt1h_hll", trigger_available_now=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{base}/tier1h_hll")
+    assert set(got.columns) == {"domain", "window_start", "doc_count", "bytes_total", "hll"}
+
+    from tstore_spark.functions.urls import domain_of
+
+    keyed = sdf.select(
+        domain_of("url").alias("domain"),
+        F.date_trunc("hour", F.col("warc_ts")).alias("window_start"),
+        "lang", "html",
+    )
+    batch_sk = hll_sketch(keyed, ["domain", "window_start"], "lang")
+    b_sk = {(r["domain"], r["window_start"]):
+            [(e["reg"], e["rank"]) for e in r["hll"]] for r in batch_sk.collect()}
+    g_rows = got.collect()
+    max_ts = sdf.agg(F.max("warc_ts")).head()[0]
+    closed = {k for k in b_sk
+              if k[1] + datetime.timedelta(hours=1) <= max_ts}
+    g_sk = {(r["domain"], r["window_start"]):
+            [(e["reg"], e["rank"]) for e in r["hll"]] for r in g_rows}
+    assert set(g_sk) == closed
+    for k in closed:
+        assert g_sk[k] == b_sk[k], f"register drift at {k}"
+
+    # counts/bytes still exact alongside the sketch column
+    batch = rollup_from_raw(sdf, "1h")
+    b_cnt = {(r["domain"], r["window_start"]): (r["doc_count"], r["bytes_total"])
+             for r in batch.collect()}
+    for r in g_rows:
+        assert (r["doc_count"], r["bytes_total"]) == b_cnt[(r["domain"], r["window_start"])]
+
+    # estimate from the streamed registers is within the sketch error of exact
+    est = {(r["domain"], r["window_start"]): r["distinct_est"]
+           for r in with_hll_estimate(got).collect()}
+    exact = {(r["domain"], r["window_start"]): r["n"]
+             for r in keyed.groupBy("domain", "window_start")
+             .agg(F.countDistinct("lang").alias("n")).collect()}
+    for k in closed:
+        assert abs(est[k] - exact[k]) <= max(1.0, 0.05 * exact[k]), (k, est[k], exact[k])
