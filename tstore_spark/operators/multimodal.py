@@ -1,19 +1,21 @@
 """Multimodal (image/audio/video) column plumbing.
 
-Media payloads are opaque ``binary`` columns with typed metadata; the engine's
-job is the Spark-side plumbing — schema, partition-friendly batching, Arrow
-UDF signatures — not the codecs. Decoding libraries (PIL/ffmpeg/librosa) are
-not in this container, so the decode step is stubbed behind a clearly-marked
-hook:
+Media payloads are opaque ``binary`` columns with typed metadata; this module
+owns the Spark-side plumbing — schema, partition-friendly batching, Arrow UDF
+signatures — and takes the codec through a ``decoder=`` hook:
 
 - :func:`extract_media_meta` computes *real* byte-level metadata (length,
   content hash, magic-byte sniff) — production-grade and codec-free.
-- :func:`decode_and_featurize` runs a decoder over ``mapInPandas``; with
-  ``decoder=None`` it uses :func:`fake_decoder` — a deterministic stand-in
-  producing fixed-dim features from the bytes — or raises
-  ``NotImplementedError`` when ``strict=True``. A real decoder slots in with
-  the same ``bytes -> np.ndarray(feature_dim)`` signature and identical
-  Spark-side behavior (Arrow batches, bounded memory per batch).
+- :func:`decode_and_featurize` runs a decoder over ``mapInPandas``. REAL
+  decoders live in :mod:`tstore_spark.functions.media_codecs` — stdlib-only
+  PNG (pixels) and WAV (PCM samples) codecs plus an import-guarded PIL path
+  (``best_image_decoder``); ``png_resizer`` gives :func:`resize_images` a
+  real decode->resample->re-encode loop. ``decoder=None`` selects
+  :func:`fake_decoder` — a deterministic stand-in whose output any engine
+  can recompute, which keeps the driver gate rows format-agnostic and
+  hash-checkable — or raises ``NotImplementedError`` when ``strict=True``.
+  Only video frame EXTRACTION remains stub-only (ffmpeg is not in this
+  container and no stdlib codec exists).
 
 Scale notes: media blobs dominate row size — ``spark.sql.files.maxPartitionBytes``
 and per-batch ``maxRecordsPerBatch`` keep Arrow transfers bounded; the
