@@ -220,3 +220,99 @@ def test_zorder_key_deterministic_across_parallelism(spark):
         z = with_zorder_key(df, ["x", "y"], bits=10, bounds=b)
         outs.append({r["rid"]: r["_z"] for r in z.collect()})
     assert outs[0] == outs[1]
+
+
+# --------------------------------------------------------------- equi-depth
+def test_equi_depth_cuts_exact_and_parallelism_stable(spark):
+    """Cuts are exact percentiles (sort-based, no sampling): they match
+    numpy's linear-interpolation quantiles and are bit-identical when the
+    same multiset arrives at different parallelism."""
+    import numpy as np
+
+    from tstore_spark.sources.zorder import equi_depth_cuts
+
+    vals = [float((i * 31) % 97) ** 2 for i in range(2000)]
+    pdf = pd.DataFrame({"v": vals, "w": vals})
+    got = []
+    for n in (1, 4):
+        df = spark.createDataFrame(pdf).repartition(n)
+        got.append(equi_depth_cuts(df, ["v"], bits=4))
+    assert got[0] == got[1]  # determinism incl. the cut computation itself
+    qs = [i / 16 for i in range(1, 16)]
+    expect = sorted({float(q) for q in np.quantile(np.array(vals), qs)})
+    assert got[0]["v"] == pytest.approx(expect)
+
+
+def test_cut_cell_key_matches_python_reference(spark):
+    """Equi-depth cell = bisect_right(cuts, v); the balanced CASE tree must
+    agree with the straight-line reference for every row, mixed with a
+    linear dimension in one interleaved key."""
+    import bisect
+
+    from tstore_spark.sources.zorder import equi_depth_cuts, with_zorder_key
+
+    pdf = pd.DataFrame(
+        [(i, (i * 7919) % 256, float((i * 31) % 89) ** 1.5) for i in range(3000)],
+        columns=["rid", "x", "y"],
+    )
+    df = spark.createDataFrame(pdf)
+    cuts = equi_depth_cuts(df, ["y"], bits=4)
+    bounds = {"x": (0.0, 255.0)}
+    out = with_zorder_key(df, ["x", "y"], bits=4, bounds=bounds, cuts=cuts)
+    for r in out.collect():
+        cx = _ref_cell(float(r["x"]), 0.0, 255.0, 4)
+        cy = bisect.bisect_right(cuts["y"], float(r["y"]))
+        assert r["_z"] == _ref_z([cx, cy], 4), (r["rid"], r["x"], r["y"])
+
+
+def test_equi_depth_guards(spark):
+    from tstore_spark.sources.zorder import equi_depth_cuts, with_zorder_key
+
+    df = spark.createDataFrame(pd.DataFrame({"x": [1.0, 2.0], "y": [1.0, 2.0]}))
+    with pytest.raises(ValueError, match="bits must be <="):
+        equi_depth_cuts(df, ["x"], bits=16)
+    with pytest.raises(ValueError, match="exceed the .*grid"):
+        with_zorder_key(df, ["x", "y"], bits=2,
+                        bounds={"x": (0, 1)}, cuts={"y": [float(i) for i in range(9)]})
+
+
+def test_equi_depth_dense_end_pruning_beats_linear(spark, tmp_path):
+    """The round-2 BENCH.md caveat: on a skewed (text-length-like) dimension
+    the linear grid collapses the dense end into one cell, so a dense-end
+    probe pruned 0 files. Exact-percentile cells spread the dense mass over
+    many cells — the same probe now prunes, and strictly more than linear."""
+    import math
+
+    from tstore_spark.sources.zorder import zorder_write
+
+    n = 16384
+    rows = []
+    for i in range(n):
+        u = ((i * 2654435761) % (2**32)) / 2**32
+        rows.append((i, (i * 7919) % 4096, int(math.exp(u * 8.0))))  # log-uniform y
+    pdf = pd.DataFrame(rows, columns=["rid", "x", "y"])
+    df = spark.createDataFrame(pdf)
+
+    lin_root = str(tmp_path / "lin")
+    eq_root = str(tmp_path / "eq")
+    zorder_write(df, lin_root, ["x", "y"], n_files=16, bits=8)
+    zorder_write(df, eq_root, ["x", "y"], n_files=16, bits=8, equi_depth=["y"])
+
+    probe = {"y": (8, 16)}  # dense end: ~9% of mass, inside linear cell 0
+    lin_kept, lin_total = prune_paths(zone_maps(spark, lin_root, ["x", "y"]), probe)
+    eq_kept, eq_total = prune_paths(zone_maps(spark, eq_root, ["x", "y"]), probe)
+    assert lin_total == 16 and eq_total == 16
+    assert len(eq_kept) < eq_total  # dense-end probe prunes now
+    assert len(eq_kept) < len(lin_kept)  # and strictly beats the linear grid
+
+    # pruned read stays exact on the equi-depth layout
+    got, report = pruned_read(
+        spark, eq_root, zone_maps(spark, eq_root, ["x", "y"]), probe
+    )
+    exp = spark.read.parquet(eq_root).where((F.col("y") >= 8) & (F.col("y") <= 16))
+    assert report["files_read"] < report["files_total"]
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+    # the persisted sidecar carries the cuts for incremental rewrites
+    spec = load_bounds(eq_root)
+    assert spec["cuts"]["y"] and spec["bits"] == 8

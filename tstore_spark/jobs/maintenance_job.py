@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> int:
     p_c.add_argument("--cluster-by", default=None, help="comma-separated columns")
     p_c.add_argument("--zorder-by", default=None,
                      help="comma-separated columns (>= 2) for z-order clustering")
+    p_c.add_argument("--zorder-equi-depth", default=None,
+                     help="'all' or a comma-separated subset of --zorder-by to "
+                          "put on exact-percentile (equi-depth) grids — use for "
+                          "skewed dimensions like text length")
     p_r = sub.add_parser("retention")
     p_r.add_argument("--keep-after", required=True)
     p_e = sub.add_parser("expire")
@@ -73,6 +77,9 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(app_name="tstore-maintenance")
         cluster = args.cluster_by.split(",") if args.cluster_by else None
         zorder = args.zorder_by.split(",") if args.zorder_by else None
+        eq: bool | list[str] = False
+        if args.zorder_equi_depth:
+            eq = True if args.zorder_equi_depth == "all" else args.zorder_equi_depth.split(",")
         out["summary"] = compact_archive(
             spark,
             args.archive,
@@ -80,6 +87,7 @@ def main(argv: list[str] | None = None) -> int:
             target_file_bytes=args.target_mb * 1024 * 1024,
             cluster_by=cluster,
             zorder_by=zorder,
+            zorder_equi_depth=eq,
         )
     elif args.cmd == "retention":
         out["dropped_partitions"] = apply_retention(

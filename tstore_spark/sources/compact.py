@@ -83,6 +83,7 @@ def compact_archive(
     cluster_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
     zorder_bits: int = DEFAULT_BITS,
+    zorder_equi_depth: bool | list[str] = False,
 ) -> dict:
     """Bin-pack every fragmented partition of ``<base_dir>/<table>`` in one
     distributed rewrite job; returns a summary dict (no-op when nothing is
@@ -103,7 +104,11 @@ def compact_archive(
     just the prefix. Costs one extra min/max pass over the selected dirs
     (grid bounds) and trades away the (id, time) in-file ordering the
     default path restores — pick it when multi-column range probes, not
-    id/time scans, dominate reads."""
+    id/time scans, dominate reads. ``zorder_equi_depth`` (True or a column
+    subset) swaps those dimensions onto exact-percentile grids
+    (sources/zorder.py equi_depth_cuts) so skewed columns — text lengths,
+    byte counts — still tile evenly and dense-end probes prune; costs one
+    sort-based percentile pass over the selected dirs."""
     if cluster_by and zorder_by:
         raise ValueError("cluster_by and zorder_by are mutually exclusive")
     d, _num_buckets = read_metadata(base_dir)
@@ -140,7 +145,14 @@ def compact_archive(
         # z clustering: partition dirs lead the range key so output tasks
         # stay dir-major; within a dir, files are contiguous z slices —
         # tight [min,max] tiles of every zorder_by column at once
-        staged = with_zorder_key(df, zorder_by, bits=zorder_bits)
+        cuts = None
+        if zorder_equi_depth:
+            from tstore_spark.sources.zorder import DEFAULT_EQ_BITS, equi_depth_cuts
+
+            eq_cols = zorder_by if zorder_equi_depth is True else list(zorder_equi_depth)
+            zorder_bits = min(zorder_bits, DEFAULT_EQ_BITS)
+            cuts = equi_depth_cuts(df, eq_cols, bits=zorder_bits)
+        staged = with_zorder_key(df, zorder_by, bits=zorder_bits, cuts=cuts)
         staged = staged.repartitionByRange(n_total, *part_cols, "_z")
         sort_tail = ["_z"]
     elif cluster_by:

@@ -27,10 +27,21 @@ Pieces (all deterministic — the z key is a pure per-row expression):
 
 Scale: the z key adds ~``bits * n_cols`` integer ALU ops per row inside
 codegen — no shuffle beyond the single range-repartition the rewrite
-needs anyway. Linear min/max scaling (not equi-depth quantiles) keeps the
-key deterministic and sample-free; heavily skewed columns get coarser
-effective grids at the dense end, which weakens (never breaks) pruning —
-zone maps always re-check real file stats, so correctness is untouched.
+needs anyway. Two grid flavors, both deterministic:
+
+* **linear** (default): min/max scaling — one cheap aggregate, sample-free.
+  Heavily skewed columns get coarser effective grids at the dense end,
+  which weakens (never breaks) pruning — zone maps always re-check real
+  file stats, so correctness is untouched.
+* **equi-depth** (``equi_depth_cuts`` / ``zorder_write(equi_depth=True)``):
+  cell boundaries = EXACT percentiles (Spark's sort-based ``percentile``,
+  not ``approx_percentile`` — no sampling, bit-stable at any parallelism),
+  so every cell holds ~the same row count and dense-end probes prune too
+  (the round-2 BENCH.md caveat). The value->cell map compiles to a balanced
+  CASE-WHEN binary-search tree over the cut literals — ``bits`` comparisons
+  per row, still pure Catalyst. Equi-depth grids cap at ``MAX_EQ_BITS``
+  cells per dimension (the cut list is plan-embedded metadata; 2^8 cells
+  per dimension already bounds file counts far below that at any scale).
 """
 
 from __future__ import annotations
@@ -45,6 +56,11 @@ from pyspark.sql import functions as F
 from tstore_spark.functions.timeparts import ntz_epoch_micros
 
 DEFAULT_BITS = 16
+#: equi-depth grids carry their cut lists inside the plan (one literal per
+#: cell boundary) — 8 bits = 256 cells/dim keeps that bounded while already
+#: equalizing file populations; >10 would bloat the expression tree
+MAX_EQ_BITS = 10
+DEFAULT_EQ_BITS = 8
 BOUNDS_FILE = "_zorder_bounds.json"
 
 
@@ -74,6 +90,50 @@ def column_bounds(df: DataFrame, cols: list[str]) -> dict[str, tuple[float, floa
             raise ValueError(f"z-order column {c!r} has no non-null values")
         bounds[c] = (float(lo), float(hi))
     return bounds
+
+
+def equi_depth_cuts(
+    df: DataFrame, cols: list[str], bits: int = DEFAULT_EQ_BITS
+) -> dict[str, list[float]]:
+    """Exact-percentile cell boundaries per column: up to ``2^bits - 1``
+    cuts from Spark's sort-based ``percentile`` (NOT approx_percentile — no
+    sampling), deduplicated (a heavy value may own several quantiles). One
+    aggregate job for all columns; exact percentiles are a pure function of
+    the multiset, so the resulting grid — and therefore the z key — is
+    bit-identical at any parallelism. Maintenance-time cost: a sort-based
+    aggregate over the rewrite's input, the price the round-2 verdict
+    accepted for closing the dense-end pruning gap."""
+    if bits > MAX_EQ_BITS:
+        raise ValueError(f"equi-depth bits must be <= {MAX_EQ_BITS}, got {bits}")
+    cells = 1 << bits
+    qs = [i / cells for i in range(1, cells)]
+    aggs = [F.percentile(_as_double(df, c), qs).alias(c) for c in cols]
+    row = df.agg(*aggs).collect()[0]
+    out: dict[str, list[float]] = {}
+    for c in cols:
+        vals = row[c]
+        if vals is None:
+            raise ValueError(f"z-order column {c!r} has no non-null values")
+        out[c] = sorted({float(v) for v in vals})
+    return out
+
+
+def _cut_cell(v: Column, cuts: list[float]) -> Column:
+    """Cell index = #cuts <= v, via a balanced CASE-WHEN binary-search tree
+    over the cut literals — ceil(log2(len(cuts)+1)) comparisons per row,
+    pure Catalyst. NULLs land on cell 0 (NULL >= cut is NULL -> the
+    otherwise/left branch all the way down), matching the linear grid."""
+    def tree(lo: int, hi: int, base: int) -> Column:
+        if lo >= hi:
+            return F.lit(base).cast("long")
+        mid = (lo + hi) // 2
+        return F.when(
+            v >= F.lit(cuts[mid]), tree(mid + 1, hi, base + (mid - lo + 1))
+        ).otherwise(tree(lo, mid, base))
+
+    if not cuts:
+        return F.lit(0).cast("long")
+    return tree(0, len(cuts), 0)
 
 
 def _scaled_cell(v: Column, lo: float, hi: float, bits: int) -> Column:
@@ -108,28 +168,52 @@ def with_zorder_key(
     bits: int = DEFAULT_BITS,
     bounds: dict[str, tuple[float, float]] | None = None,
     out_col: str = "_z",
+    cuts: dict[str, list[float]] | None = None,
 ) -> DataFrame:
     """Attach the interleaved z key as ``out_col``. ``bounds`` (from
     ``column_bounds``) may be precomputed — e.g. once per table, reused
-    across incremental rewrites so old and new files share one grid."""
+    across incremental rewrites so old and new files share one grid.
+    Columns present in ``cuts`` (from ``equi_depth_cuts``) use equi-depth
+    cells instead of the linear grid; the two flavors mix freely (e.g. an
+    equi-depth text-length dimension interleaved with a linear timestamp)."""
     if len(cols) < 2:
         raise ValueError("z-ordering needs >= 2 columns; use cluster_by for one")
-    if bounds is None:
-        bounds = column_bounds(df, cols)
-    cells = [_scaled_cell(_as_double(df, c), *bounds[c], bits) for c in cols]
+    cuts = cuts or {}
+    for c, cl in cuts.items():
+        if len(cl) >= (1 << bits):
+            raise ValueError(
+                f"{len(cl)} cuts for {c!r} exceed the {bits}-bit grid "
+                f"({(1 << bits) - 1} max); raise bits or lower the cut count"
+            )
+    linear = [c for c in cols if c not in cuts]
+    if bounds is None and linear:
+        bounds = column_bounds(df, linear)
+    cells = [
+        _cut_cell(_as_double(df, c), cuts[c])
+        if c in cuts
+        else _scaled_cell(_as_double(df, c), *bounds[c], bits)
+        for c in cols
+    ]
     return df.withColumn(out_col, zorder_key_expr(cells, bits))
 
 
 def save_bounds(
-    path: str, cols: list[str], bits: int, bounds: dict[str, tuple[float, float]]
+    path: str,
+    cols: list[str],
+    bits: int,
+    bounds: dict[str, tuple[float, float]],
+    cuts: dict[str, list[float]] | None = None,
 ) -> None:
     """Persist the z grid next to the layout (``_zorder_bounds.json``) so
     later incremental rewrites reuse ONE grid — old and new files then tile
     the same z space and their zone-map ranges stay comparable. Metadata
     only; zone maps re-check real file stats, so a stale grid can weaken
     pruning but never correctness."""
+    spec = {"cols": cols, "bits": bits, "bounds": bounds}
+    if cuts:
+        spec["cuts"] = cuts
     with open(os.path.join(path, BOUNDS_FILE), "w") as f:
-        json.dump({"cols": cols, "bits": bits, "bounds": bounds}, f, indent=1)
+        json.dump(spec, f, indent=1)
 
 
 def load_bounds(path: str) -> dict | None:
@@ -140,6 +224,7 @@ def load_bounds(path: str) -> dict | None:
     with open(p) as f:
         spec = json.load(f)
     spec["bounds"] = {c: tuple(v) for c, v in spec["bounds"].items()}
+    spec.setdefault("cuts", {})
     return spec
 
 
@@ -150,6 +235,8 @@ def zorder_write(
     n_files: int,
     bits: int = DEFAULT_BITS,
     bounds: dict[str, tuple[float, float]] | None = None,
+    equi_depth: bool | list[str] = False,
+    cuts: dict[str, list[float]] | None = None,
 ) -> None:
     """One z-clustered Parquet rewrite: every output file is a contiguous
     z-range, i.e. a tight [min,max] tile of EVERY ``cols`` member — the
@@ -157,12 +244,21 @@ def zorder_write(
     In-file rows are z-sorted too, so Parquet row-group stats nest the
     same way for free.
 
-    The grid (cols/bits/bounds) is persisted via ``save_bounds``; pass
-    ``bounds=load_bounds(path)["bounds"]`` on an incremental rewrite of a
-    sibling partition to keep every file on one shared grid."""
+    ``equi_depth``: True (all columns) or a column subset — those dimensions
+    get exact-percentile cell boundaries (``equi_depth_cuts``) so skewed
+    value distributions still tile evenly and dense-end probes prune;
+    ``bits`` is capped at ``MAX_EQ_BITS`` then. The grid (cols/bits/bounds/
+    cuts) is persisted via ``save_bounds``; pass the ``load_bounds(path)``
+    pieces on an incremental rewrite of a sibling partition to keep every
+    file on one shared grid."""
+    if equi_depth and cuts is None:
+        eq_cols = cols if equi_depth is True else list(equi_depth)
+        bits = min(bits, DEFAULT_EQ_BITS)
+        cuts = equi_depth_cuts(df, eq_cols, bits=bits)
     if bounds is None:
-        bounds = column_bounds(df, cols)
-    staged = with_zorder_key(df, cols, bits=bits, bounds=bounds)
+        linear = [c for c in cols if c not in (cuts or {})]
+        bounds = column_bounds(df, linear) if linear else {}
+    staged = with_zorder_key(df, cols, bits=bits, bounds=bounds, cuts=cuts)
     (
         staged.repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
@@ -170,4 +266,4 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
-    save_bounds(path, cols, bits, bounds)
+    save_bounds(path, cols, bits, bounds, cuts=cuts)
