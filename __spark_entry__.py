@@ -684,6 +684,27 @@ def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visual aggregation (VLDB 2014): 24 pixel-column time buckets per
+    event_type, keeping first/min/max/last per bucket — one map-side-combined
+    groupBy over an exact-integer bucket id. Every output value is a
+    SELECTION of an input double (first/last via lexicographic
+    (epoch, value) struct min/max — deterministic under duplicate
+    timestamps), so the raw doubles hash-match the identical selection in
+    DuckDB."""
+    from tstore_spark.operators.downsample import m4_downsample
+
+    ev = _t(spark, sf_dir, "events")
+    out = m4_downsample(ev, "event_type", "ts", "value", 24)
+    return out.select(
+        "event_type",
+        F.col("bucket").cast("long").alias("bucket"),
+        "bucket_start", "t_first", "v_first", "v_min", "v_max",
+        "t_last", "v_last",
+        F.col("n_points").cast("long").alias("n_points"),
+    )
+
+
 def _q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shape-preserving downsample of each event_type's value series to 48
     points via parallel fixed-anchor LTTB. Oracle replays the identical
@@ -737,6 +758,32 @@ _LTTB_ORACLE = """
     SELECT k AS event_type, ts, value FROM small
     UNION ALL SELECT k AS event_type, ts, value FROM endpoints
     UNION ALL SELECT * FROM picked
+"""
+
+
+_M4_ORACLE = """
+    WITH pts AS (
+      SELECT event_type, epoch_us(ts) AS e, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL),
+    bounds AS (SELECT MIN(e) AS lo, MAX(e) - MIN(e) + 1 AS span FROM pts),
+    b AS (
+      SELECT event_type, e, v, lo, span, ((e - lo) * 24) // span AS bucket
+      FROM pts, bounds),
+    agg AS (
+      SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+             ANY_VALUE(lo) + (bucket * ANY_VALUE(span)) // 24 AS bs,
+             MIN({'e': e, 'v': v}) AS f,
+             MAX({'e': e, 'v': v}) AS l,
+             MIN(v) AS v_min, MAX(v) AS v_max,
+             CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM b GROUP BY event_type, bucket)
+    SELECT event_type, bucket,
+           make_timestamp(bs) AS bucket_start,
+           make_timestamp(f.e) AS t_first, f.v AS v_first,
+           v_min, v_max,
+           make_timestamp(l.e) AS t_last, l.v AS v_last,
+           n_points
+    FROM agg
 """
 
 
@@ -2073,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _q_url_canonicalize,
         "html_extract": _q_html_extract,
         "lttb_downsample": _q_lttb,
+        "m4_downsample": _q_m4_downsample,
         "top_ngrams": _q_top_ngrams,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "bloom_new_docs": _q_bloom_new_docs,
@@ -2382,6 +2430,7 @@ def oracle_sql() -> dict[str, str]:
         # HTML_ENTITIES) — the chains cannot drift apart
         "html_extract": _html_extract_oracle(),
         "lttb_downsample": _LTTB_ORACLE,
+        "m4_downsample": _M4_ORACLE,
         "time_weighted_avg": _TWA_ORACLE,
         "counter_rate": _COUNTER_RATE_ORACLE,
         "rolling_stats": _ROLLING_STATS_ORACLE,

@@ -85,3 +85,108 @@ def test_lttb_deterministic_across_parallelism(spark):
     a = lttb_downsample(sdf.repartition(2), "key", "ts", "value", 40, tiebreak_col="eid").collect()
     b = lttb_downsample(sdf.repartition(16), "key", "ts", "value", 40, tiebreak_col="eid").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ------------------------------------------------------------------- M4
+def _m4_ref(pdf, n_buckets, lo_us=None, hi_us=None):
+    """Straight-line M4 reference: per (key, bucket) first/min/max/last with
+    (time, value) lexicographic tie-breaks, exact integer bucket math."""
+    out = {}
+    us = pdf["time"].astype("datetime64[us]").astype("int64")
+    lo = int(us.min()) if lo_us is None else lo_us
+    hi = int(us.max()) if hi_us is None else hi_us
+    span = hi - lo + 1
+    for (k, t, v), e in zip(pdf[["key", "time", "value"]].itertuples(index=False), us):
+        if v is None or not (lo <= e <= hi):
+            continue
+        b = (e - lo) * n_buckets // span
+        cur = out.setdefault((k, b), {"f": (e, v), "l": (e, v), "mn": v, "mx": v, "n": 0})
+        cur["f"] = min(cur["f"], (e, v))
+        cur["l"] = max(cur["l"], (e, v))
+        cur["mn"] = min(cur["mn"], v)
+        cur["mx"] = max(cur["mx"], v)
+        cur["n"] += 1
+    return out
+
+
+def test_m4_matches_reference_and_is_deterministic(spark):
+    import numpy as np
+
+    from tstore_spark.operators.downsample import m4_downsample
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    pdf = pd.DataFrame({
+        "key": [f"k{i % 3}" for i in range(n)],
+        "time": pd.Timestamp("2024-01-01") + pd.to_timedelta(rng.integers(0, 86400, n), unit="s"),
+        "value": np.round(rng.normal(100, 25, n), 2),
+    })
+    # duplicate timestamps with different values: tie-break must bite
+    dup = pdf.iloc[:50].copy()
+    dup["value"] = dup["value"] + 7.5
+    pdf = pd.concat([pdf, dup], ignore_index=True)
+
+    ref = _m4_ref(pdf, 32)
+    outs = []
+    for parts in (1, 8):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        got = m4_downsample(df, "key", "time", "value", 32).collect()
+        outs.append(sorted(
+            (r["key"], r["bucket"], r["t_first"], r["v_first"], r["v_min"],
+             r["v_max"], r["t_last"], r["v_last"], r["n_points"]) for r in got))
+    assert outs[0] == outs[1]  # bit-identical across parallelism
+
+    got_map = {(r[0], r[1]): r for r in outs[0]}
+    assert set(got_map) == set(ref)
+    for k, exp in ref.items():
+        r = got_map[k]
+        assert r[3] == exp["f"][1] and r[7] == exp["l"][1], k   # first/last
+        assert r[4] == exp["mn"] and r[5] == exp["mx"], k       # min/max
+        assert r[8] == exp["n"], k
+        ef, el = pd.Timestamp(exp["f"][0], unit="us"), pd.Timestamp(exp["l"][0], unit="us")
+        assert r[2] == ef and r[6] == el, k
+
+
+def test_m4_t_range_clips_like_a_viewport(spark):
+    from tstore_spark.operators.downsample import m4_downsample
+
+    pdf = pd.DataFrame({
+        "key": ["a"] * 10,
+        "time": pd.date_range("2024-01-01", periods=10, freq="1h"),
+        "value": [float(i) for i in range(10)],
+    })
+    df = spark.createDataFrame(pdf)
+    got = m4_downsample(df, "key", "time", "value", 2,
+                        t_range=("2024-01-01 02:00:00", "2024-01-01 05:00:00"))
+    rows = {r["bucket"]: r for r in got.collect()}
+    # viewport keeps hours 2..5 only; 2 buckets of 2 hours each
+    assert sorted(rows) == [0, 1]
+    assert rows[0]["v_first"] == 2.0 and rows[0]["v_last"] == 3.0
+    assert rows[1]["v_first"] == 4.0 and rows[1]["v_last"] == 5.0
+    assert rows[0]["n_points"] == 2 and rows[1]["n_points"] == 2
+
+    with pytest.raises(ValueError, match="after end"):
+        m4_downsample(df, "key", "time", "value", 2,
+                      t_range=("2024-01-02", "2024-01-01"))
+    with pytest.raises(ValueError, match="n_buckets"):
+        m4_downsample(df, "key", "time", "value", 0)
+
+
+def test_m4_single_bucket_and_empty(spark):
+    from tstore_spark.operators.downsample import m4_downsample
+
+    pdf = pd.DataFrame({
+        "key": ["a", "a", "b"],
+        "time": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-01"]),
+        "value": [5.0, 1.0, 9.0],
+    })
+    got = {(r["key"], r["bucket"]): r
+           for r in m4_downsample(spark.createDataFrame(pdf), "key", "time", "value", 1).collect()}
+    assert got[("a", 0)]["v_min"] == 1.0 and got[("a", 0)]["v_max"] == 5.0
+    assert got[("a", 0)]["v_first"] == 5.0 and got[("a", 0)]["v_last"] == 1.0
+    assert got[("b", 0)]["n_points"] == 1
+
+    empty = m4_downsample(
+        spark.createDataFrame(pdf).where("value > 100"), "key", "time", "value", 4)
+    assert empty.count() == 0
+    assert "bucket_start" in empty.columns

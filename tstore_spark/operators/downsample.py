@@ -133,3 +133,79 @@ def lttb_downsample(
 
     out = [key_col, time_col, value_col]
     return small.select(*out).unionByName(endpoints.select(*out)).unionByName(picked.select(*out))
+
+
+def m4_downsample(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    n_buckets: int,
+    t_range: tuple | None = None,
+) -> DataFrame:
+    """M4 visual aggregation (Jugel et al., "M4: A Visualization-Oriented
+    Time Series Data Aggregation", VLDB 2014): split the chart's time domain
+    into ``n_buckets`` pixel-column buckets and keep, per (key, bucket), the
+    four extremal values — first/last by time plus min/max — which is exactly
+    the point set an anti-aliased line render needs. Complements LTTB: M4 is
+    error-free for line charts at one row per pixel column x key, LTTB is
+    shape-preserving at arbitrary budgets.
+
+    Spark shape: ONE map-side-combinable groupBy over a pure-Catalyst integer
+    bucket id — no windows, no join, no Python; at 100 TB this is the same
+    plan as the rollup tiers. Every output is a SELECTION of an input value
+    (never arithmetic over floats): first/last ride min/max over a
+    (epoch_micros, value) struct — lexicographic, so duplicate timestamps
+    tie-break on value deterministically — making results bit-identical at
+    any parallelism and engine-reproducible for the oracle. Bucket bounds
+    use exact integer micros arithmetic (``div``); ``t_range=(lo, hi)``
+    timestamps clip the domain (rows outside are dropped, like a chart
+    viewport), default = the data's own [min, max]. NULL values are ignored
+    (a line chart has nothing to draw).
+
+    Output: (key, bucket, bucket_start, t_first, v_first, v_min, v_max,
+    t_last, v_last, n_points) with NTZ times.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    from tstore_spark.functions.timeparts import ntz_from_epoch_micros
+
+    e = ntz_epoch_micros(time_col)
+    pts = df.where(F.col(value_col).isNotNull()).withColumn("_e", e)
+    if t_range is not None:
+        import pandas as pd
+
+        lo = int(pd.Timestamp(t_range[0]).value // 1000)
+        hi = int(pd.Timestamp(t_range[1]).value // 1000)
+        if hi < lo:
+            raise ValueError(f"t_range start {t_range[0]} is after end {t_range[1]}")
+    else:
+        row = pts.agg(F.min("_e"), F.max("_e")).head()
+        # all-null/empty input: any bounds work — the filtered plan below
+        # yields zero rows with the correct schema (key type preserved)
+        lo, hi = (0, 0) if row[0] is None else (int(row[0]), int(row[1]))
+    span = hi - lo + 1  # +1 keeps e == hi inside the last bucket
+    pts = pts.where((F.col("_e") >= lo) & (F.col("_e") <= hi)).withColumn(
+        "_b", F.expr(f"(( _e - {lo} ) * {n_buckets}) div {span}")
+    )
+    v = F.col(value_col).cast("double")
+    agg = pts.groupBy(F.col(key_col), F.col("_b").alias("bucket")).agg(
+        F.min(F.struct(F.col("_e"), v.alias("v"))).alias("_f"),
+        F.max(F.struct(F.col("_e"), v.alias("v"))).alias("_l"),
+        F.min(v).alias("v_min"),
+        F.max(v).alias("v_max"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    bucket_start = F.lit(lo) + F.expr(f"(bucket * {span}) div {n_buckets}")
+    return agg.select(
+        key_col,
+        "bucket",
+        ntz_from_epoch_micros(bucket_start).alias("bucket_start"),
+        ntz_from_epoch_micros(F.col("_f._e")).alias("t_first"),
+        F.col("_f.v").alias("v_first"),
+        "v_min",
+        "v_max",
+        ntz_from_epoch_micros(F.col("_l._e")).alias("t_last"),
+        F.col("_l.v").alias("v_last"),
+        "n_points",
+    )
