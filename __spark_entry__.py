@@ -705,6 +705,23 @@ def _q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density heatmap of event values on a 16x8 pixel grid per event_type:
+    exact integer micros x cents cell assignment, one map-side-combined
+    groupBy. Oracle replays the identical integer bucket math in SQL."""
+    from tstore_spark.operators.downsample import heatmap_downsample
+
+    ev = _t(spark, sf_dir, "events")
+    out = heatmap_downsample(ev, "event_type", "ts", "value", 16, 8)
+    return out.select(
+        "key",
+        F.col("t_bucket").cast("long").alias("t_bucket"),
+        F.col("v_bucket").cast("long").alias("v_bucket"),
+        "t_start", "v_lo",
+        F.col("n_points").cast("long").alias("n_points"),
+    )
+
+
 def _q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shape-preserving downsample of each event_type's value series to 48
     points via parallel fixed-anchor LTTB. Oracle replays the identical
@@ -1643,6 +1660,18 @@ def _q_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value against time (PromQL
+    deriv/predict_linear): exact integer sufficient statistics over floored
+    minutes-since-anchor x cents, slope/intercept/r2 derived with one fixed
+    double expression each. Oracle replays the identical discretization and
+    formulas in SQL — same integers, same op order, identical double bits."""
+    from tstore_spark.operators.trend import trend_fit
+
+    ev = _t(spark, sf_dir, "events")
+    return trend_fit(ev, "event_type", "ts", "value", cents=True)
+
+
 def _q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM drift statistics over the per-type 1-minute value
     series (integer cents), using the cumsum-minus-running-min identity —
@@ -2121,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": _q_html_extract,
         "lttb_downsample": _q_lttb,
         "m4_downsample": _q_m4_downsample,
+        "heatmap_downsample": _q_heatmap,
         "top_ngrams": _q_top_ngrams,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "bloom_new_docs": _q_bloom_new_docs,
@@ -2159,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_search": _q_proximity_search,
         "series_corr": _q_series_corr,
         "lead_lag_corr": _q_lead_lag_corr,
+        "trend_fit": _q_trend_fit,
         "cusum_drift": _q_cusum_drift,
         "seasonal_baseline": _q_seasonal_baseline,
         "lang_drift": _q_lang_drift,
@@ -2431,6 +2462,30 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": _html_extract_oracle(),
         "lttb_downsample": _LTTB_ORACLE,
         "m4_downsample": _M4_ORACLE,
+        "heatmap_downsample": """
+            WITH pts AS (
+              SELECT event_type AS key, epoch_us(ts) AS e,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events WHERE value IS NOT NULL),
+            bounds AS (
+              SELECT MIN(e) AS t_lo, MAX(e) - MIN(e) + 1 AS t_span,
+                     MIN(c) AS v_lo, MAX(c) - MIN(c) + 1 AS v_span
+              FROM pts),
+            b AS (
+              SELECT key, t_lo, t_span, v_lo, v_span,
+                     ((e - t_lo) * 16) // t_span AS t_bucket,
+                     ((c - v_lo) * 8) // v_span AS v_bucket
+              FROM pts, bounds)
+            SELECT key,
+                   CAST(t_bucket AS BIGINT) AS t_bucket,
+                   CAST(v_bucket AS BIGINT) AS v_bucket,
+                   make_timestamp(ANY_VALUE(t_lo)
+                     + (t_bucket * ANY_VALUE(t_span)) // 16) AS t_start,
+                   CAST(ANY_VALUE(v_lo)
+                     + (v_bucket * ANY_VALUE(v_span)) // 8 AS DOUBLE) / 100.0 AS v_lo,
+                   CAST(COUNT(*) AS BIGINT) AS n_points
+            FROM b GROUP BY key, t_bucket, v_bucket
+        """,
         "time_weighted_avg": _TWA_ORACLE,
         "counter_rate": _COUNTER_RATE_ORACLE,
         "rolling_stats": _ROLLING_STATS_ORACLE,
@@ -2622,6 +2677,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'spark')
               AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'window')
               AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'hash')
+        """,
+        "trend_fit": """
+            WITH pts AS (
+                SELECT event_type AS key, epoch_us(ts) AS e,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events WHERE value IS NOT NULL),
+            anchor AS (SELECT MIN(e) AS a FROM pts),
+            tt AS (
+                SELECT key, CAST(floor((e - a) / 60000000) AS BIGINT) AS t, v
+                FROM pts, anchor),
+            stats AS (
+                SELECT key,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(t) AS BIGINT) AS st,
+                       CAST(SUM(v) AS BIGINT) AS sv,
+                       CAST(SUM(t * v) AS BIGINT) AS stv,
+                       CAST(SUM(t * t) AS BIGINT) AS stt,
+                       CAST(SUM(v * v) AS BIGINT) AS svv
+                FROM tt GROUP BY key),
+            d AS (
+                SELECT *,
+                       CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                         - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) AS den,
+                       CAST(n AS DOUBLE) * CAST(stv AS DOUBLE)
+                         - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE) AS num,
+                       CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                         - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) AS vden
+                FROM stats)
+            SELECT key, n, st, sv, stv, stt, svv,
+                   CASE WHEN den > 0 THEN (num / den) / 100.0 END AS slope,
+                   CASE WHEN den > 0 THEN
+                     ((CAST(sv AS DOUBLE) - (num / den) * CAST(st AS DOUBLE))
+                        / CAST(n AS DOUBLE)) / 100.0 END AS intercept,
+                   CASE WHEN den > 0 AND vden > 0 THEN
+                     (num * num) / (den * vden) END AS r2
+            FROM d
         """,
         "series_corr": """
             WITH s AS (

@@ -190,3 +190,54 @@ def test_m4_single_bucket_and_empty(spark):
         spark.createDataFrame(pdf).where("value > 100"), "key", "time", "value", 4)
     assert empty.count() == 0
     assert "bucket_start" in empty.columns
+
+
+# -------------------------------------------------------------- heatmap
+def test_heatmap_matches_reference_and_is_deterministic(spark):
+    import numpy as np
+
+    from tstore_spark.operators.downsample import heatmap_downsample
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    pdf = pd.DataFrame({
+        "key": [f"k{i % 2}" for i in range(n)],
+        "time": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 7 * 86400, n), unit="s"),
+        "value": np.round(rng.normal(0, 30, n), 2),
+    })
+    pdf.loc[0, "value"] = None  # skipped
+
+    # straight-line reference with the identical integer math
+    live = pdf.dropna(subset=["value"])
+    e = live["time"].astype("datetime64[us]").astype("int64")
+    c = (live["value"] * 100).round().astype("int64")
+    t_lo, t_span = e.min(), e.max() - e.min() + 1
+    v_lo, v_span = c.min(), c.max() - c.min() + 1
+    ref = {}
+    for k, ee, cc in zip(live["key"], e, c):
+        cell = (k, (ee - t_lo) * 16 // t_span, (cc - v_lo) * 8 // v_span)
+        ref[cell] = ref.get(cell, 0) + 1
+
+    outs = []
+    for parts in (1, 16):
+        got = heatmap_downsample(
+            spark.createDataFrame(pdf).repartition(parts), "key", "time", "value", 16, 8
+        ).collect()
+        outs.append(sorted(tuple(r) for r in got))
+    assert outs[0] == outs[1]  # bit-identical across parallelism
+
+    got_map = {(r[0], r[1], r[2]): r for r in outs[0]}
+    assert {k: v for k, v in ref.items()} == {
+        k: r[5] for k, r in got_map.items()
+    }
+    assert sum(ref.values()) == n - 1
+
+    # global domain: edges identical across keys for the same bucket ids
+    edges = {}
+    for r in outs[0]:
+        prev = edges.setdefault((r[1], r[2]), (r[3], r[4]))
+        assert prev == (r[3], r[4])
+
+    with pytest.raises(ValueError, match="t_buckets"):
+        heatmap_downsample(spark.createDataFrame(pdf), "key", "time", "value", 0, 8)

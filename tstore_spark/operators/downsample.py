@@ -135,6 +135,64 @@ def lttb_downsample(
     return small.select(*out).unionByName(endpoints.select(*out)).unionByName(picked.select(*out))
 
 
+def heatmap_downsample(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    t_buckets: int,
+    v_buckets: int,
+) -> DataFrame:
+    """Density heatmap: exact point counts on a ``t_buckets`` x
+    ``v_buckets`` pixel grid per key — the standard render when series
+    count or point density makes line charts unreadable (M4's own paper
+    positions density tiles as the line chart's high-cardinality sibling).
+
+    Same execution shape and exactness discipline as :func:`m4_downsample`:
+    ONE map-side-combined groupBy over two pure-Catalyst integer bucket
+    ids — no window, no join, no Python. Time buckets use exact integer
+    micros math; value buckets use exact integer CENTS (``round(v*100)``),
+    so cell assignment is integer arithmetic end-to-end and counts are
+    bit-identical at any parallelism and engine-reproducible. Bucket
+    domains are GLOBAL (the data's own [min, max], one tiny agg action) so
+    tiles align across keys. NULL values are skipped. Cell edges ``t_start``
+    / ``v_lo`` are derived from the same integers (inclusive lower edges;
+    the max point lands in the last bucket via the span+1 trick).
+
+    Output: (key, t_bucket, v_bucket, t_start, v_lo, n_points).
+    """
+    if t_buckets < 1 or v_buckets < 1:
+        raise ValueError("t_buckets and v_buckets must be >= 1")
+    from tstore_spark.functions.timeparts import ntz_from_epoch_micros
+
+    pts = df.where(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        ntz_epoch_micros(time_col).alias("_e"),
+        F.round(F.col(value_col) * 100).cast("long").alias("_c"),
+    )
+    row = pts.agg(F.min("_e"), F.max("_e"), F.min("_c"), F.max("_c")).head()
+    t_lo, t_hi = (0, 0) if row[0] is None else (int(row[0]), int(row[1]))
+    v_lo, v_hi = (0, 0) if row[2] is None else (int(row[2]), int(row[3]))
+    t_span, v_span = t_hi - t_lo + 1, v_hi - v_lo + 1
+    cells = pts.groupBy(
+        "key",
+        F.expr(f"((_e - {t_lo}) * {t_buckets}) div {t_span}").alias("t_bucket"),
+        F.expr(f"((_c - {v_lo}) * {v_buckets}) div {v_span}").alias("v_bucket"),
+    ).agg(F.count(F.lit(1)).alias("n_points"))
+    t_start = F.lit(t_lo) + F.expr(f"(t_bucket * {t_span}) div {t_buckets}")
+    v_edge = (F.lit(v_lo) + F.expr(f"(v_bucket * {v_span}) div {v_buckets}")).cast(
+        "double"
+    ) / F.lit(100.0)
+    return cells.select(
+        "key",
+        "t_bucket",
+        "v_bucket",
+        ntz_from_epoch_micros(t_start).alias("t_start"),
+        v_edge.alias("v_lo"),
+        "n_points",
+    )
+
+
 def m4_downsample(
     df: DataFrame,
     key_col: str,
