@@ -29,6 +29,7 @@ from tstore_spark.operators import gorilla
 from tstore_spark.operators import multimodal as MM
 from tstore_spark.operators import similarity as SIM
 from tstore_spark.operators.gapfill import gap_fill
+from tstore_spark.operators.graph import pagerank_oracle_sql
 from tstore_spark.operators.metric_rollup import (
     finalize,
     metric_rollup_all_tiers,
@@ -854,6 +855,61 @@ def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.alias("clean_text"),
         F.length(clean).cast("long").alias("clean_len"),
     )
+
+
+def _link_edges(docs: DataFrame) -> DataFrame:
+    """Deterministic host-link graph: each document becomes a page on host
+    s<doc_id%20>.example.com carrying two hrefs to d<f(doc_id)%40> hosts.
+    The edges are recovered by the REAL extraction chain
+    (regexp_extract_all over the html -> parse_url hosts -> distinct);
+    the oracle derives the same edge set algebraically from doc_id, so the
+    whole html->link->host pipeline is cross-checked, not assumed."""
+    from tstore_spark.operators.graph import extract_links, host_edges
+
+    d = F.col("doc_id")
+    h1 = F.concat(F.lit("d"), ((d * 7 + 1) % 40).cast("string"), F.lit(".example.com"))
+    h2 = F.concat(F.lit("d"), ((d * 3 + 2) % 40).cast("string"), F.lit(".example.com"))
+    pages = docs.select(
+        F.concat(
+            F.lit("http://s"), (d % 20).cast("string"), F.lit(".example.com/page/"), d.cast("string")
+        ).alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="http://'), h1,
+            F.lit('/p">x</a> text <a href=\'http://'), h2,
+            F.lit("/q?z=1'>y</a></body></html>"),
+        ).alias("html"),
+    )
+    return host_edges(extract_links(pages))
+
+
+_LINK_EDGES_SQL = """
+    SELECT 's' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS src,
+           'd' || CAST((doc_id * 7 + 1) % 40 AS VARCHAR) || '.example.com' AS dst
+    FROM documents
+    UNION
+    SELECT 's' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS src,
+           'd' || CAST((doc_id * 3 + 2) % 40 AS VARCHAR) || '.example.com' AS dst
+    FROM documents
+"""
+
+
+def _q_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out/in degree of the deterministic doc-derived host graph, computed
+    through the real html-extraction chain (operators/graph.py)."""
+    from tstore_spark.operators.graph import host_degrees
+
+    return host_degrees(_link_edges(_t(spark, sf_dir, "documents")))
+
+
+def _q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer PageRank (3 iterations, damping 85/100, scale 1e12)
+    over the doc-derived host graph. Ranks are longs -> the oracle (the
+    generated SQL twin of the same integer recursion) matches bit-for-bit;
+    deterministic at any parallelism because every step is integer
+    arithmetic over order-independent sums."""
+    from tstore_spark.operators.graph import pagerank
+
+    return pagerank(_link_edges(_t(spark, sf_dir, "documents")), iterations=3)
 
 
 def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2147,6 +2203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "token_jaccard_pairs": _q_token_jaccard,
         "url_canonicalize": _q_url_canonicalize,
+        "link_degrees": _q_link_degrees,
+        "pagerank_hosts": _q_pagerank_hosts,
         "html_extract": _q_html_extract,
         "lttb_downsample": _q_lttb,
         "m4_downsample": _q_m4_downsample,
@@ -2456,6 +2514,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE jaccard >= 0.98
         """,
         "url_canonicalize": _url_canonicalize_oracle(),
+        "link_degrees": f"""
+            WITH e AS ({_LINK_EDGES_SQL}),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+            o AS (SELECT src AS node, COUNT(*) AS c FROM e GROUP BY src),
+            i AS (SELECT dst AS node, COUNT(*) AS c FROM e GROUP BY dst)
+            SELECT n.node,
+                   CAST(COALESCE(o.c, 0) AS BIGINT) AS out_degree,
+                   CAST(COALESCE(i.c, 0) AS BIGINT) AS in_degree
+            FROM nodes n LEFT JOIN o ON n.node = o.node LEFT JOIN i ON n.node = i.node
+        """,
+        "pagerank_hosts": pagerank_oracle_sql(_LINK_EDGES_SQL, iterations=3),
         # html construction + strip/decode chain generated from the SAME
         # pattern tables the Spark function uses (TX.HTML_STRIP_PATTERNS /
         # HTML_ENTITIES) — the chains cannot drift apart

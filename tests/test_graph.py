@@ -1,0 +1,99 @@
+"""Host-link graph operators: extraction, degrees, exact integer PageRank."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from tstore_spark.operators.graph import (
+    extract_links,
+    host_degrees,
+    host_edges,
+    pagerank,
+    pagerank_oracle_sql,
+)
+
+HTML = [
+    ("http://a.com/1", b'<html><a href="http://b.com/x">b</a> <a href=\'http://c.com/\'>c</a></html>'),
+    ("http://b.com/1", b'<a href="http://a.com/">back</a><a href="/relative">rel</a>'),
+    ("http://c.com/1", b"<html>no links</html>"),
+    ("http://a.com/2", b'<a href="http://b.com/y">b again</a>'),
+]
+
+
+def _pure_python_pagerank(edges, iterations=3, damping_pct=85, scale=10**12):
+    """The identical integer recursion, straight-line Python."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r0 = scale // n
+    base = ((100 - damping_pct) * r0) // 100
+    rank = {v: r0 for v in nodes}
+    for _ in range(iterations):
+        s = {v: 0 for v in nodes}
+        for u, v in edges:
+            s[v] += rank[u] // deg[u]
+        rank = {v: base + (damping_pct * s[v]) // 100 for v in nodes}
+    return rank
+
+
+def test_extract_links_and_host_edges(spark):
+    pages = spark.createDataFrame(pd.DataFrame(HTML, columns=["url", "html"]))
+    links = extract_links(pages).toPandas()
+    assert len(links) == 5  # relative link still extracted here
+    edges = host_edges(extract_links(pages)).toPandas()
+    got = {tuple(r) for r in edges.itertuples(index=False)}
+    # relative href has no host -> dropped; multi-links a->b dedup to one edge
+    assert got == {("a.com", "b.com"), ("a.com", "c.com"), ("b.com", "a.com")}
+
+
+def test_extract_links_string_column(spark):
+    pages = spark.createDataFrame(
+        [("http://a.com/", '<a href="http://b.com/">x</a>')], "url string, html string"
+    )
+    assert extract_links(pages).count() == 1
+
+
+def test_host_degrees(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("c", "b")], "src string, dst string"
+    )
+    deg = {r["node"]: (r["out_degree"], r["in_degree"]) for r in host_degrees(edges).collect()}
+    assert deg == {"a": (2, 0), "b": (0, 2), "c": (1, 1)}
+
+
+EDGES = [
+    ("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"),
+    ("a", "b"), ("d", "a"),
+]
+
+
+def test_pagerank_matches_pure_python(spark):
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=4).collect()}
+    want = _pure_python_pagerank(EDGES, iterations=4)
+    assert got == want
+    # leaf-only nodes sit at the base level, below the well-linked nodes
+    assert got["c"] == got["d"] < got["hub"]
+
+
+def test_pagerank_deterministic_across_partitioning(spark):
+    e = spark.createDataFrame(EDGES, "src string, dst string")
+    a = sorted(map(tuple, pagerank(e.repartition(7), iterations=3).collect()))
+    b = sorted(map(tuple, pagerank(e.coalesce(1), iterations=3).collect()))
+    assert a == b
+
+
+def test_pagerank_oracle_sql_parity(spark):
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in EDGES)
+    sql = pagerank_oracle_sql(f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", iterations=3)
+    want = dict(duckdb.sql(sql).fetchall())
+    assert got == want
+
+
+def test_pagerank_empty_edges(spark):
+    e = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(e).count() == 0

@@ -1,0 +1,187 @@
+"""Host-link graph operators: link extraction, degrees, exact PageRank.
+
+Web-corpus counterpart of the reference's per-id series model: the "series"
+is the crawl's host graph. Nothing here exists in the reference
+(ltelab/tstore has no graph layer); the operators follow the repo's two
+standing rules:
+
+* **Exact under parallelism.** PageRank is computed in scaled integer
+  arithmetic: ranks are longs in units of ``scale`` (default 1e12), each
+  edge carries ``rank div out_degree`` (integer division, the remainder
+  leaks deterministically), and every per-node update is
+  ``base + (damping_pct * sum(shares)) div 100``. Sums of longs are
+  order-independent, so the result is bit-identical at any partitioning —
+  and replicable by any SQL engine with ``//`` (the oracle).
+* **JVM-side hot path.** Link extraction is ``regexp_extract_all`` over the
+  decoded html (codegen), host derivation is ``parse_url`` — no Python.
+
+Scale shape: each iteration is one node-sized join (ranks ⋈ out-degree,
+both keyed by node) followed by one edge-sized join (edges ⋈ per-source
+share, keyed by src) and one ``groupBy(dst)`` aggregation — the classic
+Pregel-on-DataFrames plan, all shuffles on uniform-hash keys. Lineage is
+cut per iteration with ``localCheckpoint`` (the same guard
+``dedup_clusters`` uses) so a 20-iteration run does not compound a
+20-deep plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: href attribute matcher — double- or single-quoted values.
+HREF_RE = r"""href=["']([^"']*)["']"""
+
+
+def extract_links(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """All ``href`` targets per page: ``(src_url, href)`` rows.
+
+    The html column may be BINARY (the pages schema) or STRING; binary is
+    decoded as UTF-8 JVM-side. Pages with no links produce no rows
+    (explode of an empty array), so the edge table is link-proportional,
+    not page-proportional.
+    """
+    h = F.col(html_col)
+    if dict(pages.dtypes)[html_col] == "binary":
+        h = F.decode(h, "UTF-8")
+    return pages.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(F.regexp_extract_all(h, F.lit(HREF_RE), 1)).alias("href"),
+    )
+
+
+def host_edges(links: DataFrame, src_col: str = "src_url", dst_col: str = "href") -> DataFrame:
+    """Distinct host→host edges from a ``(src_url, href)`` link table.
+
+    Self-loops and links whose host cannot be parsed (relative hrefs,
+    mailto:, fragments) are dropped — relative links stay on the same
+    host and would only add self-loops.
+    """
+    e = links.select(
+        F.parse_url(F.col(src_col), F.lit("HOST")).alias("src"),
+        F.parse_url(F.col(dst_col), F.lit("HOST")).alias("dst"),
+    )
+    return e.where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull() & (F.col("src") != F.col("dst"))
+    ).distinct()
+
+
+def host_degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node out/in degree over the full node set (missing side = 0)."""
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(F.count("*").alias("out_degree"))
+    in_d = edges.groupBy(F.col(dst).alias("node")).agg(F.count("*").alias("in_degree"))
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Exact integer PageRank: ``(node, rank)`` with rank a long in units
+    of ``scale`` (i.e. ``rank / scale`` ≈ the conventional probability).
+
+    Semantics (every step pure integer arithmetic, mirrored verbatim by
+    the SQL oracle):
+
+    * nodes = distinct(src) ∪ distinct(dst), N = |nodes|
+    * r₀(v) = ``scale // N`` for every v
+    * share(u→v) = ``r(u) div out_degree(u)`` — integer division; the
+      remainder (< out_degree) leaks, identically in every engine
+    * r'(v) = ``((100 - damping_pct) * (scale // N)) // 100
+      + (damping_pct * Σ share(u→v)) // 100``
+
+    Dangling-node mass (nodes with no out-edges) leaks rather than being
+    redistributed — a deliberate simplification that keeps the per-node
+    update free of a global aggregate per iteration; ranks are therefore
+    a deterministic lower fixpoint of the classic formulation. Multi-edges
+    must be deduplicated by the caller (``host_edges`` already does).
+
+    ``iterations`` is a fixed count, not a convergence test — convergence
+    deltas are float-order-dependent; a fixed integer recursion is not.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    n = nodes.count()  # one scalar to the driver — bounded, documented
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    r0 = scale // n
+    base = ((100 - damping_pct) * r0) // 100
+
+    nodes = nodes.localCheckpoint(eager=False)
+    ranks = nodes.withColumn("rank", F.lit(r0).cast("long"))
+    for _ in range(iterations):
+        # node-sized join first: per-source share, then one edge join
+        share = ranks.join(out_deg, "node").select(
+            F.col("node").alias("src"),
+            F.expr("rank div deg").alias("share"),
+        )
+        contrib = (
+            e.join(share, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> str:
+    """DuckDB twin of :func:`pagerank`, generated from the same constants
+    so the two recursions cannot drift. ``edges_sql`` must yield distinct
+    ``(src, dst)`` rows. Integer division is ``//`` (DuckDB) vs ``div``
+    (Spark) — identical on the non-negative longs used here; HUGEINT sums
+    are cast back to BIGINT per the repo's oracle discipline.
+    """
+    parts = [
+        f"e AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS rank FROM nodes)",
+    ]
+    base = (
+        f"CAST((({100 - damping_pct}) * ({scale} // (SELECT n FROM nn))) // 100 AS BIGINT)"
+    )
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"r{i} AS (SELECT n.node, {base} + ({damping_pct} * COALESCE(s.c, 0)) // 100 AS rank "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS c "
+            f"FROM e JOIN {prev} r ON e.src = r.node JOIN deg d ON d.node = e.src "
+            f"GROUP BY e.dst) s ON n.node = s.node)"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH " + ", ".join(parts) + f" SELECT node, CAST(rank AS BIGINT) AS rank FROM {prev}"
+    )
