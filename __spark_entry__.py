@@ -912,6 +912,76 @@ def _q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_link_edges(_t(spark, sf_dir, "documents")), iterations=3)
 
 
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |S(a)∩S(b)|/|S(a)| over documents —
+    the quote/aggregator relation Jaccard LSH can't see. Candidates =
+    shared-shingle equi-join (exact, both engines); both directions
+    emitted per unordered pair."""
+    return DD.containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    ).select(
+        F.col("contained_id").cast("long").alias("contained_id"),
+        F.col("container_id").cast("long").alias("container_id"),
+        "containment",
+    )
+
+
+def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings: tf of 'spark'
+    (from the real inverted index) and a doc-length prior. Ranks are
+    integers, each reciprocal is one IEEE division, and the fusion adds
+    the two reciprocals in fixed order — bit-identical in any engine
+    (the oracle runs the same expression), unlike BM25's ln()."""
+    from tstore_spark.operators.ranking import ranked_by, rrf_fuse
+    from tstore_spark.operators.search import build_inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = build_inverted_index(docs)
+    rank_tf = ranked_by(
+        idx.where(F.col("token") == "spark").select("doc_id", "tf"),
+        "doc_id",
+        F.desc("tf"),
+        limit=50,
+    )
+    rank_len = ranked_by(docs, "doc_id", F.desc("n_chars"), limit=50)
+    return rrf_fuse([rank_tf, rank_len], top=20)
+
+
+def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier scoring: median + MAD (both exact
+    interpolated percentiles rounded 4dp, so both engines share bits),
+    |x - med| > 3*MAD flags. Output = per-type med/mad + outlier count and
+    id-sum checksum (exact integers)."""
+    from tstore_spark.operators.robust import mad_scores
+
+    s = mad_scores(_t(spark, sf_dir, "events"), "event_type", "value", k=3.0)
+    return s.groupBy("event_type").agg(
+        F.max("med").alias("med"),
+        F.max("mad").alias("mad"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).cast("long").alias("n_outliers"),
+        F.coalesce(F.sum(F.when(F.col("is_outlier"), F.col("event_id"))), F.lit(0))
+        .cast("long")
+        .alias("outlier_id_sum"),
+    )
+
+
+def _q_winsorized_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type totals: values clipped to the type's exact
+    [p01, p99] (rounded 4dp), summed in integer cents; clip count rides
+    along. The tail-tamed mean a web-metrics pipeline actually trusts."""
+    from tstore_spark.operators.robust import winsorize
+
+    w = winsorize(_t(spark, sf_dir, "events"), "event_type", "value", 0.01, 0.99)
+    return w.groupBy("event_type").agg(
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.sum(F.round(F.col("winsorized") * 100).cast("long")).alias("wins_cents"),
+        F.sum(F.when(F.col("value") != F.col("winsorized"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped"),
+    )
+
+
 def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization over deterministically constructed messy URLs
     (upper-case scheme/host, default port, tracking params, fragment). The
@@ -2205,6 +2275,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _q_url_canonicalize,
         "link_degrees": _q_link_degrees,
         "pagerank_hosts": _q_pagerank_hosts,
+        "mad_outliers": _q_mad_outliers,
+        "winsorized_daily": _q_winsorized_daily,
+        "rrf_fusion": _q_rrf_fusion,
+        "containment_pairs": _q_containment,
         "html_extract": _q_html_extract,
         "lttb_downsample": _q_lttb,
         "m4_downsample": _q_m4_downsample,
@@ -2525,6 +2599,88 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n LEFT JOIN o ON n.node = o.node LEFT JOIN i ON n.node = i.node
         """,
         "pagerank_hosts": pagerank_oracle_sql(_LINK_EDGES_SQL, iterations=3),
+        "containment_pairs": r"""
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS l
+                FROM documents),
+            s AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(l) - 2, 1)),
+                           i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) AS sh
+                FROM t),
+            e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM s),
+            c AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+                       any_value(a.n) AS na, any_value(b.n) AS nb
+                FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT id_a AS contained_id, id_b AS container_id,
+                   round(CAST(inter AS DOUBLE) / na, 4) AS containment
+            FROM c WHERE round(CAST(inter AS DOUBLE) / na, 4) >= 0.5
+            UNION ALL
+            SELECT id_b, id_a, round(CAST(inter AS DOUBLE) / nb, 4)
+            FROM c WHERE round(CAST(inter AS DOUBLE) / nb, 4) >= 0.5
+        """,
+        "rrf_fusion": """
+            WITH tf AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+                    SELECT doc_id, u.tok
+                    FROM documents,
+                         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(tok)
+                    WHERE u.tok = 'spark')
+                GROUP BY doc_id
+            ),
+            ra AS (
+                SELECT doc_id, r FROM (
+                    SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS r FROM tf)
+                WHERE r <= 50
+            ),
+            rb AS (
+                SELECT doc_id, r FROM (
+                    SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r FROM documents)
+                WHERE r <= 50
+            )
+            SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+                   COALESCE(CAST(1 AS DOUBLE) / (60 + ra.r), CAST(0 AS DOUBLE))
+                 + COALESCE(CAST(1 AS DOUBLE) / (60 + rb.r), CAST(0 AS DOUBLE)) AS rrf_score
+            FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+            ORDER BY rrf_score DESC, doc_id
+            LIMIT 20
+        """,
+        "mad_outliers": """
+            WITH med AS (
+                SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+                FROM events GROUP BY event_type
+            ),
+            dev AS (
+                SELECT e.event_type, e.event_id, m.med,
+                       abs(e.value - m.med) AS abs_dev
+                FROM events e JOIN med m USING (event_type)
+            ),
+            mad AS (
+                SELECT event_type, round(quantile_cont(abs_dev, 0.5), 4) AS mad
+                FROM dev GROUP BY event_type
+            )
+            SELECT d.event_type, max(d.med) AS med, max(m.mad) AS mad,
+                   CAST(COUNT(*) FILTER (WHERE d.abs_dev > 3.0 * m.mad) AS BIGINT) AS n_outliers,
+                   CAST(COALESCE(SUM(d.event_id) FILTER (WHERE d.abs_dev > 3.0 * m.mad), 0) AS BIGINT) AS outlier_id_sum
+            FROM dev d JOIN mad m USING (event_type)
+            GROUP BY d.event_type
+        """,
+        "winsorized_daily": """
+            WITH b AS (
+                SELECT event_type,
+                       round(quantile_cont(value, 0.01), 4) AS lo,
+                       round(quantile_cont(value, 0.99), 4) AS hi
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_type, max(b.lo) AS lo, max(b.hi) AS hi,
+                   CAST(SUM(CAST(round(least(greatest(e.value, b.lo), b.hi) * 100) AS BIGINT)) AS BIGINT) AS wins_cents,
+                   CAST(COUNT(*) FILTER (WHERE e.value <> least(greatest(e.value, b.lo), b.hi)) AS BIGINT) AS n_clipped
+            FROM events e JOIN b USING (event_type)
+            GROUP BY e.event_type
+        """,
         # html construction + strip/decode chain generated from the SAME
         # pattern tables the Spark function uses (TX.HTML_STRIP_PATTERNS /
         # HTML_ENTITIES) — the chains cannot drift apart

@@ -193,6 +193,25 @@ def main(sf_dir: str) -> int:
     check("zorder.no_shuffle", "Exchange" not in p,
           "key projection alone adds no shuffle")
 
+    # 16. PageRank: every per-iteration join is a hash equi-join (never a
+    # nested loop), and the rank/share derivation stays JVM-side
+    p = plan_of(qs["pagerank_hosts"](spark, sf_dir))
+    check("pagerank.no_cartesian",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+          "contribution joins are equi, not nested loop")
+    check("pagerank.jvm", "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "integer recursion is Catalyst expressions, no Python")
+
+    # 17. RRF fusion: tiny ranked lists fuse via broadcast joins
+    p = plan_of(qs["rrf_fusion"](spark, sf_dir))
+    check("rrf.no_cartesian", "CartesianProduct" not in p, "fusion joins are equi")
+
+    # 18. containment: candidates from the shared-shingle equi-join
+    p = plan_of(qs["containment_pairs"](spark, sf_dir))
+    check("containment.no_cartesian",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+          "pair generation is the gram equi-join, never all-pairs")
+
     spark.stop()
     print(f"\n{'ALL PASS' if not failures else 'FAILURES: ' + ', '.join(failures)}")
     return 1 if failures else 0

@@ -277,6 +277,64 @@ def token_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment: ``(contained_id, container_id,
+    containment)`` where containment = |S(a) ∩ S(b)| / |S(a)| ≥ threshold.
+
+    Detects quotes and aggregator pages — a small doc fully embedded in a
+    big one. Jaccard (and therefore minhash LSH) cannot see these: a
+    200-shingle doc inside a 20k-shingle page has J ≈ 0.01 but containment
+    1.0. Candidates come from a shared-shingle equi-join (a pair is
+    compared iff it shares ≥ 1 shingle — exactly the oracle's semantics),
+    intersections are counted per pair in one groupBy, and BOTH directions
+    are emitted from each unordered pair.
+
+    Scale: the equi-join is linear in posting-list sizes but quadratic in
+    each shingle's document frequency — boilerplate shingles are the skew
+    bomb. ``max_gram_df`` drops grams shared by more than that many docs
+    (the standard rare-shingle restriction; a surviving pair must then
+    share at least one RARE shingle — document the recall trade when used).
+    Default None = exact, matching the SQL oracle.
+    """
+    ex = exploded_hashed_shingles(df, id_col, text_col, n)
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    if max_gram_df is not None:
+        keep = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("_df")).where(
+            F.col("_df") <= max_gram_df
+        )
+        ex = ex.join(keep.select("gram"), "gram")
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sized = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+    )
+    thr = F.lit(float(threshold))
+
+    def _one_side(small: str, big: str, n_small: str) -> DataFrame:
+        c = F.round(F.col("_inter") / F.col(n_small), 4)
+        return sized.select(
+            F.col(small).alias("contained_id"),
+            F.col(big).alias("container_id"),
+            c.alias("containment"),
+        ).where(F.col("containment") >= thr)
+
+    return _one_side("id_a", "id_b", "_na").unionAll(_one_side("id_b", "id_a", "_nb"))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
