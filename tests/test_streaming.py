@@ -175,3 +175,67 @@ def test_stream_cascade_hll_registers_match_batch_sketch(spark, stream_dirs):
              .agg(F.countDistinct("lang").alias("n")).collect()}
     for k in closed:
         assert abs(est[k] - exact[k]) <= max(1.0, 0.05 * exact[k]), (k, est[k], exact[k])
+
+
+def test_stream_cascade_ddsketch_matches_batch_sketch(spark, stream_dirs):
+    """Percentiles through the chained cascade: per-bucket counts sum-merge
+    through every stateful stage, so each CLOSED hour's sparse (b, cnt)
+    array equals the batch dd_sketch over the same rows exactly, and the
+    quantile estimates obey the DDSketch relative-error theorem vs exact."""
+    import datetime
+    import math
+
+    from tstore_spark.functions.urls import domain_of
+    from tstore_spark.operators.ddsketch import (
+        DEFAULT_GAMMA,
+        dd_sketch,
+        relative_error_bound,
+        with_dd_quantiles,
+    )
+    from tstore_spark.streaming.stream_rollup import stream_rollup_cascade_ddsketch
+
+    base, src, sdf = stream_dirs
+    stream = read_pages_stream(spark, src, sdf.schema, max_files_per_trigger=2)
+    tier = stream_rollup_cascade_ddsketch(stream, ("1m", "1h"), watermark="0 seconds")
+    q = write_stream_tier(
+        tier, f"{base}/tier1h_dd", f"{base}/ckpt1h_dd", trigger_available_now=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{base}/tier1h_dd")
+    assert set(got.columns) == {
+        "domain", "window_start", "doc_count", "bytes_total", "dd", "dd_zeros"}
+
+    keyed = sdf.select(
+        domain_of("url").alias("domain"),
+        F.date_trunc("hour", F.col("warc_ts")).alias("window_start"),
+        F.length("text").alias("tlen"),
+    )
+    batch_sk = dd_sketch(keyed, ["domain", "window_start"], "tlen")
+    b_sk = {(r["domain"], r["window_start"]):
+            ([(e["b"], e["cnt"]) for e in r["dd"]], r["dd_zeros"])
+            for r in batch_sk.collect()}
+    max_ts = sdf.agg(F.max("warc_ts")).head()[0]
+    closed = {k for k in b_sk if k[1] + datetime.timedelta(hours=1) <= max_ts}
+    g_sk = {(r["domain"], r["window_start"]):
+            ([(e["b"], e["cnt"]) for e in r["dd"]], r["dd_zeros"])
+            for r in got.collect()}
+    assert set(g_sk) == closed
+    for k in closed:
+        assert g_sk[k] == b_sk[k], f"bucket drift at {k}"
+
+    # quantiles from the streamed sketch obey the relative-error THEOREM,
+    # which is stated against the exact RANK statistic (the
+    # floor(q*(n-1))-th smallest), not the interpolated percentile
+    est = with_dd_quantiles(got, qs=(0.5, 0.99)).select(
+        "domain", "window_start", "dd_q").collect()
+    exact = {
+        (r["domain"], r["window_start"]): sorted(r["v"])
+        for r in keyed.groupBy("domain", "window_start")
+        .agg(F.collect_list("tlen").alias("v")).collect()
+    }
+    bound = relative_error_bound(DEFAULT_GAMMA) * 1.001  # float slack only
+    for r in est:
+        vals = exact[(r["domain"], r["window_start"])]
+        for q, e in zip((0.5, 0.99), r["dd_q"]):
+            x = vals[math.floor(q * (len(vals) - 1))]
+            assert abs(e - x) <= bound * x, (q, e, x)

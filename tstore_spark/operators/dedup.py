@@ -277,6 +277,41 @@ def token_jaccard_pairs(
     )
 
 
+def shingle_jaccard_pairs_exact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT shingle-Jaccard pairs via the shared-shingle equi-join — the
+    SQL oracle's semantics, distributed: any J>0 pair shares >= 1 shingle,
+    so the equi-join's candidate set has perfect recall; intersections are
+    counted in one groupBy; J = inter / (|A| + |B| - inter) on exact ints.
+
+    Quadratic in per-gram document frequency — this is the ground-truth /
+    verification path (gate scale), not the corpus-scale sketch path
+    (:func:`minhash_near_dup_pairs`); at scale apply the same rare-shingle
+    restriction as :func:`containment_pairs` ``max_gram_df``.
+    """
+    ex = exploded_hashed_shingles(df, id_col, text_col, n)
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sized = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+    )
+    j = F.round(F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")), 4)
+    return sized.select("id_a", "id_b", j.alias("jaccard")).where(
+        F.col("jaccard") >= F.lit(float(threshold))
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -139,16 +139,23 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
-    n_planes: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 32,
     seed: int = 42,
     round_digits: int = 3,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim >= threshold).
 
     method='exact': all-pairs — the oracle baseline, O(N^2), only for bounded
-    inputs. method='lsh': random-hyperplane bucketing first, exact cosine
-    verify within buckets — the scale path (recall < 1 for pairs straddling a
-    hyperplane; raise recall with fewer planes or multi-probe).
+    inputs. method='lsh': OR-amplified multi-table hyperplane bucketing —
+    a pair is a candidate if it shares a bucket in ANY of ``n_tables``
+    tables of ``n_planes`` planes (the same amplification
+    :func:`lsh_ann_topk` uses; a single table is a documented recall trap —
+    at cos 0.45 ten planes agree with probability ~1.5%). With the defaults
+    (4 planes x 32 tables) a threshold-0.45 pair is a candidate with
+    p ≥ 1-(1-0.648^4)^32 ≈ 99.8%, rising steeply with similarity; verify is
+    exact cosine, so precision is always 1. Only (id, table, bucket) rows
+    ride the explode — vectors join back per deduplicated candidate pair.
     """
     v = vectors.select(F.col(id_col), F.col(vec_col))
     if method == "exact":
@@ -157,12 +164,26 @@ def embedding_near_dup_pairs(
     elif method == "lsh":
         if dim is None:
             raise ValueError("dim is required for method='lsh'")
-        vb = add_lsh_bucket(v, dim, n_planes, seed, vec_col)
-        a, b = vb.alias("a"), vb.alias("b")
-        cand = a.join(
-            b,
-            (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        vt = add_lsh_tables(v, dim, n_tables, n_planes, seed, vec_col)
+        e = vt.select(
+            F.col(id_col), F.posexplode("lsh_buckets").alias("_t", "_bkt")
+        )
+        ea, eb = e.alias("ea"), e.alias("eb")
+        pair_ids = (
+            ea.join(
+                eb,
+                (F.col("ea._t") == F.col("eb._t"))
+                & (F.col("ea._bkt") == F.col("eb._bkt"))
+                & (F.col(f"ea.{id_col}") < F.col(f"eb.{id_col}")),
+            )
+            .select(
+                F.col(f"ea.{id_col}").alias("_ida"), F.col(f"eb.{id_col}").alias("_idb")
+            )
+            .dropDuplicates()
+        )
+        cand = (
+            pair_ids.join(v.alias("a"), F.col("_ida") == F.col(f"a.{id_col}"))
+            .join(v.alias("b"), F.col("_idb") == F.col(f"b.{id_col}"))
         )
     else:
         raise ValueError(f"unknown method {method!r}")

@@ -176,6 +176,89 @@ def stream_rollup_cascade(
     )
 
 
+def stream_rollup_cascade_ddsketch(
+    pages_stream: DataFrame,
+    tiers: tuple[str, ...] = ("1m", "1h"),
+    watermark: str = "10 minutes",
+    key_col: Column | None = None,
+    time_col: str = "warc_ts",
+    value_col: str | Column | None = None,
+    gamma: float | None = None,
+) -> DataFrame:
+    """Percentile sketches THROUGH the fully-streaming tier cascade.
+
+    The HLL carry (``stream_rollup_cascade(distinct_col=...)``) works
+    because each row lands in exactly one register group; DDSketch has the
+    same property — each value lands in exactly ONE log-boundary bucket
+    (``ddsketch.dd_bucket``; the null bucket collects zeros/non-positives).
+    Per-(window, domain, bucket) integer counts therefore sum-merge through
+    every chained stateful stage, and a final same-width re-window collapses
+    bucket rows into the sparse sorted (b, cnt) array + zero count — the
+    EXACT ``dd_sketch`` state the batch tier computes over the same closed
+    window (the streamed sketch IS the batch sketch, not an approximation of
+    it; tests assert array equality). doc/byte partial sums stay exact
+    because the bucket groups partition the rows.
+
+    Returns (domain, window_start, doc_count, bytes_total, dd, dd_zeros);
+    estimate quantiles downstream with ``ddsketch.with_dd_quantiles`` (same
+    gamma, guaranteed relative error (γ−1)/(γ+1)). State per
+    (domain, window) is O(log_γ(max/min)) bucket rows — bounded regardless
+    of row count, the property that lets percentiles stream at all.
+    """
+    from tstore_spark.operators.ddsketch import DEFAULT_GAMMA, dd_bucket
+
+    if list(tiers) != ["1m", "1h", "1d"][: len(tiers)] or not tiers:
+        raise ValueError(f"tiers must be a prefix of ('1m','1h','1d'), got {tiers}")
+    g = DEFAULT_GAMMA if gamma is None else gamma
+    key = key_col if key_col is not None else domain_of("url")
+    val = (
+        F.length("text")
+        if value_col is None
+        else (F.col(value_col) if isinstance(value_col, str) else value_col)
+    )
+    src = pages_stream.withWatermark(time_col, watermark)
+    agg = src.groupBy(
+        F.window(F.col(time_col), _TIER_WIDTH[tiers[0]]),
+        key.alias("domain"),
+        dd_bucket(val, g).alias("_b"),
+    ).agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum(F.octet_length("html")).alias("bytes_total"),
+    )
+    for tier in tiers[1:]:
+        agg = agg.groupBy(
+            F.window(F.window_time("window"), _TIER_WIDTH[tier]), "domain", "_b"
+        ).agg(
+            F.sum("doc_count").alias("doc_count"),
+            F.sum("bytes_total").alias("bytes_total"),
+        )
+    agg = agg.groupBy(
+        F.window(F.window_time("window"), _TIER_WIDTH[tiers[-1]]), "domain"
+    ).agg(
+        F.sum("doc_count").alias("doc_count"),
+        F.sum("bytes_total").alias("bytes_total"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("_b").isNotNull(),
+                    F.struct(F.col("_b").alias("b"), F.col("doc_count").alias("cnt")),
+                )
+            )
+        ).alias("dd"),
+        F.coalesce(
+            F.sum(F.when(F.col("_b").isNull(), F.col("doc_count"))), F.lit(0)
+        ).alias("dd_zeros"),
+    )
+    return agg.select(
+        "domain",
+        F.col("window.start").alias("window_start"),
+        "doc_count",
+        "bytes_total",
+        "dd",
+        "dd_zeros",
+    )
+
+
 def stream_rollup_cascade_1h(
     pages_stream: DataFrame,
     watermark: str = "10 minutes",
