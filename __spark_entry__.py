@@ -947,6 +947,16 @@ def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([rank_tf, rank_len], top=20)
 
 
+def _q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis (the probe you run before sizing salted_agg):
+    top-10 heaviest user_ids with exact counts, share of total, and the
+    max/mean skew ratio — integers plus fixed-order divisions, engine
+    identical."""
+    from tstore_spark.operators.skew import key_skew_profile
+
+    return key_skew_profile(_t(spark, sf_dir, "events"), "user_id", top_n=10)
+
+
 def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type outlier scoring: median + MAD (both exact
     interpolated percentiles rounded 4dp, so both engines share bits),
@@ -2390,6 +2400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_daily": _q_winsorized_daily,
         "rrf_fusion": _q_rrf_fusion,
         "containment_pairs": _q_containment,
+        "skew_profile": _q_skew_profile,
         "html_extract": _q_html_extract,
         "lttb_downsample": _q_lttb,
         "m4_downsample": _q_m4_downsample,
@@ -2711,6 +2722,24 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n LEFT JOIN o ON n.node = o.node LEFT JOIN i ON n.node = i.node
         """,
         "pagerank_hosts": pagerank_oracle_sql(_LINK_EDGES_SQL, iterations=3),
+        "skew_profile": """
+            WITH c AS (
+                SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS key_count
+                FROM events GROUP BY user_id),
+            t AS (
+                SELECT CAST(SUM(key_count) AS BIGINT) AS total,
+                       CAST(COUNT(*) AS BIGINT) AS n_keys,
+                       CAST(MAX(key_count) AS BIGINT) AS mx
+                FROM c),
+            r AS (
+                SELECT key, key_count,
+                       row_number() OVER (ORDER BY key_count DESC, key) AS rank
+                FROM c)
+            SELECT r.key, r.key_count, CAST(r.rank AS INTEGER) AS rank,
+                   CAST(r.key_count AS DOUBLE) / t.total AS share,
+                   CAST(t.mx * t.n_keys AS DOUBLE) / t.total AS skew_ratio
+            FROM r, t WHERE r.rank <= 10
+        """,
         "containment_pairs": r"""
             WITH t AS (
                 SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS l

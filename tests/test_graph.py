@@ -97,3 +97,16 @@ def test_pagerank_oracle_sql_parity(spark):
 def test_pagerank_empty_edges(spark):
     e = spark.createDataFrame([], "src string, dst string")
     assert pagerank(e).count() == 0
+
+
+def test_connected_components_hosts(spark):
+    from tstore_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("a.com", "b.com"), ("b.com", "c.com"), ("x.org", "y.org"), ("lone.net", "lone2.net")],
+        "src string, dst string",
+    )
+    comp = {r["node"]: r["component_id"] for r in connected_components(edges).collect()}
+    assert comp["a.com"] == comp["b.com"] == comp["c.com"] == "a.com"
+    assert comp["x.org"] == comp["y.org"] == "x.org"
+    assert comp["lone.net"] == comp["lone2.net"] == "lone.net"

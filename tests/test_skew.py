@@ -66,3 +66,33 @@ def test_salted_repartition_bounds_partition_size(spark, skew_sdf):
     total = sum(sizes)
     # without salting the hot key would put ~70% of rows in one partition
     assert max(sizes) < 0.4 * total
+
+
+def test_key_skew_profile(spark):
+    import pandas as pd
+
+    from tstore_spark.operators.skew import key_skew_profile
+
+    # key 'hot' has 60 rows, 4 other keys 10 each -> total 100, 5 keys
+    rows = [("hot", i) for i in range(60)] + [
+        (f"k{j}", i) for j in range(4) for i in range(10)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "i"]))
+    prof = key_skew_profile(df, "k", top_n=3).orderBy("rank").collect()
+    assert [r["key"] for r in prof] == ["hot", "k0", "k1"]
+    assert prof[0]["key_count"] == 60
+    assert prof[0]["share"] == 0.6
+    # max/mean = 60 / (100/5) = 3.0, constant on every row
+    assert all(r["skew_ratio"] == 3.0 for r in prof)
+
+
+def test_key_skew_profile_deterministic(spark):
+    import pandas as pd
+
+    from tstore_spark.operators.skew import key_skew_profile
+
+    rows = [(f"k{i % 17}", i) for i in range(500)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "i"]))
+    a = [tuple(r) for r in key_skew_profile(df.repartition(8), "k").collect()]
+    b = [tuple(r) for r in key_skew_profile(df.coalesce(1), "k").collect()]
+    assert a == b

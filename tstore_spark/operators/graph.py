@@ -150,6 +150,28 @@ def pagerank(
     return ranks
 
 
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Connected components of the undirected graph: one row per node,
+    ``(node, component_id)`` where the component id is the MINIMUM node in
+    the component (lexicographic min for string hosts).
+
+    Delegates to the near-dup survivor machinery
+    (``dedup.dedup_clusters`` — min-label propagation to fixpoint,
+    localCheckpoint per round, bit-identical at any parallelism); the label
+    type is whatever the node type is, so host strings work unchanged.
+    Use for mirror-farm detection: components of the mutual-link (or
+    near-dup-pair) host graph are candidate mirror families.
+    """
+    from tstore_spark.operators.dedup import dedup_clusters
+
+    pairs = edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b"))
+    return dedup_clusters(pairs).select(
+        "node", F.col("cluster_id").alias("component_id")
+    )
+
+
 def pagerank_oracle_sql(
     edges_sql: str,
     iterations: int = 3,
