@@ -92,6 +92,12 @@ HEADLINE = [
     "retention_cohorts",
     "funnel_steps",
     "range_aggregate",
+    # round-3 additions
+    "pagerank_hosts",
+    "containment_pairs",
+    "mad_outliers",
+    "rrf_fusion",
+    "skew_profile",
 ]
 
 
