@@ -239,3 +239,54 @@ def test_stream_cascade_ddsketch_matches_batch_sketch(spark, stream_dirs):
         for q, e in zip((0.5, 0.99), r["dd_q"]):
             x = vals[math.floor(q * (len(vals) - 1))]
             assert abs(e - x) <= bound * x, (q, e, x)
+
+
+def test_stream_cascade_cms_cells_match_batch_sketch(spark, stream_dirs):
+    """CMS frequency sketches through the chained cascade: per-cell integer
+    sums merge through every stateful stage, so each CLOSED hour's cell
+    table equals the batch cms_from_items sketch register-exactly, and
+    estimates obey the overestimate theorem vs exact counts."""
+    import datetime
+
+    from tstore_spark.functions.urls import domain_of
+    from tstore_spark.operators.countmin import cms_estimate, cms_from_items
+    from tstore_spark.streaming.stream_rollup import stream_rollup_cascade_cms
+
+    base, src, sdf = stream_dirs
+    stream = read_pages_stream(spark, src, sdf.schema, max_files_per_trigger=2)
+    tier = stream_rollup_cascade_cms(
+        stream, ("1m", "1h"), watermark="0 seconds", item_col="lang", d=3, w=64)
+    q = write_stream_tier(
+        tier, f"{base}/tier1h_cms", f"{base}/ckpt1h_cms", trigger_available_now=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{base}/tier1h_cms")
+    keyed = sdf.select(
+        domain_of("url").alias("domain"),
+        F.date_trunc("hour", F.col("warc_ts")).alias("window_start"),
+        "lang",
+    )
+    batch = cms_from_items(keyed, "lang", keys=["domain", "window_start"], d=3, w=64)
+    b = {(r["domain"], r["window_start"], r["cms_row"], r["cms_pos"]): r["cms_cnt"]
+         for r in batch.collect()}
+    max_ts = sdf.agg(F.max("warc_ts")).head()[0]
+    closed_keys = {k for k in b
+                   if k[1] + datetime.timedelta(hours=1) <= max_ts}
+    g = {(r["domain"], r["window_start"], r["cms_row"], r["cms_pos"]): r["cms_cnt"]
+         for r in got.collect()}
+    assert set(g) == closed_keys
+    for k in closed_keys:
+        assert g[k] == b[k], f"cell drift at {k}"
+
+    # overestimate theorem on estimates from the STREAMED cells
+    probes = keyed.select("domain", "window_start", "lang").distinct()
+    closed_probe = probes.join(
+        got.select("domain", "window_start").distinct(), ["domain", "window_start"])
+    est = cms_estimate(
+        got, closed_probe, "lang", keys=["domain", "window_start"], d=3, w=64)
+    exact = keyed.groupBy("domain", "window_start", "lang").agg(
+        F.count(F.lit(1)).alias("true_cnt"))
+    joined = est.join(exact, ["domain", "window_start", "lang"]).collect()
+    assert joined
+    for r in joined:
+        assert r["cms_est"] >= r["true_cnt"]

@@ -259,6 +259,65 @@ def stream_rollup_cascade_ddsketch(
     )
 
 
+def stream_rollup_cascade_cms(
+    pages_stream: DataFrame,
+    tiers: tuple[str, ...] = ("1m", "1h"),
+    watermark: str = "10 minutes",
+    key_col: Column | None = None,
+    time_col: str = "warc_ts",
+    item_col: str = "lang",
+    d: int | None = None,
+    w: int | None = None,
+) -> DataFrame:
+    """Frequency (count-min) sketches THROUGH the streaming tier cascade —
+    the last of the four sketch families to stream (exact counts, HLL
+    distincts, DDSketch percentiles already do).
+
+    Each occurrence adds 1 to its ``d`` fixed cells (a stateless explode
+    BEFORE the first stateful stage), so per-(window, domain, row, pos)
+    integer cell sums merge through every chained window agg; a closed
+    window's cell table IS the batch ``cms_from_items`` sketch
+    register-exactly (integer sums commute — the same contract as the
+    batch tier cascade). No final collapse is needed: the CMS's natural
+    DataFrame shape is already one row per cell.
+
+    Returns (domain, window_start, cms_row, cms_pos, cms_cnt) — feed to
+    ``countmin.cms_estimate`` (same d/w). State per (domain, window) is at
+    most d·w cells regardless of row count.
+    """
+    from tstore_spark.operators.countmin import DEFAULT_D, DEFAULT_W, _cells
+
+    if list(tiers) != ["1m", "1h", "1d"][: len(tiers)] or not tiers:
+        raise ValueError(f"tiers must be a prefix of ('1m','1h','1d'), got {tiers}")
+    dd = DEFAULT_D if d is None else d
+    ww = DEFAULT_W if w is None else w
+    key = key_col if key_col is not None else domain_of("url")
+    src = pages_stream.withWatermark(time_col, watermark)
+    row, pos = _cells(F.col(item_col), dd, ww)
+    cells = src.select(
+        F.col(time_col), key.alias("domain"), F.col(item_col), row
+    ).select(
+        F.col(time_col), "domain", "cms_row", pos
+    )
+    agg = cells.groupBy(
+        F.window(F.col(time_col), _TIER_WIDTH[tiers[0]]), "domain", "cms_row", "cms_pos"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cms_cnt"))
+    for tier in tiers[1:]:
+        agg = agg.groupBy(
+            F.window(F.window_time("window"), _TIER_WIDTH[tier]),
+            "domain",
+            "cms_row",
+            "cms_pos",
+        ).agg(F.sum("cms_cnt").cast("long").alias("cms_cnt"))
+    return agg.select(
+        "domain",
+        F.col("window.start").alias("window_start"),
+        "cms_row",
+        "cms_pos",
+        "cms_cnt",
+    )
+
+
 def stream_rollup_cascade_1h(
     pages_stream: DataFrame,
     watermark: str = "10 minutes",
