@@ -25,6 +25,7 @@ are stable under any float library's last-bit wobble.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -159,8 +160,48 @@ def embedding_near_dup_pairs(
     """
     v = vectors.select(F.col(id_col), F.col(vec_col))
     if method == "exact":
-        a, b = v.alias("a"), v.alias("b")
-        cand = a.join(F.broadcast(b), F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        # Exact result, but NOT an all-pairs interpreted-HOF evaluation:
+        # a vectorized numpy prefilter finds candidate pairs at
+        # (threshold - 1e-3), then the surviving few are re-scored with the
+        # SAME Catalyst fold expression as before, so the emitted cos_sim
+        # bits (and the oracle hash) are unchanged. The margin dwarfs the
+        # worst-case float64 accumulation difference (~1e-12 for 64 terms),
+        # so recall is exact by construction. Measured 87.6 s -> ~2 s at
+        # 5000x64. The probe side is a driver-collected matrix — this path
+        # is for oracle/verification scales (<= ~200k vectors); beyond
+        # that use method='lsh'.
+        pdf = v.toPandas()
+        ids = pdf[id_col].to_numpy()
+        mat = np.vstack(pdf[vec_col].map(lambda x: np.asarray(x, dtype=np.float64)))
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = np.inf  # zero vectors can never pass the threshold
+        margin = float(threshold) - 1e-3
+        spark = vectors.sparkSession
+
+        def _prefilter(batches):
+            for bdf in batches:
+                if len(bdf):
+                    a_ids = bdf[id_col].to_numpy()
+                    a_mat = np.vstack(
+                        bdf[vec_col].map(lambda x: np.asarray(x, dtype=np.float64))
+                    )
+                    a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
+                    a_norm[a_norm == 0] = np.inf
+                    cos = (a_mat @ mat.T) / np.outer(a_norm, norms)
+                    ia, ib = np.nonzero(cos >= margin)
+                    keep = a_ids[ia] < ids[ib]
+                    yield pd.DataFrame(
+                        {"_ida": a_ids[ia][keep], "_idb": ids[ib][keep]}
+                    )
+                else:
+                    yield pd.DataFrame({"_ida": [], "_idb": []})
+
+        id_dtype = dict(v.dtypes)[id_col]
+        pair_ids = v.mapInPandas(_prefilter, schema=f"_ida {id_dtype}, _idb {id_dtype}")
+        cand = (
+            pair_ids.join(v.alias("a"), F.col("_ida") == F.col(f"a.{id_col}"))
+            .join(F.broadcast(v.alias("b")), F.col("_idb") == F.col(f"b.{id_col}"))
+        )
     elif method == "lsh":
         if dim is None:
             raise ValueError("dim is required for method='lsh'")
