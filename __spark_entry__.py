@@ -789,7 +789,7 @@ _M4_ORACLE = """
       FROM pts, bounds),
     agg AS (
       SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
-             ANY_VALUE(lo) + (bucket * ANY_VALUE(span)) // 24 AS bs,
+             ANY_VALUE(lo) + (bucket * ANY_VALUE(span) + 23) // 24 AS bs,
              MIN({'e': e, 'v': v}) AS f,
              MAX({'e': e, 'v': v}) AS l,
              MIN(v) AS v_min, MAX(v) AS v_max,
@@ -1056,7 +1056,20 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import tempfile
 
-    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    from tstore_spark.operators import dedup as _dd_mod
+
+    # cache key covers the fixture path AND its mtime AND the dedup module
+    # source — regenerated testdata or a signature-algorithm change must
+    # invalidate the persisted index, or the gate would silently join new
+    # docs against a stale index while the oracle recomputes from current
+    # data
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    stamp = str(os.path.getmtime(doc_path)) if os.path.exists(doc_path) else "0"
+    with open(_dd_mod.__file__, "rb") as fh:
+        src_tag = hashlib.sha1(fh.read()).hexdigest()[:8]
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|{stamp}|{src_tag}".encode()
+    ).hexdigest()[:12]
     idx_dir = os.path.join(tempfile.gettempdir(), f"tstore_minhash_idx_{key}")
     if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
         DD.minhash_index(corpus).write.mode("overwrite").parquet(idx_dir)
@@ -2846,9 +2859,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t_bucket AS BIGINT) AS t_bucket,
                    CAST(v_bucket AS BIGINT) AS v_bucket,
                    make_timestamp(ANY_VALUE(t_lo)
-                     + (t_bucket * ANY_VALUE(t_span)) // 16) AS t_start,
+                     + (t_bucket * ANY_VALUE(t_span) + 15) // 16) AS t_start,
                    CAST(ANY_VALUE(v_lo)
-                     + (v_bucket * ANY_VALUE(v_span)) // 8 AS DOUBLE) / 100.0 AS v_lo,
+                     + (v_bucket * ANY_VALUE(v_span) + 7) // 8 AS DOUBLE) / 100.0 AS v_lo,
                    CAST(COUNT(*) AS BIGINT) AS n_points
             FROM b GROUP BY key, t_bucket, v_bucket
         """,

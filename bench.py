@@ -194,7 +194,17 @@ def run_scaling() -> dict:
     # — the archive's stats_columns ingest shape (BENCH.md): rollups scan two
     # narrow ints and Parquet prunes the payloads; digests are bit-identical
     # to the payload-scan path (tests/test_stats_columns.py).
-    input_dir = os.path.join(tempfile.gettempdir(), f"tstore_bench_pages_{SCALE_ROWS}")
+    # cache key includes a fingerprint of the generator source: a datagen
+    # change must regenerate, or throughput/digests describe stale bytes
+    import hashlib
+
+    from tstore_spark import datagen as _dg
+
+    with open(_dg.__file__, "rb") as fh:
+        _dg_tag = hashlib.sha1(fh.read()).hexdigest()[:8]
+    input_dir = os.path.join(
+        tempfile.gettempdir(), f"tstore_bench_pages_{SCALE_ROWS}_{_dg_tag}"
+    )
     if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
         shutil.rmtree(input_dir, ignore_errors=True)
         staging = input_dir + ".gen__tmp"

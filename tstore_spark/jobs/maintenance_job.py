@@ -79,6 +79,11 @@ def main(argv: list[str] | None = None) -> int:
         zorder = args.zorder_by.split(",") if args.zorder_by else None
         eq: bool | list[str] = False
         if args.zorder_equi_depth:
+            if not zorder:
+                raise SystemExit(
+                    "--zorder-equi-depth requires --zorder-by (otherwise the "
+                    "flag would be silently ignored and the layout unchanged)"
+                )
             eq = True if args.zorder_equi_depth == "all" else args.zorder_equi_depth.split(",")
         out["summary"] = compact_archive(
             spark,

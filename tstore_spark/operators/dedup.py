@@ -294,7 +294,10 @@ def shingle_jaccard_pairs_exact(
     (:func:`minhash_near_dup_pairs`); at scale apply the same rare-shingle
     restriction as :func:`containment_pairs` ``max_gram_df``.
     """
-    ex = exploded_hashed_shingles(df, id_col, text_col, n)
+    # the exploded table is consumed 3x (sizes + both join sides): cache it
+    # per the module's discipline or the doc-proportional tokenize+hash work
+    # runs three times
+    ex = _cache_scoped(exploded_hashed_shingles(df, id_col, text_col, n))
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
@@ -338,7 +341,7 @@ def containment_pairs(
     share at least one RARE shingle — document the recall trade when used).
     Default None = exact, matching the SQL oracle.
     """
-    ex = exploded_hashed_shingles(df, id_col, text_col, n)
+    ex = _cache_scoped(exploded_hashed_shingles(df, id_col, text_col, n))
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     if max_gram_df is not None:
         keep = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("_df")).where(

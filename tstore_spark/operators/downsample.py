@@ -179,8 +179,11 @@ def heatmap_downsample(
         F.expr(f"((_e - {t_lo}) * {t_buckets}) div {t_span}").alias("t_bucket"),
         F.expr(f"((_c - {v_lo}) * {v_buckets}) div {v_span}").alias("v_bucket"),
     ).agg(F.count(F.lit(1)).alias("n_points"))
-    t_start = F.lit(t_lo) + F.expr(f"(t_bucket * {t_span}) div {t_buckets}")
-    v_edge = (F.lit(v_lo) + F.expr(f"(v_bucket * {v_span}) div {v_buckets}")).cast(
+    # inclusive lower edge = the FIRST epoch that lands in the bucket: ceil
+    # (floor can emit a label that belongs to the previous bucket); positive
+    # operands make (x + n - 1) div n identical in Spark (trunc) and SQL (floor)
+    t_start = F.lit(t_lo) + F.expr(f"(t_bucket * {t_span} + {t_buckets - 1}) div {t_buckets}")
+    v_edge = (F.lit(v_lo) + F.expr(f"(v_bucket * {v_span} + {v_buckets - 1}) div {v_buckets}")).cast(
         "double"
     ) / F.lit(100.0)
     return cells.select(
@@ -254,7 +257,8 @@ def m4_downsample(
         F.max(v).alias("v_max"),
         F.count(F.lit(1)).alias("n_points"),
     )
-    bucket_start = F.lit(lo) + F.expr(f"(bucket * {span}) div {n_buckets}")
+    # ceil, not floor: the label must be the first epoch INSIDE the bucket
+    bucket_start = F.lit(lo) + F.expr(f"(bucket * {span} + {n_buckets - 1}) div {n_buckets}")
     return agg.select(
         key_col,
         "bucket",

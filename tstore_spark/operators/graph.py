@@ -112,11 +112,20 @@ def pagerank(
     ``iterations`` is a fixed count, not a convergence test — convergence
     deltas are float-order-dependent; a fixed integer recursion is not.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # freeze the edge input once: without this, the edge list's full lineage
+    # (e.g. html regexp link extraction) would recompute on EVERY iteration's
+    # join — the same guard dedup_clusters applies to its edges
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     ).distinct()
-    out_deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    out_deg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
     n = nodes.count()  # one scalar to the driver — bounded, documented
     if n == 0:
         return nodes.withColumn("rank", F.lit(0).cast("long"))

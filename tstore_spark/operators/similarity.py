@@ -171,6 +171,11 @@ def embedding_near_dup_pairs(
         # is for oracle/verification scales (<= ~200k vectors); beyond
         # that use method='lsh'.
         pdf = v.toPandas()
+        if not len(pdf):
+            spark = vectors.sparkSession
+            return spark.createDataFrame(
+                [], f"id_a {dict(v.dtypes)[id_col]}, id_b {dict(v.dtypes)[id_col]}, cos_sim double"
+            )
         ids = pdf[id_col].to_numpy()
         mat = np.vstack(pdf[vec_col].map(lambda x: np.asarray(x, dtype=np.float64)))
         norms = np.sqrt((mat * mat).sum(axis=1))

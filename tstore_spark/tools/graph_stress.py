@@ -65,9 +65,15 @@ def synth_host_graph(spark, n_edges: int, community_size: int = 1000):
         )
         .where(F.col("_src") != F.col("_dst"))
     )
-    edges = ring.unionByName(chords).select(
-        F.concat(F.lit("h"), F.col("_src").cast("string")).alias("src"),
-        F.concat(F.lit("h"), F.col("_dst").cast("string")).alias("dst"),
+    # distinct: a chord can coincide with a ring edge or another chord, and
+    # pagerank's contract (like host_edges') is a simple graph
+    edges = (
+        ring.unionByName(chords)
+        .select(
+            F.concat(F.lit("h"), F.col("_src").cast("string")).alias("src"),
+            F.concat(F.lit("h"), F.col("_dst").cast("string")).alias("dst"),
+        )
+        .distinct()
     )
     return edges, n_hosts
 
