@@ -857,29 +857,34 @@ def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _link_edges(docs: DataFrame) -> DataFrame:
-    """Deterministic host-link graph: each document becomes a page on host
-    s<doc_id%20>.example.com carrying two hrefs to d<f(doc_id)%40> hosts.
-    The edges are recovered by the REAL extraction chain
-    (regexp_extract_all over the html -> parse_url hosts -> distinct);
-    the oracle derives the same edge set algebraically from doc_id, so the
-    whole html->link->host pipeline is cross-checked, not assumed."""
-    from tstore_spark.operators.graph import extract_links, host_edges
-
+def _link_pages(docs: DataFrame) -> DataFrame:
+    """Deterministic crawl pages: each document becomes a page on host
+    s<doc_id%20>.example.com carrying two anchors to d<f(doc_id)%40> hosts
+    with doc_id-derived anchor text. Everything downstream is recovered by
+    the REAL extraction chain (regexp over html -> parse_url hosts); the
+    oracles derive the same sets algebraically from doc_id, so the whole
+    html->link->host pipeline is cross-checked, not assumed."""
     d = F.col("doc_id")
     h1 = F.concat(F.lit("d"), ((d * 7 + 1) % 40).cast("string"), F.lit(".example.com"))
     h2 = F.concat(F.lit("d"), ((d * 3 + 2) % 40).cast("string"), F.lit(".example.com"))
-    pages = docs.select(
+    return docs.select(
         F.concat(
             F.lit("http://s"), (d % 20).cast("string"), F.lit(".example.com/page/"), d.cast("string")
         ).alias("url"),
         F.concat(
             F.lit('<html><body><a href="http://'), h1,
-            F.lit('/p">x</a> text <a href=\'http://'), h2,
-            F.lit("/q?z=1'>y</a></body></html>"),
+            F.lit('/p">alpha w'), (d % 7).cast("string"),
+            F.lit("</a> text <a href='http://"), h2,
+            F.lit("/q?z=1'>beta w"), (d % 5).cast("string"),
+            F.lit("</a></body></html>"),
         ).alias("html"),
     )
-    return host_edges(extract_links(pages))
+
+
+def _link_edges(docs: DataFrame) -> DataFrame:
+    from tstore_spark.operators.graph import extract_links, host_edges
+
+    return host_edges(extract_links(_link_pages(docs)))
 
 
 _LINK_EDGES_SQL = """
@@ -899,6 +904,16 @@ def _q_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tstore_spark.operators.graph import host_degrees
 
     return host_degrees(_link_edges(_t(spark, sf_dir, "documents")))
+
+
+def _q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-term profile per target host (the off-page "what the web
+    calls this host" signal): anchors extracted by the real two-group
+    regex + positional zip, hosts by parse_url, term counts exact. Oracle
+    derives the same (host, term, n) set algebraically from doc_id."""
+    from tstore_spark.operators.graph import anchor_term_profile, extract_anchors
+
+    return anchor_term_profile(extract_anchors(_link_pages(_t(spark, sf_dir, "documents"))))
 
 
 def _q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2409,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _q_url_canonicalize,
         "link_degrees": _q_link_degrees,
         "pagerank_hosts": _q_pagerank_hosts,
+        "anchor_terms": _q_anchor_terms,
         "mad_outliers": _q_mad_outliers,
         "winsorized_daily": _q_winsorized_daily,
         "rrf_fusion": _q_rrf_fusion,
@@ -2735,6 +2751,23 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n LEFT JOIN o ON n.node = o.node LEFT JOIN i ON n.node = i.node
         """,
         "pagerank_hosts": pagerank_oracle_sql(_LINK_EDGES_SQL, iterations=3),
+        "anchor_terms": """
+            WITH a AS (
+                SELECT 'd' || CAST((doc_id * 7 + 1) % 40 AS VARCHAR) || '.example.com' AS host,
+                       'alpha' AS term FROM documents
+                UNION ALL
+                SELECT 'd' || CAST((doc_id * 7 + 1) % 40 AS VARCHAR) || '.example.com',
+                       'w' || CAST(doc_id % 7 AS VARCHAR) FROM documents
+                UNION ALL
+                SELECT 'd' || CAST((doc_id * 3 + 2) % 40 AS VARCHAR) || '.example.com',
+                       'beta' FROM documents
+                UNION ALL
+                SELECT 'd' || CAST((doc_id * 3 + 2) % 40 AS VARCHAR) || '.example.com',
+                       'w' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+            )
+            SELECT host, term, CAST(COUNT(*) AS BIGINT) AS n
+            FROM a GROUP BY host, term
+        """,
         "skew_profile": """
             WITH c AS (
                 SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS key_count

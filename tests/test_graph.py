@@ -110,3 +110,30 @@ def test_connected_components_hosts(spark):
     assert comp["a.com"] == comp["b.com"] == comp["c.com"] == "a.com"
     assert comp["x.org"] == comp["y.org"] == "x.org"
     assert comp["lone.net"] == comp["lone2.net"] == "lone.net"
+
+
+def test_extract_anchors_and_term_profile(spark):
+    from tstore_spark.operators.graph import anchor_term_profile, extract_anchors
+
+    pages = spark.createDataFrame(
+        [
+            ("http://s.com/1",
+             b'<a href="http://a.com/p">Buy Cheap Widgets</a>'
+             b"<a href='http://b.com/q'>widgets review</a>"),
+            ("http://s.com/2", b'<a class="x" href="http://a.com/r">cheap WIDGETS</a>'),
+            ("http://s.com/3", b"<p>no links</p>"),
+        ],
+        "url string, html binary",
+    )
+    anchors = extract_anchors(pages).collect()
+    assert {(r["href"], r["anchor"]) for r in anchors} == {
+        ("http://a.com/p", "Buy Cheap Widgets"),
+        ("http://b.com/q", "widgets review"),
+        ("http://a.com/r", "cheap WIDGETS"),
+    }
+    prof = {(r["host"], r["term"]): r["n"]
+            for r in anchor_term_profile(extract_anchors(pages)).collect()}
+    assert prof[("a.com", "widgets")] == 2
+    assert prof[("a.com", "cheap")] == 2
+    assert prof[("b.com", "review")] == 1
+    assert ("b.com", "buy") not in prof

@@ -52,6 +52,54 @@ def extract_links(
     )
 
 
+#: full anchor matcher: href value (group 1) + anchor text (group 2).
+ANCHOR_RE = r"""<a\s[^>]*href=["']([^"']*)["'][^>]*>([^<]*)</a>"""
+
+
+def extract_anchors(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """``(src_url, href, anchor)`` rows — each link with its anchor text.
+
+    Anchor text is the classic off-page ranking signal (what OTHER pages
+    call a target). Two ``regexp_extract_all`` passes over the same pattern
+    (group 1 = href, group 2 = text) are zipped positionally — alignment is
+    guaranteed because both scans see identical matches. All JVM-side.
+    """
+    h = F.col(html_col)
+    if dict(pages.dtypes)[html_col] == "binary":
+        h = F.decode(h, "UTF-8")
+    hrefs = F.regexp_extract_all(h, F.lit(ANCHOR_RE), 1)
+    texts = F.regexp_extract_all(h, F.lit(ANCHOR_RE), 2)
+    z = F.explode(F.arrays_zip(hrefs.alias("href"), texts.alias("anchor")))
+    return pages.select(F.col(url_col).alias("src_url"), z.alias("_z")).select(
+        "src_url", F.col("_z.href").alias("href"), F.col("_z.anchor").alias("anchor")
+    )
+
+
+def anchor_term_profile(
+    anchors: DataFrame,
+    dst_col: str = "href",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-target-host anchor-term counts: ``(host, term, n)`` — the
+    aggregated "what the web calls this host" profile search rankers use.
+
+    Tokenization matches the search layer (lowercase, [a-z0-9]+ runs);
+    counts are exact integers from one explode + one map-side-combined
+    groupBy — the inverted-index build shape, term-proportional state.
+    """
+    from tstore_spark.functions.text import tokens
+
+    host = F.parse_url(F.col(dst_col), F.lit("HOST"))
+    return (
+        anchors.select(host.alias("host"), F.explode(tokens(anchor_col)).alias("term"))
+        .where(F.col("host").isNotNull() & (F.col("term") != ""))
+        .groupBy("host", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def host_edges(links: DataFrame, src_col: str = "src_url", dst_col: str = "href") -> DataFrame:
     """Distinct host→host edges from a ``(src_url, href)`` link table.
 
