@@ -1085,8 +1085,23 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = hashlib.sha1(
         f"{os.path.abspath(sf_dir)}|{stamp}|{src_tag}".encode()
     ).hexdigest()[:12]
-    idx_dir = os.path.join(tempfile.gettempdir(), f"tstore_minhash_idx_{key}")
+    # the fixture basename scopes the stale-key sweep so one sf's refresh
+    # never deletes another sf's live index
+    base_tag = os.path.basename(os.path.abspath(sf_dir))
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), f"tstore_minhash_idx_{base_tag}_{key}"
+    )
     if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
+        # stale keys (older fixture mtimes / module versions) are dead:
+        # reclaim them before materializing the current one
+        import glob as _glob
+        import shutil as _shutil
+
+        for stale in _glob.glob(
+            os.path.join(tempfile.gettempdir(), f"tstore_minhash_idx_{base_tag}_*")
+        ) + _glob.glob(os.path.join(tempfile.gettempdir(), "tstore_minhash_idx_" + "?" * 12)):
+            if os.path.abspath(stale) != os.path.abspath(idx_dir):
+                _shutil.rmtree(stale, ignore_errors=True)
         DD.minhash_index(corpus).write.mode("overwrite").parquet(idx_dir)
     idx = spark.read.parquet(idx_dir)
     return DD.incremental_minhash_near_dup(new, idx, threshold=0.5, bands=16)
@@ -1107,7 +1122,9 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = DD.simhash_near_dup_pairs(docs, max_hamming=8, verify_jaccard=0.9).select(
         "id_a", "id_b"
     )
-    exact = DD.shingle_jaccard_pairs_exact(docs, threshold=0.9)
+    # evict=False: simhash's scoped caches must stay warm for the same
+    # downstream action that consumes both branches
+    exact = DD.shingle_jaccard_pairs_exact(docs, threshold=0.9, evict=False)
     nf = found.agg(F.count(F.lit(1)).alias("_nf"))
     ne = exact.agg(F.count(F.lit(1)).alias("_ne"))
     bad = found.join(exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti").agg(

@@ -205,6 +205,15 @@ def run_scaling() -> dict:
     input_dir = os.path.join(
         tempfile.gettempdir(), f"tstore_bench_pages_{SCALE_ROWS}_{_dg_tag}"
     )
+    # drop sibling caches from other generator versions / the legacy
+    # unsuffixed key — multi-GB dirs nothing else ever deletes
+    import glob
+
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), "tstore_bench_pages_*")
+    ):
+        if os.path.abspath(stale) != os.path.abspath(input_dir):
+            shutil.rmtree(stale, ignore_errors=True)
     if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
         shutil.rmtree(input_dir, ignore_errors=True)
         staging = input_dir + ".gen__tmp"

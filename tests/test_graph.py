@@ -137,3 +137,15 @@ def test_extract_anchors_and_term_profile(spark):
     assert prof[("a.com", "cheap")] == 2
     assert prof[("b.com", "review")] == 1
     assert ("b.com", "buy") not in prof
+
+
+def test_anchor_terms_use_search_tokenizer(spark):
+    # punctuated anchors must yield the SAME tokens the inverted index holds
+    from tstore_spark.operators.graph import anchor_term_profile, extract_anchors
+
+    pages = spark.createDataFrame(
+        [("http://s.com/1", b'<a href="http://a.com/p">Buy Widgets! Now</a>')],
+        "url string, html binary",
+    )
+    prof = {r["term"] for r in anchor_term_profile(extract_anchors(pages)).collect()}
+    assert prof == {"buy", "widgets", "now"}  # no 'widgets!'

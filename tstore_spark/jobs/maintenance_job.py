@@ -58,6 +58,14 @@ def main(argv: list[str] | None = None) -> int:
 
     out: dict = {"cmd": args.cmd, "archive": args.archive, "table": args.table}
 
+    # argument-only validation FIRST: a rejected invocation must not leave
+    # side effects (the pre-maintenance snapshot commit below)
+    if args.cmd == "compact" and args.zorder_equi_depth and not args.zorder_by:
+        raise SystemExit(
+            "--zorder-equi-depth requires --zorder-by (otherwise the flag "
+            "would be silently ignored and the layout unchanged)"
+        )
+
     if args.cmd == "snapshot":
         out["version"] = snapshot_commit(args.archive, args.table)
         print(json.dumps(out))
@@ -79,11 +87,6 @@ def main(argv: list[str] | None = None) -> int:
         zorder = args.zorder_by.split(",") if args.zorder_by else None
         eq: bool | list[str] = False
         if args.zorder_equi_depth:
-            if not zorder:
-                raise SystemExit(
-                    "--zorder-equi-depth requires --zorder-by (otherwise the "
-                    "flag would be silently ignored and the layout unchanged)"
-                )
             eq = True if args.zorder_equi_depth == "all" else args.zorder_equi_depth.split(",")
         out["summary"] = compact_archive(
             spark,

@@ -283,6 +283,7 @@ def shingle_jaccard_pairs_exact(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    evict: bool = True,
 ) -> DataFrame:
     """EXACT shingle-Jaccard pairs via the shared-shingle equi-join — the
     SQL oracle's semantics, distributed: any J>0 pair shares >= 1 shingle,
@@ -296,7 +297,12 @@ def shingle_jaccard_pairs_exact(
     """
     # the exploded table is consumed 3x (sizes + both join sides): cache it
     # per the module's discipline or the doc-proportional tokenize+hash work
-    # runs three times
+    # runs three times. evict=True (the default) first drops the PREVIOUS
+    # call's caches, the module's standing leak guard; pass evict=False when
+    # composing with another pair operator whose caches must stay warm for
+    # the same downstream action (the _q_simhash pattern).
+    if evict:
+        _evict_prior_caches()
     ex = _cache_scoped(exploded_hashed_shingles(df, id_col, text_col, n))
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -322,6 +328,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.9,
     max_gram_df: int | None = None,
+    evict: bool = True,
 ) -> DataFrame:
     """Asymmetric shingle containment: ``(contained_id, container_id,
     containment)`` where containment = |S(a) ∩ S(b)| / |S(a)| ≥ threshold.
@@ -341,6 +348,8 @@ def containment_pairs(
     share at least one RARE shingle — document the recall trade when used).
     Default None = exact, matching the SQL oracle.
     """
+    if evict:
+        _evict_prior_caches()
     ex = _cache_scoped(exploded_hashed_shingles(df, id_col, text_col, n))
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     if max_gram_df is not None:

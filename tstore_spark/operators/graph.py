@@ -85,16 +85,22 @@ def anchor_term_profile(
     """Per-target-host anchor-term counts: ``(host, term, n)`` — the
     aggregated "what the web calls this host" profile search rankers use.
 
-    Tokenization matches the search layer (lowercase, [a-z0-9]+ runs);
-    counts are exact integers from one explode + one map-side-combined
-    groupBy — the inverted-index build shape, term-proportional state.
+    Tokenization is the SEARCH layer's (lowercase ``[a-z0-9]+`` runs,
+    ``search.TOKEN_SPLIT``) — profile terms must join against inverted-index
+    tokens, so a whitespace tokenizer (which keeps punctuation glued to
+    terms) would silently miss every punctuated anchor. Counts are exact
+    integers from one explode + one map-side-combined groupBy — the
+    inverted-index build shape, term-proportional state.
     """
-    from tstore_spark.functions.text import tokens
+    from tstore_spark.operators.search import TOKEN_SPLIT
 
+    toks = F.filter(
+        F.split(F.lower(F.col(anchor_col)), TOKEN_SPLIT), lambda t: t != F.lit("")
+    )
     host = F.parse_url(F.col(dst_col), F.lit("HOST"))
     return (
-        anchors.select(host.alias("host"), F.explode(tokens(anchor_col)).alias("term"))
-        .where(F.col("host").isNotNull() & (F.col("term") != ""))
+        anchors.select(host.alias("host"), F.explode(toks).alias("term"))
+        .where(F.col("host").isNotNull())
         .groupBy("host", "term")
         .agg(F.count(F.lit(1)).alias("n"))
     )

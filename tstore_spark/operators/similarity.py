@@ -180,7 +180,10 @@ def embedding_near_dup_pairs(
         mat = np.vstack(pdf[vec_col].map(lambda x: np.asarray(x, dtype=np.float64)))
         norms = np.sqrt((mat * mat).sum(axis=1))
         norms[norms == 0] = np.inf  # zero vectors can never pass the threshold
-        margin = float(threshold) - 1e-3
+        # the prefilter must keep every pair the FINAL rounded filter could
+        # accept: rounding at round_digits admits true cosines down to
+        # threshold - 0.5*10^-round_digits, plus float slack
+        margin = float(threshold) - 0.6 * 10.0 ** (-round_digits)
         spark = vectors.sparkSession
 
         def _prefilter(batches):
