@@ -138,3 +138,39 @@ def test_compact_sorts_within_files(spark, fragmented_archive):
             t = pq.read_table(os.path.join(dirpath, f), columns=["domain", "warc_ts"])
             rows = list(zip(t["domain"].to_pylist(), t["warc_ts"].to_pylist()))
             assert rows == sorted(rows)
+
+
+def test_compact_null_time_partition(spark, tmp_path):
+    """Rows with NULL time land in p_day=__HIVE_DEFAULT_PARTITION__; the
+    rewrite's dir-name join key must render NULL as that sentinel (a bare
+    cast made the key NULL, the inner join dropped the rows, and the swap
+    deleted the only copy before crashing on the missing replacement)."""
+    import pandas as pd
+
+    base = str(tmp_path / "nullpart")
+    n = 40
+    pdf = pd.DataFrame(
+        {
+            "sensor": [f"s{i % 4}" for i in range(n)],
+            "ts": pd.to_datetime(
+                ["2024-05-01 10:00:00" if i % 2 == 0 else None for i in range(n)]
+            ).astype("datetime64[us]"),
+            "value": [float(i) for i in range(n)],
+        }
+    )
+    tsl = TSLong.wrap(
+        spark.createDataFrame(pdf), id_var="sensor", time_var="ts",
+        ts_vars={"m": ["value"]},
+    )
+    write_archive(tsl, base, num_buckets=1, check_static_uniqueness=False)
+    root = os.path.join(base, PAGES_DIR)
+    frag = spark.read.option("basePath", root).parquet(root).repartition(6)
+    frag.write.mode("overwrite").partitionBy("p_day", "p_bucket").parquet(root)
+    assert any("__HIVE_DEFAULT_PARTITION__" in s["rel_dir"] for s in partition_stats(root))
+
+    before = _digest(open_archive(spark, base, with_attributes=False).df)
+    summary = compact_archive(spark, base, target_file_bytes=1 << 30)
+    assert summary["partitions_compacted"] > 0
+    after_df = open_archive(spark, base, with_attributes=False).df
+    assert _digest(after_df) == before
+    assert after_df.where(F.col("ts").isNull()).count() == n // 2

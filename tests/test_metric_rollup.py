@@ -247,3 +247,24 @@ def test_realtime_view_serves_frozen_windows_from_state(spark):
     assert before.where(F.col("event_count") <= 1_000_000).count() == 0
     assert after.where(F.col("event_count") > 1_000_000).count() == 0
     assert after.count() > 0
+
+
+def test_incremental_refresh_rejects_timestamp_family_mismatch(spark):
+    """The same window expression is applied to raw AND changes; a changes
+    batch in a different timestamp family would route the invalidation set
+    through the session zone (wrong windows refreshed in any non-UTC
+    session) — it must be rejected loudly, not computed silently."""
+    import pytest as _pytest
+
+    from tstore_spark.operators.metric_rollup import (
+        metric_rollup_from_raw,
+        refresh_tier_incremental,
+    )
+
+    raw = spark.createDataFrame(_events_pdf()).cache()
+    raw_t = dict(raw.dtypes)["ts"]
+    other = "timestamp_ntz" if raw_t == "timestamp" else "timestamp"
+    state = metric_rollup_from_raw(raw, "1h")
+    changes = raw.limit(5).select("event_type", F.col("ts").cast(other).alias("ts"))
+    with _pytest.raises(ValueError, match="timestamp family"):
+        refresh_tier_incremental(raw, state, changes, "1h")

@@ -110,3 +110,82 @@ def test_jvm_percentiles_equal_arrow(pages_sdf):
     a = sorted(tuple(r) for r in arrow.select(*cols).collect())
     j = sorted(tuple(r) for r in jvm.select(*cols).collect())
     assert a == j
+
+
+def test_hist_kernels_empty_and_null_rows():
+    """Empty/NULL histograms get NaN percentiles WITHOUT corrupting their
+    batch neighbors (a zero-length first segment used to make seg_base pick
+    up the global total), and the merge kernel must not crash on them."""
+    import numpy as np
+
+    from tstore_spark.operators.rollup import (
+        _merge_hists_batch,
+        _pcts_from_hist,
+        _pcts_from_hist_batch,
+    )
+
+    lens = [[], [5, 10], None, [7]]
+    cnts = [[], [1, 3], None, [2]]
+    out = _pcts_from_hist_batch(lens, cnts)
+    assert np.isnan(out[0]).all() and np.isnan(out[2]).all()
+    assert out[1] == _pcts_from_hist(np.array([5.0, 10.0]), np.array([1, 3]))
+    assert out[3] == [7.0, 7.0, 7.0]
+
+    # all-empty batch used to IndexError at new[0]
+    l, c, p = _merge_hists_batch([[], None], [[], None])
+    assert l == [[], []] and c == [[], []]
+    assert np.isnan(np.asarray(p, dtype=np.float64)).all()
+
+    # mixed batch: empty rows merge to empty, non-empty rows merge normally
+    l, c, p = _merge_hists_batch([[3, 3, 9], []], [[1, 2, 4], []])
+    assert l[0] == [3, 9] and c[0] == [3, 4]
+    assert l[1] == [] and c[1] == []
+    assert not np.isnan(p[0]).any() and np.isnan(p[1]).all()
+
+
+def test_rollup_null_text_rows(spark):
+    """NULL text/lang rows stay in doc_count but out of the histogram (a None
+    array element used to NaN-poison percentiles and crash the cascade)."""
+    pdf = pd.DataFrame(
+        {
+            "url": ["https://a.com/x"] * 4,
+            "warc_ts": pd.to_datetime(["2024-05-01 10:00:00"] * 4).astype("datetime64[us]"),
+            "html": ["<p>hi</p>"] * 4,
+            "text": ["hello", None, "worlds!", None],
+            "lang": ["en", "en", "de", None],
+        }
+    )
+    tier = rollup_from_raw(spark.createDataFrame(pdf), "1m")
+    out = tier.toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["doc_count"] == 4
+    assert list(r["hist_lens"]) == [5, 7] and list(r["hist_cnts"]) == [1, 1]
+    assert r["text_len_p50"] == 6.0
+    assert list(r["lang_set"]) == ["de", "en"]
+
+    up = rollup_cascade(tier, "1h").toPandas()
+    assert up.iloc[0]["doc_count"] == 4
+    assert list(up.iloc[0]["hist_lens"]) == [5, 7]
+
+
+def test_cascade_over_gap_filled_tier(spark, pages_sdf):
+    """Cascading a gap-filled tier (synthesized rows carry EMPTY histogram
+    arrays) must neither crash the merge kernel nor skew real windows."""
+    import numpy as np
+
+    from tstore_spark.operators.gapfill import gap_fill
+
+    tier_1m = rollup_from_raw(pages_sdf.limit(400), "1m")
+    filled = gap_fill(tier_1m, "1m", interpolate=False)
+    up = rollup_cascade(filled, "1h").toPandas()
+    ref = rollup_cascade(tier_1m, "1h").toPandas()
+    key = ["domain", "window_start"]
+    merged = up.merge(ref, on=key, suffixes=("_f", "_r"))
+    # every real hour's stats are unchanged by the zero-count filler rows
+    assert (merged["doc_count_f"] == merged["doc_count_r"]).all()
+    assert (merged["text_len_p50_f"] == merged["text_len_p50_r"]).all()
+    # hours made ONLY of filler rows (if any) carry NaN percentiles, not garbage
+    only_fill = up[up["doc_count"] == 0]
+    if len(only_fill):
+        assert only_fill["text_len_p50"].isna().all()

@@ -225,3 +225,34 @@ def test_ts_vars_normalization_shapes(spark):
     assert list_form.descriptor.ts_vars == {"ts_variable": ["a", "b"]}
     dict_form = TSLong.wrap(df, "id", "time", ts_vars={"g": ["a"], "h": ["b"]})
     assert dict_form.descriptor.ts_vars == {"g": ["a"], "h": ["b"]}
+
+
+def test_wide_pivot_underscore_collision(spark):
+    """Ids ['a','a_x'] with values ['x_b','b'] both render as "a_x_b" under
+    Spark's native "{id}_{alias}" pivot naming — the pivot now rides a hex
+    id encoding so the rename to "{var}({id})" can never be ambiguous."""
+    ids = ["a", "a_x"]
+    rows = [
+        (i, pd.Timestamp("2000-01-01") + pd.Timedelta(hours=h), float(h) + (10.0 if i == "a" else 20.0), float(h) * 2)
+        for i in ids
+        for h in range(3)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "time", "x_b", "b"]))
+    t = TSLong.wrap(df, "id", "time", ts_vars={"g": ["x_b", "b"]})
+    wide = t.to_tswide(values=["x_b", "b"])
+    for col in ["x_b(a)", "x_b(a_x)", "b(a)", "b(a_x)"]:
+        assert col in wide.df.columns, wide.df.columns
+    got = wide.df.orderBy("time").toPandas()
+    assert got["x_b(a)"].tolist() == [10.0, 11.0, 12.0]
+    assert got["x_b(a_x)"].tolist() == [20.0, 21.0, 22.0]
+    assert got["b(a)"].tolist() == [0.0, 2.0, 4.0]
+    back = wide.to_tslong()
+    a = (
+        t.df.select("id", "time", "x_b", "b")
+        .toPandas().sort_values(["id", "time"]).reset_index(drop=True)
+    )
+    b = (
+        back.df.select("id", "time", "x_b", "b")
+        .toPandas().sort_values(["id", "time"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

@@ -207,3 +207,12 @@ def test_uri_encoded_ids_roundtrip(spark, tmp_path):
         got = TL.open_tstore(spark, out, tstore_ids=[tid]).df.collect()
         assert len(got) == 4, tid
         assert {r["tstore_id"] for r in got} == {tid}
+
+
+def test_empty_id_filter_returns_empty(spark, golden_dir):
+    """tstore_ids=[] means "these zero ids": an empty TSLong with the full
+    schema (the empty glob alternation "{}" used to crash the read)."""
+    tl = TL.open_tstore(spark, golden_dir, tstore_ids=[])
+    assert tl.df.count() == 0
+    full = TL.open_tstore(spark, golden_dir)
+    assert set(tl.df.columns) == set(full.df.columns)

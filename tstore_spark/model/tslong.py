@@ -143,29 +143,32 @@ class TSLong:
             )
         ids = sorted(ids)
         vals = values or d.ts_columns
+        # Pivot on a HEX encoding of the id. Spark names multi-agg pivot
+        # columns "{pivotValue}_{aggAlias}", which is ambiguous for ids
+        # containing underscores (ids ['a','a_x'] with vals ['x_b','b'] both
+        # yield "a_x_b" — exactly the collision the var(id) convention exists
+        # to avoid; Spark then raises AMBIGUOUS_REFERENCE on the rename).
+        # Hex contains no underscore and the positional "v{j}" aliases are
+        # distinct, so the first "_" always splits value from alias, and the
+        # rename to "{var}({id})" is exact for ANY id and variable name.
+        hex_of = {i: str(i).encode("utf-8").hex().upper() for i in ids}
         piv = (
-            self._df.groupBy(d.time_var)
-            .pivot(d.id_var, ids)
-            .agg(*[F.first(c).alias(c) for c in vals])
+            self._df.withColumn("_pid", F.hex(F.col(d.id_var)))
+            .groupBy(d.time_var)
+            .pivot("_pid", [hex_of[i] for i in ids])
+            .agg(*[F.first(c).alias(f"v{j}") for j, c in enumerate(vals)])
             .orderBy(d.time_var)
         )
-        # Spark names single-agg pivot columns "{id}" and multi-agg
-        # "{id}_{alias}"; normalize both to the "{var}({id})" convention
         renames = {}
         for i in ids:
             if len(vals) == 1:
-                renames[str(i)] = TSWide.column_name(vals[0], i)
+                renames[hex_of[i]] = TSWide.column_name(vals[0], i)
             else:
-                for v in vals:
-                    renames[f"{i}_{v}"] = TSWide.column_name(v, i)
-        # backticks inside quoted identifiers are escaped by doubling (ids
-        # may contain them)
+                for j, v in enumerate(vals):
+                    renames[f"{hex_of[i]}_v{j}"] = TSWide.column_name(v, i)
         piv = piv.select(
             d.time_var,
-            *[
-                F.col("`" + old.replace("`", "``") + "`").alias(new)
-                for old, new in renames.items()
-            ],
+            *[F.col(old).alias(new) for old, new in renames.items()],
         )
         return TSWide(piv, d.time_var, d.id_var, ids, vals)
 

@@ -116,7 +116,18 @@ def metric_rollup_from_raw(
         F.sum(F.col("_cents") * F.col("_cnt")).alias("value_cents"),
     ]
     if not value_sketch:
-        s2_aggs.append(F.array_sort(F.collect_list(F.struct("_cents", "_cnt"))).alias("_h"))
+        # NULL values keep their rows in event_count (the null-cents group
+        # aggregates like any other; sum() already skips the null product in
+        # value_cents) but must not enter the histogram — a None element
+        # crashes the cascade's int64 merge kernel.
+        s2_aggs.append(
+            F.array_sort(
+                F.filter(
+                    F.collect_list(F.struct("_cents", "_cnt")),
+                    lambda x: x["_cents"].isNotNull(),
+                )
+            ).alias("_h")
+        )
     if not id_sketch:
         s2_aggs.append(
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("_is")))).alias("id_set")
@@ -378,6 +389,19 @@ def refresh_tier_incremental(
 
     unit = TIERS[tier]
     is_ntz = dict(raw.dtypes).get(time_col) == "timestamp_ntz"
+    # the same window expression is applied to BOTH frames, so the timestamp
+    # families must match: applying the NTZ wall-clock cast chosen from raw's
+    # dtype to a session-zoned changes column (or vice versa) would route the
+    # invalidation set through the session zone and recompute the WRONG
+    # (key, window) slices in any non-UTC session — fail loudly instead.
+    changes_t = dict(changes.dtypes).get(time_col)
+    raw_t = dict(raw.dtypes).get(time_col)
+    if changes_t != raw_t:
+        raise ValueError(
+            f"changes.{time_col} is {changes_t} but raw.{time_col} is {raw_t}; "
+            "cast the changes batch to the raw table's timestamp family first "
+            "(to_timestamp_ntz for NTZ archives) so invalidation windows align"
+        )
     ws = F.date_trunc(unit, F.col(time_col))
     if is_ntz:
         ws = ws.cast("timestamp_ntz")

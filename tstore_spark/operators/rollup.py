@@ -80,6 +80,25 @@ def _pcts_from_hist_batch(hist_lens, hist_cnts, qs=PCTS, value_scale: float = 1.
     n_rows = len(hist_lens)
     if n_rows == 0:
         return []
+    # empty/NULL histograms (gap-filled tier rows, windows whose every value
+    # was NULL) get NaN percentiles and MUST NOT participate in the shared
+    # cumsum: a zero-length first segment would make ends[0] = -1, so
+    # seg_base would pick up the GLOBAL total and corrupt the neighbors'
+    # interpolation indices (silently wrong p50/p90/p99 for non-empty rows).
+    hist_lens = [x if x is not None else () for x in hist_lens]
+    hist_cnts = [x if x is not None else () for x in hist_cnts]
+    if any(len(x) == 0 for x in hist_lens):
+        out = np.full((n_rows, len(qs)), np.nan)
+        ne = [i for i in range(n_rows) if len(hist_lens[i]) > 0]
+        if ne:
+            sub = _pcts_from_hist_batch(
+                [hist_lens[i] for i in ne],
+                [hist_cnts[i] for i in ne],
+                qs=qs,
+                value_scale=value_scale,
+            )
+            out[ne] = sub
+        return out.tolist()
     lens_flat = np.concatenate([np.asarray(x, dtype=np.float64) for x in hist_lens])
     cnts_flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in hist_cnts])
     if value_scale != 1.0:
@@ -131,7 +150,17 @@ def _merge_hists_batch(
     n_rows = len(flat_lens_rows)
     if n_rows == 0:
         return [], [], []
+    # NULL concats (a NULL child array makes flatten() return NULL) and
+    # empty concats (parents whose every child is gap-filled) merge to an
+    # empty histogram with NaN percentiles; an all-empty batch would
+    # otherwise crash at new[0] (zero-length array).
+    flat_lens_rows = [x if x is not None else () for x in flat_lens_rows]
+    flat_cnts_rows = [x if x is not None else () for x in flat_cnts_rows]
     seg_len = np.fromiter((len(x) for x in flat_lens_rows), dtype=np.int64, count=n_rows)
+    if not seg_len.any():
+        empty = [[] for _ in range(n_rows)]
+        pcts = [[np.nan] * len(qs)] * n_rows if with_pcts else [None] * n_rows
+        return empty, list(empty), pcts
     L = np.concatenate([np.asarray(x, dtype=np.int64) for x in flat_lens_rows])
     C = np.concatenate([np.asarray(x, dtype=np.int64) for x in flat_cnts_rows])
     S = np.repeat(np.arange(n_rows, dtype=np.int64), seg_len)
@@ -329,7 +358,16 @@ def rollup_from_raw(
             F.sum("_cnt").alias("doc_count"),
             F.sum("_b").alias("bytes_total"),
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("_ls")))).alias("lang_set"),
-            F.array_sort(F.collect_list(F.struct("_len", "_cnt"))).alias("_h"),
+            # NULL text keeps its rows in doc_count/bytes_total (the null-len
+            # group aggregates like any other) but must not enter the
+            # histogram: a None array element NaN-poisons the percentile
+            # kernel and crashes the cascade's int64 merge.
+            F.array_sort(
+                F.filter(
+                    F.collect_list(F.struct("_len", "_cnt")),
+                    lambda x: x["_len"].isNotNull(),
+                )
+            ).alias("_h"),
         )
         .select(
             "domain",
@@ -435,7 +473,13 @@ def rollup_oracle_pandas(pages_pdf: pd.DataFrame, tier: str) -> pd.DataFrame:
     """Straight-line pandas implementation of a tier from raw (FIXTURES.md F4)."""
     unit = {"1m": "min", "1h": "h", "1d": "D"}[tier]
     df = pages_pdf.copy()
-    df["domain"] = df["url"].str.extract(r"https?://([^/]+)/", expand=False)
+    # mirror parse_url(HOST) semantics: host ends at port/path/query/fragment,
+    # userinfo excluded, and a path-less URL ("https://x.com") still parses —
+    # the old r"https?://([^/]+)/" regex required a trailing slash and kept
+    # the port, silently dropping/renaming groups vs the engine key.
+    df["domain"] = df["url"].str.extract(
+        r"https?://(?:[^/@]*@)?([^/:?#]+)", expand=False
+    )
     df["window_start"] = df["warc_ts"].dt.floor(unit)
     df["_bytes"] = df["html"].map(len)
     df["_len"] = df["text"].str.len()

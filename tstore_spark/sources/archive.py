@@ -231,6 +231,24 @@ def append_archive(
 
 # -- read path (reference read lifecycle, SURVEY §3.2) ------------------------
 
+def fact_reader(spark: SparkSession, meta: dict):
+    """DataFrameReader honoring the archive's unified ``fact_schema``.
+
+    Every scan of the pages table — reads AND maintenance rewrites — must go
+    through this: a bare ``spark.read.parquet`` infers the schema from one
+    sampled footer, so on a schema-evolved archive it can miss columns that
+    only newer files carry, and a compaction/merge/delete rewrite would then
+    silently drop those columns from the partitions it replaces. Partition
+    columns (p_day/p_bucket) are appended by partition discovery as usual.
+    """
+    reader = spark.read
+    if "fact_schema" in meta:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(meta["fact_schema"])))
+    return reader
+
+
 def open_archive(
     spark: SparkSession,
     base_dir: str,
@@ -245,16 +263,10 @@ def open_archive(
     """Open the archive as a TSLong; one Catalyst plan does scan + prune +
     filter + broadcast-join (the reference's steps 2-4 collapsed)."""
     d, num_buckets, meta = read_metadata_all(base_dir)
-    reader = spark.read
-    if "fact_schema" in meta:
-        # schema-on-read from metadata (Iceberg pattern): after evolution,
-        # files written before a column existed null-fill it at scan time —
-        # no mergeSchema footer sweep over the whole archive. Partition
-        # columns (p_day/p_bucket) are appended by partition discovery.
-        from pyspark.sql.types import StructType
-
-        reader = reader.schema(StructType.fromJson(json.loads(meta["fact_schema"])))
-    df = reader.parquet(os.path.join(base_dir, PAGES_DIR))
+    # schema-on-read from metadata (Iceberg pattern): after evolution, files
+    # written before a column existed null-fill it at scan time — no
+    # mergeSchema footer sweep over the whole archive.
+    df = fact_reader(spark, meta).parquet(os.path.join(base_dir, PAGES_DIR))
 
     # partition pruning: day from the time range, bucket from the id list
     if start_time is not None or end_time is not None:
@@ -267,7 +279,7 @@ def open_archive(
     if ids is not None:
         ids = [str(i) for i in ids]
         df = df.where(F.col(d.id_var).isin(ids))
-        buckets = sorted({_bucket_of(spark, i, num_buckets) for i in ids})
+        buckets = _buckets_of(spark, ids, num_buckets)
         df = df.where(F.col("p_bucket").isin(buckets))
 
     df = df.drop("p_day", "p_bucket")  # hidden partitioning: logical schema never sees them
@@ -285,10 +297,21 @@ def open_archive(
     return wrapped.query(ts_variables=ts_variables, columns=columns) if (ts_variables or columns) else wrapped
 
 
+def _buckets_of(spark: SparkSession, values: list[str], num_buckets: int) -> list[int]:
+    """Evaluate the bucket transform for ALL filter ids in ONE Spark job.
+
+    A per-id ``spark.range(1)...head()`` loop costs one driver-blocking job
+    per id — seconds of pure scheduling overhead before the real scan when a
+    query filters on hundreds of ids. One local-relation select computes
+    every bucket in a single pass."""
+    df = spark.createDataFrame([(str(v),) for v in values], "v string")
+    rows = df.select(bucket_column(F.col("v"), num_buckets).alias("b")).collect()
+    return sorted({int(r["b"]) for r in rows})
+
+
 def _bucket_of(spark: SparkSession, value: str, num_buckets: int) -> int:
-    """Driver-side evaluation of the bucket transform for pruning."""
-    row = spark.range(1).select(bucket_column(F.lit(value), num_buckets).alias("b")).head()
-    return int(row["b"])
+    """Driver-side evaluation of the bucket transform for one id."""
+    return _buckets_of(spark, [value], num_buckets)[0]
 
 
 # -- retention (north rule: per-tier expiry) ----------------------------------

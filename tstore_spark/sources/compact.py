@@ -36,8 +36,13 @@ import shutil
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from tstore_spark.sources.archive import PAGES_DIR, read_metadata
+from tstore_spark.sources.archive import PAGES_DIR, fact_reader, read_metadata_all
 from tstore_spark.sources.zorder import DEFAULT_BITS, with_zorder_key
+
+#: Hive's directory name for a null-valued partition column — the string the
+#: dir-name join key must render NULL partition values as, or their rows
+#: silently fall out of the rewrite's inner join.
+HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
@@ -111,7 +116,7 @@ def compact_archive(
     sort-based percentile pass over the selected dirs."""
     if cluster_by and zorder_by:
         raise ValueError("cluster_by and zorder_by are mutually exclusive")
-    d, _num_buckets = read_metadata(base_dir)
+    d, _num_buckets, meta = read_metadata_all(base_dir)
     root = os.path.join(base_dir, table)
     plan = compaction_plan(root, target_file_bytes)
     summary = {
@@ -124,17 +129,30 @@ def compact_archive(
         return summary
 
     # one scan restricted to the fragmented directories; basePath keeps the
-    # partition columns in the schema so the rewrite lands in the same dirs
+    # partition columns in the schema so the rewrite lands in the same dirs.
+    # The pages table reads through fact_reader: a footer-inferred schema on
+    # a schema-evolved archive could miss evolved columns and the rewrite
+    # would destroy them (the swap deletes the originals).
     paths = [os.path.join(root, p["rel_dir"]) for p in plan]
-    df = spark.read.option("basePath", root).parquet(*paths)
+    reader = fact_reader(spark, meta) if table == PAGES_DIR else spark.read
+    df = reader.option("basePath", root).parquet(*paths)
     part_cols = [
         seg.split("=", 1)[0] for seg in plan[0]["rel_dir"].split(os.sep) if "=" in seg
     ]
 
     # broadcast (partition-key -> n_out); the key is the dir-name string form,
-    # rebuilt from the typed partition columns (dates render as yyyy-MM-dd)
+    # rebuilt from the typed partition columns (dates render as yyyy-MM-dd,
+    # NULL renders as Hive's default-partition dir name — a bare cast would
+    # make the whole key NULL and the inner join would DROP those rows)
     key = F.concat_ws(
-        "/", *[F.concat(F.lit(f"{c}="), F.col(c).cast("string")) for c in part_cols]
+        "/",
+        *[
+            F.concat(
+                F.lit(f"{c}="),
+                F.coalesce(F.col(c).cast("string"), F.lit(HIVE_NULL_PART)),
+            )
+            for c in part_cols
+        ],
     )
     plan_df = spark.createDataFrame(
         [(p["rel_dir"].replace(os.sep, "/"), p["n_out"]) for p in plan],
@@ -184,10 +202,18 @@ def compact_archive(
         sorted_df = sorted_df.drop("_z")
     sorted_df.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
 
-    # metadata-only swap, done last (Iceberg analog: the snapshot commit)
+    # metadata-only swap, done last (Iceberg analog: the snapshot commit).
+    # Never delete a live directory before its replacement provably exists:
+    # if the rewrite produced no output for a selected dir (a bug upstream),
+    # aborting here leaves every remaining partition intact.
     for p in plan:
         src = os.path.join(tmp, p["rel_dir"])
         dst = os.path.join(root, p["rel_dir"])
+        if not os.path.isdir(src):
+            raise RuntimeError(
+                f"compaction produced no output for {p['rel_dir']!r}; "
+                f"aborting the swap (original data left in place, temp tree kept at {tmp})"
+            )
         shutil.rmtree(dst)
         os.replace(src, dst)
     shutil.rmtree(tmp, ignore_errors=True)

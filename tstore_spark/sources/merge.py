@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tstore_spark.functions.timeparts import bucket_column
-from tstore_spark.sources.archive import PAGES_DIR, read_metadata
+from tstore_spark.sources.archive import PAGES_DIR, fact_reader, read_metadata_all
 
 _PART_COLS = ["p_day", "p_bucket"]
 
@@ -48,11 +48,16 @@ def merge_upsert(
 ) -> dict:
     """Upsert ``updates`` (fact-schema rows keyed by (id_var, time_var))
     into ``<base_dir>/<table>``; returns a summary dict."""
-    d, num_buckets = read_metadata(base_dir)
+    d, num_buckets, meta = read_metadata_all(base_dir)
     root = os.path.join(base_dir, table)
 
-    # normalize the id dtype to the stored one (wrap() casts ids to string)
-    stored = spark.read.parquet(root)
+    # normalize the id dtype to the stored one (wrap() casts ids to string).
+    # fact_reader: on a schema-evolved archive a footer-inferred schema could
+    # miss evolved columns, and the copy-on-write rewrite would then destroy
+    # them in every touched partition. (fact_schema describes the pages
+    # table only; tier tables keep the plain reader.)
+    reader = fact_reader(spark, meta) if table == PAGES_DIR else spark.read
+    stored = reader.parquet(root)
     fact_cols = [c for c in stored.columns if c not in _PART_COLS]
     missing = [c for c in fact_cols if c not in updates.columns]
     if missing:
@@ -88,7 +93,7 @@ def merge_upsert(
         ]
         obs = n_base = None
         if existing:
-            base = spark.read.option("basePath", root).parquet(*existing)
+            base = reader.option("basePath", root).parquet(*existing)
             # n_updated rides the SINGLE rewrite pass: an Observation on the
             # anti-join output counts keepers during the write action itself
             # (no second scan of the touched partitions); base.count() is a
@@ -151,7 +156,10 @@ def delete_where(
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     root = os.path.join(base_dir, table)
 
-    stored = spark.read.option("basePath", root).parquet(root)
+    d, _num_buckets, meta = read_metadata_all(base_dir)
+    # see merge_upsert: evolved columns must survive the rewrite
+    reader = fact_reader(spark, meta) if table == PAGES_DIR else spark.read
+    stored = reader.option("basePath", root).parquet(root)
     affected = [
         (str(r["p_day"]), int(r["p_bucket"]))
         for r in stored.where(pred).select(*_PART_COLS).distinct().collect()
@@ -162,7 +170,7 @@ def delete_where(
     paths = [
         os.path.join(root, f"p_day={day}", f"p_bucket={b}") for day, b in affected
     ]
-    base = spark.read.option("basePath", root).parquet(*paths)
+    base = reader.option("basePath", root).parquet(*paths)
     # n_deleted rides the single rewrite pass: the Observation counts keepers
     # during the write action (no extra scan); base.count() is a parquet-
     # footer count (empty ReadSchema — no data pages read)
@@ -173,7 +181,6 @@ def delete_where(
     kept = base.where(~F.coalesce(pred, F.lit(False))).observe(
         obs, F.count(F.lit(1)).alias("n_kept")
     )
-    d, _num_buckets = read_metadata(base_dir)
     tmp = root + ".delete__tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     (

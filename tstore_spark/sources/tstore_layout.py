@@ -195,7 +195,12 @@ def open_tstore(
     row_filter_ids = None
     if tstore_ids is not None:
         ids_s = [str(i) for i in tstore_ids]
-        if all(not (_GLOB_META & set(i)) for i in ids_s):
+        if not ids_s:
+            # "filter to these zero ids" = empty result; the empty glob "{}"
+            # would crash the read with PATH_NOT_FOUND, but isin([]) folds to
+            # constant false so no file is actually scanned
+            row_filter_ids = ids_s
+        elif all(not (_GLOB_META & set(i)) for i in ids_s):
             id_glob = "{" + ",".join(ids_s) + "}"
         else:
             row_filter_ids = ids_s

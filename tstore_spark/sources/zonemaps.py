@@ -77,12 +77,26 @@ def zone_maps(
 
     import pyarrow.parquet as pq
 
-    arrow_schema = pq.read_schema(paths[0])
     from pyspark.sql.pandas.types import from_arrow_type
 
+    # On a schema-evolved archive some files lack newer columns entirely, so
+    # the type lookup must search footers until the column is found (first
+    # footer is the no-evolution fast path) and a file without the column
+    # must emit NULL stats ("always keep"), never crash the manifest job.
     fields = ["path string", "row_count long"]
+    schemas: dict[str, object] = {}
     for c in columns:
-        t = from_arrow_type(arrow_schema.field(c).type).simpleString()
+        arrow_field = None
+        for p in paths:
+            sch = schemas.get(p)
+            if sch is None:
+                sch = schemas[p] = pq.read_schema(p)
+            if c in sch.names:
+                arrow_field = sch.field(c)
+                break
+        if arrow_field is None:
+            raise ValueError(f"column {c!r} not present in any parquet file under {root}")
+        t = from_arrow_type(arrow_field.type).simpleString()
         fields += [f"{c}_min {t}", f"{c}_max {t}"]
     schema = ", ".join(fields)
     cols = list(columns)
@@ -95,6 +109,10 @@ def zone_maps(
                 idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
                 rec: dict = {"path": path, "row_count": md.num_rows}
                 for c in cols:
+                    if c not in idx:
+                        # pre-evolution file: no stats -> NULL -> always kept
+                        rec[f"{c}_min"], rec[f"{c}_max"] = None, None
+                        continue
                     lo = hi = None
                     for rg in range(md.num_row_groups):
                         st = md.row_group(rg).column(idx[c]).statistics
