@@ -3579,7 +3579,7 @@ def oracle_sql() -> dict[str, str]:
             x AS (SELECT doc_id, i, l[i] AS ln FROM e),
             f AS (SELECT ln FROM (
                       SELECT ln, count(DISTINCT doc_id) AS dfreq FROM x GROUP BY 1)
-                  WHERE dfreq >= 2),
+                  WHERE dfreq >= 2 AND len(ln) > 0),
             k AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY i) AS clean_text,
                          count(*) AS n_kept
                   FROM x WHERE ln NOT IN (SELECT ln FROM f) GROUP BY 1)

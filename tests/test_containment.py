@@ -57,3 +57,23 @@ def test_deterministic_across_partitioning(corpus):
     a = sorted(map(tuple, containment_pairs(corpus.repartition(8), threshold=0.5).collect()))
     b = sorted(map(tuple, containment_pairs(corpus.coalesce(1), threshold=0.5).collect()))
     assert a == b
+
+
+def test_max_gram_df_scores_remain_exact(spark):
+    """max_gram_df restricts CANDIDATES to rare-gram sharers but must not
+    bias the score: a contained quote that is mostly boilerplate (common
+    grams) still scores by its FULL intersection, not just the rare part."""
+    boiler = " ".join(f"c{i}" for i in range(40))  # shared by 5 docs -> common
+    quote = boiler + " r1 r2 r3"                   # 3 rare trailing tokens
+    container = quote + " " + " ".join(f"x{i}" for i in range(100))
+    rows = [(1, quote), (2, container)] + [(i, boiler + f" pad{i}") for i in range(3, 7)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    exact = containment_pairs(df, threshold=0.9).toPandas()
+    pruned = containment_pairs(df, threshold=0.9, max_gram_df=3).toPandas()
+    e = {(r.contained_id, r.container_id): r.containment for r in exact.itertuples()}
+    p = {(r.contained_id, r.container_id): r.containment for r in pruned.itertuples()}
+    assert e[(1, 2)] == 1.0
+    # the (1,2) pair shares rare grams, so it survives pruning AND keeps the
+    # exact score (the old filtered-count scoring gave it ~rare/total < 0.1)
+    assert p[(1, 2)] == 1.0

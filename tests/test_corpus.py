@@ -159,3 +159,24 @@ def test_top_ngrams_tiebreak_deterministic(spark):
     a = [r["gram"] for r in top_ngrams(df.repartition(2), n=3, k=2).collect()]
     b = [r["gram"] for r in top_ngrams(df.repartition(7), n=3, k=2).collect()]
     assert a == b == ["d e f", "k l m"]
+
+
+def test_boilerplate_preserves_blank_lines(spark):
+    """Blank lines reach min_docs in any multi-paragraph corpus but are NOT
+    boilerplate — the frequency rule must not strip every paragraph break."""
+    import pandas as pd
+
+    from tstore_spark.operators.corpus import remove_boilerplate_lines
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["para one\n\npara two\nSHARED FOOTER",
+                     "alpha\n\nbeta\nSHARED FOOTER"],
+        }
+    )
+    out = remove_boilerplate_lines(spark.createDataFrame(docs), min_docs=2).toPandas()
+    got = dict(zip(out.doc_id, out.clean_text))
+    assert got[1] == "para one\n\npara two"
+    assert got[2] == "alpha\n\nbeta"
+    assert dict(zip(out.doc_id, out.n_removed)) == {1: 1, 2: 1}

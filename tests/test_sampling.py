@@ -174,3 +174,25 @@ def test_stratified_deterministic_across_parallelism(spark, pages_sdf):
     a = stratified_sample(pages.repartition(1), "domain", "url", n=6).select("domain", "url")
     b = stratified_sample(pages.repartition(16), "domain", "url", n=6).select("domain", "url")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_stratified_small_n_large_stratum_never_short(spark):
+    """n=1 over a large stratum: the old 4n/count cutoff left ~1.8% of such
+    strata EMPTY (deterministically for the dataset); the additive cutoff
+    floor + in-plan guard make shortfall impossible-or-loud. 40 seeds would
+    have hit the old failure with P ~ 51%."""
+    import pandas as pd
+
+    from tstore_spark.operators.sampling import stratified_sample
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:05d}" for i in range(8000)],
+            "lang": [f"g{i % 4}" for i in range(8000)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    for seed in range(40):
+        got = stratified_sample(df, "lang", "doc_id", n=1, seed=seed)
+        counts = {r["lang"]: r["c"] for r in got.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+        assert counts == {f"g{i}": 1 for i in range(4)}, (seed, counts)

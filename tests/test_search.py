@@ -203,3 +203,17 @@ def test_bm25_plan_is_broadcast_and_takeordered(index):
     p = buf.getvalue()
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_bm25_precomputed_doc_lengths_identical(index):
+    """Passing a precomputed doc_lengths table (the interactive-load path:
+    one persisted aggregation for ALL queries) gives identical results."""
+    from tstore_spark.operators.search import doc_lengths
+
+    dl = doc_lengths(index).cache()
+    try:
+        a = [(r["doc_id"], round(r["score"], 9)) for r in bm25_topk(index, ["spark", "window"], k=4).collect()]
+        b = [(r["doc_id"], round(r["score"], 9)) for r in bm25_topk(index, ["spark", "window"], k=4, dl=dl).collect()]
+        assert a == b
+    finally:
+        dl.unpersist()

@@ -107,3 +107,63 @@ def test_sessionize_native_matches_oracle_and_custom(spark):
         assert got_b == sorted(expect)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_sessionize_out_of_order_within_watermark(spark):
+    """A late-but-within-watermark event that sorts BEFORE the session state
+    must extend the session bounds monotonically (min start / max end). The
+    old merge overwrote last_ts backwards: the session was split in two and
+    one emitted row had session_end < session_start."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = tempfile.mkdtemp(prefix="ts_sess_ooo_")
+    try:
+        src = f"{base}/src"
+        os.makedirs(src)
+        batches = [
+            [("a", "2024-01-01 10:00:00")],
+            [("a", "2024-01-01 09:59:30")],   # late, within the 10m watermark
+            [("a", "2024-01-01 10:00:50")],   # 80s after the REGRESSED last_ts
+            [("z", "2024-01-01 11:00:00")],   # advances the watermark
+            [("z", "2024-01-01 11:00:01")],   # one more batch: timeout fires
+        ]
+        schema = pa.schema([("key", pa.string()), ("ts", pa.timestamp("us"))])
+        for i, rows in enumerate(batches):
+            tbl = pa.table(
+                {
+                    "key": [k for k, _ in rows],
+                    "ts": [pd.Timestamp(t) for _, t in rows],
+                },
+                schema=schema,
+            )
+            pq.write_table(tbl, f"{src}/b{i}.parquet")
+            time.sleep(1.05)  # distinct mtimes: one file per micro-batch, in order
+
+        spark_schema = spark.createDataFrame(
+            pd.DataFrame({"key": ["x"], "ts": [pd.Timestamp("2024-01-01")]})
+        ).schema
+        stream = spark.readStream.schema(spark_schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        sessions = sessionize(stream, "key", "ts", gap_seconds=60, watermark="10 minutes")
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = sorted(
+            (r["key"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+            for r in spark.read.parquet(f"{base}/out").collect()
+            if r["key"] == "a"
+        )
+        assert got == [("a", "2024-01-01 09:59:30", "2024-01-01 10:00:50", 3)], got
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -219,3 +219,42 @@ def test_semantic_dedup_arg_validation(dup_sdf):
         )
     with pytest.raises(ValueError):
         SIM.semantic_dedup(dup_sdf, seeds=_seeds(dup_sdf), max_cluster_rows=10)  # no dim
+
+
+def test_zero_norm_vectors_never_crash_or_match(spark, emb_sdf):
+    """One all-zeros embedding (padding/failed-embedding row) must not kill
+    the query: Spark 4 runs ANSI mode where an unguarded x/0.0 throws
+    DIVIDE_BY_ZERO. Zero vectors score NULL and simply never match."""
+    zero = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [999], "embedding": [[0.0] * DIM]}),
+        schema="vec_id long, embedding array<float>",
+    )
+    vecs = emb_sdf.unionByName(zero)
+    probes = vecs.where("vec_id < 2 or vec_id = 999")
+    got = SIM.cosine_topk(vecs, probes, k=3).toPandas()
+    # real probes still get k real neighbors; the zero vector is never one
+    for q in (0, 1):
+        nb = got[got.query_id == q]
+        assert len(nb) == 3 and 999 not in set(nb.neighbor_id)
+    # the zero probe ranks only NULL scores — whatever it returns, no crash
+    # and no non-null similarity
+    zq = got[got.query_id == 999]
+    assert zq.cos_sim.isna().all()
+
+    pairs = SIM.embedding_near_dup_pairs(
+        vecs, dim=DIM, threshold=0.45, method="lsh"
+    ).toPandas()
+    assert 999 not in set(pairs.get("id_a", [])) | set(pairs.get("id_b", []))
+
+
+def test_ivf_topk_string_ids(spark):
+    """ivf_topk must carry probe ids with their own dtype — string doc keys
+    are as valid as longs (a hardcoded int(q) crashed on them)."""
+    pdf = _vectors()
+    pdf["vec_id"] = [f"doc_{i:04d}" for i in range(N)]
+    sdf = spark.createDataFrame(pdf, schema="vec_id string, embedding array<float>")
+    probes = sdf.where("vec_id < 'doc_0003'")
+    out = SIM.ivf_topk(sdf, probes, dim=DIM, k=3, n_centroids=8, n_probe=8).toPandas()
+    assert set(out.query_id) == {"doc_0000", "doc_0001", "doc_0002"}
+    assert (out.groupby("query_id").size() == 3).all()
+    assert not (out.query_id == out.neighbor_id).any()

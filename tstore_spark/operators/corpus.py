@@ -102,12 +102,16 @@ def remove_boilerplate_lines(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_i", "_ln"),
     )
+    # empty lines are NEVER boilerplate: '' reaches min_docs in any real
+    # corpus, so the frequency rule would strip every paragraph break from
+    # every document (RefinedWeb-style implementations exclude empty lines
+    # from the rule for exactly this reason; mirrored in the gate oracle)
     freq = (
         lines.select("_ln", id_col)
         .distinct()
         .groupBy("_ln")
         .agg(F.count(F.lit(1)).alias("_df"))
-        .where(F.col("_df") >= F.lit(min_docs))
+        .where((F.col("_df") >= F.lit(min_docs)) & (F.length("_ln") > 0))
         .select("_ln")
     )
     kept = lines.join(freq, "_ln", "left_anti")

@@ -343,28 +343,56 @@ def containment_pairs(
 
     Scale: the equi-join is linear in posting-list sizes but quadratic in
     each shingle's document frequency — boilerplate shingles are the skew
-    bomb. ``max_gram_df`` drops grams shared by more than that many docs
-    (the standard rare-shingle restriction; a surviving pair must then
-    share at least one RARE shingle — document the recall trade when used).
-    Default None = exact, matching the SQL oracle.
+    bomb. ``max_gram_df`` restricts CANDIDATE GENERATION to grams shared by
+    at most that many docs (the standard rare-shingle restriction; a
+    surviving pair must share ≥ 1 rare shingle — the documented recall
+    trade), but the containment SCORE of every surviving pair is still
+    exact: the common-gram contribution is recounted with the common
+    postings semi-joined down to candidate docs first, so the expensive
+    lists never all-pairs-join. (Scoring from the filtered table alone
+    biased every score low by its common-gram overlap — a fully-contained
+    quote made of 95% boilerplate scored 0.05.) Default None = exact,
+    matching the SQL oracle.
     """
     if evict:
         _evict_prior_caches()
     ex = _cache_scoped(exploded_hashed_shingles(df, id_col, text_col, n))
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+
+    def _pair_counts(postings: DataFrame, out: str) -> DataFrame:
+        a, b = postings.alias("a"), postings.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.gram") == F.col("b.gram"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
     if max_gram_df is not None:
-        keep = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("_df")).where(
-            F.col("_df") <= max_gram_df
+        gram_df = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+        rare = ex.join(gram_df.where(F.col("_df") <= max_gram_df).select("gram"), "gram")
+        cand = _cache_scoped(_pair_counts(rare, "_inter_rare"))
+        cand_ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .unionAll(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
         )
-        ex = ex.join(keep.select("gram"), "gram")
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        common = ex.join(
+            gram_df.where(F.col("_df") > max_gram_df).select("gram"), "gram"
+        ).join(cand_ids, id_col, "left_semi")
+        inter = (
+            cand.join(_pair_counts(common, "_inter_common"), ["id_a", "id_b"], "left")
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("_inter_rare") + F.coalesce(F.col("_inter_common"), F.lit(0))).alias("_inter"),
+            )
         )
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
+    else:
+        inter = _pair_counts(ex, "_inter")
     sized = (
         inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")), "id_b")

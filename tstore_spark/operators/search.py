@@ -195,6 +195,14 @@ def term_stats(index: DataFrame, terms: list[str], id_col: str = "doc_id") -> Da
     )
 
 
+def doc_lengths(index: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token count ``(id, _dl)`` from the posting table — the
+    corpus-wide statistic every BM25 query needs. Compute (and persist)
+    ONCE per index, then pass to :func:`bm25_topk`: interactive query loads
+    must not pay a full-index aggregation per query."""
+    return index.groupBy(id_col).agg(F.sum("tf").alias("_dl"))
+
+
 def bm25_topk(
     index: DataFrame,
     terms: list[str],
@@ -202,6 +210,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
+    dl: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k docs by BM25 over the query terms.
 
@@ -210,9 +219,18 @@ def bm25_topk(
     tf), so no second pass over raw text. The per-term table (df, idf) is
     tiny — broadcast onto the candidate postings; ``orderBy(...).limit(k)``
     plans as TakeOrdered, never a full sort. Ties break on doc id for
-    determinism."""
+    determinism.
+
+    ``dl``: a precomputed :func:`doc_lengths` table (persist it for
+    interactive loads). When absent it is computed here and scope-cached so
+    the N/avgdl action and the scoring join share ONE aggregation — the
+    previous shape re-ran the full-index groupBy per query, twice."""
     t = _norm_terms(terms)
-    dl = index.groupBy(id_col).agg(F.sum("tf").alias("_dl"))
+    if dl is None:
+        from tstore_spark.operators.dedup import _cache_scoped, _evict_prior_caches
+
+        _evict_prior_caches()
+        dl = _cache_scoped(doc_lengths(index, id_col))
     n_docs, avgdl = dl.agg(F.count(F.lit(1)), F.avg("_dl")).head()
     if not n_docs:
         raise ValueError("empty index")

@@ -48,7 +48,14 @@ def l2_norm(a) -> F.Column:
 
 
 def cosine(a, b) -> F.Column:
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL (never a crash) for zero-norm vectors: the session runs Spark 4
+    ANSI mode, where an unguarded x/0.0 throws DIVIDE_BY_ZERO and one
+    all-zeros embedding (padding row, failed embedding call) would kill the
+    whole query. NULL scores sink below every real score (desc = NULLS
+    LAST) and fail every `>= threshold` filter, so zero vectors simply
+    never match."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0.0, dot_product(a, b) / denom)
 
 
 def cosine_topk(
@@ -330,13 +337,17 @@ def ivf_topk(
     mat = np.vstack(p_pdf[vec_col].map(lambda x: np.asarray(x, dtype=np.float64)))
     d2 = cnorm[None, :] - 2.0 * (mat @ cent.T)
     near = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]  # stable: deterministic ties
+    # carry the probe id through with ITS OWN dtype (string ids are as valid
+    # as longs — cosine_topk/lsh_ann_topk already handle them generically;
+    # a hardcoded int(q) crashed on 'doc_00017'-style keys)
+    id_type = dict(probes.dtypes)[id_col]
     probe_rows = [
-        (int(q), [float(x) for x in p_pdf[vec_col].iloc[i]], int(c))
+        (q.item() if hasattr(q, "item") else q, [float(x) for x in p_pdf[vec_col].iloc[i]], int(c))
         for i, q in enumerate(p_pdf[id_col])
         for c in near[i]
     ]
     p = vectors.sparkSession.createDataFrame(
-        probe_rows, schema="query_id long, _q array<float>, ivf_cluster int"
+        probe_rows, schema=f"query_id {id_type}, _q array<float>, ivf_cluster int"
     )
 
     cand = v.join(F.broadcast(p), "ivf_cluster").where(F.col(id_col) != F.col("query_id"))
@@ -441,7 +452,14 @@ def semantic_dedup(
             .drop("_csz")
         )
         join_keys = ["cluster", "_sub"]
-    assigned = assigned.cache()  # reused by the pair join (both sides) + output
+    # reused by the pair join (both sides) + output. Scoped like dedup.py's
+    # caches: a long-lived session calling semantic_dedup per corpus shard
+    # would otherwise accumulate one cached copy of the FULL embedding
+    # column per call (the exact leak _evict_prior_caches exists to stop).
+    from tstore_spark.operators.dedup import _cache_scoped, _evict_prior_caches
+
+    _evict_prior_caches()
+    assigned = _cache_scoped(assigned)
     a = assigned.alias("a")
     b = assigned.alias("b")
     sim = F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), round_digits)

@@ -75,16 +75,27 @@ def sessionize(
             start_us, last_us, n = int(ts[0]), int(ts[0]) - 1, 0  # sentinel: no events yet
 
         out = []
-        # split incoming timestamps on gaps relative to the running session
+        # split incoming timestamps on gaps relative to the running session.
+        # Late (within-watermark) segments may sort BEFORE the session state:
+        # a merge must extend both bounds monotonically (min start / max end
+        # — overwriting last_us with an earlier seg_end regressed the state,
+        # emitted session_end < session_start, and fired the timeout early),
+        # and a segment ending more than gap BEFORE the session start is a
+        # disjoint earlier session, emitted immediately rather than glued on.
         for t in _segments(ts, gap_us):
             seg_start, seg_end, seg_n = int(t[0]), int(t[-1]), len(t)
             if n > 0 and seg_start - last_us > gap_us:
                 out.append(close(k, start_us, last_us, n))
                 start_us, last_us, n = seg_start, seg_end, seg_n
+            elif n > 0 and start_us - seg_end > gap_us:
+                out.append(close(k, seg_start, seg_end, seg_n))
             else:
                 if n == 0:
-                    start_us = seg_start
-                last_us, n = seg_end, n + seg_n
+                    start_us, last_us = seg_start, seg_end
+                else:
+                    start_us = min(start_us, seg_start)
+                    last_us = max(last_us, seg_end)
+                n += seg_n
         state.update((start_us, last_us, n))
         # close via timeout when the watermark passes last_ts + gap
         state.setTimeoutTimestamp((last_us + gap_us) // 1000)
