@@ -1874,6 +1874,58 @@ def _q_stream_cascade_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time join (streaming/stream_join.py): attribute
+    each click to every view by the same user within the preceding 2 hours,
+    with BOTH sides arriving as live file streams. The watermark is sized to
+    the replay horizon (31 days > the fixture's span) so a multi-batch
+    replay of unordered files drops nothing — the production setting is the
+    real lateness bound. Inner matches are emitted as they form, so the
+    result equals the batch range join exactly. Oracle: the same inequality
+    join in plain SQL; delay in exact integer microseconds."""
+    import re as _re
+    import shutil as _sh
+
+    from tstore_spark.functions.timeparts import ntz_epoch_micros
+    from tstore_spark.streaming.stream_join import attribution_join
+    from tstore_spark.streaming.stream_rollup import (
+        read_pages_stream,
+        write_stream_tier,
+    )
+
+    base = "/tmp/tstore_spark_sattr_" + _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    _sh.rmtree(base, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.timestamp_micros(ntz_epoch_micros("ts")).alias("ts"),
+        "event_id",
+        "event_type",
+    )
+    ev.where(F.col("event_type") == "view").drop("event_type").repartition(
+        3
+    ).write.parquet(f"{base}/imp")
+    ev.where(F.col("event_type") == "click").drop("event_type").repartition(
+        2
+    ).write.parquet(f"{base}/conv")
+    schema = spark.read.parquet(f"{base}/imp").schema
+    joined = attribution_join(
+        read_pages_stream(spark, f"{base}/imp", schema, max_files_per_trigger=2),
+        read_pages_stream(spark, f"{base}/conv", schema, max_files_per_trigger=1),
+        "user_id",
+        max_delay="2 hours",
+        watermark="31 days",
+    )
+    q = write_stream_tier(joined, f"{base}/out", f"{base}/ck")
+    q.awaitTermination(300)
+    out = spark.read.parquet(f"{base}/out")
+    return out.select(
+        "user_id",
+        F.col("imp_event_id").alias("imp_id"),
+        F.col("conv_event_id").alias("conv_id"),
+        (F.unix_micros("conv_ts") - F.unix_micros("imp_ts")).alias("delay_us"),
+    )
+
+
 def _q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive full-text search via the inverted index: one explode +
     one groupBy builds the (token, doc_id, tf) posting table, the AND query
@@ -2481,6 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cascade_1h": _q_stream_cascade_1h,
         "stream_cascade_hll": _q_stream_cascade_hll,
         "stream_cascade_dd": _q_stream_cascade_dd,
+        "stream_click_attribution": _q_stream_click_attribution,
         "text_search": _q_text_search,
         "term_stats": _q_term_stats,
         "phrase_search": _q_phrase_search,
@@ -3123,6 +3176,16 @@ def oracle_sql() -> dict[str, str]:
                    v[CAST(floor(0.99 * (len(v) - 1)) AS BIGINT) + 1] AS p99_cents,
                    TRUE AS within_bound
             FROM closed
+        """,
+        "stream_click_attribution": """
+            SELECT v.user_id,
+                   v.event_id AS imp_id,
+                   c.event_id AS conv_id,
+                   CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS delay_us
+            FROM events v JOIN events c
+              ON c.user_id = v.user_id
+             AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+            WHERE v.event_type = 'view' AND c.event_type = 'click'
         """,
         "text_search": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
