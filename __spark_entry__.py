@@ -927,6 +927,43 @@ def _q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_link_edges(_t(spark, sf_dir, "documents")), iterations=3)
 
 
+def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle counts (operators/graph.py:triangle_counts) — the
+    mirror-farm/spam-clique signal — via degree-oriented wedge joins (never
+    a hub neighborhood cross product). The link-chain host graph
+    (_LINK_EDGES_SQL) is bipartite (src hosts never link each other), so
+    this gate derives a deterministic NON-bipartite host graph from doc_id
+    arithmetic; the html-extraction chain itself is covered by
+    link_degrees/pagerank_hosts. Oracle: the canonical a<b<c three-way
+    equi-join in plain SQL — exact integer counts."""
+    from tstore_spark.operators.graph import triangle_counts
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _h(expr):
+        return F.concat(F.lit("h"), (expr % 25).cast("string"))
+
+    edges = (
+        docs.select(
+            _h(F.col("doc_id")).alias("src"),
+            _h(F.col("doc_id") + 1).alias("dst"),
+        )
+        .unionAll(
+            docs.select(
+                _h(F.col("doc_id")).alias("src"),
+                _h(F.col("doc_id") + 2).alias("dst"),
+            )
+        )
+        .unionAll(
+            docs.select(
+                _h(F.col("doc_id")).alias("src"),
+                _h(F.col("doc_id") * 7 + 3).alias("dst"),
+            )
+        )
+    )
+    return triangle_counts(edges)
+
+
 def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle containment |S(a)∩S(b)|/|S(a)| over documents —
     the quote/aggregator relation Jaccard LSH can't see. Candidates =
@@ -2493,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _q_url_canonicalize,
         "link_degrees": _q_link_degrees,
         "pagerank_hosts": _q_pagerank_hosts,
+        "triangle_counts": _q_triangle_counts,
         "anchor_terms": _q_anchor_terms,
         "mad_outliers": _q_mad_outliers,
         "winsorized_daily": _q_winsorized_daily,
@@ -2821,6 +2859,34 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n LEFT JOIN o ON n.node = o.node LEFT JOIN i ON n.node = i.node
         """,
         "pagerank_hosts": pagerank_oracle_sql(_LINK_EDGES_SQL, iterations=3),
+        "triangle_counts": """
+            WITH e AS (
+                SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src,
+                       'h' || CAST((doc_id + 1) % 25 AS VARCHAR) AS dst
+                FROM documents
+                UNION ALL
+                SELECT 'h' || CAST(doc_id % 25 AS VARCHAR),
+                       'h' || CAST((doc_id + 2) % 25 AS VARCHAR)
+                FROM documents
+                UNION ALL
+                SELECT 'h' || CAST(doc_id % 25 AS VARCHAR),
+                       'h' || CAST((doc_id * 7 + 3) % 25 AS VARCHAR)
+                FROM documents),
+            und AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM e WHERE src <> dst),
+            t AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+            n AS (
+                SELECT x AS node FROM t
+                UNION ALL SELECT y FROM t
+                UNION ALL SELECT z FROM t)
+            SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM n GROUP BY node
+        """,
         "anchor_terms": """
             WITH a AS (
                 SELECT 'd' || CAST((doc_id * 7 + 1) % 40 AS VARCHAR) || '.example.com' AS host,

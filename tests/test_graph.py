@@ -149,3 +149,65 @@ def test_anchor_terms_use_search_tokenizer(spark):
     )
     prof = {r["term"] for r in anchor_term_profile(extract_anchors(pages)).collect()}
     assert prof == {"buy", "widgets", "now"}  # no 'widgets!'
+
+
+def _brute_triangles(pairs):
+    """All distinct triangles of an undirected edge list, sorted triples."""
+    import itertools
+
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    nodes = sorted({n for e in und for n in e})
+    out = set()
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in und and (a, c) in und and (b, c) in und:
+            out.add((a, b, c))
+    return sorted(out)
+
+
+def test_triangles_match_brute_force(spark):
+    from tstore_spark.operators.graph import triangle_counts, triangles
+
+    # deterministic pseudo-random graph with a hub (orientation stress)
+    pairs = [(f"h{i % 13}", f"h{(i * 7 + 3) % 13}") for i in range(60)]
+    pairs += [(f"h{i % 13}", f"h{(i * 5 + 1) % 13}") for i in range(60)]
+    pairs += [(f"h{i % 13}", f"h{(i * 3 + 4) % 13}") for i in range(60)]
+    pairs += [("hub", f"h{i}") for i in range(13)]  # hub touches everyone
+    df = spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
+
+    got = sorted(
+        (r["node_a"], r["node_b"], r["node_c"]) for r in triangles(df).collect()
+    )
+    want = _brute_triangles(pairs)
+    assert got == want and len(want) > 20
+
+    counts = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    brute_counts = {}
+    for t in want:
+        for n in t:
+            brute_counts[n] = brute_counts.get(n, 0) + 1
+    assert counts == brute_counts
+
+
+def test_triangles_ignore_direction_self_loops_and_dups(spark):
+    from tstore_spark.operators.graph import triangles
+
+    pairs = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),  # one triangle, both dirs
+        ("a", "a"),                                       # self loop
+        ("c", "a"), ("c", "a"),                           # duplicates
+        ("c", "d"),                                       # dangling edge
+    ]
+    df = spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
+    got = [(r["node_a"], r["node_b"], r["node_c"]) for r in triangles(df).collect()]
+    assert got == [("a", "b", "c")]
+
+
+def test_triangles_deterministic_across_partitioning(spark):
+    from tstore_spark.operators.graph import triangles
+
+    pairs = [(f"h{i % 9}", f"h{(i * 5 + 2) % 9}") for i in range(40)]
+    pairs += [(f"h{i % 9}", f"h{(i * 2 + 3) % 9}") for i in range(40)]
+    df = spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
+    a = sorted(map(tuple, triangles(df.repartition(1)).collect()))
+    b = sorted(map(tuple, triangles(df.repartition(16)).collect()))
+    assert a == b and len(a) > 0
