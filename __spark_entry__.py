@@ -964,6 +964,61 @@ def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+def _q_kmv_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k sketches (operators/kmv.py) estimating day-over-day
+    RETURNING users — the set-INTERSECTION question HLL cannot answer
+    (registers only merge by max = union). One k=64 sketch per day (state:
+    64 longs, deterministic, exactly mergeable); each consecutive-day pair
+    gets intersection + union estimates from the sketches alone. Gate
+    invariant: estimates land within 35%+2 of the exact integer overlap
+    (measured max rel err 0.186 inter / 0.093 union across both SFs —
+    ~1.5x the 1/sqrt(k) ≈ 12.5% standard-error band, deterministic for
+    this dataset). Oracle: exact counts + TRUE booleans in plain SQL."""
+    from tstore_spark.operators.kmv import (
+        kmv_estimate,
+        kmv_intersection_estimate,
+        kmv_merge_expr,
+        kmv_sketch,
+    )
+
+    K = 64
+    ev = _t(spark, sf_dir, "events").select(F.to_date("ts").alias("day"), "user_id")
+    sk = kmv_sketch(ev, ["day"], "user_id", k=K)
+    nxt = sk.select(F.date_add("day", -1).alias("day"), F.col("kmv").alias("_kb"))
+    pairs = sk.join(nxt, "day").select(
+        "day",
+        kmv_intersection_estimate("kmv", "_kb", K).alias("_ei"),
+        kmv_estimate(kmv_merge_expr("kmv", "_kb", K), K).alias("_eu"),
+    )
+
+    d = ev.distinct()
+    n = d.groupBy("day").agg(F.count(F.lit(1)).alias("_na"))
+    both = (
+        d.join(d.select(F.date_add("day", -1).alias("day"), "user_id"), ["day", "user_id"])
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    exact = (
+        n.join(n.select(F.date_add("day", -1).alias("day"), F.col("_na").alias("_nb")), "day")
+        .join(both, "day", "left")
+        .select(
+            "day",
+            F.coalesce("_inter", F.lit(0)).alias("exact_inter"),
+            (F.col("_na") + F.col("_nb") - F.coalesce("_inter", F.lit(0))).alias(
+                "exact_union"
+            ),
+        )
+    )
+    ok = lambda est, ex: F.abs(est - ex) <= F.lit(0.35) * ex + F.lit(2.0)  # noqa: E731
+    return exact.join(pairs, "day").select(
+        "day",
+        "exact_inter",
+        "exact_union",
+        ok(F.col("_ei"), F.col("exact_inter")).alias("inter_ok"),
+        ok(F.col("_eu"), F.col("exact_union")).alias("union_ok"),
+    )
+
+
 def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle containment |S(a)∩S(b)|/|S(a)| over documents —
     the quote/aggregator relation Jaccard LSH can't see. Candidates =
@@ -2531,6 +2586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_degrees": _q_link_degrees,
         "pagerank_hosts": _q_pagerank_hosts,
         "triangle_counts": _q_triangle_counts,
+        "kmv_returning_users": _q_kmv_returning_users,
         "anchor_terms": _q_anchor_terms,
         "mad_outliers": _q_mad_outliers,
         "winsorized_daily": _q_winsorized_daily,
@@ -2886,6 +2942,25 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT z FROM t)
             SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
             FROM n GROUP BY node
+        """,
+        "kmv_returning_users": """
+            WITH d AS (
+                SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+            n AS (SELECT day, CAST(count(*) AS BIGINT) AS na FROM d GROUP BY day),
+            i AS (
+                SELECT a.day AS day, CAST(count(*) AS BIGINT) AS inter
+                FROM d a JOIN d b
+                  ON b.user_id = a.user_id AND b.day = a.day + 1
+                GROUP BY a.day)
+            SELECT n1.day AS day,
+                   CAST(COALESCE(i.inter, 0) AS BIGINT) AS exact_inter,
+                   CAST(n1.na + n2.na - COALESCE(i.inter, 0) AS BIGINT)
+                       AS exact_union,
+                   TRUE AS inter_ok,
+                   TRUE AS union_ok
+            FROM n n1
+            JOIN n n2 ON n2.day = n1.day + 1
+            LEFT JOIN i ON i.day = n1.day
         """,
         "anchor_terms": """
             WITH a AS (
