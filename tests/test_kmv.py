@@ -109,3 +109,38 @@ def test_k_guard(spark):
     df = _items(spark, {"g": ["x"]})
     with pytest.raises(ValueError):
         kmv_sketch(df, ["g"], "item", k=1)
+
+
+def test_kmins_cells_bounded_and_deterministic(spark):
+    from tstore_spark.operators.kmv import kmins_cells
+
+    df = _items(spark, {"g": [f"u{i}" for i in range(5000)]})
+    k = 32
+    a = sorted(map(tuple, kmins_cells(df.repartition(1), ["g"], "item", k=k).collect()))
+    b = sorted(map(tuple, kmins_cells(df.repartition(16), ["g"], "item", k=k).collect()))
+    assert a == b and len(a) <= k
+    assert all(0 <= r[1] < k for r in a)
+
+
+def test_kmins_estimate_within_bound(spark):
+    from tstore_spark.operators.kmv import kmins_cells, kmins_estimate
+
+    n, k = 20000, 256
+    df = _items(spark, {"big": [f"item{i}" for i in range(n)]})
+    est = kmins_estimate(kmins_cells(df, ["g"], "item", k=k), ["g"], k=k).head()[
+        "distinct_est"
+    ]
+    assert abs(est - n) / n < 4 / (k**0.5)
+
+
+def test_kmins_jaccard_planted_overlap(spark):
+    from tstore_spark.operators.kmv import kmins_cells, kmins_jaccard
+
+    k = 256
+    a = _items(spark, {"g": [f"u{i}" for i in range(4000)]})
+    b = _items(spark, {"g": [f"u{i}" for i in range(3000, 7000)]})
+    # |A ∩ B| = 1000, |A ∪ B| = 7000 -> J = 1/7
+    ca = kmins_cells(a, ["g"], "item", k=k)
+    cb = kmins_cells(b, ["g"], "item", k=k)
+    j = kmins_jaccard(ca, cb, ["g"], k=k).head()["jaccard_est"]
+    assert abs(j - 1 / 7) < 4 * ((1 / 7) * (6 / 7) / k) ** 0.5

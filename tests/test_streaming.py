@@ -290,3 +290,42 @@ def test_stream_cascade_cms_cells_match_batch_sketch(spark, stream_dirs):
     assert joined
     for r in joined:
         assert r["cms_est"] >= r["true_cnt"]
+
+
+def test_stream_cascade_kmins_cells_match_batch_sketch(spark, stream_dirs):
+    """k-mins (one-permutation MinHash) sketches through the chained
+    cascade: per-bucket hash minima merge through every stateful stage, so
+    each CLOSED hour's cell table equals the batch kmins_cells sketch
+    register-exactly — carrying set-intersection/Jaccard power downstream."""
+    import datetime
+
+    from tstore_spark.functions.urls import domain_of
+    from tstore_spark.operators.kmv import kmins_cells
+    from tstore_spark.streaming.stream_rollup import stream_rollup_cascade_kmins
+
+    base, src, sdf = stream_dirs
+    stream = read_pages_stream(spark, src, sdf.schema, max_files_per_trigger=2)
+    tier = stream_rollup_cascade_kmins(
+        stream, ("1m", "1h"), watermark="0 seconds", item_col="lang", k=32)
+    q = write_stream_tier(
+        tier, f"{base}/tier1h_kmins", f"{base}/ckpt1h_kmins",
+        trigger_available_now=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{base}/tier1h_kmins")
+    keyed = sdf.select(
+        domain_of("url").alias("domain"),
+        F.date_trunc("hour", F.col("warc_ts")).alias("window_start"),
+        "lang",
+    )
+    batch = kmins_cells(keyed, ["domain", "window_start"], "lang", k=32)
+    b = {(r["domain"], r["window_start"], r["kmins_bucket"]): r["min_hash"]
+         for r in batch.collect()}
+    max_ts = sdf.agg(F.max("warc_ts")).head()[0]
+    closed_keys = {k for k in b
+                   if k[1] + datetime.timedelta(hours=1) <= max_ts}
+    g = {(r["domain"], r["window_start"], r["kmins_bucket"]): r["min_hash"]
+         for r in got.collect()}
+    assert set(g) == closed_keys and closed_keys
+    for k in closed_keys:
+        assert g[k] == b[k], f"cell drift at {k}"

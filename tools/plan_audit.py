@@ -212,6 +212,38 @@ def main(sf_dir: str) -> int:
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
           "pair generation is the gram equi-join, never all-pairs")
 
+    # 19. triangles: wedge generation + closure are equi-joins (the degree
+    # orientation exists precisely so hubs never cross-product), all JVM
+    p = plan_of(qs["triangle_counts"](spark, sf_dir))
+    check("triangles.no_cartesian",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+          "wedge + closure joins are equi, never all-pairs")
+    check("triangles.jvm", "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "orientation and closure are Catalyst expressions")
+
+    # 20. KMV sketch build: the bottom-k window sorts only the prefiltered
+    # O(k) rows per group — the plan must show a partitioned window, never
+    # a global (empty-partition) sort — and stays JVM-side
+    p = plan_of(qs["kmv_returning_users"](spark, sf_dir))
+    check("kmv.jvm", "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "sketch build/merge/estimate are Catalyst expressions")
+    check("kmv.no_cartesian", "CartesianProduct" not in p,
+          "pairing is the day equi-join")
+
+    # 21. stream-stream attribution join (batch twin plan): key equi-join
+    # with the time range as a post-filter, never a nested loop
+    from tstore_spark.streaming.stream_join import attribution_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type")
+    p = plan_of(attribution_join(
+        ev.where("event_type = 'view'").drop("event_type"),
+        ev.where("event_type = 'click'").drop("event_type"),
+        "user_id", max_delay="2 hours"))
+    check("stream_join.no_cartesian",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+          "attribution join is the key equi-join + range filter")
+
     spark.stop()
     print(f"\n{'ALL PASS' if not failures else 'FAILURES: ' + ', '.join(failures)}")
     return 1 if failures else 0

@@ -142,6 +142,68 @@ def kmv_intersection_estimate(
     ).otherwise(F.lit(0.0))
 
 
+def kmins_cells(
+    df: DataFrame,
+    keys: list[str],
+    item_col: str,
+    k: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """k-mins sketch as a CELL TABLE: ``keys + (kmins_bucket int, min_hash
+    long)`` — the minimum signed xxhash64 within each of k hash-range
+    buckets (one-permutation MinHash, Li et al. 2012).
+
+    Why a second sketch shape next to :func:`kmv_sketch`: bottom-k is not a
+    partial aggregate (a chained stateful stage cannot prune a hash until
+    the window closes), but per-bucket ``min`` IS — so this is the form
+    that chains through the streaming tier cascade unchanged
+    (``stream_rollup.stream_rollup_cascade_kmins``), exactly as HLL
+    registers chain by ``max``. State: ≤ k rows per group; merge =
+    element-wise min — register-exact, order-independent, deterministic.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = F.xxhash64(F.col(item_col), F.lit(seed))
+    u = (h.cast("double") / F.lit(_TWO64)) + F.lit(0.5)
+    bucket = F.floor(u * k).cast("int")
+    return df.groupBy(*keys, bucket.alias("kmins_bucket")).agg(
+        F.min(h).alias("min_hash")
+    )
+
+
+def kmins_estimate(cells: DataFrame, keys: list[str], k: int = 64) -> DataFrame:
+    """Distinct-count estimate per key group from the cell table:
+    stochastic averaging over the k bucket minima (Flajolet/k-mins) —
+    each bucket's normalized min v_i estimates its sub-stream density,
+    empty buckets contribute v_i = 1, and n̂ = k²/Σv − k."""
+    u = (F.col("min_hash").cast("double") / F.lit(_TWO64)) + F.lit(0.5)
+    v = (u - F.col("kmins_bucket").cast("double") / k) * k
+    agg = cells.groupBy(*keys).agg(
+        F.sum(v).alias("_sv"), F.count(F.lit(1)).alias("_nb")
+    )
+    total_v = F.col("_sv") + (F.lit(float(k)) - F.col("_nb"))  # empty buckets
+    return agg.select(
+        *keys, (F.lit(float(k * k)) / total_v - F.lit(float(k))).alias("distinct_est")
+    )
+
+
+def kmins_jaccard(
+    cells_a: DataFrame, cells_b: DataFrame, keys: list[str], k: int = 64
+) -> DataFrame:
+    """Jaccard estimate per key group: the fraction of mutually non-empty
+    buckets whose minima COLLIDE (the classic MinHash estimator, one
+    permutation per bucket)."""
+    a = cells_a.select(*keys, "kmins_bucket", F.col("min_hash").alias("_ma"))
+    b = cells_b.select(*keys, "kmins_bucket", F.col("min_hash").alias("_mb"))
+    j = a.join(b, [*keys, "kmins_bucket"])
+    return j.groupBy(*keys).agg(
+        (
+            F.sum((F.col("_ma") == F.col("_mb")).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("jaccard_est")
+    )
+
+
 def kmv_jaccard_estimate(a: Column | str, b: Column | str, k: int = DEFAULT_K) -> Column:
     """Jaccard similarity estimate of the two underlying sets."""
     a = F.col(a) if isinstance(a, str) else a

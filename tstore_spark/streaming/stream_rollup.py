@@ -318,6 +318,60 @@ def stream_rollup_cascade_cms(
     )
 
 
+def stream_rollup_cascade_kmins(
+    pages_stream: DataFrame,
+    tiers: tuple[str, ...] = ("1m", "1h"),
+    watermark: str = "10 minutes",
+    key_col: Column | None = None,
+    time_col: str = "warc_ts",
+    item_col: str = "lang",
+    k: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """k-mins (one-permutation MinHash) sketches THROUGH the streaming tier
+    cascade — the fifth sketch family to stream (counts, HLL, DDSketch, CMS
+    already do), and the one that carries SET-INTERSECTION/Jaccard power
+    downstream (operators/kmv.py): two closed windows' cell tables compare
+    by bucket-minima collisions.
+
+    Bottom-k (``kmv_sketch``) is not a partial aggregate, but the per-bucket
+    minimum is — so per-(window, domain, bucket) ``min(hash)`` merges
+    through every chained window agg exactly as HLL ranks merge by ``max``;
+    a closed window's cell table equals the batch ``kmins_cells`` over the
+    same rows register-exactly. State per (domain, window) is ≤ k cells.
+
+    Returns (domain, window_start, kmins_bucket, min_hash) — feed to
+    ``kmv.kmins_estimate`` / ``kmv.kmins_jaccard`` (same k/seed).
+    """
+    if list(tiers) != ["1m", "1h", "1d"][: len(tiers)] or not tiers:
+        raise ValueError(f"tiers must be a prefix of ('1m','1h','1d'), got {tiers}")
+    key = key_col if key_col is not None else domain_of("url")
+    src = pages_stream.withWatermark(time_col, watermark)
+    h = F.xxhash64(F.col(item_col), F.lit(seed))
+    u = (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
+    cells = src.select(
+        F.col(time_col),
+        key.alias("domain"),
+        F.floor(u * k).cast("int").alias("kmins_bucket"),
+        h.alias("_h"),
+    )
+    agg = cells.groupBy(
+        F.window(F.col(time_col), _TIER_WIDTH[tiers[0]]), "domain", "kmins_bucket"
+    ).agg(F.min("_h").alias("min_hash"))
+    for tier in tiers[1:]:
+        agg = agg.groupBy(
+            F.window(F.window_time("window"), _TIER_WIDTH[tier]),
+            "domain",
+            "kmins_bucket",
+        ).agg(F.min("min_hash").alias("min_hash"))
+    return agg.select(
+        "domain",
+        F.col("window.start").alias("window_start"),
+        "kmins_bucket",
+        "min_hash",
+    )
+
+
 def stream_rollup_cascade_1h(
     pages_stream: DataFrame,
     watermark: str = "10 minutes",
