@@ -1019,6 +1019,19 @@ def _q_kmv_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lm_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training pass of the CCNet-style bigram LM (operators/lm.py): exact
+    integer bigram counts over the documents corpus — one explode + one
+    map-side-combined groupBy, the search-index shape. The ln-based
+    cross-entropy SCORES are pytest-gated against a straight-line Python
+    reference (tests/test_lm.py — IEEE leaves ln implementation-defined
+    across engines, the BM25 precedent); the gate hashes the exact counts
+    the scores are a fixed function of."""
+    from tstore_spark.operators.lm import bigram_counts
+
+    return bigram_counts(_t(spark, sf_dir, "documents"))
+
+
 def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle containment |S(a)∩S(b)|/|S(a)| over documents —
     the quote/aggregator relation Jaccard LSH can't see. Candidates =
@@ -2587,6 +2600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": _q_pagerank_hosts,
         "triangle_counts": _q_triangle_counts,
         "kmv_returning_users": _q_kmv_returning_users,
+        "lm_bigram_counts": _q_lm_bigram_counts,
         "anchor_terms": _q_anchor_terms,
         "mad_outliers": _q_mad_outliers,
         "winsorized_daily": _q_winsorized_daily,
@@ -2961,6 +2975,21 @@ def oracle_sql() -> dict[str, str]:
             FROM n n1
             JOIN n n2 ON n2.day = n1.day + 1
             LEFT JOIN i ON i.day = n1.day
+        """,
+        "lm_bigram_counts": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> len(x) > 0) AS w
+                FROM documents),
+            x AS (SELECT doc_id, unnest(w) AS tok,
+                         generate_subscripts(w, 1) AS i FROM t),
+            b AS (SELECT a.tok AS w1, c.tok AS w2
+                  FROM x a JOIN x c
+                    ON c.doc_id = a.doc_id AND c.i = a.i + 1)
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+            FROM b GROUP BY w1, w2
         """,
         "anchor_terms": """
             WITH a AS (
