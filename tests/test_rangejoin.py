@@ -187,3 +187,41 @@ def test_bad_args(spark):
         interval_point_join(
             pts.withColumnRenamed("pid", "iid"), ivs, "ts", "start", "end", "1h", keys=["key"]
         )
+
+
+def test_point_join_pre_1970_equals_naive(spark):
+    """Negative-epoch buckets: every floor site must use the same sign-safe
+    pmod grid, or points and intervals land on different bucket labels."""
+    rng = np.random.default_rng(11)
+    t0 = pd.Timestamp("1969-12-30")  # spans the epoch boundary
+    pts = _points(
+        spark,
+        [
+            (f"k{i % 2}", str(t0 + pd.Timedelta(seconds=int(s))), i)
+            for i, s in enumerate(rng.integers(0, 86400 * 4, 300))
+        ],
+    )
+    ivs = _intervals(
+        spark,
+        [
+            (
+                f"k{i % 2}",
+                str(t0 + pd.Timedelta(seconds=int(s))),
+                str(t0 + pd.Timedelta(seconds=int(s) + int(d))),
+                1000 + i,
+            )
+            for i, (s, d) in enumerate(
+                zip(rng.integers(0, 86400 * 4, 50), rng.integers(0, 10800, 50))
+            )
+        ],
+    )
+    fast = interval_point_join(pts, ivs, "ts", "start", "end", "1h", keys=["key"])
+    naive = pts.alias("p").join(
+        ivs.alias("i"),
+        (F.col("p.key") == F.col("i.key"))
+        & (F.col("p.ts") >= F.col("i.start"))
+        & (F.col("p.ts") < F.col("i.end")),
+    )
+    got = sorted((r["pid"], r["iid"]) for r in fast.collect())
+    want = sorted((r["pid"], r["iid"]) for r in naive.collect())
+    assert got == want and len(want) > 0

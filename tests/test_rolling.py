@@ -183,3 +183,19 @@ def test_rolling_ops_deterministic_across_parallelism(spark):
         b = op(df.repartition(16)).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
         assert len(a) > 0
+
+
+def test_ohlc_pre_1970(spark):
+    """Negative epochs get the wall-clock window, not the toward-zero one."""
+    rows = [
+        ("a", "1969-12-31 23:05:00", 3.0),
+        ("a", "1969-12-31 23:25:00", 9.0),
+        ("a", "1969-12-31 23:45:00", 5.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["key", "ts", "value"])
+    sdf = spark.createDataFrame(pdf).withColumn("ts", F.to_timestamp_ntz("ts"))
+    out = ohlc(sdf, "key", "ts", "value", "1h").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert str(r["window_start"]) == "1969-12-31 23:00:00"
+    assert (r["open"], r["high"], r["low"], r["close"]) == (3.0, 9.0, 3.0, 5.0)

@@ -106,3 +106,28 @@ def test_twa_deterministic_across_parallelism(spark):
     ca = counter_rate(df.repartition(2), "key", "ts", "value", "1h").collect()
     cb = counter_rate(df.repartition(16), "key", "ts", "value", "1h").collect()
     assert sorted(map(tuple, ca)) == sorted(map(tuple, cb))
+
+
+def test_twa_and_counter_rate_pre_1970(spark):
+    """Negative epochs: `t - t % w` rounds toward zero and would label the
+    window AFTER the event (and extend the last segment up to 2w late);
+    the pmod floor keeps wall-clock window starts."""
+    rows = [
+        ("a", "1969-12-31 23:10:00", 10.0),
+        ("a", "1969-12-31 23:40:00", 40.0),
+    ]
+    out = {
+        str(r["window_start"]): (r["twa"], r["covered_us"])
+        for r in time_weighted_avg(_ts_df(spark, rows), "key", "ts", "value", "1h").collect()
+    }
+    # 10 held 23:10->23:40, 40 held 23:40->00:00 (end of its OWN hour)
+    assert set(out) == {"1969-12-31 23:00:00"}
+    twa, cov = out["1969-12-31 23:00:00"]
+    assert twa == pytest.approx((10 * 30 + 40 * 20) / 50)
+    assert cov == 50 * 60_000_000
+
+    rates = {
+        str(r["window_start"]): r["increase"]
+        for r in counter_rate(_ts_df(spark, rows), "key", "ts", "value", "1h").collect()
+    }
+    assert rates == {"1969-12-31 23:00:00": 30.0}

@@ -41,12 +41,20 @@ def _bucket_micros(bucket: str) -> int:
     return _BUCKET_MICROS[bucket]
 
 
+def _bucket_of(t: Column, w: int) -> Column:
+    """Sign-safe bucket floor (pmod): `t - t % w` rounds toward zero for
+    pre-1970 epochs. The buckets are internal join keys, but the single-
+    emission predicate compares a point bucket to an interval's spanned
+    set, so every site must use the SAME floor — this one."""
+    return t - F.pmod(t, F.lit(w))
+
+
 def _buckets_spanned(start: Column, end: Column, w: int) -> Column:
     """All bucket starts a closed-open [start, end) interval touches.
     Empty/inverted intervals (end <= start) span nothing."""
     return F.when(
         end > start,
-        F.sequence(start - start % w, (end - 1) - (end - 1) % w, F.lit(w)),
+        F.sequence(_bucket_of(start, w), _bucket_of(end - 1, w), F.lit(w)),
     ).otherwise(F.array().cast("array<long>"))
 
 
@@ -73,7 +81,7 @@ def interval_point_join(
     if overlap:
         raise ValueError(f"overlapping non-key columns: {sorted(overlap)}")
     w = _bucket_micros(bucket)
-    pt = points.withColumn("_pb", ntz_epoch_micros(point_time_col) - ntz_epoch_micros(point_time_col) % w)
+    pt = points.withColumn("_pb", _bucket_of(ntz_epoch_micros(point_time_col), w))
     iv = intervals.withColumn(
         "_ib",
         F.explode(
@@ -143,7 +151,7 @@ def interval_overlap_join(
             later_start
             < F.least(ntz_epoch_micros(left_end), ntz_epoch_micros(right_end))
         )
-        .where(F.col("_lb") == later_start - later_start % w)
+        .where(F.col("_lb") == _bucket_of(later_start, w))
     )
     out_cols = [lt[c] for c in left.columns] + [
         rt[c] for c in right.columns if c not in keys

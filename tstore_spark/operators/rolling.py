@@ -199,7 +199,11 @@ def ohlc(
         ntz_epoch_micros(time_col).alias("_t"),
         _scaled(value_col, value_scale).alias("_v"),
         *([F.col(tiebreak_col)] if tiebreak_col else []),
-    ).withColumn("_w0", F.col("_t") - F.col("_t") % wus)
+    ).withColumn(
+        # pmod = sign-safe floor: `_t - _t % w` rounds toward zero for
+        # pre-1970 epochs and labels the window AFTER the event
+        "_w0", F.col("_t") - F.pmod(F.col("_t"), F.lit(wus))
+    )
     wasc = Window.partitionBy(key_col, "_w0").orderBy(F.col("_t"), *tb)
     wdesc = Window.partitionBy(key_col, "_w0").orderBy(
         F.col("_t").desc(), *[c.desc() for c in tb]

@@ -74,10 +74,12 @@ def time_weighted_avg(
         key_col,
         "_t",
         "_v",
-        # segment end: next observation, or end of the point's own window
+        # segment end: next observation, or end of the point's own window.
+        # pmod = sign-safe floor (t - t % w rounds toward zero for pre-1970
+        # epochs: the window AFTER the event, and an end up to 2w late)
         F.coalesce(
             F.lead("_t").over(Window.partitionBy(key_col).orderBy(F.col("_t"), tb)),
-            (F.col("_t") - F.col("_t") % w) + w,
+            (F.col("_t") - F.pmod(F.col("_t"), F.lit(w))) + w,
         ).alias("_e"),
     )
     # fan the segment out over every window it touches (gapfill's grid
@@ -91,8 +93,8 @@ def time_weighted_avg(
         "_e",
         F.explode(
             F.sequence(
-                F.col("_t") - F.col("_t") % w,
-                (F.col("_e") - 1) - (F.col("_e") - 1) % w,
+                F.col("_t") - F.pmod(F.col("_t"), F.lit(w)),
+                (F.col("_e") - 1) - F.pmod(F.col("_e") - 1, F.lit(w)),
                 F.lit(w),
             )
         ).alias("_w0"),
@@ -150,7 +152,7 @@ def counter_rate(
     )
     deltas = pts.select(
         key_col,
-        (F.col("_t") - F.col("_t") % w).alias("_w0"),
+        (F.col("_t") - F.pmod(F.col("_t"), F.lit(w))).alias("_w0"),  # sign-safe floor
         delta.alias("_d"),
     ).where(F.col("_d").isNotNull())
     return (
