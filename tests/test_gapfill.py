@@ -98,3 +98,39 @@ def test_interpolation_across_dst_boundary_non_utc_session(spark):
         assert vals == {0: 0.0, 1: 100.0, 2: 200.0, 3: 300.0, 4: 400.0}
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_explicit_range_ntz_bounds_on_dst_spring_forward(spark):
+    """Explicit NTZ grid bounds at a wall hour that does not EXIST in the
+    session zone (2024-03-10 02:00 America/New_York): parsing via
+    session-zoned to_timestamp collapsed it onto 03:00, shifting the whole
+    grid; to_timestamp_ntz keeps the wall clock."""
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        pdf = pd.DataFrame(
+            {
+                "domain": ["d"],
+                "window_start": [pd.Timestamp("2024-03-10 04:00")],
+                "doc_count": [1],
+                "text_len_p50": [5.0],
+            }
+        )
+        tier = spark.createDataFrame(
+            pdf,
+            schema="domain string, window_start timestamp_ntz, "
+            "doc_count long, text_len_p50 double",
+        )
+        got = gap_fill(
+            tier, "1h",
+            start=pd.Timestamp("2024-03-10 02:00"),
+            end=pd.Timestamp("2024-03-10 05:00"),
+        ).toPandas().sort_values("window_start")
+        assert [str(t) for t in got["window_start"]] == [
+            "2024-03-10 02:00:00",
+            "2024-03-10 03:00:00",
+            "2024-03-10 04:00:00",
+            "2024-03-10 05:00:00",
+        ]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

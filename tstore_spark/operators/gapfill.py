@@ -81,16 +81,19 @@ def gap_fill(
     t_type = dict(tier_df.dtypes).get(time_col, "timestamp")
 
     if start is not None and end is not None:
+        # NTZ grids parse their bounds with to_timestamp_ntz: parsing via
+        # session-zoned to_timestamp and casting back is identity EXCEPT on
+        # a DST spring-forward wall hour, which collapses onto the next
+        # (the filters.py ntz= rule; CLAUDE.md hard constraint)
+        if t_type == "timestamp_ntz":
+            lo, hi = (F.to_timestamp_ntz(F.lit(str(b))) for b in (start, end))
+        else:
+            lo = F.to_timestamp(F.lit(str(start))).cast(t_type)
+            hi = F.to_timestamp(F.lit(str(end))).cast(t_type)
         keys = tier_df.select(key).distinct()
         grid = keys.select(
             key,
-            F.explode(
-                F.sequence(
-                    F.to_timestamp(F.lit(str(start))).cast(t_type),
-                    F.to_timestamp(F.lit(str(end))).cast(t_type),
-                    interval,
-                )
-            ).alias(time_col),
+            F.explode(F.sequence(lo, hi, interval)).alias(time_col),
         )
     else:
         bounds = tier_df.groupBy(key).agg(
