@@ -6,7 +6,11 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from tstore_spark.operators.drift import categorical_drift, drift_summary
+from tstore_spark.operators.drift import (
+    categorical_drift,
+    drift_summary,
+    drift_summary_table,
+)
 
 
 @pytest.fixture(scope="module")
@@ -75,6 +79,20 @@ def test_numeric_drift_buckets(spark):
 
 
 def test_guard_on_empty_side(spark, two_sides):
+    """The guard is in-plan (riding the returned share columns) so building
+    the frame runs no jobs; it raises at action time."""
     df_a, _, _, _ = two_sides
-    with pytest.raises(ValueError, match="both sides"):
-        categorical_drift(df_a, df_a.where(F.lit(False)), "lang")
+    with pytest.raises(Exception, match="both sides"):
+        categorical_drift(df_a, df_a.where(F.lit(False)), "lang").collect()
+
+
+def test_build_runs_no_jobs(spark, two_sides):
+    """An earlier shape ran two eager full-scan .head() actions per call
+    just to fetch totals; totals now ride the lazy plan."""
+    df_a, df_b, _, _ = two_sides
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    categorical_drift(df_a, df_b, "lang")
+    drift_summary_table(df_a, df_b, "lang")
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before

@@ -16,9 +16,13 @@ derivations, the repo's oracle discipline:
   engine reproduces the bits.
 
 Plan shape: two map-side-combined count aggregates (one per input), a
-full-outer join on the category (category cardinality-sized — tiny), and
-for the summary one final 1-row aggregate. Nothing data-sized ever
-reaches the driver or a single task.
+full-outer join on the category (category cardinality-sized — tiny), one
+1-row totals aggregate broadcast back onto the category rows. Nothing
+data-sized ever reaches the driver or a single task, and building the
+frame runs NO jobs — totals ride the lazy plan (an earlier shape ran two
+eager full-scan ``.head()`` actions per call purely to fetch totals; an
+empty side now raises in-plan, at action time, riding the returned share
+column so column pruning cannot drop the guard).
 """
 
 from __future__ import annotations
@@ -35,26 +39,36 @@ def _counts(df: DataFrame, col: str, alias: str) -> DataFrame:
     )
 
 
+def _aligned_with_totals(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
+    """Full-outer aligned counts plus broadcast 1-row totals ``_ta/_tb``."""
+    a, b = _counts(df_a, col, "n_a"), _counts(df_b, col, "n_b")
+    j = a.join(b, "category", "full_outer").select(
+        "category",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    totals = j.agg(F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb"))
+    return j.crossJoin(F.broadcast(totals))
+
+
+def _guarded_share(n: str, total: str, what: str) -> F.Column:
+    return F.when(
+        F.col(total) > 0, F.col(n).cast("double") / F.col(total).cast("double")
+    ).otherwise(
+        F.raise_error(
+            F.lit(f"categorical_drift needs non-null rows on both sides ({what} side is empty)")
+        ).cast("double")
+    )
+
+
 def categorical_drift(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
     """Per-category comparison: ``(category, n_a, n_b, share_a, share_b,
     share_diff)``. Missing categories count 0 on that side; shares divide
     by each side's non-null total (computed from the same counts, no second
-    scan)."""
-    a, b = _counts(df_a, col, "n_a"), _counts(df_b, col, "n_b")
-    j = (
-        a.join(b, "category", "full_outer")
-        .select(
-            "category",
-            F.coalesce("n_a", F.lit(0)).alias("n_a"),
-            F.coalesce("n_b", F.lit(0)).alias("n_b"),
-        )
-    )
-    tot = j.agg(F.sum("n_a"), F.sum("n_b")).head()
-    ta, tb = int(tot[0] or 0), int(tot[1] or 0)
-    if ta == 0 or tb == 0:
-        raise ValueError("categorical_drift needs non-null rows on both sides")
-    share_a = F.col("n_a").cast("double") / F.lit(float(ta))
-    share_b = F.col("n_b").cast("double") / F.lit(float(tb))
+    scan). A side with zero non-null rows raises at action time."""
+    j = _aligned_with_totals(df_a, df_b, col)
+    share_a = _guarded_share("n_a", "_ta", "a")
+    share_b = _guarded_share("n_b", "_tb", "b")
     return j.select(
         "category",
         "n_a",
@@ -70,17 +84,18 @@ def drift_summary_table(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame
     same exact counts. chi2 is the two-sample statistic against the pooled
     distribution: ``Σ_sides Σ_cats (n − e)² / e`` with
     ``e = total_side * pooled_share``."""
-    d = categorical_drift(df_a, df_b, col)
-    tot = d.agg(F.sum("n_a"), F.sum("n_b")).head()
-    ta, tb = int(tot[0]), int(tot[1])
-    pooled = (F.col("n_a") + F.col("n_b")).cast("double") / F.lit(float(ta + tb))
-    ea, eb = pooled * F.lit(float(ta)), pooled * F.lit(float(tb))
+    j = _aligned_with_totals(df_a, df_b, col)
+    ta, tb = F.col("_ta").cast("double"), F.col("_tb").cast("double")
+    share_a = _guarded_share("n_a", "_ta", "a")
+    share_b = _guarded_share("n_b", "_tb", "b")
+    pooled = (F.col("n_a") + F.col("n_b")).cast("double") / (ta + tb)
+    ea, eb = pooled * ta, pooled * tb
     chi_c = (F.col("n_a") - ea) ** 2 / ea + (F.col("n_b") - eb) ** 2 / eb
-    return d.agg(
+    return j.agg(
         F.count(F.lit(1)).alias("n_categories"),
         F.sum("n_a").alias("n_a"),
         F.sum("n_b").alias("n_b"),
-        (F.sum(F.abs(F.col("share_a") - F.col("share_b"))) * 0.5).alias("tvd"),
+        (F.sum(F.abs(share_a - share_b)) * 0.5).alias("tvd"),
         F.sum(chi_c).alias("chi2"),
     )
 
@@ -110,18 +125,17 @@ def numeric_drift(
     the same fixed [lo, hi) grid (operators/profile.numeric_histogram —
     clamped edges, zero-filled empty buckets, exact integer counts), then
     per-bucket ``(n_a, n_b, share_a, share_b, share_diff)``. Fixed common
-    bounds are what make the two histograms comparable."""
+    bounds are what make the two histograms comparable. A side with zero
+    non-null rows raises at action time (in-plan guard)."""
     from tstore_spark.operators.profile import numeric_histogram
 
     ha = numeric_histogram(df_a, col, lo, hi, bins).withColumnRenamed("n", "n_a")
     hb = numeric_histogram(df_b, col, lo, hi, bins).withColumnRenamed("n", "n_b")
     j = ha.join(hb, "bucket")
-    tot = j.agg(F.sum("n_a"), F.sum("n_b")).head()
-    ta, tb = int(tot[0] or 0), int(tot[1] or 0)
-    if ta == 0 or tb == 0:
-        raise ValueError("numeric_drift needs non-null rows on both sides")
-    share_a = F.col("n_a").cast("double") / F.lit(float(ta))
-    share_b = F.col("n_b").cast("double") / F.lit(float(tb))
+    totals = j.agg(F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb"))
+    j = j.crossJoin(F.broadcast(totals))
+    share_a = _guarded_share("n_a", "_ta", "a")
+    share_b = _guarded_share("n_b", "_tb", "b")
     return j.select(
         "bucket",
         "n_a",
