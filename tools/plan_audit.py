@@ -230,6 +230,13 @@ def main(sf_dir: str) -> int:
     check("kmv.no_cartesian", "CartesianProduct" not in p,
           "pairing is the day equi-join")
 
+    # 21a. skew profile: the top-N keys must plan as TakeOrdered — a global
+    # row_number window would sort EVERY key's count in one task (the exact
+    # hot-reducer shape the probe diagnoses)
+    p = plan_of(qs["skew_profile"](spark, sf_dir))
+    check("skew_profile.take_ordered", "TakeOrderedAndProject" in p,
+          "top-N is TakeOrdered, never a whole-table single-partition sort")
+
     # 21. stream-stream attribution join (batch twin plan): key equi-join
     # with the time range as a post-filter, never a nested loop
     from tstore_spark.streaming.stream_join import attribution_join

@@ -96,10 +96,14 @@ def key_skew_profile(
         F.count(F.lit(1)).alias("_n_keys"),
         F.max("key_count").alias("_max"),
     )
+    # top-N via orderBy().limit() — plans as a distributed TakeOrdered, not
+    # a global row_number window (which would sort EVERY key's count in one
+    # task: the exact hot-reducer shape this probe exists to diagnose). The
+    # rank window then runs over <= top_n rows, which is harmless.
+    top = counts.orderBy(F.desc("key_count"), F.asc("key")).limit(top_n)
     w = Window.orderBy(F.desc("key_count"), F.asc("key"))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_n)
+        top.withColumn("rank", F.row_number().over(w))
         .crossJoin(totals)
         .select(
             "key",
