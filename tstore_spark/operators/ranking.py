@@ -32,10 +32,18 @@ from pyspark.sql import functions as F
 
 def ranked_by(df: DataFrame, id_col: str, *order_cols, limit: int | None = None) -> DataFrame:
     """``(id, rank)`` by the given sort columns, rank 1-based, ties broken
-    by the id so the ranking is total and deterministic."""
+    by the id so the ranking is total and deterministic.
+
+    With ``limit`` (the retrieval shape — always pass it on big inputs) the
+    top-N is a distributed TakeOrdered and the rank window runs over ≤ N
+    rows. Without it, a global contiguous ranking is inherently a
+    single-task window sort — fine for ranker outputs and per-key tables,
+    NOT for corpus-sized frames."""
     w = Window.orderBy(*order_cols, F.col(id_col))
-    out = df.select(id_col, F.row_number().over(w).alias("rank"))
-    return out.where(F.col("rank") <= limit) if limit is not None else out
+    if limit is not None:
+        top = df.orderBy(*order_cols, F.col(id_col)).limit(limit)
+        return top.select(id_col, F.row_number().over(w).alias("rank"))
+    return df.select(id_col, F.row_number().over(w).alias("rank"))
 
 
 def rrf_fuse(
