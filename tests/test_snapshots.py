@@ -147,3 +147,32 @@ def test_snapshot_diff_is_the_merge_delta(spark, archive):
     # inserts == exactly the merge batch; deletes == the pre-merge victims
     assert ins.exceptAll(batch).count() == 0 and batch.exceptAll(ins).count() == 0
     assert dele.exceptAll(victims).count() == 0 and victims.exceptAll(dele).count() == 0
+
+
+def test_snapshot_diff_across_schema_evolution(spark, archive):
+    """CDC between a pre-evolution and post-evolution snapshot: the evolved
+    column null-fills on the old side (the open_archive contract) instead
+    of crashing the diff with a missing-column error."""
+    from tstore_spark.sources.archive import append_archive
+    from tstore_spark.sources.snapshots import snapshot_diff
+
+    v1 = snapshot_commit(archive)
+    live = open_archive(spark, archive, with_attributes=False).df
+    one = live.orderBy("domain", "warc_ts").limit(1).localCheckpoint()
+    batch = one.select(
+        "domain",
+        (F.col("warc_ts") + F.expr("INTERVAL 400 DAYS")).alias("warc_ts"),
+        "url", "html", "text", "lang",
+        F.lit(0.9).alias("quality"),  # NEW variable -> schema evolution
+    )
+    append_archive(TSLong.wrap(
+        batch, id_var="domain", time_var="warc_ts",
+        ts_vars={"content": ["url", "html", "text", "lang", "quality"]},
+    ), archive)
+    v2 = snapshot_commit(archive)
+
+    diff = snapshot_diff(spark, archive, v1, v2)
+    ins = diff.where(F.col("_change") == "insert")
+    assert diff.where(F.col("_change") == "delete").count() == 0
+    rows = ins.select("quality").collect()
+    assert len(rows) == 1 and rows[0]["quality"] == pytest.approx(0.9)

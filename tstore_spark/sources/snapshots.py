@@ -63,7 +63,13 @@ def list_snapshots(base_dir: str, table: str = PAGES_DIR) -> list[int]:
 
 
 def snapshot_commit(base_dir: str, table: str = PAGES_DIR) -> int:
-    """Pin the current live file set as the next version; returns it."""
+    """Pin the current live file set as the next version; returns it.
+
+    The manifest also pins the archive's unified ``fact_schema`` AS OF the
+    commit (when the table has one): schema is part of an Iceberg snapshot,
+    and without it a version spanning a schema evolution would read through
+    one sampled footer and silently drop the evolved columns (the
+    fact_reader hazard, at the snapshot layer)."""
     live = os.path.join(base_dir, table)
     rels = _live_files(live)
     if not rels:
@@ -78,6 +84,14 @@ def snapshot_commit(base_dir: str, table: str = PAGES_DIR) -> int:
         os.link(src, dst)
         entries.append({"path": rel, "bytes": os.path.getsize(src)})
     manifest = {"version": version, "table": table, "files": entries}
+    try:
+        from tstore_spark.sources.archive import read_metadata_all
+
+        meta = read_metadata_all(base_dir)[2]
+        if table == PAGES_DIR and "fact_schema" in meta:
+            manifest["fact_schema"] = meta["fact_schema"]
+    except Exception:
+        pass  # non-archive tables (tier outputs) carry no metadata
     with open(os.path.join(vdir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return version
@@ -97,7 +111,12 @@ def open_snapshot(
     vdir = os.path.join(_snap_root(base_dir, table), f"v{version}")
     manifest = read_manifest(base_dir, table, version)
     paths = [os.path.join(vdir, e["path"]) for e in manifest["files"]]
-    return spark.read.option("basePath", vdir).parquet(*paths)
+    reader = spark.read
+    if "fact_schema" in manifest:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(manifest["fact_schema"])))
+    return reader.option("basePath", vdir).parquet(*paths)
 
 
 def rollback(base_dir: str, version: int, table: str = PAGES_DIR) -> None:
@@ -144,10 +163,23 @@ def snapshot_diff(
     Plan shape: two manifest-pinned scans + one exceptAll each way — the
     diff shuffles only the two snapshots' rows, and Catalyst prunes both
     scans to the columns the caller selects downstream."""
+    from pyspark.sql import functions as F
+
     a = open_snapshot(spark, base_dir, from_version, table)
     b = open_snapshot(spark, base_dir, to_version, table)
-    cols = [c for c in b.columns]
-    from pyspark.sql import functions as F
+    # schema evolution between versions: null-fill columns the other side
+    # lacks (an evolved column reads as NULL on pre-evolution rows — the
+    # same contract open_archive gives historical files), so the diff works
+    # across an append_archive that added variables
+    a_types = dict(zip(a.columns, [f.dataType for f in a.schema.fields]))
+    b_types = dict(zip(b.columns, [f.dataType for f in b.schema.fields]))
+    for c, t in b_types.items():
+        if c not in a_types:
+            a = a.withColumn(c, F.lit(None).cast(t))
+    for c, t in a_types.items():
+        if c not in b_types:
+            b = b.withColumn(c, F.lit(None).cast(t))
+    cols = list(b_types) + [c for c in a_types if c not in b_types]
 
     inserted = b.select(*cols).exceptAll(a.select(*cols)).withColumn(
         "_change", F.lit("insert")
