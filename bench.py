@@ -98,6 +98,11 @@ HEADLINE = [
     "mad_outliers",
     "rrf_fusion",
     "skew_profile",
+    # round-3 late additions (stream_click_attribution stays out: its cost
+    # is the streaming replay harness, not an operator worth benchmarking)
+    "triangle_counts",
+    "kmv_returning_users",
+    "lm_bigram_counts",
 ]
 
 
