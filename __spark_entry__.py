@@ -1019,6 +1019,20 @@ def _q_kmv_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history (operators/scd2.py): the events stream as a
+    change log of each user's event_type — consecutive no-op changes
+    collapse, each version gets half-open [valid_from, valid_to) bounds,
+    the current version an open end. Two window passes, total order on
+    (ts, attr) so duplicate-timestamp changes are partition-independent.
+    Oracle: the identical lag-filter-lead windows in plain SQL; NTZ
+    timestamps pass through untouched."""
+    from tstore_spark.operators.scd2 import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return scd2_intervals(ev, "user_id", "ts", ["event_type"])
+
+
 def _q_lm_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training pass of the CCNet-style bigram LM (operators/lm.py): exact
     integer bigram counts over the documents corpus — one explode + one
@@ -2601,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": _q_triangle_counts,
         "kmv_returning_users": _q_kmv_returning_users,
         "lm_bigram_counts": _q_lm_bigram_counts,
+        "scd2_versions": _q_scd2_versions,
         "anchor_terms": _q_anchor_terms,
         "mad_outliers": _q_mad_outliers,
         "winsorized_daily": _q_winsorized_daily,
@@ -2990,6 +3005,23 @@ def oracle_sql() -> dict[str, str]:
                     ON c.doc_id = a.doc_id AND c.i = a.i + 1)
             SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
             FROM b GROUP BY w1, w2
+        """,
+        "scd2_versions": """
+            WITH m AS (
+                SELECT user_id, ts, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_type
+                       ) AS prev
+                FROM events),
+            k AS (
+                SELECT user_id, ts, event_type FROM m
+                WHERE prev IS NULL OR prev IS DISTINCT FROM event_type)
+            SELECT user_id, event_type,
+                   ts AS valid_from,
+                   lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_type
+                   ) AS valid_to
+            FROM k
         """,
         "anchor_terms": """
             WITH a AS (
