@@ -1019,6 +1019,27 @@ def _q_kmv_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl page diff (operators/corpus.py:crawl_diff): two
+    deterministic overlapping 'crawls' derived from documents (80% each,
+    60% overlap; every 7th overlapping page re-extracted with different
+    text) -> one status row per URL. Only (url, md5) rides the shuffle.
+    Oracle: the same min-fingerprint collapse + full-outer CASE in SQL
+    (md5/lower/trim are engine-identical)."""
+    from tstore_spark.operators.corpus import crawl_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+    old = docs.where(F.col("doc_id") % 10 < 8).select(url.alias("url"), "text")
+    new = docs.where(F.col("doc_id") % 10 >= 2).select(
+        url.alias("url"),
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return crawl_diff(old, new, canonicalize=False)
+
+
 def _q_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension history (operators/scd2.py): the events stream as a
     change log of each user's event_type — consecutive no-op changes
@@ -2616,6 +2637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_returning_users": _q_kmv_returning_users,
         "lm_bigram_counts": _q_lm_bigram_counts,
         "scd2_versions": _q_scd2_versions,
+        "crawl_diff": _q_crawl_diff,
         "anchor_terms": _q_anchor_terms,
         "mad_outliers": _q_mad_outliers,
         "winsorized_daily": _q_winsorized_daily,
@@ -3022,6 +3044,26 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_type
                    ) AS valid_to
             FROM k
+        """,
+        "crawl_diff": """
+            WITH o0 AS (
+                SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                       md5(lower(trim(text))) AS fo
+                FROM documents WHERE doc_id % 10 < 8),
+            n0 AS (
+                SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                       md5(lower(trim(
+                           CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                                ELSE text END))) AS fn
+                FROM documents WHERE doc_id % 10 >= 2),
+            o AS (SELECT url, min(fo) AS fo FROM o0 GROUP BY url),
+            n AS (SELECT url, min(fn) AS fn FROM n0 GROUP BY url)
+            SELECT COALESCE(o.url, n.url) AS url,
+                   CASE WHEN o.url IS NULL THEN 'new'
+                        WHEN n.url IS NULL THEN 'gone'
+                        WHEN fo = fn THEN 'same'
+                        ELSE 'changed' END AS status
+            FROM o FULL OUTER JOIN n ON n.url = o.url
         """,
         "anchor_terms": """
             WITH a AS (

@@ -180,3 +180,66 @@ def test_boilerplate_preserves_blank_lines(spark):
     assert got[1] == "para one\n\npara two"
     assert got[2] == "alpha\n\nbeta"
     assert dict(zip(out.doc_id, out.n_removed)) == {1: 1, 2: 1}
+
+
+def test_crawl_diff_statuses(spark):
+    import pandas as pd
+
+    from tstore_spark.operators.corpus import crawl_diff
+
+    old = pd.DataFrame(
+        {
+            "url": [
+                "http://A.com/x?utm_source=t",   # same (canonicalizes to a.com/x)
+                "http://b.com/y",                 # changed
+                "http://c.com/z",                 # gone
+                "http://b.com/y",                 # re-crawl dup, same text
+            ],
+            "text": ["alpha", "beta v1", "gamma", "beta v1"],
+        }
+    )
+    new = pd.DataFrame(
+        {
+            "url": ["http://a.com/x", "http://b.com/y", "http://d.com/w"],
+            "text": ["  ALPHA  ", "beta v2", "delta"],  # alpha same post-normalize
+        }
+    )
+    got = {
+        r["url"]: r["status"]
+        for r in crawl_diff(
+            spark.createDataFrame(old), spark.createDataFrame(new)
+        ).collect()
+    }
+    assert got == {
+        "http://a.com/x": "same",
+        "http://b.com/y": "changed",
+        "http://c.com/z": "gone",
+        "http://d.com/w": "new",
+    }
+
+
+def test_crawl_diff_deterministic_across_parallelism(spark):
+    import pandas as pd
+
+    from tstore_spark.operators.corpus import crawl_diff
+
+    pdf = pd.DataFrame(
+        {
+            "url": [f"http://h{i % 7}.com/p{i % 31}" for i in range(300)],
+            "text": [f"t{i % 13}" for i in range(300)],
+        }
+    )
+    a_old, a_new = pdf.iloc[:200], pdf.iloc[100:]
+    x = sorted(
+        map(tuple, crawl_diff(
+            spark.createDataFrame(a_old).repartition(1),
+            spark.createDataFrame(a_new).repartition(1),
+        ).collect())
+    )
+    y = sorted(
+        map(tuple, crawl_diff(
+            spark.createDataFrame(a_old).repartition(16),
+            spark.createDataFrame(a_new).repartition(16),
+        ).collect())
+    )
+    assert x == y and len(x) > 0

@@ -222,3 +222,47 @@ def top_ngrams(
         .orderBy(F.col("cnt").desc(), F.col("gram"))
         .limit(k)
     )
+
+
+def crawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    canonicalize: bool = True,
+) -> DataFrame:
+    """Page-level diff between two crawls of the same web: one row per
+    distinct (canonical) URL seen in either crawl, with
+
+    ``status`` ∈ ``new`` (URL only in the new crawl), ``gone`` (only in the
+    old), ``changed`` (both, text fingerprint differs), ``same`` (both,
+    byte-normalized text identical) — the refresh/decay accounting every
+    crawl-over-crawl pipeline starts from (what to re-extract, what to
+    expire, what to skip).
+
+    Shape: each side collapses to one row per canonical URL FIRST (min
+    fingerprint per URL breaks re-crawl-dup ties deterministically), then
+    ONE full-outer equi-join on the URL — text never rides the shuffle,
+    only (url, md5). URLs canonicalize via ``functions/urls.canonical_url``
+    (tracking params stripped, host case-folded) unless ``canonicalize=
+    False``.
+    """
+    from tstore_spark.functions.text import fingerprint
+    from tstore_spark.functions.urls import canonical_url
+
+    def side(df: DataFrame, fp_name: str) -> DataFrame:
+        u = canonical_url(url_col) if canonicalize else F.col(url_col)
+        return (
+            df.select(u.alias("url"), fingerprint(text_col).alias(fp_name))
+            .groupBy("url")
+            .agg(F.min(fp_name).alias(fp_name))
+        )
+
+    j = side(old, "_fp_old").join(side(new, "_fp_new"), "url", "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("new"))
+        .when(F.col("_fp_new").isNull(), F.lit("gone"))
+        .when(F.col("_fp_old") == F.col("_fp_new"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("url", status.alias("status"))
