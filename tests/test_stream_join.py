@@ -158,3 +158,40 @@ def test_guards(spark, sides):
         attribution_join(imps, convs, "no_such_key")
     with pytest.raises(ValueError):
         attribution_join(imps, convs, "user_id", left_prefix="x_", right_prefix="x_")
+
+
+def test_streaming_inner_resumes_from_checkpoint(spark, sides):
+    """Two availableNow runs over the same checkpoint (second run sees files
+    that arrived after the first drained) emit exactly the batch join's row
+    set — no duplicates, no losses across the restart."""
+    imps, convs = sides
+    base = tempfile.mkdtemp(prefix="ts_sjoin_rs_")
+    try:
+        imps.repartition(4).write.parquet(f"{base}/imp")
+        # first run: only part of the conversions exist yet
+        c1 = convs.where(F.col("event_id") < "c0100")
+        c2 = convs.where(F.col("event_id") >= "c0100")
+        c1.repartition(2).write.parquet(f"{base}/conv")
+
+        def run():
+            joined = attribution_join(
+                read_pages_stream(spark, f"{base}/imp", imps.schema),
+                read_pages_stream(spark, f"{base}/conv", convs.schema, max_files_per_trigger=1),
+                "user_id",
+                max_delay="3 minutes",
+                watermark="24 hours",
+            )
+            q = write_stream_tier(joined, f"{base}/out", f"{base}/ck")
+            q.awaitTermination(180)
+
+        run()
+        first = len(spark.read.parquet(f"{base}/out").collect())
+        c2.repartition(2).write.parquet(f"{base}/conv", mode="append")
+        run()  # resume from the same checkpoint
+        got = _key(spark.read.parquet(f"{base}/out").collect())
+        want = _key(
+            attribution_join(imps, convs, "user_id", max_delay="3 minutes").collect()
+        )
+        assert got == want and 0 < first < len(got)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
