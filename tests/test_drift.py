@@ -48,6 +48,11 @@ def test_summary_matches_reference(spark, two_sides):
     ea, eb = (na + nb) * ta / (ta + tb), (na + nb) * tb / (ta + tb)
     chi = (((na - ea) ** 2) / ea + ((nb - eb) ** 2) / eb).sum()
     assert s["chi2"] == pytest.approx(chi, rel=1e-12)
+    from tstore_spark.operators.drift import PSI_EPS
+
+    ca, cb = np.maximum(pa, PSI_EPS), np.maximum(pb, PSI_EPS)
+    psi = ((ca - cb) * np.log(ca / cb)).sum()
+    assert s["psi"] == pytest.approx(psi, rel=1e-12) and s["psi"] > 0
     assert s["n_categories"] == 5 and s["n_a"] == 2000 and s["n_b"] == 1500
 
 

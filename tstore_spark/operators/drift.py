@@ -79,11 +79,21 @@ def categorical_drift(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
     )
 
 
+#: share floor for the PSI log ratio — a category absent on one side would
+#: otherwise make ln(p/q) infinite; 1e-6 is the conventional ML-monitoring
+#: clip (PSI is a monitoring score, not an oracle-stable statistic)
+PSI_EPS = 1e-6
+
+
 def drift_summary_table(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
-    """One-row DataFrame ``(n_categories, n_a, n_b, tvd, chi2)`` from the
-    same exact counts. chi2 is the two-sample statistic against the pooled
-    distribution: ``Σ_sides Σ_cats (n − e)² / e`` with
-    ``e = total_side * pooled_share``."""
+    """One-row DataFrame ``(n_categories, n_a, n_b, tvd, chi2, psi)`` from
+    the same exact counts. chi2 is the two-sample statistic against the
+    pooled distribution: ``Σ_sides Σ_cats (n − e)² / e`` with
+    ``e = total_side * pooled_share``; psi is the ML-monitoring population
+    stability index ``Σ (p_a − p_b)·ln(p_a/p_b)`` with shares floored at
+    ``PSI_EPS`` (conventional thresholds: <0.1 stable, >0.25 shifted).
+    The scalars are cross-row double sums — pytest-proven, not
+    oracle-hashed (summation order is engine-dependent)."""
     j = _aligned_with_totals(df_a, df_b, col)
     ta, tb = F.col("_ta").cast("double"), F.col("_tb").cast("double")
     share_a = _guarded_share("n_a", "_ta", "a")
@@ -91,12 +101,16 @@ def drift_summary_table(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame
     pooled = (F.col("n_a") + F.col("n_b")).cast("double") / (ta + tb)
     ea, eb = pooled * ta, pooled * tb
     chi_c = (F.col("n_a") - ea) ** 2 / ea + (F.col("n_b") - eb) ** 2 / eb
+    pa = F.greatest(share_a, F.lit(PSI_EPS))
+    pb = F.greatest(share_b, F.lit(PSI_EPS))
+    psi_c = (pa - pb) * F.log(pa / pb)
     return j.agg(
         F.count(F.lit(1)).alias("n_categories"),
         F.sum("n_a").alias("n_a"),
         F.sum("n_b").alias("n_b"),
         (F.sum(F.abs(share_a - share_b)) * 0.5).alias("tvd"),
         F.sum(chi_c).alias("chi2"),
+        F.sum(psi_c).alias("psi"),
     )
 
 
@@ -107,6 +121,7 @@ def drift_summary(df_a: DataFrame, df_b: DataFrame, col: str) -> dict:
     return {
         "tvd": float(r["tvd"]),
         "chi2": float(r["chi2"]),
+        "psi": float(r["psi"]),
         "n_categories": int(r["n_categories"]),
         "n_a": int(r["n_a"]),
         "n_b": int(r["n_b"]),
