@@ -1019,6 +1019,28 @@ def _q_kmv_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon over WKB (functions/geo.py:in_polygon): doc-derived
+    lattice points encode to WKB (point_wkb), decode inside the Arrow
+    ray-cast kernel, and classify against a fixed triangle. Oracle: the
+    exact three-sign-test containment for the SAME triangle in plain SQL —
+    the two formulations agree everywhere off the boundary, and the
+    lattice keeps every point >= 1e-4 from the edges. Exercises the whole
+    encode→decode→predicate chain."""
+    from tstore_spark.functions.geo import in_polygon, point_wkb
+
+    tri = [(0.07, 0.02), (0.95, 0.13), (0.41, 0.89)]
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") % 100) / F.lit(100.0) + F.lit(0.005)).alias("px"),
+        (((F.col("doc_id") * 7 + 3) % 100) / F.lit(100.0) + F.lit(0.005)).alias("py"),
+    )
+    pts = docs.withColumn("_g", point_wkb("px", "py"))
+    return pts.select(
+        "doc_id", "px", "py", in_polygon("_g", [tri]).alias("inside")
+    )
+
+
 def _q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-over-crawl page diff (operators/corpus.py:crawl_diff): two
     deterministic overlapping 'crawls' derived from documents (80% each,
@@ -2638,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_counts": _q_lm_bigram_counts,
         "scd2_versions": _q_scd2_versions,
         "crawl_diff": _q_crawl_diff,
+        "geo_polygon": _q_geo_polygon,
         "anchor_terms": _q_anchor_terms,
         "mad_outliers": _q_mad_outliers,
         "winsorized_daily": _q_winsorized_daily,
@@ -3064,6 +3087,23 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fo = fn THEN 'same'
                         ELSE 'changed' END AS status
             FROM o FULL OUTER JOIN n ON n.url = o.url
+        """,
+        "geo_polygon": """
+            WITH p AS (
+                SELECT doc_id,
+                       (doc_id % 100) / 100.0 + 0.005 AS px,
+                       ((doc_id * 7 + 3) % 100) / 100.0 + 0.005 AS py
+                FROM documents),
+            s AS (
+                SELECT doc_id, px, py,
+                       (0.95 - 0.07) * (py - 0.02) - (0.13 - 0.02) * (px - 0.07) AS c1,
+                       (0.41 - 0.95) * (py - 0.13) - (0.89 - 0.13) * (px - 0.95) AS c2,
+                       (0.07 - 0.41) * (py - 0.89) - (0.02 - 0.89) * (px - 0.41) AS c3
+                FROM p)
+            SELECT doc_id, px, py,
+                   ((c1 > 0 AND c2 > 0 AND c3 > 0)
+                    OR (c1 < 0 AND c2 < 0 AND c3 < 0)) AS inside
+            FROM s
         """,
         "anchor_terms": """
             WITH a AS (

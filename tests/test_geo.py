@@ -59,3 +59,66 @@ def test_bbox_filter(points_sdf):
     assert [r["id"] for r in europe.collect()] == [0]
     nothing = points_sdf.where(geo.in_bbox("wkb", 0, 0, 1, 1))
     assert nothing.count() == 0  # nulls and non-points never match
+
+
+def _py_in_polygon(px, py, rings):
+    """Straight-line even-odd reference."""
+    crossings = 0
+    for r in rings:
+        ring = list(r)
+        if ring[0] == ring[-1]:
+            ring = ring[:-1]
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+            if (y1 > py) != (y2 > py):
+                xs = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+                if px < xs:
+                    crossings += 1
+    return crossings % 2 == 1
+
+
+def test_in_polygon_matches_reference_with_hole(spark):
+    import numpy as np
+
+    from tstore_spark.functions.geo import in_polygon, point_wkb
+
+    rng = np.random.default_rng(7)
+    pts = pd.DataFrame(
+        {
+            "pid": range(400),
+            "lon": rng.uniform(-0.2, 1.2, 400),
+            "lat": rng.uniform(-0.2, 1.2, 400),
+        }
+    )
+    outer = [(0.0, 0.0), (1.0, 0.05), (0.9, 1.0), (0.05, 0.9)]
+    hole = [(0.4, 0.4), (0.6, 0.42), (0.55, 0.6)]
+    sdf = spark.createDataFrame(pts).withColumn("g", point_wkb("lon", "lat"))
+    got = {
+        r["pid"]: r["in_poly"]
+        for r in sdf.withColumn("in_poly", in_polygon("g", [outer, hole])).collect()
+    }
+    want = {
+        int(r.pid): _py_in_polygon(r.lon, r.lat, [outer, hole])
+        for r in pts.itertuples()
+    }
+    assert got == want
+    assert 50 < sum(want.values()) < 350  # non-degenerate fixture
+    # a point inside the hole is OUTSIDE the polygon
+    probe = spark.createDataFrame(pd.DataFrame({"lon": [0.5], "lat": [0.45]}))
+    row = probe.withColumn("g", point_wkb("lon", "lat")).withColumn(
+        "in_poly", in_polygon("g", [outer, hole])
+    ).head()
+    assert row["in_poly"] is False
+
+
+def test_in_polygon_nulls_and_guards(spark):
+    from tstore_spark.functions.geo import in_polygon
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": [None, b"notwkb"]}), schema="g binary"
+    )
+    got = [r["p"] for r in df.withColumn("p", in_polygon("g", [[(0, 0), (1, 0), (0, 1)]])).collect()]
+    assert got == [False, False]
+    with pytest.raises(ValueError):
+        in_polygon("g", [[(0, 0), (1, 0)]])
+    with pytest.raises(ValueError):
+        in_polygon("g", [])

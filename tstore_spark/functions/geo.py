@@ -44,14 +44,18 @@ def _decode_one(b: bytes) -> tuple[float, float]:
     return (x, y)
 
 
-@pandas_udf(_XY_SCHEMA)
-def _wkb_point_xy(wkb: pd.Series) -> pd.DataFrame:
+def _decode_xy_batch(wkb: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized WKB-point decode of a whole Arrow batch -> (lon, lat)
+    float64 arrays (NaN for nulls/non-points)."""
     n = len(wkb)
     lon = np.full(n, np.nan)
     lat = np.full(n, np.nan)
     # vectorized fast path: every non-null value is a 21-byte LE point
     vals = wkb.to_numpy(dtype=object)
-    mask = np.array([v is not None and len(v) == _LE_POINT_LEN and v[0] == 1 for v in vals])
+    mask = np.array(
+        [v is not None and len(v) == _LE_POINT_LEN and v[0] == 1 for v in vals],
+        dtype=bool,
+    ) if n else np.zeros(0, dtype=bool)
     if mask.any():
         buf = b"".join(bytes(v) for v in vals[mask])
         arr = np.frombuffer(buf, dtype=np.uint8).reshape(-1, _LE_POINT_LEN)
@@ -64,6 +68,12 @@ def _wkb_point_xy(wkb: pd.Series) -> pd.DataFrame:
     # slow path only for irregular encodings (big-endian, EWKB, etc.)
     for i in np.where(~mask)[0]:
         lon[i], lat[i] = _decode_one(vals[i])
+    return lon, lat
+
+
+@pandas_udf(_XY_SCHEMA)
+def _wkb_point_xy(wkb: pd.Series) -> pd.DataFrame:
+    lon, lat = _decode_xy_batch(wkb)
     return pd.DataFrame({"lon": lon, "lat": lat})
 
 
@@ -90,6 +100,60 @@ def point_wkb(lon: str | Column, lat: str | Column) -> Column:
     lo = F.col(lon) if isinstance(lon, str) else lon
     la = F.col(lat) if isinstance(lat, str) else lat
     return _point_wkb(lo.cast("double"), la.cast("double"))
+
+
+def in_polygon(wkb_col: str | Column, rings: list) -> Column:
+    """Even-odd point-in-polygon predicate over a WKB point column.
+
+    ``rings`` is a small constant geometry — a geofence, a country outline —
+    as ``[[(x, y), …exterior], [(x, y), …hole], …]`` (closing vertex
+    optional). Even-odd crossing counting over ALL rings handles holes for
+    free; the vertex arrays ship inside the Arrow kernel's closure (one
+    serialization per task, vectorized numpy per batch — points × edges,
+    fine for dimension-sized fences). NULLs and non-points are never
+    inside. Boundary points follow the ray-crossing convention — don't put
+    decision thresholds exactly on an edge.
+
+    This stays deliberately short of a spatial engine (no ST_* algebra,
+    no polygon-polygon ops — Sedona's job); it makes the archive's WKB
+    point attributes FILTERABLE by region, which is the dominant archive
+    query (reference stores per-id points via GeoParquet)."""
+    from pyspark.sql.types import BooleanType
+
+    arrs = []
+    for r in rings:
+        a = np.asarray(r, dtype=np.float64)
+        if a.ndim != 2 or a.shape[1] != 2 or a.shape[0] < 3:
+            raise ValueError("each ring needs >= 3 (x, y) vertices")
+        if np.array_equal(a[0], a[-1]):
+            a = a[:-1]  # drop the explicit closing vertex
+        if a.shape[0] < 3:
+            raise ValueError("each ring needs >= 3 distinct vertices")
+        arrs.append(a)
+    if not arrs:
+        raise ValueError("rings must be non-empty")
+
+    @pandas_udf(BooleanType())
+    def _inside(wkb: pd.Series) -> pd.Series:
+        px, py = _decode_xy_batch(wkb)
+        crossings = np.zeros(len(px), dtype=np.int64)
+        for a in arrs:
+            x1, y1 = a[:, 0], a[:, 1]
+            x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+            # points x edges: edge straddles the horizontal ray iff exactly
+            # one endpoint is strictly above it
+            straddle = (y1[None, :] > py[:, None]) != (y2[None, :] > py[:, None])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xs = x1[None, :] + (py[:, None] - y1[None, :]) * (
+                    (x2 - x1)[None, :] / (y2 - y1)[None, :]
+                )
+            crossings += (straddle & (px[:, None] < xs)).sum(axis=1)
+        inside = (crossings % 2).astype(bool)
+        inside[np.isnan(px)] = False
+        return pd.Series(inside)
+
+    c = F.col(wkb_col) if isinstance(wkb_col, str) else wkb_col
+    return _inside(c)
 
 
 def in_bbox(
