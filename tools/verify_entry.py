@@ -49,7 +49,14 @@ def canon(rows, cols):
     return out, [cols[i] for i in order]
 
 
-def main(sf_dir: str, tz: str | None = None, only: list[str] | None = None) -> int:
+def main(
+    sf_dir: str,
+    tz: str | None = None,
+    only: list[str] | None = None,
+    timed: bool = False,
+) -> int:
+    import time as _time
+
     spark = get_spark("verify_entry", master="local[8]")
     if tz:
         spark.conf.set("spark.sql.session.timeZone", tz)
@@ -62,11 +69,14 @@ def main(sf_dir: str, tz: str | None = None, only: list[str] | None = None) -> i
         qs = {k: v for k, v in qs.items() if k in only}
     oracles = E.oracle_sql()
     failures = []
+    timings: list[tuple[float, str]] = []
     for name, fn in qs.items():
         try:
+            t0 = _time.time()
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
             scols = sdf.columns
+            timings.append((_time.time() - t0, name))
         except Exception as ex:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error: {ex}")
@@ -103,6 +113,10 @@ def main(sf_dir: str, tz: str | None = None, only: list[str] | None = None) -> i
         else:
             print(f"ok   {name}: {len(s_can)} rows match")
     spark.stop()
+    if timed and timings:
+        print("\nslowest (spark side, includes fixture setup):")
+        for secs, name in sorted(timings, reverse=True)[:15]:
+            print(f"  {secs:7.2f}s  {name}")
     print(f"\n{len(qs) - len(failures)}/{len(qs)} queries ok")
     return 1 if failures else 0
 
@@ -116,5 +130,6 @@ if __name__ == "__main__":
             args[0] if args else "/root/testdata/sf0.001",
             tz=tzs[0] if tzs else None,
             only=onlys[0].split(",") if onlys else None,
+            timed="--time" in sys.argv[1:],
         )
     )
