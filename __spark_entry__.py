@@ -2577,6 +2577,16 @@ def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(ev, ["view", "click", "purchase"], within_us=_FUNNEL_WITHIN_US)
 
 
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (next-page model): exact pair counts from ONE lead window keyed on the
+    user plus a window total over the tiny count table; p = one fixed
+    long/long division, so the double bits reproduce in DuckDB."""
+    from tstore_spark.operators.behavior import transitions
+
+    return transitions(_t(spark, sf_dir, "events"), tiebreak_cols=["event_id"])
+
+
 def _q_hll_union_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch mergeability through the gate: per-day HLL sketches merged to a
     per-type total must estimate within 2% of the exact distinct count —
@@ -2745,6 +2755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "realtime_rollup_1h": _q_realtime_rollup,
         "retention_cohorts": _q_retention_cohorts,
         "funnel_steps": _q_funnel_steps,
+        "event_transitions": _q_event_transitions,
         "hll_union_daily": _q_hll_union_daily,
         "range_aggregate": _q_range_aggregate,
         "top_days_per_type": _q_top_days_per_type,
@@ -4101,6 +4112,22 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN s0 ON u.uid = s0.uid
             LEFT JOIN s1 ON u.uid = s1.uid
             LEFT JOIN s2 ON u.uid = s2.uid
+        """,
+        "event_transitions": """
+            WITH pr AS (
+                SELECT event_type AS from_state,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+                FROM events),
+            c AS (
+                SELECT from_state, to_state, count(*) AS n_transitions
+                FROM pr WHERE to_state IS NOT NULL GROUP BY 1, 2)
+            SELECT from_state, to_state, n_transitions,
+                   CAST(sum(n_transitions) OVER (PARTITION BY from_state) AS BIGINT)
+                       AS n_from,
+                   n_transitions / CAST(sum(n_transitions)
+                       OVER (PARTITION BY from_state) AS BIGINT) AS p
+            FROM c
         """,
         "hll_union_daily": """
             SELECT event_type, count(DISTINCT user_id) AS user_distinct,

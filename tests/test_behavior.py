@@ -5,6 +5,7 @@ import datetime as dt
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from tstore_spark.operators.behavior import funnel, funnel_counts, retention_cohorts
 
@@ -170,3 +171,82 @@ def test_funnel_counts(spark, ev_sdf):
     for s in (1, 2, 3):
         assert counts[s] == sum(1 for d in depths if d >= s)
     assert counts[1] >= counts[2] >= counts[3]
+
+
+# ---------------------------------------------------------------------------
+# transitions (first-order Markov matrix)
+# ---------------------------------------------------------------------------
+
+
+def _events_with_ids(n=3000) -> pd.DataFrame:
+    pdf = _events(n)
+    pdf["event_id"] = np.arange(n, dtype=np.int64)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def evid_sdf(spark):
+    return spark.createDataFrame(_events_with_ids()).cache()
+
+
+def _brute_transitions(pdf: pd.DataFrame) -> dict:
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    pairs = {}
+    for _, g in pdf.groupby("user_id"):
+        states = g["event_type"].tolist()
+        for a, b in zip(states, states[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    return pairs
+
+
+def test_transitions_brute_force(spark, evid_sdf):
+    from tstore_spark.operators.behavior import transitions
+
+    got = {
+        (r["from_state"], r["to_state"]): (r["n_transitions"], r["n_from"], r["p"])
+        for r in transitions(evid_sdf, tiebreak_cols=["event_id"]).collect()
+    }
+    want = _brute_transitions(_events_with_ids())
+    assert set(got) == set(want)
+    from_totals = {}
+    for (a, _), n in want.items():
+        from_totals[a] = from_totals.get(a, 0) + n
+    for (a, b), n in want.items():
+        nt, nf, p = got[(a, b)]
+        assert nt == n
+        assert nf == from_totals[a]
+        assert p == n / from_totals[a]  # one fixed division — exact bits
+
+
+def test_transitions_excludes_last_event(spark, evid_sdf):
+    from tstore_spark.operators.behavior import transitions
+
+    out = transitions(evid_sdf, tiebreak_cols=["event_id"])
+    total = out.agg(F.sum("n_transitions")).collect()[0][0]
+    n_events = evid_sdf.count()
+    n_users = evid_sdf.select("user_id").distinct().count()
+    assert total == n_events - n_users
+
+
+def test_transitions_probabilities_sum_to_one(spark, evid_sdf):
+    from tstore_spark.operators.behavior import transitions
+
+    rows = transitions(evid_sdf, tiebreak_cols=["event_id"]).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_state"], []).append(r["p"])
+    for ps in by_from.values():
+        assert abs(sum(ps) - 1.0) < 1e-9
+
+
+def test_transitions_deterministic_across_parallelism(spark, evid_sdf):
+    from tstore_spark.operators.behavior import transitions
+
+    a = sorted(map(tuple, transitions(evid_sdf, tiebreak_cols=["event_id"]).collect()))
+    b = sorted(
+        map(
+            tuple,
+            transitions(evid_sdf.repartition(17), tiebreak_cols=["event_id"]).collect(),
+        )
+    )
+    assert a == b

@@ -117,6 +117,60 @@ def funnel(
     )
 
 
+def transitions(
+    df: DataFrame,
+    id_col: str = "user_id",
+    state_col: str = "event_type",
+    time_col: str = "ts",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    how often state A is immediately followed by state B (the "next page"
+    model every clickstream / crawl-scheduling pipeline starts from).
+
+    Per user, events are ordered by ``(time_col, *tiebreak_cols)`` — callers
+    MUST supply tiebreakers that make the order total (e.g. a unique event
+    id) or equal timestamps would make the sequence, and therefore the
+    counts, partition-dependent. The consecutive-pair extraction is one
+    ``lead`` window (a single shuffle keyed on the user — the natural key,
+    never a global sort); the pair counts are a map-side-combined groupBy
+    over (from, to). ``p`` is derived from the two exact longs by ONE fixed
+    division, so its double bits reproduce in any engine.
+
+    Output: (from_state, to_state, n_transitions long, n_from long,
+    p double) where ``n_from`` totals all transitions leaving
+    ``from_state`` and ``p = n_transitions / n_from``. A user's last event
+    has no successor and is excluded (standard open-sequence convention).
+    """
+    from pyspark.sql import Window
+
+    ties = [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(id_col).orderBy(F.col(time_col), *ties)
+    pairs = (
+        df.select(
+            F.col(id_col),
+            F.col(time_col),
+            *[F.col(c) for c in (tiebreak_cols or [])],
+            F.col(state_col).alias("from_state"),
+        )
+        .withColumn("to_state", F.lead("from_state").over(w))
+        .where(F.col("to_state").isNotNull())
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    # per-source totals over the tiny (#states x #states) count table — a
+    # window over the aggregate, never over raw events
+    totals = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n_transitions",
+        F.sum("n_transitions").over(totals).alias("n_from"),
+        (F.col("n_transitions") / F.sum("n_transitions").over(totals)).alias("p"),
+    )
+
+
 def funnel_counts(funnel_df: DataFrame, k: int) -> DataFrame:
     """(step int, users_reached long) from a :func:`funnel` result — the
     funnel chart. One tiny aggregation over per-user depths."""
