@@ -818,6 +818,53 @@ def _url_canonicalize_oracle() -> str:
     return f"SELECT doc_id, {canonical_url_sql(messy)} AS canon_url FROM documents"
 
 
+def _q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-pattern mining over deterministically constructed urls (item ids,
+    a category counter, a 16-char session token on every 3rd doc, query
+    params on every 5th): templates collapse the id-bearing segments so the
+    trap templates profile with exact counts. Oracle: the SAME construction
+    + the SQL twin of the template chain, grouped identically."""
+    from tstore_spark.operators.corpus import url_template_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/cat/"),
+        (did % 7).cast("string"), F.lit("/item/"), did.cast("string"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit("/sess/"), F.lpad(did.cast("string"), 16, "a"))
+               ).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("?page=2&q=term")).otherwise(F.lit("")),
+    )
+    return url_template_profile(docs.select(url.alias("url")), trap_min_urls=50)
+
+
+def _url_templates_oracle() -> str:
+    """DuckDB twin of _q_url_templates (same construction, same pattern
+    table via url_template_sql)."""
+    from tstore_spark.functions.urls import url_template_sql
+
+    messy = (
+        "'https://' || source || '.example.com/cat/' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '/item/' || CAST(doc_id AS VARCHAR)"
+        " || CASE WHEN doc_id % 3 = 0"
+        "         THEN '/sess/' || lpad(CAST(doc_id AS VARCHAR), 16, 'a') ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN '?page=2&q=term' ELSE '' END"
+    )
+    return f"""
+        WITH u AS (SELECT {url_template_sql(messy)} AS template,
+                          {messy} AS url FROM documents)
+        SELECT template,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+               CAST(length(regexp_extract_all(template, '\\{{(uuid|hex|n)\\}}')) AS INT)
+                   AS n_slots,
+               min(url) AS example_url,
+               count(DISTINCT url) >= 50 AS is_trap
+        FROM u GROUP BY template
+    """
+
+
 def _html_extract_oracle() -> str:
     """DuckDB twin of _q_html_extract, generated from the same pattern
     tables as the Spark function so the two chains cannot drift."""
@@ -2663,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "token_jaccard_pairs": _q_token_jaccard,
         "url_canonicalize": _q_url_canonicalize,
+        "url_templates": _q_url_templates,
         "link_degrees": _q_link_degrees,
         "pagerank_hosts": _q_pagerank_hosts,
         "triangle_counts": _q_triangle_counts,
@@ -2989,6 +3037,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE jaccard >= 0.98
         """,
         "url_canonicalize": _url_canonicalize_oracle(),
+        "url_templates": _url_templates_oracle(),
         "link_degrees": f"""
             WITH e AS ({_LINK_EDGES_SQL}),
             nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),

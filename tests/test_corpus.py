@@ -243,3 +243,80 @@ def test_crawl_diff_deterministic_across_parallelism(spark):
         ).collect())
     )
     assert x == y and len(x) > 0
+
+
+# ---------------------------------------------------------------------------
+# url_template_profile (crawler-trap mining)
+# ---------------------------------------------------------------------------
+
+
+def _trap_urls() -> list[str]:
+    urls = []
+    # calendar trap: one handler, many distinct urls
+    for y in (2023, 2024):
+        for m in range(1, 13):
+            for d in (1, 9, 17, 25):
+                urls.append(f"https://t.com/cal/{y}/{m:02d}/{d:02d}")
+    # session-id trap (long hex)
+    for i in range(30):
+        urls.append(f"https://t.com/s/{'%016x' % (i * 2654435761)}/home")
+    # uuid profile pages
+    urls.append("https://t.com/u/550e8400-e29b-41d4-a716-446655440000")
+    urls.append("https://t.com/u/6ba7b810-9dad-11d1-80b4-00c04fd430c8")
+    # stable pages (no placeholders), with a re-crawl duplicate
+    urls += ["https://t.com/about", "https://t.com/about", "https://t.com/contact"]
+    return urls
+
+
+def test_url_template_profile_known_answers(spark):
+    from tstore_spark.operators.corpus import url_template_profile
+
+    sdf = spark.createDataFrame([(u,) for u in _trap_urls()], "url string")
+    rows = {r["template"]: r for r in url_template_profile(sdf, trap_min_urls=20).collect()}
+
+    cal = rows["https://t.com/cal/{n}/{n}/{n}"]
+    assert cal["n_urls"] == 96 and cal["n_pages"] == 96
+    assert cal["n_slots"] == 3 and cal["is_trap"]
+    assert cal["example_url"] == "https://t.com/cal/2023/01/01"
+
+    sess = rows["https://t.com/s/{hex}/home"]
+    assert sess["n_urls"] == 30 and sess["is_trap"] and sess["n_slots"] == 1
+
+    prof = rows["https://t.com/u/{uuid}"]
+    assert prof["n_urls"] == 2 and not prof["is_trap"] and prof["n_slots"] == 1
+
+    about = rows["https://t.com/about"]
+    assert about["n_pages"] == 2 and about["n_urls"] == 1 and about["n_slots"] == 0
+    assert not about["is_trap"]
+
+
+def test_url_template_profile_brute_force(spark):
+    from tstore_spark.functions.urls import url_template_sql
+    from tstore_spark.operators.corpus import url_template_profile
+
+    import duckdb
+
+    urls = _trap_urls()
+    sdf = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = sorted(
+        (r["template"], r["n_pages"], r["n_urls"], r["example_url"])
+        for r in url_template_profile(sdf).collect()
+    )
+    con = duckdb.connect()
+    con.register("u", __import__("pandas").DataFrame({"url": urls}))
+    want = sorted(
+        con.sql(
+            f"SELECT {url_template_sql('url')} AS t, count(*), count(DISTINCT url), min(url) "
+            "FROM u GROUP BY 1"
+        ).fetchall()
+    )
+    assert [tuple(g) for g in got] == [tuple(w) for w in want]
+
+
+def test_url_template_profile_deterministic_across_parallelism(spark):
+    from tstore_spark.operators.corpus import url_template_profile
+
+    sdf = spark.createDataFrame([(u,) for u in _trap_urls()], "url string")
+    a = sorted(map(tuple, url_template_profile(sdf).collect()))
+    b = sorted(map(tuple, url_template_profile(sdf.repartition(11)).collect()))
+    assert a == b

@@ -68,6 +68,42 @@ def canonical_url_sql(expr: str) -> str:
     return u
 
 
+# URL-template pattern table — shared verbatim with the SQL twin
+# (url_template_sql). Order matters and is most-specific-first: UUIDs would
+# otherwise be shredded by the digit pass, long hex tokens by both. All
+# RE2-compatible, literal replacements (placeholders contain no digits or
+# hex letters, so later passes never touch earlier placeholders).
+_HEXC = "[0-9a-fA-F]"
+TEMPLATE_PATTERNS: list[tuple[str, str]] = [
+    (rf"{_HEXC}{{8}}-{_HEXC}{{4}}-{_HEXC}{{4}}-{_HEXC}{{4}}-{_HEXC}{{12}}", "{uuid}"),
+    (rf"{_HEXC}{{16,}}", "{hex}"),  # session ids, content hashes
+    (r"[0-9]+", "{n}"),  # counters, item/page ids
+    (r"=[^&#]*", "="),  # drop query VALUES, keep param names
+]
+
+
+def url_template(url: str | Column) -> Column:
+    """Collapse a URL to its structural template: UUIDs -> ``{uuid}``, long
+    hex tokens -> ``{hex}``, digit runs -> ``{n}``, query values dropped
+    (param names kept). URLs minted by the same handler collapse to one
+    template, which is what makes infinite URL spaces (calendars, session
+    ids, faceted search — crawler traps) countable. Pure codegen
+    ``regexp_replace`` chain; :func:`url_template_sql` is the SQL twin from
+    the SAME pattern table."""
+    u = F.col(url) if isinstance(url, str) else url
+    for pat, rep in TEMPLATE_PATTERNS:
+        u = F.regexp_replace(u, pat, rep)
+    return u
+
+
+def url_template_sql(expr: str) -> str:
+    """DuckDB SQL twin of :func:`url_template` (same pattern table)."""
+    u = expr
+    for pat, rep in TEMPLATE_PATTERNS:
+        u = f"regexp_replace({u}, '{pat}', '{rep}', 'g')"
+    return u
+
+
 def domain_of(url: str | Column) -> Column:
     """Extract the host from an http(s) URL with a built-in expression.
 

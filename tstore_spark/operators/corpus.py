@@ -266,3 +266,57 @@ def crawl_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select("url", status.alias("status"))
+
+
+def url_template_profile(
+    df: DataFrame,
+    url_col: str = "url",
+    trap_min_urls: int = 1000,
+) -> DataFrame:
+    """URL-pattern mining / crawler-trap detection: collapse every URL to its
+    structural template (:func:`tstore_spark.functions.urls.url_template` —
+    UUIDs, long hex tokens, digit runs, query values) and profile each
+    template's footprint. A handler minting unbounded URL spaces (calendar
+    pages, session-id links, faceted search) shows up as ONE template with
+    an enormous distinct-URL count — the signal a crawl scheduler uses to
+    cap or skip the pattern.
+
+    Output: (template, n_pages long, n_urls long, n_slots int,
+    example_url string, is_trap boolean) where ``n_pages`` counts rows
+    (re-crawls included), ``n_urls`` counts distinct raw URLs, ``n_slots``
+    counts placeholder occurrences in the template, ``example_url`` is the
+    lexicographic min (deterministic), and ``is_trap`` flags templates whose
+    distinct-URL count reaches ``trap_min_urls``.
+
+    Scale notes (100 TB): the template is a pure codegen regexp chain
+    evaluated during the scan; the profile is ONE map-side-combined groupBy
+    on the template (distinct-URL counting is the standard two-phase
+    partial aggregate; min(url) rides the same shuffle). Nothing but
+    (template, url) ever shuffles — text/html never leave the scan.
+    Callers wanting tracking-param immunity should feed
+    ``canonical_url(url)`` instead of the raw column.
+    """
+    from tstore_spark.functions.urls import url_template
+
+    tpl = df.select(
+        url_template(url_col).alias("template"), F.col(url_col).alias("_url")
+    )
+    slots = F.size(
+        F.expr(r"regexp_extract_all(template, '\\{(uuid|hex|n)\\}', 0)")
+    ).cast("int")
+    return (
+        tpl.groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("_url").alias("n_urls"),
+            F.min("_url").alias("example_url"),
+        )
+        .select(
+            "template",
+            "n_pages",
+            "n_urls",
+            slots.alias("n_slots"),
+            "example_url",
+            (F.col("n_urls") >= F.lit(int(trap_min_urls))).alias("is_trap"),
+        )
+    )
