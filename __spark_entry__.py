@@ -2634,6 +2634,52 @@ def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transitions(_t(spark, sf_dir, "events"), tiebreak_cols=["event_id"])
 
 
+def _q_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of each user's value series (word_len=8,
+    alphabet=4): exact integer PAA state + one fixed z derivation, so the
+    letters — breakpoint comparisons on reproducible double bits — match
+    DuckDB exactly."""
+    from tstore_spark.operators.sax import sax_words
+
+    return sax_words(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "value",
+        word_len=8, alphabet_size=4, tiebreak_cols=["event_id"],
+    )
+
+
+def _sax_words_oracle() -> str:
+    from tstore_spark.operators.sax import sax_oracle_exprs
+
+    ex = sax_oracle_exprs(word_len=8, alphabet_size=4)
+    return f"""
+        WITH b AS (
+            SELECT user_id,
+                   CAST(round(value * 100) AS BIGINT) AS c,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+                       AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id) AS BIGINT) AS _s,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)
+                            * CAST(round(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id) AS BIGINT) AS _ss
+            FROM events),
+        paa AS (
+            SELECT user_id, {ex['seg']} AS segment,
+                   CAST(sum(c) AS BIGINT) AS seg_sum,
+                   count(*) AS seg_n,
+                   max(n) AS n_points, max(_s) AS _s, max(_ss) AS _ss
+            FROM b GROUP BY 1, 2),
+        sym AS (
+            SELECT user_id, segment, n_points, {ex['symbol']} AS symbol FROM paa)
+        SELECT user_id,
+               CAST(max(n_points) AS BIGINT) AS n_points,
+               CASE WHEN count(*) = count(symbol)
+                    THEN string_agg(symbol, '' ORDER BY segment) END AS sax_word
+        FROM sym GROUP BY user_id
+    """
+
+
 def _q_hll_union_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch mergeability through the gate: per-day HLL sketches merged to a
     per-type total must estimate within 2% of the exact distinct count —
@@ -2804,6 +2850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _q_retention_cohorts,
         "funnel_steps": _q_funnel_steps,
         "event_transitions": _q_event_transitions,
+        "sax_words": _q_sax_words,
         "hll_union_daily": _q_hll_union_daily,
         "range_aggregate": _q_range_aggregate,
         "top_days_per_type": _q_top_days_per_type,
@@ -4162,6 +4209,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN s1 ON u.uid = s1.uid
             LEFT JOIN s2 ON u.uid = s2.uid
         """,
+        "sax_words": _sax_words_oracle(),
         "event_transitions": """
             WITH pr AS (
                 SELECT event_type AS from_state,
