@@ -818,6 +818,37 @@ def _url_canonicalize_oracle() -> str:
     return f"SELECT doc_id, {canonical_url_sql(messy)} AS canon_url FROM documents"
 
 
+def _q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking on a normalized 40-char text-prefix key:
+    every candidate pair within 8 sort positions. The distributed prefix-sum
+    rank equals the naive global row_number ORDER BY (key, doc_id) row for
+    row — which is exactly the oracle's formulation. The whitespace class is
+    spelled [ \\t\\n\\r] literally (Java and RE2 disagree on \\s)."""
+    from tstore_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.substring(
+        F.regexp_replace(F.lower("text"), "[ \t\n\r]+", " "), 1, 40
+    )
+    return sorted_neighborhood_pairs(
+        docs.select("doc_id", key.alias("text_key")), "text_key", window=8
+    )
+
+
+_SNM_ORACLE = """
+    WITH k AS (
+        SELECT doc_id,
+               substr(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'), 1, 40)
+                   AS key
+        FROM documents WHERE text IS NOT NULL),
+    r AS (
+        SELECT doc_id, key, row_number() OVER (ORDER BY key, doc_id) AS rn FROM k)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.key AS key_a, b.key AS key_b,
+           CAST(b.rn - a.rn AS INT) AS rank_dist
+    FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 8
+"""
+
+
 def _q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-pattern mining over deterministically constructed urls (item ids,
     a category counter, a 16-char session token on every 3rd doc, query
@@ -2757,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_pairs": _q_token_jaccard,
         "url_canonicalize": _q_url_canonicalize,
         "url_templates": _q_url_templates,
+        "sorted_neighborhood": _q_sorted_neighborhood,
         "link_degrees": _q_link_degrees,
         "pagerank_hosts": _q_pagerank_hosts,
         "triangle_counts": _q_triangle_counts,
@@ -3085,6 +3117,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_canonicalize": _url_canonicalize_oracle(),
         "url_templates": _url_templates_oracle(),
+        "sorted_neighborhood": _SNM_ORACLE,
         "link_degrees": f"""
             WITH e AS ({_LINK_EDGES_SQL}),
             nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),

@@ -1,0 +1,90 @@
+"""Sorted-neighborhood blocking: brute force, rank exactness, determinism."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tstore_spark.operators.dedup import sorted_neighborhood_pairs
+
+
+def _docs(n=500) -> pd.DataFrame:
+    i = np.arange(n, dtype=np.int64)
+    h = (i * 2654435761) % (1 << 32)
+    # keys cluster by construction: ~125 stems, several docs per stem with
+    # small suffix variations -> lexicographic neighbors
+    stem = (h % 125).astype(np.int64)
+    key = np.char.add(
+        np.char.add("k", np.char.zfill(stem.astype(str), 3)),
+        np.char.zfill((h % 7).astype(str), 2),
+    )
+    pdf = pd.DataFrame({"doc_id": i, "key": key.astype(object)})
+    pdf.loc[pdf.index[::50], "key"] = None  # NULL keys must be excluded
+    return pdf
+
+
+def _brute_pairs(pdf: pd.DataFrame, w: int) -> set:
+    rows = pdf[pdf["key"].notna()].sort_values(["key", "doc_id"]).reset_index(drop=True)
+    out = set()
+    for a in range(len(rows)):
+        for b in range(a + 1, min(a + w, len(rows))):
+            out.add((int(rows["doc_id"][a]), int(rows["doc_id"][b]), b - a))
+    return out
+
+
+@pytest.fixture(scope="module")
+def snm_sdf(spark):
+    return spark.createDataFrame(_docs()).cache()
+
+
+def test_snm_brute_force(spark, snm_sdf):
+    got = {
+        (r["id_a"], r["id_b"], r["rank_dist"])
+        for r in sorted_neighborhood_pairs(snm_sdf, "key", window=5).collect()
+    }
+    assert got == _brute_pairs(_docs(), 5)
+
+
+def test_snm_pair_count_formula(spark, snm_sdf):
+    w = 8
+    n = _docs()["key"].notna().sum()
+    got = sorted_neighborhood_pairs(snm_sdf, "key", window=w).count()
+    # exact linear candidate count: sum_{d=1..w-1} (n - d)
+    assert got == sum(n - d for d in range(1, w))
+
+
+def test_snm_single_char_prefix_same_result(spark, snm_sdf):
+    a = sorted(
+        map(tuple, sorted_neighborhood_pairs(snm_sdf, "key", window=5).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            sorted_neighborhood_pairs(snm_sdf, "key", window=5, prefix_len=4).collect(),
+        )
+    )
+    assert a == b  # bucket granularity must never change the answer
+
+
+def test_snm_deterministic_across_parallelism(spark, snm_sdf):
+    a = sorted(
+        map(tuple, sorted_neighborhood_pairs(snm_sdf, "key", window=6).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            sorted_neighborhood_pairs(snm_sdf.repartition(13), "key", window=6).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_snm_guards(spark, snm_sdf):
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(snm_sdf, "key", window=1)
+    with pytest.raises(ValueError, match="prefix_len"):
+        sorted_neighborhood_pairs(snm_sdf, "key", prefix_len=0)
+
+
+def test_snm_empty_input(spark):
+    empty = spark.createDataFrame([], "doc_id long, key string")
+    assert sorted_neighborhood_pairs(empty, "key").count() == 0

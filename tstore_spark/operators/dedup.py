@@ -977,3 +977,93 @@ def near_dup_dedup(
         .select(F.col("node").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    window: int = 10,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez/Stolfo): sort records by a
+    blocking key, emit every pair within ``window`` positions of each other.
+    The classic complement to hash blocking — near-dups whose keys are
+    lexicographically adjacent (normalized-text prefixes, canonical URLs,
+    name keys) pair up even when no hash bucket would catch both, and the
+    candidate count is exactly ``(n - w/2)·(w-1)`` — linear, never block².
+
+    The global rank is a DISTRIBUTED prefix sum, never a single-partition
+    window (the token_pack_offsets pattern): coarse MONOTONE buckets from
+    the key's ``prefix_len``-char prefix (a lexicographic prefix ordering
+    agrees with the key ordering), per-bucket counts cumulated driver-side
+    (bounded by the distinct-prefix count — alphabet^prefix_len, metadata-
+    sized), then per-bucket ``row_number`` windows running in parallel, each
+    offset by its broadcast base. Ranks are a pure function of the DATA
+    ((key, id) pairs — ids must be unique; (key, id) makes the order total),
+    so they are bit-identical at any parallelism and equal to the naive
+    ``row_number() OVER (ORDER BY key, id)`` row for row — which is the
+    oracle. Candidates then come from ONE equi-join on the rank's
+    ``div window`` block (each left row probes its own and the next block),
+    filtered to ``0 < rank_b - rank_a < window``.
+
+    NULL keys are excluded (engines disagree on NULL sort order; a NULL
+    blocking key has no neighborhood). Keys should be ASCII-normalized
+    (e.g. a lowered/whitespace-collapsed text prefix) — engines agree on
+    byte order there.
+
+    Output: (id_a, id_b, key_a, key_b, rank_dist int) with id_a's rank
+    strictly below id_b's.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if prefix_len < 1:
+        raise ValueError(f"prefix_len must be >= 1, got {prefix_len}")
+    staged = (
+        df.select(F.col(id_col).alias("_id"), F.col(key_col).alias("_key"))
+        .where(F.col("_key").isNotNull())
+        .withColumn("_bkt", F.substring("_key", 1, prefix_len))
+    )
+    sums = staged.groupBy("_bkt").count().orderBy("_bkt").collect()
+    bases, acc = [], 0
+    for r in sums:
+        bases.append((r["_bkt"], acc))
+        acc += r["count"]
+    if not bases:
+        return staged.select(
+            F.col("_id").alias("id_a"), F.col("_id").alias("id_b"),
+            F.col("_key").alias("key_a"), F.col("_key").alias("key_b"),
+            F.lit(0).cast("int").alias("rank_dist"),
+        ).limit(0)
+    base_df = df.sparkSession.createDataFrame(bases, "_bkt string, _base long")
+
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy("_bkt").orderBy("_key", "_id")
+    ranked = (
+        staged.join(F.broadcast(base_df), "_bkt")
+        .select(
+            "_id", "_key",
+            (F.col("_base") + F.row_number().over(w_rank) - 1).alias("_rank"),
+        )
+    )
+    w = int(window)
+    left = ranked.select(
+        F.col("_id").alias("id_a"), F.col("_key").alias("key_a"),
+        F.col("_rank").alias("_ra"),
+        F.explode(
+            F.array(F.expr(f"_rank div {w}"), F.expr(f"_rank div {w} + 1"))
+        ).alias("_blk"),
+    )
+    right = ranked.select(
+        F.col("_id").alias("id_b"), F.col("_key").alias("key_b"),
+        F.col("_rank").alias("_rb"), F.expr(f"_rank div {w}").alias("_blk"),
+    )
+    return (
+        left.join(right, "_blk")
+        .where((F.col("_rb") > F.col("_ra")) & (F.col("_rb") - F.col("_ra") < w))
+        .select(
+            "id_a", "id_b", "key_a", "key_b",
+            (F.col("_rb") - F.col("_ra")).cast("int").alias("rank_dist"),
+        )
+    )
