@@ -2665,6 +2665,28 @@ def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transitions(_t(spark, sf_dir, "events"), tiebreak_cols=["event_id"])
 
 
+def _q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend per user with a 3-step forecast. Both engines run
+    the IDENTICAL fixed-order fold (Spark higher-order aggregate vs DuckDB
+    list_reduce, array state, same arithmetic core) — raw double bits
+    hash-match, no rounding."""
+    from tstore_spark.operators.forecast import holt_fit
+
+    return holt_fit(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "value",
+        alpha="0.5", beta="0.3", horizon=3, tiebreak_cols=["event_id"],
+    )
+
+
+def _holt_oracle() -> str:
+    from tstore_spark.operators.forecast import holt_oracle_sql
+
+    return holt_oracle_sql(
+        "events", "user_id", "ts", "value",
+        alpha="0.5", beta="0.3", horizon=3, tiebreak_cols=["event_id"],
+    )
+
+
 def _q_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAX symbolization of each user's value series (word_len=8,
     alphabet=4): exact integer PAA state + one fixed z derivation, so the
@@ -2883,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": _q_funnel_steps,
         "event_transitions": _q_event_transitions,
         "sax_words": _q_sax_words,
+        "holt_forecast": _q_holt_forecast,
         "hll_union_daily": _q_hll_union_daily,
         "range_aggregate": _q_range_aggregate,
         "top_days_per_type": _q_top_days_per_type,
@@ -4243,6 +4266,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN s2 ON u.uid = s2.uid
         """,
         "sax_words": _sax_words_oracle(),
+        "holt_forecast": _holt_oracle(),
         "event_transitions": """
             WITH pr AS (
                 SELECT event_type AS from_state,
