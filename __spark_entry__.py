@@ -1878,6 +1878,31 @@ def _q_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select("event_id", "ts", "value")
 
 
+def _q_bloom_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom index, end to end: hash-cluster the events table into
+    16 files on user_id (each user's rows land in exactly one file — the
+    layout where zone maps are structurally blind because every file's
+    [min,max] spans the whole id domain), build an m-bit Bloom bitset per
+    file in ONE JVM-side column-pruned scan, then answer a two-user point
+    lookup reading only the files whose filters can contain either id.
+    Fails loudly unless files were actually skipped; surviving rows must
+    hash-match the plain full-scan SQL. Probes are min/max user_id so the
+    query is scale-independent."""
+    import re as _re
+
+    from tstore_spark.sources.bloom_index import bloom_file_index, pruned_point_read
+
+    root = "/tmp/tstore_spark_bi_" + _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    ev.repartition(16, "user_id").write.mode("overwrite").parquet(root)
+    lo, hi = ev.agg(F.min("user_id"), F.max("user_id")).head()
+    idx = bloom_file_index(spark, root, "user_id")
+    got, report = pruned_point_read(spark, root, idx, "user_id", [int(lo), int(hi)])
+    if report["files_read"] >= report["files_total"]:
+        raise RuntimeError(f"bloom index skipped nothing: {report}")
+    return got.select("event_id", "ts", "user_id", "value")
+
+
 def _q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering, end to end: rewrite the events table as 16 files
     slicing the bit-interleaved (value, event_id) z curve, then answer a
@@ -2855,6 +2880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_roundtrip": _q_compaction_roundtrip,
         "merge_upsert_roundtrip": _q_merge_upsert_roundtrip,
         "zonemap_scan": _q_zonemap_scan,
+        "bloom_index_scan": _q_bloom_index_scan,
         "zorder_scan": _q_zorder_scan,
         "stream_cascade_1h": _q_stream_cascade_1h,
         "stream_cascade_hll": _q_stream_cascade_hll,
@@ -3575,6 +3601,11 @@ def oracle_sql() -> dict[str, str]:
         "zonemap_scan": """
             SELECT event_id, ts, value FROM events
             WHERE value >= 100.0 AND value <= 150.0
+        """,
+        "bloom_index_scan": """
+            SELECT event_id, ts, user_id, value FROM events
+            WHERE user_id = (SELECT MIN(user_id) FROM events)
+               OR user_id = (SELECT MAX(user_id) FROM events)
         """,
         "zorder_scan": """
             SELECT CAST(event_id AS BIGINT) AS event_id, ts, value FROM events

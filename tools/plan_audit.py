@@ -237,6 +237,28 @@ def main(sf_dir: str) -> int:
     check("skew_profile.take_ordered", "TakeOrderedAndProject" in p,
           "top-N is TakeOrdered, never a whole-table single-partition sort")
 
+    # 21b. Bloom file index build: ONE column-pruned scan (ReadSchema carries
+    # only the indexed column), all hashing JVM-side, aggregation map-side
+    # combined (partial bit_or before the exchange)
+    import re as _re
+
+    from tstore_spark.sources.bloom_index import bloom_file_index
+
+    bi_root = "/tmp/pa_bloom_idx"
+    spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "value"
+    ).repartition(4, "user_id").write.mode("overwrite").parquet(bi_root)
+    p = plan_of(bloom_file_index(spark, bi_root, "user_id", materialize=False))
+    read_schemas = _re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    data_reads = [s for s in read_schemas if "user_id" in s]
+    check("bloom_index.column_pruned",
+          bool(data_reads) and all(s == "user_id:bigint" for s in data_reads),
+          "index build scans ONLY the indexed column")
+    check("bloom_index.jvm", "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "bit positions are xxhash64 Catalyst expressions, no Python")
+    check("bloom_index.partial_agg", p.count("HashAggregate") >= 4,
+          "bit_or word merge is map-side combined before each exchange")
+
     # 21. stream-stream attribution join (batch twin plan): key equi-join
     # with the time range as a post-filter, never a nested loop
     from tstore_spark.streaming.stream_join import attribution_join
