@@ -1878,6 +1878,29 @@ def _q_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select("event_id", "ts", "value")
 
 
+def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-style MoreLikeThis through the posting table: for the min and
+    max doc_id, rank the 10 most similar documents by the tf*idf dot
+    product over each query doc's 10 most characteristic terms, with the
+    idf taken as INTEGER scale/df (ln is not IEEE-portable across engines —
+    the BM25 lesson — while integer division and integer sums are bit-exact
+    everywhere, so the whole ranking hash-matches the SQL twin). Terms in
+    more than half the corpus are dropped before candidates exist (the
+    stopword guard that is also the 100 TB scale valve)."""
+    from tstore_spark.operators.search import build_inverted_index, more_like_this
+
+    docs = _t(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).head()
+    idx = build_inverted_index(docs)
+    # the synthetic corpus has a ~30-word vocab where every term is in
+    # >50% of docs, so the gate runs the df guard wide open (the guard
+    # itself is pytest-covered); ranking is still a full tf*idf ordering
+    out = more_like_this(idx, [int(lo), int(hi)], k=10, max_terms=10, max_df_ratio=1.0)
+    return out.select(
+        "query_id", "doc_id", "score", F.col("rank").cast("int").alias("rank")
+    )
+
+
 def _q_bloom_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file Bloom index, end to end: hash-cluster the events table into
     16 files on user_id (each user's rows land in exactly one file — the
@@ -2881,6 +2904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_roundtrip": _q_merge_upsert_roundtrip,
         "zonemap_scan": _q_zonemap_scan,
         "bloom_index_scan": _q_bloom_index_scan,
+        "more_like_this": _q_more_like_this,
         "zorder_scan": _q_zorder_scan,
         "stream_cascade_1h": _q_stream_cascade_1h,
         "stream_cascade_hll": _q_stream_cascade_hll,
@@ -3601,6 +3625,50 @@ def oracle_sql() -> dict[str, str]:
         "zonemap_scan": """
             SELECT event_id, ts, value FROM events
             WHERE value >= 100.0 AND value <= 150.0
+        """,
+        "more_like_this": """
+            WITH post AS (
+                SELECT doc_id, u.tok AS token, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(tok)
+                WHERE u.tok <> ''
+                GROUP BY doc_id, u.tok),
+            n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM post),
+            q AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+            qpost AS (
+                SELECT doc_id AS query_id, token, tf AS tf_q FROM post
+                WHERE doc_id IN (SELECT lo FROM q)
+                   OR doc_id IN (SELECT hi FROM q)),
+            dfs AS (
+                SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM post
+                WHERE token IN (SELECT token FROM qpost)
+                GROUP BY token),
+            sel AS (
+                SELECT query_id, token, w
+                FROM (
+                    SELECT qp.query_id, qp.token,
+                           qp.tf_q * (CAST(1000000 AS BIGINT) // d.df) AS w,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY qp.query_id
+                               ORDER BY qp.tf_q * (CAST(1000000 AS BIGINT) // d.df)
+                                            DESC,
+                                        qp.token) AS r
+                    FROM qpost qp JOIN dfs d USING (token)
+                    WHERE d.df <= CAST(FLOOR(1.0 * (SELECT n_docs FROM n))
+                                       AS BIGINT))
+                WHERE r <= 10),
+            scored AS (
+                SELECT s.query_id, p.doc_id,
+                       CAST(SUM(s.w * p.tf) AS BIGINT) AS score
+                FROM post p JOIN sel s USING (token)
+                WHERE p.doc_id <> s.query_id
+                GROUP BY s.query_id, p.doc_id)
+            SELECT query_id, doc_id, score,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id) AS INT) AS rank
+            FROM scored
+            QUALIFY rank <= 10
         """,
         "bloom_index_scan": """
             SELECT event_id, ts, user_id, value FROM events

@@ -217,3 +217,82 @@ def test_bm25_precomputed_doc_lengths_identical(index):
         assert a == b
     finally:
         dl.unpersist()
+
+
+def _mlt_reference(texts, query_ids, k, max_terms, max_df_ratio, idf_scale=1_000_000):
+    """Straight-line Python MoreLikeThis (same tokenizer + integer weights)."""
+    import re
+
+    toks = {d: [w for w in re.split("[^a-z0-9]+", s.lower()) if w] for d, s in texts.items()}
+    toks = {d: v for d, v in toks.items() if v}
+    n = len(toks)
+    max_df = int(max_df_ratio * n)
+    dfs: dict[str, int] = {}
+    for v in toks.values():
+        for w in set(v):
+            dfs[w] = dfs.get(w, 0) + 1
+    out = []
+    for q in query_ids:
+        terms = {w: toks[q].count(w) for w in set(toks[q]) if dfs[w] <= max_df}
+        weighted = sorted(
+            ((tf * (idf_scale // dfs[w]), w) for w, tf in terms.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:max_terms]
+        scores: dict[int, int] = {}
+        for wgt, w in weighted:
+            for d, v in toks.items():
+                if d == q:
+                    continue
+                tf_c = v.count(w)
+                if tf_c:
+                    scores[d] = scores.get(d, 0) + wgt * tf_c
+        ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+        out += [(q, d, s, i + 1) for i, (d, s) in enumerate(ranked)]
+    return sorted(out)
+
+
+def test_more_like_this_matches_python_reference(index):
+    from tstore_spark.operators.search import more_like_this
+
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in more_like_this(index, [0, 3], k=3, max_terms=5, max_df_ratio=0.9).collect()
+    )
+    assert got == _mlt_reference(TEXTS, [0, 3], k=3, max_terms=5, max_df_ratio=0.9)
+    # doc 0 is "spark window..." => docs 2/1/4 related; doc 3 shares terms
+    # with nobody under the df guard except via 'join'/'hash'/'only' (df=1)
+    assert all(d != q for q, d, _s, _r in got)
+
+
+def test_more_like_this_stopword_guard_is_scale_valve(spark):
+    """A term in >max_df_ratio of docs must never generate candidates: the
+    doc sharing ONLY the stopword drops out entirely."""
+    from tstore_spark.operators.search import build_inverted_index, more_like_this
+
+    texts = {
+        1: "common rare1 rare2",
+        2: "common rare1 rare2",
+        3: "common unrelated words",
+        4: "common other stuff",
+    }
+    idx = build_inverted_index(
+        spark.createDataFrame(pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}))
+    )
+    got = more_like_this(idx, [1], k=10, max_df_ratio=0.5).collect()
+    assert [(r["doc_id"], r["rank"]) for r in got] == [(2, 1)]
+
+
+def test_more_like_this_max_terms_bounds_probe(index):
+    from tstore_spark.operators.search import more_like_this
+
+    # with max_terms=1 doc 0's probe is its single most characteristic term
+    got = more_like_this(index, [0], k=10, max_terms=1, max_df_ratio=0.9).collect()
+    ref = _mlt_reference(TEXTS, [0], k=10, max_terms=1, max_df_ratio=0.9)
+    assert sorted((r["query_id"], r["doc_id"], r["score"], r["rank"]) for r in got) == ref
+
+
+def test_more_like_this_guards(index):
+    from tstore_spark.operators.search import more_like_this
+
+    with pytest.raises(ValueError, match="query_ids"):
+        more_like_this(index, [])

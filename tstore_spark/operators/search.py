@@ -281,3 +281,82 @@ def bm25_reference(
             out.append((d, s))
     out.sort(key=lambda x: (-x[1], x[0]))
     return out[:k]
+
+
+def more_like_this(
+    index: DataFrame,
+    query_ids: list,
+    k: int = 10,
+    max_terms: int = 25,
+    max_df_ratio: float = 0.5,
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+    idf_scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k similar documents per query document — Lucene's MoreLikeThis,
+    through the posting table.
+
+    Relevance model: each query doc contributes its ``max_terms`` most
+    characteristic terms (highest ``tf_q * idf``); a candidate's score is
+    ``sum over shared terms of tf_q * tf_c * (idf_scale div df)`` — the
+    classic tf*idf dot product with the idf taken as INTEGER ``scale/df``
+    instead of ``ln(N/df)``. The swap is deliberate: ln is not
+    IEEE-portable across engines (the BM25 lesson), while integer division
+    and integer sums are bit-exact everywhere, so the whole ranking is
+    oracle-checkable. 1/df preserves idf's ordering (strictly decreasing
+    in df); only the tail weighting differs.
+
+    Scale shape: the query docs' own postings are a bounded probe
+    (broadcast); candidate generation touches ONLY postings of the
+    selected query terms (one semi-join into the index, scope-cached so
+    the df pass and the scoring pass share the scan); terms with
+    ``df > max_df_ratio * N`` are dropped BEFORE candidates exist — the
+    stopword guard that is also the scale valve (a boilerplate term's
+    posting list is corpus-sized). Per-query top-k is a row_number window
+    partitioned by query doc. Ties break (score desc, candidate id asc).
+
+    ``n_docs``: corpus size for the max-df cutoff; pass it when known
+    (e.g. from a persisted :func:`doc_lengths` count) to skip the
+    distinct-count aggregation here."""
+    from pyspark.sql.window import Window
+
+    from tstore_spark.operators.dedup import _cache_scoped, _evict_prior_caches
+
+    if not query_ids:
+        raise ValueError("query_ids must be non-empty")
+    if n_docs is None:
+        n_docs = index.select(id_col).distinct().count()
+    if not n_docs:
+        raise ValueError("empty index")
+    max_df = int(max_df_ratio * n_docs)
+
+    qpost = index.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), "token", F.col("tf").alias("_tf_q")
+    )
+    # one semi-join bounds everything downstream to postings of query terms;
+    # cached so the df pass and the scoring pass share the scan
+    _evict_prior_caches()
+    qterm_post = _cache_scoped(
+        index.join(F.broadcast(qpost.select("token").distinct()), "token")
+    )
+    dfs = qterm_post.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("_w"), F.col("token"))
+    sel = (
+        qpost.join(F.broadcast(dfs), "token")
+        .where(F.col("_df") <= max_df)
+        .withColumn("_w", F.col("_tf_q") * F.expr(f"CAST({idf_scale} AS BIGINT) div _df"))
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= max_terms)
+        .select("query_id", "token", "_w")
+    )
+
+    topw = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        qterm_post.join(F.broadcast(sel), "token")
+        .where(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("_w") * F.col("tf")).alias("score"))
+        .withColumn("rank", F.row_number().over(topw))
+        .where(F.col("rank") <= k)
+    )
