@@ -29,7 +29,7 @@ from tstore_spark.operators import gorilla
 from tstore_spark.operators import multimodal as MM
 from tstore_spark.operators import similarity as SIM
 from tstore_spark.operators.gapfill import gap_fill
-from tstore_spark.operators.graph import pagerank_oracle_sql
+from tstore_spark.operators.graph import hits_oracle_sql, pagerank_oracle_sql
 from tstore_spark.operators.metric_rollup import (
     finalize,
     metric_rollup_all_tiers,
@@ -1003,6 +1003,18 @@ def _q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tstore_spark.operators.graph import pagerank
 
     return pagerank(_link_edges(_t(spark, sf_dir, "documents")), iterations=3)
+
+
+def _q_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer HITS (3 iterations, max-normalized at scale 1e9) over
+    the doc-derived host graph — the link graph is bipartite (sources never
+    receive links), which is HITS's natural habitat: sources score as pure
+    hubs, targets as pure authorities. Every step is integer arithmetic
+    over order-independent sums, so the oracle (the generated SQL twin of
+    the same recursion) matches bit-for-bit."""
+    from tstore_spark.operators.graph import hits
+
+    return hits(_link_edges(_t(spark, sf_dir, "documents")), iterations=3)
 
 
 def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2861,6 +2873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": _q_sorted_neighborhood,
         "link_degrees": _q_link_degrees,
         "pagerank_hosts": _q_pagerank_hosts,
+        "hits_hosts": _q_hits_hosts,
         "triangle_counts": _q_triangle_counts,
         "kmv_returning_users": _q_kmv_returning_users,
         "lm_bigram_counts": _q_lm_bigram_counts,
@@ -3202,6 +3215,7 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n LEFT JOIN o ON n.node = o.node LEFT JOIN i ON n.node = i.node
         """,
         "pagerank_hosts": pagerank_oracle_sql(_LINK_EDGES_SQL, iterations=3),
+        "hits_hosts": hits_oracle_sql(_LINK_EDGES_SQL, iterations=3),
         "triangle_counts": """
             WITH e AS (
                 SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src,

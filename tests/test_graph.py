@@ -211,3 +211,76 @@ def test_triangles_deterministic_across_partitioning(spark):
     a = sorted(map(tuple, triangles(df.repartition(1)).collect()))
     b = sorted(map(tuple, triangles(df.repartition(16)).collect()))
     assert a == b and len(a) > 0
+
+
+def _pure_python_hits(edges, iterations=3, scale=10**9):
+    """The identical integer max-normalized recursion, straight-line."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    hub = {v: scale for v in nodes}
+    auth = {}
+    for _ in range(iterations):
+        raw_a = {}
+        for u, v in edges:
+            raw_a[v] = raw_a.get(v, 0) + hub.get(u, 0)
+        mx = max(raw_a.values(), default=1) or 1
+        auth = {v: (r * scale) // mx for v, r in raw_a.items()}
+        raw_h = {}
+        for u, v in edges:
+            raw_h[u] = raw_h.get(u, 0) + auth.get(v, 0)
+        mx = max(raw_h.values(), default=1) or 1
+        hub = {u: (r * scale) // mx for u, r in raw_h.items()}
+    return {v: (hub.get(v, 0), auth.get(v, 0)) for v in nodes}
+
+
+def test_hits_matches_pure_python(spark):
+    from tstore_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(edges, iterations=3).collect()}
+    assert got == _pure_python_hits(EDGES, iterations=3)
+
+
+def test_hits_star_semantics(spark):
+    """All spokes point at the center: center is THE authority (scale) with
+    zero hub score; every spoke is an equal best hub with zero authority."""
+    from tstore_spark.operators.graph import hits
+
+    edges = [(f"s{i}", "center") for i in range(5)]
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(spark.createDataFrame(edges, "src string, dst string")).collect()
+    }
+    assert got["center"] == (0, 10**9)
+    for i in range(5):
+        assert got[f"s{i}"] == (10**9, 0)
+
+
+def test_hits_oracle_sql_parity(spark):
+    import duckdb as _dd
+
+    from tstore_spark.operators.graph import hits, hits_oracle_sql
+
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {
+        r["node"]: (r["hub"], r["authority"]) for r in hits(edges, iterations=2).collect()
+    }
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in EDGES)
+    sql = hits_oracle_sql(f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", iterations=2)
+    want = {n: (h, a) for n, h, a in _dd.sql(sql).fetchall()}
+    assert got == want
+
+
+def test_hits_deterministic_across_partitioning(spark):
+    from tstore_spark.operators.graph import hits
+
+    e = spark.createDataFrame(EDGES, "src string, dst string")
+    a = sorted(map(tuple, hits(e.repartition(7), iterations=3).collect()))
+    b = sorted(map(tuple, hits(e.coalesce(1), iterations=3).collect()))
+    assert a == b
+
+
+def test_hits_empty_edges(spark):
+    from tstore_spark.operators.graph import hits
+
+    e = spark.createDataFrame([], "src string, dst string")
+    assert hits(e).count() == 0

@@ -348,3 +348,111 @@ def pagerank_oracle_sql(
     return (
         "WITH " + ", ".join(parts) + f" SELECT node, CAST(rank AS BIGINT) AS rank FROM {prev}"
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Exact integer HITS (Kleinberg hubs & authorities): ``(node, hub,
+    authority)`` with both scores longs in units of ``scale`` (the best
+    hub / best authority each iteration holds exactly ``scale``).
+
+    Classic HITS normalizes by the L2 norm — a float whose accumulation
+    order is engine-dependent. This variant max-normalizes with pure
+    integer arithmetic, preserving the ranking (max-norm and L2-norm
+    normalization are positive scalings of the same fixpoint direction)
+    while keeping every intermediate bit-exact:
+
+    * h₀(v) = ``scale`` for every node
+    * raw_a(v) = Σ over in-edges (u→v) of h(u); then
+      a(v) = ``(raw_a(v) * scale) div max_raw_a`` — the max rides the plan
+      as a broadcast 1-row aggregate, never a driver action
+    * raw_h(u) = Σ over out-edges (u→v) of a(v); h(u) normalized the same
+
+    Overflow bound: raw sums ≤ max_degree × scale, so the default
+    ``scale = 10^9`` is safe to in/out-degrees of ~9×10^9 — beyond any
+    real host graph. Multi-edges must be deduplicated by the caller
+    (``host_edges`` already does). ``iterations`` is a fixed count, not a
+    convergence test, for the same determinism reason as :func:`pagerank`.
+    Bipartite link graphs are the natural input: sources score as hubs,
+    targets as authorities.
+
+    Reference: Kleinberg, "Authoritative sources in a hyperlinked
+    environment" (JACM 1999)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hub = nodes.withColumn("h", F.lit(scale).cast("long"))
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        mx = raw.agg(F.greatest(F.coalesce(F.max("raw"), F.lit(1)), F.lit(1)).alias("_mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "node", F.expr(f"(raw * CAST({scale} AS BIGINT)) div _mx").alias(col)
+        )
+
+    auth = None
+    for _ in range(iterations):
+        raw_a = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("raw"))
+        )
+        auth = _norm(raw_a, "a").localCheckpoint(eager=False)
+        raw_h = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("raw"))
+        )
+        hub = _norm(raw_h, "h").localCheckpoint(eager=False)
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce("h", F.lit(0)).cast("long").alias("hub"),
+            F.coalesce("a", F.lit(0)).cast("long").alias("authority"),
+        )
+    )
+
+
+def hits_oracle_sql(edges_sql: str, iterations: int = 3, scale: int = 10**9) -> str:
+    """DuckDB twin of :func:`hits`, generated from the same constants so
+    the two recursions cannot drift. ``edges_sql`` must yield distinct
+    ``(src, dst)`` rows; HUGEINT sums cast back to BIGINT per the repo's
+    oracle discipline."""
+    parts = [
+        f"e AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS h FROM nodes)",
+    ]
+    prev_h = "h0"
+    for i in range(1, iterations + 1):
+        parts += [
+            f"ra{i} AS (SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS raw "
+            f"FROM e JOIN {prev_h} h ON e.src = h.node GROUP BY e.dst)",
+            f"a{i} AS (SELECT node, CAST((raw * {scale}) // GREATEST(COALESCE("
+            f"(SELECT MAX(raw) FROM ra{i}), 1), 1) AS BIGINT) AS a FROM ra{i})",
+            f"rh{i} AS (SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS raw "
+            f"FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src)",
+            f"h{i} AS (SELECT node, CAST((raw * {scale}) // GREATEST(COALESCE("
+            f"(SELECT MAX(raw) FROM rh{i}), 1), 1) AS BIGINT) AS h FROM rh{i})",
+        ]
+        prev_h = f"h{i}"
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT n.node, CAST(COALESCE(h.h, 0) AS BIGINT) AS hub, "
+        f"CAST(COALESCE(a.a, 0) AS BIGINT) AS authority "
+        f"FROM nodes n LEFT JOIN {prev_h} h ON n.node = h.node "
+        f"LEFT JOIN a{iterations} a ON n.node = a.node"
+    )
