@@ -1890,6 +1890,36 @@ def _q_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select("event_id", "ts", "value")
 
 
+def _q_dtw_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded DTW shape similarity between per-event-type hourly traffic
+    curves on the corpus's first day (operators/dtw.py). Values are integer
+    counts, the local cost is a squared integer difference, and every DP
+    cell is an integer min-plus fold — the Arrow kernel's distance hash-
+    matches a recursive-CTE SQL twin running the SAME recursion over
+    anti-diagonals. Hour indexing is field-extraction NTZ epochs (TZ-proof:
+    no timestamp casts). Band 3 exercises real banding on 24-point series."""
+    from tstore_spark.functions.timeparts import ntz_epoch_seconds
+    from tstore_spark.operators.dtw import dtw_distances, series_vectors
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (ntz_epoch_seconds(F.col("ts"))).alias("_es")
+    )
+    hr = ev.select("event_type", F.expr("_es div 3600").alias("_hidx"))
+    day0 = hr.agg(F.min(F.expr("_hidx div 24"))).head()[0]
+    counts = (
+        hr.where(F.expr(f"_hidx div 24 = {int(day0)}"))
+        .groupBy("event_type", "_hidx")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    vec = series_vectors(counts, id_col="event_type", time_col="_hidx", value_col="_n")
+    ids = vec.select(F.col("id"))
+    pairs = (
+        ids.select(F.col("id").alias("id_a"))
+        .join(ids.select(F.col("id").alias("id_b")), F.col("id_a") < F.col("id_b"))
+    )
+    return dtw_distances(vec, pairs, band=3)
+
+
 def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene-style MoreLikeThis through the posting table: for the min and
     max doc_id, rank the 10 most similar documents by the tf*idf dot
@@ -2918,6 +2948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_scan": _q_zonemap_scan,
         "bloom_index_scan": _q_bloom_index_scan,
         "more_like_this": _q_more_like_this,
+        "dtw_similarity": _q_dtw_similarity,
         "zorder_scan": _q_zorder_scan,
         "stream_cascade_1h": _q_stream_cascade_1h,
         "stream_cascade_hll": _q_stream_cascade_hll,
@@ -3640,6 +3671,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, ts, value FROM events
             WHERE value >= 100.0 AND value <= 150.0
         """,
+        "dtw_similarity": __import__(
+            "tstore_spark.operators.dtw", fromlist=["dtw_oracle_sql"]
+        ).dtw_oracle_sql(
+            """
+            WITH h AS (
+                SELECT event_type, epoch_us(ts) // 3600000000 AS hidx
+                FROM events),
+            d0 AS (SELECT MIN(hidx // 24) AS day0 FROM h),
+            c AS (
+                SELECT event_type, hidx, CAST(COUNT(*) AS BIGINT) AS n
+                FROM h WHERE hidx // 24 = (SELECT day0 FROM d0)
+                GROUP BY event_type, hidx),
+            v AS (
+                SELECT event_type, list(n ORDER BY hidx) AS vals
+                FROM c GROUP BY event_type)
+            SELECT a.event_type AS id_a, b.event_type AS id_b,
+                   a.vals AS va, b.vals AS vb
+            FROM v a JOIN v b ON a.event_type < b.event_type
+            """,
+            band=3,
+        ),
         "more_like_this": """
             WITH post AS (
                 SELECT doc_id, u.tok AS token, CAST(COUNT(*) AS BIGINT) AS tf
