@@ -103,6 +103,11 @@ HEADLINE = [
     "triangle_counts",
     "kmv_returning_users",
     "lm_bigram_counts",
+    # round-3 closing additions
+    "bloom_index_scan",
+    "more_like_this",
+    "hits_hosts",
+    "dtw_similarity",
 ]
 
 

@@ -324,11 +324,13 @@ def more_like_this(
 
     if not query_ids:
         raise ValueError("query_ids must be non-empty")
-    if n_docs is None:
-        n_docs = index.select(id_col).distinct().count()
-    if not n_docs:
-        raise ValueError("empty index")
-    max_df = int(max_df_ratio * n_docs)
+    max_df = None
+    if max_df_ratio < 1.0:  # ratio >= 1 keeps every term: skip the N count
+        if n_docs is None:
+            n_docs = index.select(id_col).distinct().count()
+        if not n_docs:
+            raise ValueError("empty index")
+        max_df = int(max_df_ratio * n_docs)
 
     qpost = index.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), "token", F.col("tf").alias("_tf_q")
@@ -342,10 +344,11 @@ def more_like_this(
     dfs = qterm_post.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
 
     w = Window.partitionBy("query_id").orderBy(F.desc("_w"), F.col("token"))
+    sel = qpost.join(F.broadcast(dfs), "token")
+    if max_df is not None:
+        sel = sel.where(F.col("_df") <= max_df)
     sel = (
-        qpost.join(F.broadcast(dfs), "token")
-        .where(F.col("_df") <= max_df)
-        .withColumn("_w", F.col("_tf_q") * F.expr(f"CAST({idf_scale} AS BIGINT) div _df"))
+        sel.withColumn("_w", F.col("_tf_q") * F.expr(f"CAST({idf_scale} AS BIGINT) div _df"))
         .withColumn("_r", F.row_number().over(w))
         .where(F.col("_r") <= max_terms)
         .select("query_id", "token", "_w")
