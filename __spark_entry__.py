@@ -3342,7 +3342,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT COALESCE(o.url, n.url) AS url,
                    CASE WHEN o.url IS NULL THEN 'new'
                         WHEN n.url IS NULL THEN 'gone'
-                        WHEN fo = fn THEN 'same'
+                        WHEN fo IS NOT DISTINCT FROM fn THEN 'same'
                         ELSE 'changed' END AS status
             FROM o FULL OUTER JOIN n ON n.url = o.url
         """,
@@ -3713,10 +3713,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT query_id, token, w
                 FROM (
                     SELECT qp.query_id, qp.token,
-                           qp.tf_q * (CAST(1000000 AS BIGINT) // d.df) AS w,
+                           qp.tf_q * GREATEST(CAST(1000000 AS BIGINT) // d.df, 1) AS w,
                            ROW_NUMBER() OVER (
                                PARTITION BY qp.query_id
-                               ORDER BY qp.tf_q * (CAST(1000000 AS BIGINT) // d.df)
+                               ORDER BY qp.tf_q * GREATEST(CAST(1000000 AS BIGINT) // d.df, 1)
                                             DESC,
                                         qp.token) AS r
                     FROM qpost qp JOIN dfs d USING (token)

@@ -218,6 +218,29 @@ def test_crawl_diff_statuses(spark):
     }
 
 
+def test_crawl_diff_null_text_presence(spark):
+    """Presence is URL membership, not fingerprint nullity: a page whose
+    text is NULL still existed in that crawl. NULL->text is 'changed',
+    NULL->NULL is 'same' (null-safe fingerprint compare)."""
+    import pandas as pd
+
+    from tstore_spark.operators.corpus import crawl_diff
+
+    old = pd.DataFrame(
+        {"url": ["http://a.com/1", "http://a.com/2"], "text": [None, None]}
+    )
+    new = pd.DataFrame(
+        {"url": ["http://a.com/1", "http://a.com/2"], "text": ["hello", None]}
+    )
+    got = {
+        r["url"]: r["status"]
+        for r in crawl_diff(
+            spark.createDataFrame(old), spark.createDataFrame(new)
+        ).collect()
+    }
+    assert got == {"http://a.com/1": "changed", "http://a.com/2": "same"}
+
+
 def test_crawl_diff_deterministic_across_parallelism(spark):
     import pandas as pd
 

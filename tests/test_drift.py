@@ -91,6 +91,22 @@ def test_guard_on_empty_side(spark, two_sides):
         categorical_drift(df_a, df_a.where(F.lit(False)), "lang").collect()
 
 
+def test_guard_when_both_sides_empty(spark, two_sides):
+    """BOTH sides empty leaves the aligned frame with zero rows, so the
+    per-row guard can't fire; the summary forms must still raise the loud
+    error (the agg emits 1 row; the guard rides its columns) instead of
+    crashing on float(None). categorical_drift documents empty->empty."""
+    from tstore_spark.operators.drift import drift_summary
+
+    df_a, _, _, _ = two_sides
+    empty = df_a.where(F.lit(False))
+    assert categorical_drift(empty, empty, "lang").count() == 0
+    with pytest.raises(Exception, match="both sides"):
+        drift_summary_table(empty, empty, "lang").collect()
+    with pytest.raises(Exception, match="both sides"):
+        drift_summary(empty, empty, "lang")
+
+
 def test_build_runs_no_jobs(spark, two_sides):
     """An earlier shape ran two eager full-scan .head() actions per call
     just to fetch totals; totals now ride the lazy plan."""

@@ -116,6 +116,31 @@ def test_sax_blocking_pairs_and_guard(spark):
         dtw_sax_pairs(df, word_len=4, alphabet_size=4, max_block=1)
 
 
+def test_sax_blocking_tiebreak_passthrough(spark):
+    """Duplicate timestamps need tiebreak_cols for a total order; the
+    parameter must reach sax_words so candidate sets are bit-identical at
+    any parallelism (same rows, shuffled partitioning, same pairs)."""
+    rows = []
+    for sid, base in [("r1", 0), ("r2", 100)]:
+        # every timestamp duplicated with two different values
+        for t in range(8):
+            rows += [(sid, t, base + t * 10, 2 * t), (sid, t, base + t * 10 + 5, 2 * t + 1)]
+    df = spark.createDataFrame(rows, "id string, ts int, value long, seq long")
+
+    def pairs(parts):
+        return sorted(
+            (r["id_a"], r["id_b"])
+            for r in dtw_sax_pairs(
+                df.repartition(parts),
+                word_len=4,
+                alphabet_size=4,
+                tiebreak_cols=["seq"],
+            ).collect()
+        )
+
+    assert pairs(1) == pairs(16) == [("r1", "r2")]
+
+
 def test_distances_deterministic_across_parallelism(spark):
     rows = [(f"s{i}", t, (i * 7 + t * t) % 23) for i in range(6) for t in range(12)]
     df = spark.createDataFrame(rows, "id string, ts int, value long")

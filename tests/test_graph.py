@@ -214,7 +214,7 @@ def test_triangles_deterministic_across_partitioning(spark):
 
 
 def _pure_python_hits(edges, iterations=3, scale=10**9):
-    """The identical integer max-normalized recursion, straight-line."""
+    """The identical integer ceil-divisor recursion, straight-line."""
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
     hub = {v: scale for v in nodes}
     auth = {}
@@ -222,13 +222,15 @@ def _pure_python_hits(edges, iterations=3, scale=10**9):
         raw_a = {}
         for u, v in edges:
             raw_a[v] = raw_a.get(v, 0) + hub.get(u, 0)
-        mx = max(raw_a.values(), default=1) or 1
-        auth = {v: (r * scale) // mx for v, r in raw_a.items()}
+        mx = max(max(raw_a.values(), default=1), 1)
+        d = max((mx + scale - 1) // scale, 1)
+        auth = {v: r // d for v, r in raw_a.items()}
         raw_h = {}
         for u, v in edges:
             raw_h[u] = raw_h.get(u, 0) + auth.get(v, 0)
-        mx = max(raw_h.values(), default=1) or 1
-        hub = {u: (r * scale) // mx for u, r in raw_h.items()}
+        mx = max(max(raw_h.values(), default=1), 1)
+        d = max((mx + scale - 1) // scale, 1)
+        hub = {u: r // d for u, r in raw_h.items()}
     return {v: (hub.get(v, 0), auth.get(v, 0)) for v in nodes}
 
 
@@ -284,3 +286,38 @@ def test_hits_empty_edges(spark):
 
     e = spark.createDataFrame([], "src string, dst string")
     assert hits(e).count() == 0
+
+
+def test_hits_high_degree_no_overflow(spark):
+    """In-degree >= 10 overflowed the old multiply-first normalization
+    (raw * scale = degree * 1e18 > int64). The ceil-divisor form keeps
+    every intermediate <= degree * scale; the Spark result must match the
+    pure-Python recursion AND its own SQL twin on a 40-spoke star."""
+    import duckdb as _dd
+
+    from tstore_spark.operators.graph import hits, hits_oracle_sql
+
+    edges = [(f"s{i}", "center") for i in range(40)]
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(
+            spark.createDataFrame(edges, "src string, dst string"), iterations=3
+        ).collect()
+    }
+    assert got == _pure_python_hits(edges, iterations=3)
+    assert got["center"] == (0, 10**9)
+    assert all(got[f"s{i}"][0] > 0 for i in range(40))
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in edges)
+    sql = hits_oracle_sql(f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", iterations=3)
+    want = {n: (h, a) for n, h, a in _dd.sql(sql).fetchall()}
+    assert got == want
+
+
+def test_hits_rejects_zero_iterations(spark):
+    import pytest as _pt
+
+    from tstore_spark.operators.graph import hits
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pt.raises(ValueError, match="iterations"):
+        hits(e, iterations=0)

@@ -80,6 +80,26 @@ def test_intervals_deterministic_across_parallelism(spark):
     assert a == b
 
 
+def test_join_skips_empty_same_timestamp_intervals(spark):
+    """Two distinct changes in the same microsecond produce an empty
+    [T, T) interval for the losing version; the join must always return
+    the surviving version (the one whose interval actually covers T),
+    bit-identically at any parallelism."""
+    rows = [("h1", "2024-01-01 00:00:00", "a"), ("h1", "2024-01-01 00:00:00", "b")]
+    pdf = pd.DataFrame(rows, columns=["host", "ts", "tier"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    ch = spark.createDataFrame(pdf)
+    dim = scd2_intervals(ch, "host", "ts", ["tier"])
+    facts = pd.DataFrame(
+        {"host": ["h1"], "ts": pd.to_datetime(["2024-01-01 00:00:00"]), "fact_id": [0]}
+    )
+    for parts in (1, 16):
+        out = scd2_join(
+            spark.createDataFrame(facts), dim.repartition(parts), "host", "ts"
+        ).collect()
+        assert len(out) == 1 and out[0]["tier"] == "b"
+
+
 def test_guards(spark):
     with pytest.raises(ValueError):
         scd2_intervals(_changes(spark), "host", "ts", [])

@@ -235,7 +235,7 @@ def _mlt_reference(texts, query_ids, k, max_terms, max_df_ratio, idf_scale=1_000
     for q in query_ids:
         terms = {w: toks[q].count(w) for w in set(toks[q]) if dfs[w] <= max_df}
         weighted = sorted(
-            ((tf * (idf_scale // dfs[w]), w) for w, tf in terms.items()),
+            ((tf * max(idf_scale // dfs[w], 1), w) for w, tf in terms.items()),
             key=lambda x: (-x[0], x[1]),
         )[:max_terms]
         scores: dict[int, int] = {}
@@ -280,6 +280,23 @@ def test_more_like_this_stopword_guard_is_scale_valve(spark):
     )
     got = more_like_this(idx, [1], k=10, max_df_ratio=0.5).collect()
     assert [(r["doc_id"], r["rank"]) for r in got] == [(2, 1)]
+
+
+def test_more_like_this_idf_never_floors_to_zero(spark):
+    """df > idf_scale used to zero a term's weight entirely (idf_scale div
+    df = 0), erasing its contribution; the weight floors at 1 now. With
+    idf_scale=1 every quotient floors, so every shared term must still
+    score (weight tf_q * 1, never 0)."""
+    from tstore_spark.operators.search import build_inverted_index, more_like_this
+
+    texts = {1: "alpha beta", 2: "alpha beta", 3: "gamma delta"}
+    idx = build_inverted_index(
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+        )
+    )
+    got = more_like_this(idx, [1], k=10, max_df_ratio=1.0, idf_scale=1).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [(2, 2)]
 
 
 def test_more_like_this_max_terms_bounds_probe(index):

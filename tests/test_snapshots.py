@@ -176,3 +176,25 @@ def test_snapshot_diff_across_schema_evolution(spark, archive):
     assert diff.where(F.col("_change") == "delete").count() == 0
     rows = ins.select("quality").collect()
     assert len(rows) == 1 and rows[0]["quality"] == pytest.approx(0.9)
+
+
+def test_commit_fails_loudly_on_corrupt_metadata(spark, archive):
+    """A readable-but-corrupt metadata file must abort the commit, not
+    silently produce an unpinned snapshot (which would reproduce the
+    sampled-footer schema-drop hazard the pinning exists to prevent).
+    Only a genuinely ABSENT metadata file (tier tables) skips pinning."""
+    import json as _json
+
+    from tstore_spark.sources.archive import METADATA_FILE
+
+    meta_path = os.path.join(archive, METADATA_FILE)
+    good = open(meta_path).read()
+    try:
+        with open(meta_path, "w") as f:
+            f.write("{not json")
+        with pytest.raises(_json.JSONDecodeError):
+            snapshot_commit(archive)
+    finally:
+        with open(meta_path, "w") as f:
+            f.write(good)
+    assert snapshot_commit(archive) >= 1

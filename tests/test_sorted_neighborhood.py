@@ -88,3 +88,19 @@ def test_snm_guards(spark, snm_sdf):
 def test_snm_empty_input(spark):
     empty = spark.createDataFrame([], "doc_id long, key string")
     assert sorted_neighborhood_pairs(empty, "key").count() == 0
+
+
+def test_snm_numeric_key_uses_string_collation_consistently(spark):
+    """A numeric key is cast to string so the prefix buckets (necessarily
+    lexicographic) and the within-bucket ordering agree: keys 9 and 10
+    must rank as '10' < '9' everywhere — the documented
+    row_number() OVER (ORDER BY CAST(key AS STRING), id) contract."""
+    df = spark.createDataFrame(
+        [(1, 9), (2, 10), (3, 11), (4, 90)], "doc_id long, key long"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["rank_dist"])
+        for r in sorted_neighborhood_pairs(df, "key", window=2, prefix_len=1).collect()
+    )
+    # string order: '10'(2) < '11'(3) < '9'(1) < '90'(4) -> adjacent pairs
+    assert got == [(1, 4, 1), (2, 3, 1), (3, 1, 1)]

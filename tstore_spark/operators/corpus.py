@@ -250,19 +250,24 @@ def crawl_diff(
     from tstore_spark.functions.text import fingerprint
     from tstore_spark.functions.urls import canonical_url
 
-    def side(df: DataFrame, fp_name: str) -> DataFrame:
+    def side(df: DataFrame, fp_name: str, in_name: str) -> DataFrame:
         u = canonical_url(url_col) if canonicalize else F.col(url_col)
         return (
             df.select(u.alias("url"), fingerprint(text_col).alias(fp_name))
             .groupBy("url")
-            .agg(F.min(fp_name).alias(fp_name))
+            .agg(F.min(fp_name).alias(fp_name), F.lit(True).alias(in_name))
         )
 
-    j = side(old, "_fp_old").join(side(new, "_fp_new"), "url", "full_outer")
+    # Presence is decided by the URL appearing in the crawl, NOT by the
+    # fingerprint being non-null — a page whose text is NULL still exists.
+    # Two NULL-text appearances of the same URL compare 'same' (null-safe).
+    j = side(old, "_fp_old", "_in_old").join(
+        side(new, "_fp_new", "_in_new"), "url", "full_outer"
+    )
     status = (
-        F.when(F.col("_fp_old").isNull(), F.lit("new"))
-        .when(F.col("_fp_new").isNull(), F.lit("gone"))
-        .when(F.col("_fp_old") == F.col("_fp_new"), F.lit("same"))
+        F.when(F.col("_in_old").isNull(), F.lit("new"))
+        .when(F.col("_in_new").isNull(), F.lit("gone"))
+        .when(F.col("_fp_old").eqNullSafe(F.col("_fp_new")), F.lit("same"))
         .otherwise(F.lit("changed"))
     )
     return j.select("url", status.alias("status"))

@@ -1002,8 +1002,12 @@ def sorted_neighborhood_pairs(
     offset by its broadcast base. Ranks are a pure function of the DATA
     ((key, id) pairs — ids must be unique; (key, id) makes the order total),
     so they are bit-identical at any parallelism and equal to the naive
-    ``row_number() OVER (ORDER BY key, id)`` row for row — which is the
-    oracle. Candidates then come from ONE equi-join on the rank's
+    ``row_number() OVER (ORDER BY CAST(key AS STRING), id)`` row for row —
+    which is the oracle. The key is cast to STRING up front so the prefix
+    buckets (necessarily lexicographic) and the within-bucket ordering use
+    the SAME collation — a numeric key would otherwise bucket as '10'<'9'
+    while ordering 9<10 inside a bucket, silently breaking the contract.
+    Candidates then come from ONE equi-join on the rank's
     ``div window`` block (each left row probes its own and the next block),
     filtered to ``0 < rank_b - rank_a < window``.
 
@@ -1020,7 +1024,10 @@ def sorted_neighborhood_pairs(
     if prefix_len < 1:
         raise ValueError(f"prefix_len must be >= 1, got {prefix_len}")
     staged = (
-        df.select(F.col(id_col).alias("_id"), F.col(key_col).alias("_key"))
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(key_col).cast("string").alias("_key"),
+        )
         .where(F.col("_key").isNotNull())
         .withColumn("_bkt", F.substring("_key", 1, prefix_len))
     )

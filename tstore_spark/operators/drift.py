@@ -65,7 +65,10 @@ def categorical_drift(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
     """Per-category comparison: ``(category, n_a, n_b, share_a, share_b,
     share_diff)``. Missing categories count 0 on that side; shares divide
     by each side's non-null total (computed from the same counts, no second
-    scan). A side with zero non-null rows raises at action time."""
+    scan). ONE side with zero non-null rows raises at action time; if BOTH
+    sides are empty the aligned frame has no rows for the per-row guard to
+    fire on, so this returns an empty frame — the summary forms raise
+    loudly on that case instead."""
     j = _aligned_with_totals(df_a, df_b, col)
     share_a = _guarded_share("n_a", "_ta", "a")
     share_b = _guarded_share("n_b", "_tb", "b")
@@ -104,13 +107,35 @@ def drift_summary_table(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame
     pa = F.greatest(share_a, F.lit(PSI_EPS))
     pb = F.greatest(share_b, F.lit(PSI_EPS))
     psi_c = (pa - pb) * F.log(pa / pb)
-    return j.agg(
+    agged = j.agg(
         F.count(F.lit(1)).alias("n_categories"),
         F.sum("n_a").alias("n_a"),
         F.sum("n_b").alias("n_b"),
         (F.sum(F.abs(share_a - share_b)) * 0.5).alias("tvd"),
         F.sum(chi_c).alias("chi2"),
         F.sum(psi_c).alias("psi"),
+    )
+    # both-sides-empty: the aligned frame has zero rows, so the per-row
+    # share guard never evaluates and the sums come back NULL — turn that
+    # into the same loud error, still in-plan (the agg always emits 1 row)
+    empty_err = F.raise_error(
+        F.lit("categorical_drift needs non-null rows on both sides (both sides are empty)")
+    )
+
+    def _guard(c: str, typ: str) -> F.Column:
+        return (
+            F.when(F.col("n_categories") > 0, F.col(c))
+            .otherwise(empty_err.cast(typ))
+            .alias(c)
+        )
+
+    return agged.select(
+        "n_categories",
+        _guard("n_a", "bigint"),
+        _guard("n_b", "bigint"),
+        _guard("tvd", "double"),
+        _guard("chi2", "double"),
+        _guard("psi", "double"),
     )
 
 

@@ -165,13 +165,17 @@ def dtw_sax_pairs(
     word_len: int = 8,
     alphabet_size: int = 4,
     max_block: int = DEFAULT_MAX_BLOCK,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Candidate pairs ``(id_a, id_b)`` (id_a < id_b) of keys whose series
     symbolize to the SAME SAX word — the iSAX-style blocking that keeps
     DTW off the all-pairs cliff. Blocks larger than ``max_block`` raise
     (the corpus is too uniform for word blocking; raise the alphabet or
     word length, or supply candidates another way) — the same guarded
-    refusal as dedup's token-block guard."""
+    refusal as dedup's token-block guard. ``tiebreak_cols`` forwards to
+    :func:`sax_words` — REQUIRED for exactness whenever (id, ts) is not
+    unique, else segment assignment (and hence the candidate set) is
+    partition-dependent."""
     from tstore_spark.operators.sax import sax_words
 
     words = sax_words(
@@ -181,6 +185,7 @@ def dtw_sax_pairs(
         value_col=value_col,
         word_len=word_len,
         alphabet_size=alphabet_size,
+        tiebreak_cols=tiebreak_cols,
     ).where(F.col("sax_word").isNotNull())
     sizes = words.groupBy("sax_word").agg(F.count(F.lit(1)).alias("_n"))
     oversized = sizes.where(F.col("_n") > max_block).limit(1).collect()

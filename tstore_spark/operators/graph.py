@@ -305,10 +305,12 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     standard spam/mirror-farm signal on host graphs (dense mutual-link
     cliques light up, organic hubs do not)."""
     tri = triangles(edges, src, dst)
-    nodes = (
-        tri.select(F.col("node_a").alias("node"))
-        .unionAll(tri.select(F.col("node_b").alias("node")))
-        .unionAll(tri.select(F.col("node_c").alias("node")))
+    # One explode over the enumerated triangles, not three unionAll branches
+    # of the same plan: the degree-join + wedge-join cascade (the dominant
+    # cost) runs once instead of three times. The array is 3 cheap column
+    # refs, so the never-explode-expensive-array-COLUMNs rule doesn't apply.
+    nodes = tri.select(
+        F.explode(F.array("node_a", "node_b", "node_c")).alias("node")
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 
@@ -369,13 +371,20 @@ def hits(
 
     * h₀(v) = ``scale`` for every node
     * raw_a(v) = Σ over in-edges (u→v) of h(u); then
-      a(v) = ``(raw_a(v) * scale) div max_raw_a`` — the max rides the plan
-      as a broadcast 1-row aggregate, never a driver action
+      a(v) = ``raw_a(v) div ceil(max_raw_a / scale)`` — the max rides the
+      plan as a broadcast 1-row aggregate, never a driver action. Dividing
+      by the ceil-divisor (instead of computing ``raw * scale div max``)
+      keeps every intermediate ≤ max_degree × scale, so nothing ever
+      multiplies two ``scale``-sized quantities: the top score lands in
+      [scale/2, scale] rather than exactly at ``scale``, which is
+      irrelevant for ranking but removes the int64 overflow the
+      multiply-first form hits at in-degree ≥ 10.
     * raw_h(u) = Σ over out-edges (u→v) of a(v); h(u) normalized the same
 
-    Overflow bound: raw sums ≤ max_degree × scale, so the default
-    ``scale = 10^9`` is safe to in/out-degrees of ~9×10^9 — beyond any
-    real host graph. Multi-edges must be deduplicated by the caller
+    Overflow bound: normalized scores ≤ ``scale`` and raw sums
+    ≤ max_degree × scale, so the default ``scale = 10^9`` is safe to
+    in/out-degrees of ~9×10^9 — beyond any real host graph. Multi-edges
+    must be deduplicated by the caller
     (``host_edges`` already does). ``iterations`` is a fixed count, not a
     convergence test, for the same determinism reason as :func:`pagerank`.
     Bipartite link graphs are the natural input: sources score as hubs,
@@ -383,6 +392,8 @@ def hits(
 
     Reference: Kleinberg, "Authoritative sources in a hyperlinked
     environment" (JACM 1999)."""
+    if iterations < 1:
+        raise ValueError(f"hits needs iterations >= 1, got {iterations}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
         eager=True
     )
@@ -397,7 +408,11 @@ def hits(
     def _norm(raw: DataFrame, col: str) -> DataFrame:
         mx = raw.agg(F.greatest(F.coalesce(F.max("raw"), F.lit(1)), F.lit(1)).alias("_mx"))
         return raw.crossJoin(F.broadcast(mx)).select(
-            "node", F.expr(f"(raw * CAST({scale} AS BIGINT)) div _mx").alias(col)
+            "node",
+            F.expr(
+                f"raw div greatest((_mx + CAST({scale} AS BIGINT) - 1) "
+                f"div CAST({scale} AS BIGINT), CAST(1 AS BIGINT))"
+            ).alias(col),
         )
 
     auth = None
@@ -440,12 +455,14 @@ def hits_oracle_sql(edges_sql: str, iterations: int = 3, scale: int = 10**9) -> 
         parts += [
             f"ra{i} AS (SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS raw "
             f"FROM e JOIN {prev_h} h ON e.src = h.node GROUP BY e.dst)",
-            f"a{i} AS (SELECT node, CAST((raw * {scale}) // GREATEST(COALESCE("
-            f"(SELECT MAX(raw) FROM ra{i}), 1), 1) AS BIGINT) AS a FROM ra{i})",
+            f"a{i} AS (SELECT node, CAST(raw // GREATEST((GREATEST(COALESCE("
+            f"(SELECT MAX(raw) FROM ra{i}), 1), 1) + {scale} - 1) // {scale}, 1) "
+            f"AS BIGINT) AS a FROM ra{i})",
             f"rh{i} AS (SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS raw "
             f"FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src)",
-            f"h{i} AS (SELECT node, CAST((raw * {scale}) // GREATEST(COALESCE("
-            f"(SELECT MAX(raw) FROM rh{i}), 1), 1) AS BIGINT) AS h FROM rh{i})",
+            f"h{i} AS (SELECT node, CAST(raw // GREATEST((GREATEST(COALESCE("
+            f"(SELECT MAX(raw) FROM rh{i}), 1), 1) + {scale} - 1) // {scale}, 1) "
+            f"AS BIGINT) AS h FROM rh{i})",
         ]
         prev_h = f"h{i}"
     return (

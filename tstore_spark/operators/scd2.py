@@ -80,7 +80,14 @@ def scd2_join(
     # per-column carry (pandas semantics) would otherwise let an older
     # version's non-null attr shine through a newer version's legitimate
     # NULL attr
-    packed = dim.select(
+    # Drop empty [T, T) intervals (same-microsecond successive changes):
+    # they match no fact time by definition, and removing them makes
+    # valid_from unique per id — so the as-of join has no ties to break
+    # and the result stays bit-identical at any parallelism.
+    live = dim.where(
+        F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from"))
+    )
+    packed = live.select(
         id_col,
         "valid_from",
         F.struct("valid_from", *attr_cols).alias("_ver"),

@@ -298,13 +298,17 @@ def more_like_this(
 
     Relevance model: each query doc contributes its ``max_terms`` most
     characteristic terms (highest ``tf_q * idf``); a candidate's score is
-    ``sum over shared terms of tf_q * tf_c * (idf_scale div df)`` — the
-    classic tf*idf dot product with the idf taken as INTEGER ``scale/df``
-    instead of ``ln(N/df)``. The swap is deliberate: ln is not
-    IEEE-portable across engines (the BM25 lesson), while integer division
-    and integer sums are bit-exact everywhere, so the whole ranking is
-    oracle-checkable. 1/df preserves idf's ordering (strictly decreasing
-    in df); only the tail weighting differs.
+    ``sum over shared terms of tf_q * tf_c * greatest(1, idf_scale div
+    df)`` — the classic tf*idf dot product with the idf taken as INTEGER
+    ``max(1, scale/df)`` instead of ``ln(N/df)``. The swap is deliberate:
+    ln is not IEEE-portable across engines (the BM25 lesson), while
+    integer division and integer sums are bit-exact everywhere, so the
+    whole ranking is oracle-checkable. The integer idf is monotone
+    NON-INCREASING in df with floor granularity (dfs sharing a quotient
+    tie, and every df ≥ ``idf_scale`` collapses to weight 1 — never 0, so
+    a shared term always contributes); raise ``idf_scale`` for finer
+    mid-frequency resolution on corpora within a few orders of magnitude
+    of it (scores stay inside int64 for tf products up to ~9e18/scale).
 
     Scale shape: the query docs' own postings are a bounded probe
     (broadcast); candidate generation touches ONLY postings of the
@@ -348,7 +352,11 @@ def more_like_this(
     if max_df is not None:
         sel = sel.where(F.col("_df") <= max_df)
     sel = (
-        sel.withColumn("_w", F.col("_tf_q") * F.expr(f"CAST({idf_scale} AS BIGINT) div _df"))
+        sel.withColumn(
+            "_w",
+            F.col("_tf_q")
+            * F.expr(f"greatest(CAST({idf_scale} AS BIGINT) div _df, CAST(1 AS BIGINT))"),
+        )
         .withColumn("_r", F.row_number().over(w))
         .where(F.col("_r") <= max_terms)
         .select("query_id", "token", "_w")

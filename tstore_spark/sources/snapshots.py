@@ -76,6 +76,22 @@ def snapshot_commit(base_dir: str, table: str = PAGES_DIR) -> int:
         raise ValueError(f"nothing to snapshot under {live}")
     version = (list_snapshots(base_dir, table) or [0])[-1] + 1
     vdir = os.path.join(_snap_root(base_dir, table), f"v{version}")
+    manifest = {"version": version, "table": table}
+    # Pin the schema BEFORE touching the filesystem so a failed read leaves
+    # no half-built version dir. Non-archive roots (tier outputs) carry no
+    # metadata file — that case (FileNotFoundError) legitimately skips
+    # pinning. Anything else (corrupt JSON/YAML, transient IO) must fail
+    # LOUDLY: silently committing an unpinned snapshot on a real archive
+    # reproduces the sampled-footer schema-drop hazard this pinning exists
+    # to prevent.
+    try:
+        from tstore_spark.sources.archive import read_metadata_all
+
+        meta = read_metadata_all(base_dir)[2]
+        if table == PAGES_DIR and "fact_schema" in meta:
+            manifest["fact_schema"] = meta["fact_schema"]
+    except FileNotFoundError:
+        pass
     entries = []
     for rel in rels:
         src = os.path.join(live, rel)
@@ -83,15 +99,7 @@ def snapshot_commit(base_dir: str, table: str = PAGES_DIR) -> int:
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.link(src, dst)
         entries.append({"path": rel, "bytes": os.path.getsize(src)})
-    manifest = {"version": version, "table": table, "files": entries}
-    try:
-        from tstore_spark.sources.archive import read_metadata_all
-
-        meta = read_metadata_all(base_dir)[2]
-        if table == PAGES_DIR and "fact_schema" in meta:
-            manifest["fact_schema"] = meta["fact_schema"]
-    except Exception:
-        pass  # non-archive tables (tier outputs) carry no metadata
+    manifest["files"] = entries
     with open(os.path.join(vdir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return version
