@@ -29,6 +29,7 @@ from tstore_spark.operators import gorilla
 from tstore_spark.operators import multimodal as MM
 from tstore_spark.operators import similarity as SIM
 from tstore_spark.operators.gapfill import gap_fill
+from tstore_spark.operators.acf import acf_oracle_sql
 from tstore_spark.operators.graph import hits_oracle_sql, pagerank_oracle_sql
 from tstore_spark.operators.metric_rollup import (
     finalize,
@@ -2346,6 +2347,19 @@ def _q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_fit(ev, "event_type", "ts", "value", cents=True)
 
 
+def _q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type autocorrelation at lags 0..4 (operators/acf.py): exact
+    integer sufficient statistics (cents) per (key, lag) — lag pairs from
+    ONE shared window sort, lag-0 doubling as the per-key totals — and the
+    acf double derived with one fixed expression. Oracle replays the same
+    generated lag list (UNION ALL) and formula in SQL: same integers, same
+    op order, identical double bits. event_id tiebreaks duplicate ts."""
+    from tstore_spark.operators.acf import acf
+
+    ev = _t(spark, sf_dir, "events")
+    return acf(ev, "event_type", "ts", "value", max_lag=4, tiebreak_cols=["event_id"])
+
+
 def _q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM drift statistics over the per-type 1-minute value
     series (integer cents), using the cumsum-minus-running-min identity —
@@ -2964,6 +2978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_corr": _q_series_corr,
         "lead_lag_corr": _q_lead_lag_corr,
         "trend_fit": _q_trend_fit,
+        "acf_lags": _q_acf,
         "cusum_drift": _q_cusum_drift,
         "seasonal_baseline": _q_seasonal_baseline,
         "lang_drift": _q_lang_drift,
@@ -3247,6 +3262,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_hosts": pagerank_oracle_sql(_LINK_EDGES_SQL, iterations=3),
         "hits_hosts": hits_oracle_sql(_LINK_EDGES_SQL, iterations=3),
+        "acf_lags": acf_oracle_sql(
+            "SELECT event_type AS key, ts, event_id, "
+            "CAST(round(value * 100) AS BIGINT) AS c "
+            "FROM events WHERE value IS NOT NULL",
+            max_lag=4,
+            order_sql="ts, event_id",
+        ),
         "triangle_counts": """
             WITH e AS (
                 SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src,
