@@ -850,6 +850,41 @@ _SNM_ORACLE = """
 """
 
 
+def _q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level near-dup keys (operators/dedup.py:edit_distance_pairs):
+    the sorted-neighborhood candidates on the same 40-char normalized text
+    prefix, verified with JVM Levenshtein <= 5 (threshold variant — early
+    abandon, same exact distances on kept rows). Oracle: the SND rank SQL
+    + DuckDB's levenshtein (classic unit-cost distance in both engines,
+    parity pytest-checked on real candidate keys)."""
+    from tstore_spark.operators.dedup import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.substring(
+        F.regexp_replace(F.lower("text"), "[ \t\n\r]+", " "), 1, 40
+    )
+    return edit_distance_pairs(
+        docs.select("doc_id", key.alias("text_key")), "text_key",
+        window=8, max_dist=5,
+    )
+
+
+_EDIT_DIST_ORACLE = """
+    WITH k AS (
+        SELECT doc_id,
+               substr(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'), 1, 40)
+                   AS key
+        FROM documents WHERE text IS NOT NULL),
+    r AS (
+        SELECT doc_id, key, row_number() OVER (ORDER BY key, doc_id) AS rn FROM k)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.key AS key_a, b.key AS key_b,
+           CAST(b.rn - a.rn AS INT) AS rank_dist,
+           CAST(levenshtein(a.key, b.key) AS INT) AS dist
+    FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 8
+    WHERE levenshtein(a.key, b.key) <= 5
+"""
+
+
 def _q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-pattern mining over deterministically constructed urls (item ids,
     a category counter, a 16-char session token on every 3rd doc, query
@@ -2915,6 +2950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _q_url_canonicalize,
         "url_templates": _q_url_templates,
         "sorted_neighborhood": _q_sorted_neighborhood,
+        "edit_distance_pairs": _q_edit_distance,
         "link_degrees": _q_link_degrees,
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
@@ -3250,6 +3286,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": _url_canonicalize_oracle(),
         "url_templates": _url_templates_oracle(),
         "sorted_neighborhood": _SNM_ORACLE,
+        "edit_distance_pairs": _EDIT_DIST_ORACLE,
         "link_degrees": f"""
             WITH e AS ({_LINK_EDGES_SQL}),
             nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),

@@ -104,3 +104,62 @@ def test_snm_numeric_key_uses_string_collation_consistently(spark):
     )
     # string order: '10'(2) < '11'(3) < '9'(1) < '90'(4) -> adjacent pairs
     assert got == [(1, 4, 1), (2, 3, 1), (3, 1, 1)]
+
+
+# ---------------------------------------------------------------------------
+# edit_distance_pairs (SND blocking + Levenshtein verify)
+# ---------------------------------------------------------------------------
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_matches_python_reference(spark, snm_sdf):
+    from tstore_spark.operators.dedup import edit_distance_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(snm_sdf, "key", window=6, max_dist=2).collect()
+    }
+    assert got  # the clustered fixture must produce verified pairs
+    pdf = snm_sdf.toPandas().set_index("doc_id")["key"]
+    # every kept pair carries the exact full edit distance (the threshold
+    # variant abandons early but never alters kept distances)
+    for (a, b), d in got.items():
+        assert d == _py_lev(pdf[a], pdf[b]) and d <= 2
+    # and nothing within the window at dist <= 2 is missed
+    base = sorted_neighborhood_pairs(snm_sdf, "key", window=6)
+    for r in base.collect():
+        full = _py_lev(r["key_a"], r["key_b"])
+        assert ((r["id_a"], r["id_b"]) in got) == (full <= 2)
+
+
+def test_edit_distance_pairs_guard(spark, snm_sdf):
+    from tstore_spark.operators.dedup import edit_distance_pairs
+
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_distance_pairs(snm_sdf, "key", max_dist=0)
+
+
+def test_edit_distance_pairs_duckdb_levenshtein_parity(spark, snm_sdf):
+    """The oracle relies on Spark and DuckDB agreeing on the classic
+    Levenshtein (unit insert/delete/substitute) — check on the fixture's
+    real candidate keys, not just toy strings."""
+    import duckdb as _dd
+
+    from tstore_spark.operators.dedup import edit_distance_pairs
+
+    rows = edit_distance_pairs(snm_sdf, "key", window=6, max_dist=3).collect()
+    con = _dd.connect()
+    for r in rows[:200]:
+        want = con.execute(
+            "SELECT levenshtein(?, ?)", [r["key_a"], r["key_b"]]
+        ).fetchone()[0]
+        assert r["dist"] == want
