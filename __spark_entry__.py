@@ -1760,6 +1760,21 @@ def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row quality-weighted retention (sampling.py:weighted_sample):
+    weight = min(1, length(text)/2000) as a deterministic quality proxy,
+    rate 0.8 — keep probability min(1, 0.8*w) decided by the same
+    engine-portable md5 variate as train_eval_split, so DuckDB reproduces
+    the exact kept set (length() counts chars identically on this ASCII
+    corpus)."""
+    from tstore_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "w", F.least(F.lit(1.0), F.length("text") / F.lit(2000.0))
+    )
+    return weighted_sample(docs, "doc_id", "w", rate=0.8).select("doc_id", "source")
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set decontamination (GPT-3 app. C style): docs sharing any
     distinct 5-gram with the held-out slice (doc_id % 7 == 0 plays the eval
@@ -3036,6 +3051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_packing": _q_token_packing,
         "decontaminate": _q_decontaminate,
         "mixture_sample": _q_mixture_sample,
+        "weighted_sample": _q_weighted_sample,
         "stratified_sample": _q_stratified_sample,
         "boilerplate_lines": _q_boilerplate_lines,
         "pii_redaction": _q_pii_redaction,
@@ -4328,6 +4344,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
                   / 4294967296.0
                   < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.4 ELSE 0.05 END)
+        """,
+        "weighted_sample": """
+            SELECT doc_id, source
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
+                  / 4294967296.0
+                  < LEAST(1.0, 0.8 * LEAST(1.0, length(text) / 2000.0))
         """,
         "decontaminate": r"""
             WITH t AS (

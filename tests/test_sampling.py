@@ -196,3 +196,56 @@ def test_stratified_small_n_large_stratum_never_short(spark):
         got = stratified_sample(df, "lang", "doc_id", n=1, seed=seed)
         counts = {r["lang"]: r["c"] for r in got.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
         assert counts == {f"g{i}": 1 for i in range(4)}, (seed, counts)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (per-row continuous-weight retention)
+# ---------------------------------------------------------------------------
+
+
+def _md5_uniform(doc_id, seed=42):
+    h = hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()
+    return int(h[:8], 16) / float(1 << 32)
+
+
+def test_weighted_sample_matches_md5_reference(spark):
+    from tstore_spark.operators.sampling import weighted_sample
+
+    pdf = pd.DataFrame({"doc_id": range(600)})
+    pdf["w"] = (pdf["doc_id"] % 10) / 10.0  # weights 0.0 .. 0.9
+    df = spark.createDataFrame(pdf)
+    got = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", rate=1.5).collect()}
+    want = {
+        int(d)
+        for d, w in zip(pdf["doc_id"], pdf["w"])
+        if _md5_uniform(d) < min(1.0, 1.5 * w)
+    }
+    assert got == want and 0 < len(got) < 600
+    # weight 0 rows never survive; saturated weights (1.5*w >= 1) always do
+    assert not any(d % 10 == 0 for d in got)
+    assert all(d in got for d in range(600) if 1.5 * ((d % 10) / 10.0) >= 1.0)
+
+
+def test_weighted_sample_null_weight_drops_and_guard(spark):
+    from tstore_spark.operators.sampling import weighted_sample
+
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "w": [None, 1.0, -0.5]})
+    got = {r["doc_id"] for r in weighted_sample(
+        spark.createDataFrame(pdf), "doc_id", "w", rate=1.0).collect()}
+    assert got == {2}  # NULL and negative weights drop
+    with pytest.raises(ValueError, match="rate"):
+        weighted_sample(spark.createDataFrame(pdf), "doc_id", "w", rate=-1)
+
+
+def test_weighted_sample_is_stable_under_growth(spark):
+    """A record's decision never changes as the corpus grows (pure function
+    of id, seed, and its own weight)."""
+    from tstore_spark.operators.sampling import weighted_sample
+
+    pdf = pd.DataFrame({"doc_id": range(400)})
+    pdf["w"] = 0.5
+    small = spark.createDataFrame(pdf.iloc[:200])
+    big = spark.createDataFrame(pdf)
+    kept_small = {r["doc_id"] for r in weighted_sample(small, "doc_id", "w").collect()}
+    kept_big = {r["doc_id"] for r in weighted_sample(big, "doc_id", "w").collect()}
+    assert kept_small == {d for d in kept_big if d < 200}

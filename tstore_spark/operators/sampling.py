@@ -106,6 +106,42 @@ def mixture_sample(
     return df.where(u < w_expr)
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    rate: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-ROW weighted retention: keep each record with probability
+    ``min(1, rate * weight)``, decided purely by content hash — the
+    continuous-weight sibling of :func:`mixture_sample` (whose weights are
+    per-DOMAIN constants). The standard quality-weighted corpus sampling
+    step: feed a quality score in [0, 1] (or any non-negative per-row
+    importance) and scale the whole blend with ``rate``.
+
+    Same reproducibility contract as :func:`deterministic_sample`: a
+    record's keep/drop decision is a pure function of (id, seed, its own
+    weight) — stable across reruns, cluster sizes, engines, and corpus
+    growth, and recomputable from the row alone years later. Records with
+    NULL or non-positive weight are dropped (NULL < threshold is NULL —
+    falsy — in both engines; documented, not accidental).
+
+    Scale notes: a pure codegen predicate (md5 + conv + one multiply), no
+    shuffle, no state. Weights above ``1/rate`` saturate at probability 1
+    (kept always) — by design, weighting never duplicates rows; use an
+    explode-based upsampler if >1x repetition is wanted."""
+    if rate < 0:
+        raise ValueError(f"rate must be >= 0, got {rate}")
+    u = hash_uniform(id_col, seed)
+    prod = F.lit(float(rate)) * F.col(weight_col).cast("double")
+    # least() SKIPS nulls in both Spark and DuckDB (least(1.0, NULL) = 1.0),
+    # which would silently keep every NULL-weight row — guard explicitly so
+    # NULL weight means p = NULL and the row drops
+    p = F.when(prod.isNotNull(), F.least(F.lit(1.0), prod))
+    return df.where(u < p)
+
+
 def token_pack_offsets(
     df: DataFrame,
     budget: int,
