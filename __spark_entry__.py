@@ -2410,6 +2410,18 @@ def _q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acf(ev, "event_type", "ts", "value", max_lag=4, tiebreak_cols=["event_id"])
 
 
+def _q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type (operators/seasonal.py):
+    exact integer cent sums per (key, phase) with per-key totals spread by
+    window (no join), mean/offset/ratio each ONE fixed double expression.
+    hour() is field extraction on the NTZ timestamps — wall-clock, TZ-proof.
+    Oracle replays the identical integers and op order in SQL."""
+    from tstore_spark.operators.seasonal import seasonal_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_profile(ev, "event_type", "ts", "value", phase="hour")
+
+
 def _q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM drift statistics over the per-type 1-minute value
     series (integer cents), using the cumsum-minus-running-min identity —
@@ -3030,6 +3042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lead_lag_corr": _q_lead_lag_corr,
         "trend_fit": _q_trend_fit,
         "acf_lags": _q_acf,
+        "seasonal_profile": _q_seasonal_profile,
         "cusum_drift": _q_cusum_drift,
         "seasonal_baseline": _q_seasonal_baseline,
         "lang_drift": _q_lang_drift,
@@ -3315,6 +3328,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_hosts": pagerank_oracle_sql(_LINK_EDGES_SQL, iterations=3),
         "hits_hosts": hits_oracle_sql(_LINK_EDGES_SQL, iterations=3),
+        "seasonal_profile": """
+            WITH pts AS (
+                SELECT event_type AS key, CAST(hour(ts) AS INT) AS phase,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events WHERE value IS NOT NULL),
+            agged AS (
+                SELECT key, phase,
+                       CAST(COUNT(*) AS BIGINT) AS n_p,
+                       CAST(SUM(c) AS BIGINT) AS s_p
+                FROM pts GROUP BY key, phase),
+            totals AS (
+                SELECT *,
+                       CAST(SUM(n_p) OVER (PARTITION BY key) AS BIGINT) AS n,
+                       CAST(SUM(s_p) OVER (PARTITION BY key) AS BIGINT) AS s
+                FROM agged)
+            SELECT key, phase, n_p, s_p, n, s,
+                   (CAST(s_p AS DOUBLE) / CAST(n_p AS DOUBLE)) / 100.0
+                       AS mean_phase,
+                   (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0
+                       AS mean_total,
+                   (CAST(s_p AS DOUBLE) / CAST(n_p AS DOUBLE)) / 100.0
+                     - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0
+                       AS "offset",
+                   CASE WHEN s <> 0 THEN
+                     (CAST(s_p AS DOUBLE) / CAST(n_p AS DOUBLE))
+                       / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) END AS ratio
+            FROM totals
+        """,
         "acf_lags": acf_oracle_sql(
             "SELECT event_type AS key, ts, event_id, "
             "CAST(round(value * 100) AS BIGINT) AS c "

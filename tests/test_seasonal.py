@@ -1,71 +1,91 @@
-"""Seasonal baselines: stats vs pandas, hour-of-week bucketing, scoring
-finds a seasonally-abnormal point a global threshold would miss."""
+"""Seasonal profile / deseasonalization: exact state + fixed derivations."""
 
-import numpy as np
 import pandas as pd
 import pytest
-from pyspark.sql import functions as F
 
-from tstore_spark.operators.seasonal import (
-    seasonal_baseline,
-    seasonal_score,
-    season_bucket,
-)
+from tstore_spark.operators.seasonal import deseasonalize, seasonal_profile
 
 
-@pytest.fixture(scope="module")
-def seasonal_pdf():
-    """Three weeks of hourly points: value = 100 at hour 3, 10 elsewhere —
-    a strong daily season. One planted anomaly: week 3, hour 3 reads 10
-    (normal globally, wildly low for ITS cohort)."""
-    t = pd.date_range("2024-01-01", periods=21 * 24, freq="1h")  # Mon start
-    rng = np.random.default_rng(9)
-    vals = np.where(t.hour == 3, 100.0, 10.0) + rng.normal(0, 0.5, len(t)).round(2)
-    vals = vals.round(2)
-    anomaly_ts = pd.Timestamp("2024-01-15 03:00")  # a Monday, hour 3
-    vals[t == anomaly_ts] = 10.0
-    return pd.DataFrame({"k": "m", "ts": t, "v": vals}), anomaly_ts
+def _series(spark):
+    # key A: pure hour-of-day shape (value = 10 + hour), 4 full days
+    rows = []
+    for d in range(4):
+        for h in range(24):
+            ts = pd.Timestamp("2024-03-04") + pd.Timedelta(days=d, hours=h)
+            rows.append(("A", ts, 10.0 + h))
+    # key B: flat
+    for d in range(2):
+        for h in range(24):
+            ts = pd.Timestamp("2024-03-04") + pd.Timedelta(days=d, hours=h)
+            rows.append(("B", ts, 5.0))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["key", "ts", "value"]))
 
 
-def test_bucketing_is_wallclock(spark):
-    pdf = pd.DataFrame({"ts": [pd.Timestamp("2024-01-01 00:00"),   # Monday
-                               pd.Timestamp("2024-01-07 23:00")]})  # Sunday
-    got = [r["b"] for r in spark.createDataFrame(pdf).select(
-        season_bucket("ts", "hour_of_week").alias("b")).collect()]
-    assert got == [0, 167]
-    with pytest.raises(ValueError, match="period must be"):
-        season_bucket("ts", "weekly")
+def test_profile_matches_pandas_reference(spark):
+    got = {
+        (r["key"], r["phase"]): (r["n_p"], r["s_p"], r["offset"], r["ratio"])
+        for r in seasonal_profile(_series(spark), "key", "ts", "value").collect()
+    }
+    # key A: each hour h appears 4x with value 10+h; total mean = 10+11.5
+    for h in range(24):
+        n_p, s_p, offset, ratio = got[("A", h)]
+        assert (n_p, s_p) == (4, 4 * round((10.0 + h) * 100))
+        assert offset == pytest.approx((10.0 + h) - 21.5, abs=1e-12)
+        assert ratio == pytest.approx((10.0 + h) / 21.5, rel=1e-12)
+    # key B: flat -> every offset exactly 0.0, ratio exactly 1.0
+    for h in range(24):
+        _, _, offset, ratio = got[("B", h)]
+        assert offset == 0.0 and ratio == 1.0
 
 
-def test_baseline_matches_pandas(spark, seasonal_pdf):
-    pdf, _ = seasonal_pdf
-    base = seasonal_baseline(
-        spark.createDataFrame(pdf), "k", "ts", "v", period="hour_of_day"
-    ).collect()
-    got = {r["bucket"]: r for r in base}
-    assert len(got) == 24
-    for b in (3, 10):
-        cohort = pdf[pdf.ts.dt.hour == b]["v"]
-        cents = np.round(cohort * 100).astype(np.int64)
-        assert got[b]["n"] == len(cohort) == 21
-        assert got[b]["sum_cents"] == int(cents.sum())
-        assert got[b]["mean"] == pytest.approx(cents.mean() / 100, abs=1e-9)
-        assert got[b]["std"] == pytest.approx(
-            np.sqrt(len(cents) * (cents**2).sum() - cents.sum() ** 2)
-            / len(cents) / 100, abs=1e-9)
+def test_dow_phase_and_guard(spark):
+    df = _series(spark)
+    got = {
+        (r["key"], r["phase"]): r["n_p"]
+        for r in seasonal_profile(df, "key", "ts", "value", phase="dow").collect()
+    }
+    # 2024-03-04 is a Monday: key A covers Mon..Thu (weekday 0..3), 24 each
+    assert {p for (k, p) in got if k == "A"} == {0, 1, 2, 3}
+    assert all(v == 24 for (k, _p), v in got.items() if k == "A")
+    with pytest.raises(ValueError, match="phase"):
+        seasonal_profile(df, "key", "ts", "value", phase="month")
 
 
-def test_seasonal_score_finds_cohort_anomaly(spark, seasonal_pdf):
-    pdf, anomaly_ts = seasonal_pdf
-    sdf = spark.createDataFrame(pdf)
-    base = seasonal_baseline(sdf, "k", "ts", "v", period="hour_of_day")
-    scored = seasonal_score(sdf, base, "k", "ts", "v", period="hour_of_day")
-    worst = scored.orderBy("sigmas").first()
-    assert worst["ts"] == anomaly_ts        # the planted point is the worst
-    assert worst["sigmas"] < -4             # many cohort sigmas low
-    # globally the anomaly's VALUE is typical — only the cohort sees it
-    typical = pdf[(pdf.ts.dt.hour != 3)]["v"]
-    assert abs(10.0 - typical.mean()) < 1.0
-    # everything else is within a few sigmas
-    n_big = scored.where(F.abs("sigmas") > 4).count()
-    assert n_big == 1
+def test_deseasonalize_flattens_pure_seasonal_series(spark):
+    df = _series(spark)
+    out = deseasonalize(df, "key", "ts", "value").collect()
+    for r in out:
+        want = 21.5 if r["key"] == "A" else 5.0  # residual = the key mean
+        assert r["value_adj"] == pytest.approx(want, abs=1e-9)
+
+
+def test_deseasonalize_with_train_profile_and_unseen_phase(spark):
+    train = _series(spark)
+    prof = seasonal_profile(train, "key", "ts", "value")
+    score = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "key": ["A", "C"],
+                "ts": pd.to_datetime(["2024-03-10 05:00:00", "2024-03-10 05:00:00"]),
+                "value": [20.0, 9.0],
+            }
+        )
+    )
+    got = {r["key"]: r["value_adj"] for r in deseasonalize(
+        score, "key", "ts", "value", profile=prof).collect()}
+    assert got["A"] == pytest.approx(20.0 - (15.0 - 21.5), abs=1e-9)
+    assert got["C"] is None  # unseen key -> NULL, not a silent passthrough
+
+
+def test_profile_deterministic_across_parallelism(spark):
+    df = _series(spark)
+
+    def run(parts):
+        return sorted(
+            tuple(r)
+            for r in seasonal_profile(
+                df.repartition(parts), "key", "ts", "value"
+            ).collect()
+        )
+
+    assert run(1) == run(16)
