@@ -29,7 +29,7 @@ from tstore_spark.operators import gorilla
 from tstore_spark.operators import multimodal as MM
 from tstore_spark.operators import similarity as SIM
 from tstore_spark.operators.gapfill import gap_fill
-from tstore_spark.operators.acf import acf_oracle_sql
+from tstore_spark.operators.acf import acf_oracle_sql, ccf_oracle_sql
 from tstore_spark.operators.graph import hits_oracle_sql, pagerank_oracle_sql
 from tstore_spark.operators.metric_rollup import (
     finalize,
@@ -2460,6 +2460,36 @@ def _q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ccf_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense cross-correlation sweep (operators/acf.py ccf): Pearson r of
+    (click at t, view at t+ℓ minutes) for EVERY ℓ in −5..+5 over the
+    per-minute integer-cent series — the symmetric statsmodels-style CCF
+    front-end over seriescorr's exact-integer core. Oracle is generated
+    from the same lag range and replays the integer-product formula."""
+    from tstore_spark.operators.acf import ccf
+
+    ev = _t(spark, sf_dir, "events")
+    ser = ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.date_trunc("minute", "ts").cast("timestamp_ntz").alias("t"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+    return ccf(ser, "k", "t", "v", "click", "view", max_lag=5, cents=False)
+
+
+def _q_seasonal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event scored against ITS hour-of-week seasonal cohort in
+    cohort sigmas (operators/seasonal.py seasonal_score): the baseline
+    (exact integer state, n >= 3 cohorts) broadcast-joins onto the raw
+    rows; mean/std/sigmas each ONE fixed double expression, flat or thin
+    cohorts yield NULL. Oracle replays the identical buckets, filter and
+    op order in SQL."""
+    from tstore_spark.operators.seasonal import seasonal_baseline, seasonal_score
+
+    ev = _t(spark, sf_dir, "events")
+    base = seasonal_baseline(ev, "event_type", "ts", "value")
+    return seasonal_score(ev, base, "event_type", "ts", "value", min_n=3)
+
+
 _DRIFT_A = ("src0", "src1", "src2", "src3", "src4")
 
 
@@ -3045,6 +3075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile": _q_seasonal_profile,
         "cusum_drift": _q_cusum_drift,
         "seasonal_baseline": _q_seasonal_baseline,
+        "ccf_sweep": _q_ccf_sweep,
+        "seasonal_score": _q_seasonal_score,
         "lang_drift": _q_lang_drift,
         "value_drift": _q_value_drift,
         "interval_coverage": _q_interval_coverage,
@@ -4081,6 +4113,38 @@ def oracle_sql() -> dict[str, str]:
                                       - sum_cents * sum_cents AS DOUBLE), 0.0))
                        / n / 100.0 AS std
             FROM st
+        """,
+        "ccf_sweep": ccf_oracle_sql(
+            "SELECT * FROM ("
+            "SELECT event_type AS key, date_trunc('minute', ts) AS ts, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c "
+            "FROM events GROUP BY 1, 2) WHERE c IS NOT NULL",
+            "'click'", "'view'", max_lag=5,
+        ),
+        "seasonal_score": """
+            WITH x AS (
+                SELECT event_type, ts, value,
+                       CAST((isodow(ts) - 1) * 24 + hour(ts) AS INT) AS bucket,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events),
+            st AS (
+                SELECT event_type, bucket,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(c) AS BIGINT) AS sum_cents,
+                       CAST(SUM(c * c) AS BIGINT) AS sumsq_cents
+                FROM x GROUP BY 1, 2),
+            b AS (
+                SELECT event_type, bucket,
+                       CAST(sum_cents AS DOUBLE) / n / 100.0 AS mean,
+                       sqrt(GREATEST(CAST(n * sumsq_cents
+                                          - sum_cents * sum_cents AS DOUBLE),
+                                     0.0)) / n / 100.0 AS std
+                FROM st WHERE n >= 3)
+            SELECT x.event_type, x.ts, x.value, x.bucket, b.mean, b.std,
+                   CASE WHEN b.std > 0 THEN (x.value - b.mean) / b.std
+                   END AS sigmas
+            FROM x LEFT JOIN b
+              ON x.event_type = b.event_type AND x.bucket = b.bucket
         """,
         "cusum_drift": """
             WITH s AS (

@@ -108,3 +108,78 @@ def test_acf_oracle_sql_parity(spark):
     )
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert got == want  # exact, including the double bits
+
+
+# ---------------------------------------------------------------------------
+# ccf (lagged cross-correlation / lead-lag)
+# ---------------------------------------------------------------------------
+
+
+def _two_series(spark):
+    rows = []
+    vals = [float((7 * t * t + 3 * t) % 50) for t in range(40)]
+    base = pd.Timestamp("2024-01-01")
+    for t, v in enumerate(vals):
+        rows.append(("imp", base + pd.Timedelta(minutes=t), v))
+        # clk is imp shifted +2 minutes (imp leads clk by 2), scaled 0.5
+        rows.append(("clk", base + pd.Timedelta(minutes=t + 2), v * 0.5))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["key", "ts", "value"]))
+
+
+def test_ccf_finds_the_planted_lead_lag(spark):
+    from tstore_spark.operators.acf import ccf
+
+    got = {r["lag"]: (r["m"], r["r"]) for r in ccf(
+        _two_series(spark), "key", "ts", "value", "imp", "clk", max_lag=4
+    ).collect()}
+    assert set(got) == set(range(-4, 5))
+    m2, r2 = got[2]
+    assert m2 == 40 and r2 == pytest.approx(1.0, abs=1e-12)  # the planted lag
+    assert all(r is None or r < 0.999 for lag, (_m, r) in got.items() if lag != 2)
+    # pair counts shrink away from the overlap
+    assert got[-4][0] < got[2][0]
+
+
+def test_ccf_matches_numpy_reference(spark):
+    from tstore_spark.operators.acf import ccf
+
+    sdf = _two_series(spark)
+    got = {r["lag"]: r["r"] for r in ccf(
+        sdf, "key", "ts", "value", "imp", "clk", max_lag=3).collect()}
+    pdf = sdf.toPandas()
+    a = pdf[pdf.key == "imp"].set_index("ts")["value"]
+    b = pdf[pdf.key == "clk"].set_index("ts")["value"]
+    for lag, r in got.items():
+        bs = b.copy()
+        bs.index = bs.index - pd.Timedelta(minutes=lag)
+        j = pd.concat([a, bs], axis=1, join="inner")
+        x = np.round(j.iloc[:, 0].to_numpy() * 100)
+        y = np.round(j.iloc[:, 1].to_numpy() * 100)
+        want = np.corrcoef(x, y)[0, 1] if len(x) > 1 and x.std() and y.std() else None
+        if want is None:
+            assert r is None
+        else:
+            assert r == pytest.approx(want, abs=1e-9)
+
+
+def test_ccf_oracle_sql_parity_and_guards(spark):
+    import duckdb as _dd
+
+    from tstore_spark.operators.acf import ccf, ccf_oracle_sql
+
+    sdf = _two_series(spark)
+    got = sorted(tuple(r) for r in ccf(
+        sdf, "key", "ts", "value", "imp", "clk", max_lag=3).collect())
+    con = _dd.connect()
+    con.register("src", sdf.toPandas())
+    sql = ccf_oracle_sql(
+        "SELECT key, ts, CAST(round(value * 100) AS BIGINT) AS c "
+        "FROM src WHERE value IS NOT NULL",
+        "'imp'", "'clk'", max_lag=3,
+    )
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want  # exact, including the sqrt-derived double bits
+    with pytest.raises(ValueError, match="max_lag"):
+        ccf(sdf, "key", "ts", "value", "imp", "clk", max_lag=0)
+    with pytest.raises(ValueError, match="step_minutes"):
+        ccf(sdf, "key", "ts", "value", "imp", "clk", step_minutes=0)

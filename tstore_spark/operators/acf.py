@@ -169,3 +169,95 @@ def acf_oracle_sql(
                END AS acf
         FROM totals
     """
+
+
+def ccf(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    key_a,
+    key_b,
+    max_lag: int = 5,
+    step_minutes: int = 1,
+    cents: bool = True,
+) -> DataFrame:
+    """Dense cross-correlation sweep between two keys' series (statsmodels
+    ``ccf``): Pearson r of (a(t), b(t + ℓ·step)) for EVERY ℓ in
+    −max_lag..+max_lag, aligned by TIMESTAMP, not by row position.
+    Positive ℓ with high r means ``key_a`` LEADS ``key_b`` by ℓ steps.
+
+    Thin sweep front-end over :func:`seriescorr.lead_lag_correlation`
+    (one implementation of the exact-integer Pearson core in the repo):
+    the lag range expands to seconds, NULL values are dropped so the pair
+    count ``m`` counts real pairs, and the output is re-keyed to the lag
+    INDEX. Plan shape therefore matches lead_lag_correlation: explode of
+    2·max_lag+1 scalar lags, one timestamp equi-join, one map-side-combined
+    groupBy — no window, no global sort; sparse grids pair only where both
+    sides exist."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    if step_minutes < 1:
+        raise ValueError(f"step_minutes must be >= 1, got {step_minutes}")
+    from tstore_spark.operators.seriescorr import lead_lag_correlation
+
+    step_s = step_minutes * 60
+    out = lead_lag_correlation(
+        df.where(F.col(value_col).isNotNull()),
+        key_col,
+        time_col,
+        value_col,
+        key_a,
+        key_b,
+        [lag * step_s for lag in range(-max_lag, max_lag + 1)],
+        cents=cents,
+    )
+    return out.select(
+        (F.col("lag_seconds") / step_s).cast("int").alias("lag"),
+        F.col("n").alias("m"),
+        "sx", "sy", "sxy", "sxx", "syy", "r",
+    )
+
+
+def ccf_oracle_sql(
+    pts_sql: str,
+    key_a_sql: str,
+    key_b_sql: str,
+    max_lag: int = 5,
+    step_minutes: int = 1,
+) -> str:
+    """DuckDB twin of :func:`ccf`, generated from the same lag range and
+    step. ``pts_sql`` must yield (key, ts, c) with ``c`` the exact integer
+    cents; ``key_a_sql``/``key_b_sql`` are SQL literals/expressions for the
+    two keys. Interval arithmetic on TIMESTAMP (ntz) is plain wall-clock in
+    both engines, and the r derivation replays seriescorr's integer-product
+    formula (num and the two variance terms computed in BIGINT, cast to
+    DOUBLE once) in the same op order — identical bits."""
+    lags = ", ".join(f"({lag})" for lag in range(-max_lag, max_lag + 1))
+    return f"""
+        WITH pts AS ({pts_sql}),
+        a AS (SELECT ts, c AS x FROM pts WHERE key = {key_a_sql}),
+        b AS (SELECT ts, c AS y FROM pts WHERE key = {key_b_sql}),
+        lags(lag) AS (VALUES {lags}),
+        shifted AS (
+            SELECT l.lag, b.ts - TO_MINUTES(l.lag * {step_minutes}) AS ts, b.y
+            FROM b CROSS JOIN lags l),
+        agged AS (
+            SELECT s.lag,
+                   CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(a.x) AS BIGINT) AS sx,
+                   CAST(SUM(s.y) AS BIGINT) AS sy,
+                   CAST(SUM(a.x * s.y) AS BIGINT) AS sxy,
+                   CAST(SUM(a.x * a.x) AS BIGINT) AS sxx,
+                   CAST(SUM(s.y * s.y) AS BIGINT) AS syy
+            FROM a JOIN shifted s ON a.ts = s.ts
+            GROUP BY s.lag)
+        SELECT CAST(lag AS INT) AS lag, m, sx, sy, sxy, sxx, syy,
+               CASE WHEN sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                              * CAST(m * syy - sy * sy AS DOUBLE)) > 0
+               THEN CAST(m * sxy - sx * sy AS DOUBLE)
+                    / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                           * CAST(m * syy - sy * sy AS DOUBLE))
+               END AS r
+        FROM agged
+    """
