@@ -30,6 +30,7 @@ from tstore_spark.operators import multimodal as MM
 from tstore_spark.operators import similarity as SIM
 from tstore_spark.operators.gapfill import gap_fill
 from tstore_spark.operators.acf import acf_oracle_sql, ccf_oracle_sql
+from tstore_spark.operators.olap import cube_oracle_sql
 from tstore_spark.operators.graph import hits_oracle_sql, pagerank_oracle_sql
 from tstore_spark.operators.metric_rollup import (
     finalize,
@@ -2460,6 +2461,23 @@ def _q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cube_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP cube over the corpus (operators/olap.py): docs + chars by
+    lang × source and EVERY margin in one job — pre-aggregated on the
+    finest grain so the Expand runs over distinct dim combos, not raw
+    rows. gid is the grouping_id bitmask (Spark and DuckDB agree on
+    leftmost-is-MSB), so the whole cube hash-matches the generated
+    GROUP BY CUBE twin."""
+    from tstore_spark.operators.olap import cube_rollup
+
+    d = _t(spark, sf_dir, "documents")
+    return cube_rollup(
+        d,
+        ["lang", "source"],
+        {"docs": F.count(F.lit(1)), "chars": F.sum("n_chars")},
+    )
+
+
 def _q_ccf_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense cross-correlation sweep (operators/acf.py ccf): Pearson r of
     (click at t, view at t+ℓ minutes) for EVERY ℓ in −5..+5 over the
@@ -3075,6 +3093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile": _q_seasonal_profile,
         "cusum_drift": _q_cusum_drift,
         "seasonal_baseline": _q_seasonal_baseline,
+        "cube_doc_stats": _q_cube_doc_stats,
         "ccf_sweep": _q_ccf_sweep,
         "seasonal_score": _q_seasonal_score,
         "lang_drift": _q_lang_drift,
@@ -4114,6 +4133,12 @@ def oracle_sql() -> dict[str, str]:
                        / n / 100.0 AS std
             FROM st
         """,
+        "cube_doc_stats": cube_oracle_sql(
+            "SELECT lang, source, n_chars FROM documents",
+            ["lang", "source"],
+            {"docs": "CAST(COUNT(*) AS BIGINT)",
+             "chars": "CAST(SUM(n_chars) AS BIGINT)"},
+        ),
         "ccf_sweep": ccf_oracle_sql(
             "SELECT * FROM ("
             "SELECT event_type AS key, date_trunc('minute', ts) AS ts, "

@@ -259,6 +259,20 @@ def main(sf_dir: str) -> int:
     check("bloom_index.partial_agg", p.count("HashAggregate") >= 4,
           "bit_or word merge is map-side combined before each exchange")
 
+    # 22. cube: ONE scan; the Expand row-multiplier sits ABOVE the finest-
+    # grain pre-aggregate (distinct dim combos), never over the raw rows
+    p = plan_of(qs["cube_doc_stats"](spark, sf_dir))
+    check("cube.single_scan", p.count("Location: InMemoryFileIndex") == 1,
+          "all margins from one documents scan")
+    # tree portion prints root-first: a HashAggregate BELOW Expand (after it
+    # in the text, before the numbered details) is the finest-grain pre-agg
+    tree = p.split("(1) ")[0]
+    check("cube.pre_aggregated",
+          "Expand" in tree and "HashAggregate" in tree[tree.find("Expand"):],
+          "Expand consumes the pre-aggregate, not raw rows")
+    check("cube.jvm", "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "margins are Catalyst aggregates, no Python")
+
     # 21. stream-stream attribution join (batch twin plan): key equi-join
     # with the time range as a post-filter, never a nested loop
     from tstore_spark.streaming.stream_join import attribution_join
