@@ -2461,6 +2461,18 @@ def _q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard ≥ 0.35 pairs via prefix filtering (dedup.py
+    prefix_jaccard_pairs): candidates only where two docs share one of
+    their ⌊0.65·|A|⌋+1 globally RAREST shingles — lossless by the AllPairs
+    theorem, so the output hash-matches the plain exact-pair SQL oracle
+    (no recall floor needed, unlike the LSH rows)."""
+    from tstore_spark.operators.dedup import prefix_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(d, threshold=0.35)
+
+
 def _q_cube_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLAP cube over the corpus (operators/olap.py): docs + chars by
     lang × source and EVERY margin in one job — pre-aggregated on the
@@ -3093,6 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile": _q_seasonal_profile,
         "cusum_drift": _q_cusum_drift,
         "seasonal_baseline": _q_seasonal_baseline,
+        "prefix_jaccard": _q_prefix_jaccard,
         "cube_doc_stats": _q_cube_doc_stats,
         "ccf_sweep": _q_ccf_sweep,
         "seasonal_score": _q_seasonal_score,
@@ -4133,6 +4146,7 @@ def oracle_sql() -> dict[str, str]:
                        / n / 100.0 AS std
             FROM st
         """,
+        "prefix_jaccard": _SHINGLE_PAIRS_ORACLE.format(thr=0.35),
         "cube_doc_stats": cube_oracle_sql(
             "SELECT lang, source, n_chars FROM documents",
             ["lang", "source"],

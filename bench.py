@@ -108,6 +108,11 @@ HEADLINE = [
     "more_like_this",
     "hits_hosts",
     "dtw_similarity",
+    # round-3 third-session additions
+    "prefix_jaccard",
+    "cube_doc_stats",
+    "ccf_sweep",
+    "seasonal_score",
 ]
 
 

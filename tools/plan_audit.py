@@ -259,6 +259,16 @@ def main(sf_dir: str) -> int:
     check("bloom_index.partial_agg", p.count("HashAggregate") >= 4,
           "bit_or word merge is map-side combined before each exchange")
 
+    # 23. prefix-filter similarity join: candidate generation is the prefix
+    # equi-join — never a cross join — and scoring stays JVM-side
+    p = plan_of(qs["prefix_jaccard"](spark, sf_dir))
+    check("prefix_jaccard.no_cartesian",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+          "candidates from the prefix-gram equi-join, never all-pairs")
+    check("prefix_jaccard.jvm",
+          "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+          "shingling/ordering/scoring are Catalyst expressions")
+
     # 22. cube: ONE scan; the Expand row-multiplier sits ABOVE the finest-
     # grain pre-aggregate (distinct dim combos), never over the raw rows
     p = plan_of(qs["cube_doc_stats"](spark, sf_dir))

@@ -321,6 +321,114 @@ def shingle_jaccard_pairs_exact(
     )
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_candidates: int | None = MAX_BLOCK_CANDIDATES,
+    evict: bool = True,
+) -> DataFrame:
+    """EXACT shingle-Jaccard pairs via prefix filtering (AllPairs,
+    Chaudhuri et al. ICDE'06 / Bayardo WWW'07) — same output as
+    :func:`shingle_jaccard_pairs_exact`, but the candidate join touches
+    only each document's PREFIX: its ⌊(1−t)·|A|⌋+1 globally RAREST
+    shingles (canonical order = ascending document frequency, shingle hash
+    tiebreak). Any pair with J ≥ t must share a prefix element in that
+    order, so recall is perfect BY THEOREM, while candidate volume is
+    quadratic only in rare-shingle document frequency — the classic
+    exact-similarity-join scale shape (the full shared-shingle join is
+    quadratic in EVERY shingle's df, boilerplate included).
+
+    Survivors are re-scored on the full shingle sets with the identical
+    integers and op order as the exact path, so emitted (id_a, id_b,
+    jaccard) rows hash-match it. Because the emitted filter is
+    ``round(J, 4) >= t``, every internal prune (prefix length, length
+    ratio) uses a slack threshold t−1e-4 — rounding can never resurrect a
+    pair the filters dropped.
+
+    Cost shape: +1 shuffle for the global df count and +1 for the per-doc
+    re-sort vs the plain join, repaid at corpus scale where common-shingle
+    postings dominate. Still output-bound: a corpus of near-identical docs
+    has quadratic OUTPUT; ``max_candidates`` guards the run (same valve as
+    :func:`token_jaccard_pairs`, routing hot corpora to the sketch path).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if evict:
+        _evict_prior_caches()
+    # slack threshold: emitted filter is round(J,4) >= t, i.e. J >= t - 5e-5
+    t_eff = max(threshold - 1e-4, 1e-12)
+    sh = _cache_scoped(with_hashed_shingles(df, id_col, text_col, n))
+    ex = sh.select(F.col(id_col), F.explode("shingles").alias("gram"))
+    freq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+    # canonical order: (df asc, gram asc) — total within a doc (grams
+    # distinct); struct array_sort is lexicographic over the fields
+    ordered = (
+        ex.join(freq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("gram")))
+            ).alias("_ord")
+        )
+    )
+    s = F.size("_ord")
+    # J >= t_eff ⟹ |A∩B| >= ceil(t_eff·|A|) ⟹ a shared element sits in the
+    # first |A| − ceil(t_eff·|A|) + 1 of BOTH docs' canonical orders
+    p = s - F.ceil(s * F.lit(t_eff) - F.lit(1e-9)).cast("int") + F.lit(1)
+    prefix = _cache_scoped(
+        ordered.select(
+            F.col(id_col),
+            s.alias("_n"),
+            F.explode(
+                F.transform(F.slice("_ord", F.lit(1), p), lambda x: x["gram"])
+            ).alias("gram"),
+        )
+    )
+    if max_candidates is not None:
+        est = (
+            prefix.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(F.sum(F.col("_c") * (F.col("_c") - 1) / 2).alias("_pairs"))
+            .first()["_pairs"]
+        )
+        if est is not None and est > max_candidates:
+            raise ValueError(
+                f"prefix postings imply ~{int(est)} candidate pairs "
+                f"(> {max_candidates}) — the corpus is near-duplicate-dense; "
+                "route it through minhash_near_dup_pairs (banded LSH) or "
+                "raise max_candidates"
+            )
+    a = prefix.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"), "gram")
+    b = prefix.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"), "gram")
+    cand = (
+        a.join(b, "gram")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter (slack): J >= t_eff forces t_eff·|larger| <= |smaller|
+            & (
+                F.least("_na", "_nb")
+                >= F.lit(t_eff) * F.greatest("_na", "_nb") - F.lit(1e-9)
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ver = cand.join(
+        sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("_sa")), "id_a"
+    ).join(
+        sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("_sb")), "id_b"
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    # same integers, same op order as shingle_jaccard_pairs_exact
+    j = F.round(inter / (F.size("_sa") + F.size("_sb") - inter), 4)
+    return ver.select("id_a", "id_b", j.alias("jaccard")).where(
+        F.col("jaccard") >= F.lit(float(threshold))
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
