@@ -2913,6 +2913,44 @@ def _holt_oracle() -> str:
     )
 
 
+_HW_SERIES_SQL = (
+    "(SELECT event_type AS k, date_trunc('hour', ts) AS t, "
+    "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS v "
+    "FROM events GROUP BY 1, 2)"
+)
+
+
+def _q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive seasonal forecast of each event type's hourly
+    value series (hour-of-day period 24, one day ahead). Both engines run
+    the IDENTICAL fixed-order fold over [level, trend, s_0..s_23] array
+    state — raw double bits hash-match (the holt_forecast discipline,
+    plus a generated-index seasonal-slot rebuild both engines share)."""
+    from tstore_spark.operators.forecast import holt_winters_fit
+
+    ev = _t(spark, sf_dir, "events")
+    ser = ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("t"),
+    ).agg(
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("v")
+    )
+    out = holt_winters_fit(ser, "k", "t", "v", period=24, horizon=24)
+    return out.select(
+        F.col("k").alias("event_type"),
+        "n_points", "level", "trend", "season", "forecast",
+    )
+
+
+def _holt_winters_oracle() -> str:
+    from tstore_spark.operators.forecast import holt_winters_oracle_sql
+
+    return holt_winters_oracle_sql(
+        _HW_SERIES_SQL, "k", "t", "v", period=24, horizon=24,
+        key_alias="event_type",
+    )
+
+
 def _q_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAX symbolization of each user's value series (word_len=8,
     alphabet=4): exact integer PAA state + one fixed z derivation, so the
@@ -3144,6 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q_event_transitions,
         "sax_words": _q_sax_words,
         "holt_forecast": _q_holt_forecast,
+        "holt_winters_forecast": _q_holt_winters,
         "hll_union_daily": _q_hll_union_daily,
         "range_aggregate": _q_range_aggregate,
         "top_days_per_type": _q_top_days_per_type,
@@ -4658,6 +4697,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sax_words": _sax_words_oracle(),
         "holt_forecast": _holt_oracle(),
+        "holt_winters_forecast": _holt_winters_oracle(),
         "event_transitions": """
             WITH pr AS (
                 SELECT event_type AS from_state,

@@ -111,6 +111,7 @@ HEADLINE = [
     # round-3 third-session additions
     "prefix_jaccard",
     "cube_doc_stats",
+    "holt_winters_forecast",
     "ccf_sweep",
     "seasonal_score",
 ]

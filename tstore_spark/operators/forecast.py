@@ -129,6 +129,215 @@ def holt_fit(
     )
 
 
+def _hw_core(
+    alpha: str, beta: str, gamma: str, l: str, b: str, s_prev: str, x: str
+) -> tuple[str, str, str]:
+    """Holt-Winters additive per-step (level, trend, season) arithmetic
+    with engine-specific state accessors spliced in (the :func:`_core`
+    convention — array state, never struct)::
+
+        l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β) b_{t−1}
+        s_t = γ(x_t − l_t) + (1−γ) s_{t−m}
+    """
+    a = _D.format(alpha)
+    be = _D.format(beta)
+    g = _D.format(gamma)
+    one = _D.format(1)
+    lvl = f"{a} * ({x} - {s_prev}) + ({one} - {a}) * ({l} + {b})"
+    trd = f"{be} * (({lvl}) - {l}) + ({one} - {be}) * {b}"
+    ssn = f"{g} * ({x} - ({lvl})) + ({one} - {g}) * {s_prev}"
+    return lvl, trd, ssn
+
+
+def holt_winters_fit(
+    df: DataFrame,
+    key_col: str = "id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    period: int = 24,
+    alpha: str = "0.5",
+    beta: str = "0.3",
+    gamma: str = "0.3",
+    horizon: int = 1,
+    tiebreak_cols: list[str] | None = None,
+    max_points: int = 1_000_000,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing per key — the
+    seasonal step up from :func:`holt_fit` (level + trend + a length-
+    ``period`` seasonal profile), the classic capacity-forecast for
+    daily/weekly-cyclic traffic.
+
+    State is a flat double array ``[l, b, s_0..s_{m-1}]`` folded over the
+    time-sorted series by ONE fixed expression per step (JVM higher-order
+    ``aggregate``; the seasonal slot rebuild iterates a generated index
+    sequence, so both engines express the identical in-place update).
+    Deterministic init: ``l_0`` = fixed-order mean of the first period,
+    ``b_0 = 0``, ``s_i = x_i − l_0``; the fold starts at element m+1.
+    Same exactness contract as Holt: integer cents in, one arithmetic
+    core shared verbatim with :func:`holt_winters_oracle_sql`, raw double
+    bits hash-match across engines and parallelism.
+
+    Output: (key, n_points, level, trend, season, forecast) where
+    ``season`` is the fitted seasonal component at the forecast's phase
+    ``(n−1+horizon) mod m`` and ``forecast = level + horizon·trend +
+    season``. Keys need ``n >= 2·period`` points (one period to
+    initialize, at least one to smooth a full cycle) — shorter series
+    raise in-plan. Scale note: input should be a rollup TIER (window-grain
+    rows), the holt_fit rule.
+    """
+    float(alpha), float(beta), float(gamma)
+    if not (
+        0 < float(alpha) <= 1 and 0 <= float(beta) <= 1 and 0 <= float(gamma) <= 1
+    ):
+        raise ValueError(
+            f"need 0 < alpha <= 1, 0 <= beta/gamma <= 1, got {alpha}, {beta}, {gamma}"
+        )
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    if horizon < 0:
+        raise ValueError(f"horizon must be >= 0, got {horizon}")
+    m = int(period)
+    ties = [F.col(c) for c in (tiebreak_cols or [])]
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    rows = df.where(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("_key"),
+        F.struct(F.col(time_col).alias("t"), *ties, cents.alias("c")).alias("_e"),
+    )
+    per_key = rows.groupBy("_key").agg(
+        F.array_sort(F.collect_list("_e")).alias("_vals"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    hundred = _D.format(100)
+    zero = _D.format(0)
+    guarded = per_key.withColumn(
+        "_cs",
+        F.when(
+            (F.col("n_points") >= 2 * m) & (F.col("n_points") <= max_points),
+            F.expr(f"transform(_vals, v -> CAST(v.c AS DOUBLE) / {hundred})"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"holt_winters_fit: series needs 2*period={2*m} to "
+                        f"{max_points} points at key "
+                    ),
+                    F.col("_key").cast("string"),
+                )
+            )
+        ),
+    )
+    # l0 HOISTED into its own column: referencing it inside the init array
+    # m+1 times would re-run the fold per reference (the dedup.py lesson)
+    staged = guarded.withColumn(
+        "_l0",
+        F.expr(
+            f"aggregate(slice(_cs, 1, {m}), {zero}, (acc, x) -> acc + x)"
+            f" / {_D.format(m)}"
+        ),
+    ).withColumn(
+        "_init",
+        F.expr(
+            f"concat(array(_l0, {zero}), "
+            f"transform(slice(_cs, 1, {m}), x -> x - _l0))"
+        ),
+    )
+    lvl, trd, ssn = _hw_core(
+        alpha, beta, gamma,
+        l="acc[0]", b="acc[1]",
+        s_prev="acc[2 + CAST(e[1] AS INT)]", x="e[0]",
+    )
+    fold = f"""
+        aggregate(
+          transform(sequence({m}, size(_cs) - 1),
+                    i -> array(_cs[i], CAST(i % {m} AS DOUBLE))),
+          _init,
+          (acc, e) -> concat(
+            array({lvl}, {trd}),
+            transform(sequence(0, {m - 1}),
+                      i -> IF(i = CAST(e[1] AS INT), {ssn}, acc[i + 2])))
+        )
+    """
+    h = _D.format(horizon)
+    out = staged.withColumn("_fit", F.expr(fold))
+    season = f"_fit[2 + CAST((n_points - 1 + {horizon}) % {m} AS INT)]"
+    return out.select(
+        F.col("_key").alias(key_col),
+        "n_points",
+        F.expr("_fit[0]").alias("level"),
+        F.expr("_fit[1]").alias("trend"),
+        F.expr(season).alias("season"),
+        F.expr(f"_fit[0] + {h} * _fit[1] + {season}").alias("forecast"),
+    )
+
+
+def holt_winters_oracle_sql(
+    table: str,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    period: int = 24,
+    alpha: str = "0.5",
+    beta: str = "0.3",
+    gamma: str = "0.3",
+    horizon: int = 1,
+    tiebreak_cols: list[str] | None = None,
+    key_alias: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`holt_winters_fit` — the same
+    :func:`_hw_core` arithmetic over a ``list_reduce`` with the init state
+    prepended as the first accumulator (1-based accessors)."""
+    m = int(period)
+    lvl, trd, ssn = _hw_core(
+        alpha, beta, gamma,
+        l="acc[1]", b="acc[2]",
+        s_prev="acc[3 + CAST(e[2] AS INT)]", x="e[1]",
+    )
+    hundred = _D.format(100)
+    zero = _D.format(0)
+    h = _D.format(horizon)
+    order = ", ".join([time_col, *(tiebreak_cols or [])])
+    ka = key_alias or key_col
+    return f"""
+        WITH s AS (
+            SELECT {key_col} AS k,
+                   list_transform(
+                     list(CAST(round({value_col} * 100) AS BIGINT)
+                          ORDER BY {order}),
+                     c -> CAST(c AS DOUBLE) / {hundred}) AS cs,
+                   count(*) AS n_points
+            FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1),
+        i AS (
+            SELECT k, cs, n_points,
+                   list_reduce(list_concat([{zero}], cs[1:{m}]),
+                               (acc, x) -> acc + x) / {_D.format(m)} AS l0
+            FROM s),
+        f AS (
+            SELECT k, n_points,
+                   list_reduce(
+                     list_concat(
+                       [list_concat([l0, {zero}],
+                                    list_transform(cs[1:{m}], x -> x - l0))],
+                       list_transform(
+                         generate_series({m + 1}, len(cs)),
+                         i -> [cs[i], CAST((i - 1) % {m} AS DOUBLE)])),
+                     (acc, e) -> list_concat(
+                       [{lvl}, {trd}],
+                       list_transform(generate_series(0, {m - 1}),
+                                      i -> CASE WHEN i = CAST(e[2] AS INT)
+                                           THEN {ssn} ELSE acc[i + 3] END))
+                   ) AS fit
+            FROM i)
+        SELECT k AS {ka}, CAST(n_points AS BIGINT) AS n_points,
+               fit[1] AS level, fit[2] AS trend,
+               fit[3 + CAST((n_points - 1 + {horizon}) % {m} AS INT)] AS season,
+               fit[1] + {h} * fit[2]
+                 + fit[3 + CAST((n_points - 1 + {horizon}) % {m} AS INT)]
+                 AS forecast
+        FROM f
+    """
+
+
 def holt_oracle_sql(
     table: str,
     key_col: str,
