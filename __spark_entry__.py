@@ -2913,6 +2913,20 @@ def _holt_oracle() -> str:
     )
 
 
+def _q_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat/staleness profile of each event type's 1-minute grid
+    (operators/coverage.py gap_profile): exact integer window floors
+    (sign-safe pmod), missing-window and longest-gap accounting over the
+    DEDUPED window-grain series, staleness vs a fixed as_of instant.
+    Oracle replays the same floor/lag/greatest arithmetic in SQL."""
+    from tstore_spark.operators.coverage import gap_profile
+
+    ev = _t(spark, sf_dir, "events")
+    out = gap_profile(ev, "event_type", "ts", 60,
+                      as_of="2024-06-01 00:00:00", max_age_seconds=3600)
+    return out.withColumnRenamed("key", "event_type")
+
+
 _HW_SERIES_SQL = (
     "(SELECT event_type AS k, date_trunc('hour', ts) AS t, "
     "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS v "
@@ -3183,6 +3197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_words": _q_sax_words,
         "holt_forecast": _q_holt_forecast,
         "holt_winters_forecast": _q_holt_winters,
+        "gap_profile": _q_gap_profile,
         "hll_union_daily": _q_hll_union_daily,
         "range_aggregate": _q_range_aggregate,
         "top_days_per_type": _q_top_days_per_type,
@@ -4698,6 +4713,45 @@ def oracle_sql() -> dict[str, str]:
         "sax_words": _sax_words_oracle(),
         "holt_forecast": _holt_oracle(),
         "holt_winters_forecast": _holt_winters_oracle(),
+        "gap_profile": """
+            WITH pts AS (
+                SELECT event_type, ts,
+                       CAST(epoch_us(ts) // 1000000 AS BIGINT) AS e
+                FROM events),
+            w AS (
+                SELECT event_type,
+                       e - ((e % 60) + 60) % 60 AS w,
+                       CAST(COUNT(*) AS BIGINT) AS rows_w,
+                       MAX(e) AS last_e_w
+                FROM pts GROUP BY 1, 2),
+            g AS (
+                SELECT event_type, w, rows_w, last_e_w,
+                       w - lag(w) OVER (PARTITION BY event_type ORDER BY w)
+                         - 60 AS gap
+                FROM w),
+            a AS (
+                SELECT event_type,
+                       CAST(SUM(rows_w) AS BIGINT) AS n_rows,
+                       CAST(COUNT(*) AS BIGINT) AS n_windows,
+                       MIN(w) AS w0, MAX(w) AS w1,
+                       CAST(GREATEST(COALESCE(MAX(gap), 0), 0) AS BIGINT)
+                           AS longest_gap_seconds,
+                       MAX(last_e_w) AS last_e
+                FROM g GROUP BY 1)
+            SELECT event_type, n_rows, n_windows,
+                   make_timestamp(w0 * 1000000) AS first_window,
+                   make_timestamp(w1 * 1000000) AS last_window,
+                   CAST((w1 - w0) / 60 + 1 AS BIGINT) AS expected_windows,
+                   CAST((w1 - w0) / 60 + 1 - n_windows AS BIGINT)
+                       AS missing_windows,
+                   longest_gap_seconds,
+                   CAST(epoch_us(TIMESTAMP '2024-06-01 00:00:00') // 1000000
+                        - last_e AS BIGINT) AS age_seconds,
+                   last_e + 3600
+                     < epoch_us(TIMESTAMP '2024-06-01 00:00:00') // 1000000
+                       AS stale
+            FROM a
+        """,
         "event_transitions": """
             WITH pr AS (
                 SELECT event_type AS from_state,

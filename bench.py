@@ -112,6 +112,7 @@ HEADLINE = [
     "prefix_jaccard",
     "cube_doc_stats",
     "holt_winters_forecast",
+    "gap_profile",
     "ccf_sweep",
     "seasonal_score",
 ]

@@ -84,3 +84,77 @@ def test_coverage_deterministic_across_parallelism(spark, intervals):
             tuple(r) for r in interval_coverage(sdf, "k", "s", "e").collect()
         ))
     assert outs[0] == outs[1]
+
+
+# ---------------------------------------------------------------------------
+# gap_profile (heartbeat / staleness)
+# ---------------------------------------------------------------------------
+
+
+def _gap_series(spark):
+    import pandas as pd
+
+    rows = []
+    # key A: minutes 0..9 then 13..15 then 30 (gaps of 3 and 15 windows-ish)
+    for m in list(range(10)) + [13, 14, 15, 30]:
+        rows.append(("A", pd.Timestamp("2024-01-01 00:00:30") + pd.Timedelta(minutes=m)))
+    # duplicate rows inside one window must not inflate window counts
+    rows.append(("A", pd.Timestamp("2024-01-01 00:05:10")))
+    # key B: dense, and pre-1970 (sign-safe floor regression)
+    for m in range(5):
+        rows.append(("B", pd.Timestamp("1969-12-31 23:58:20") + pd.Timedelta(minutes=m)))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["key", "ts"]))
+
+
+def test_gap_profile_counts_and_longest_gap(spark):
+    import pandas as pd
+
+    from tstore_spark.operators.coverage import gap_profile
+
+    got = {r["key"]: r.asDict() for r in gap_profile(
+        _gap_series(spark), "key", "ts", 60).collect()}
+    a = got["A"]
+    assert a["n_rows"] == 15 and a["n_windows"] == 14
+    assert a["first_window"] == pd.Timestamp("2024-01-01 00:00:00")
+    assert a["last_window"] == pd.Timestamp("2024-01-01 00:30:00")
+    assert a["expected_windows"] == 31 and a["missing_windows"] == 17
+    # biggest hole: 00:15 -> 00:30 = 900s minus one step
+    assert a["longest_gap_seconds"] == 840
+    b = got["B"]
+    assert b["n_windows"] == 5 and b["missing_windows"] == 0
+    assert b["longest_gap_seconds"] == 0
+    # pre-1970 floor rounds DOWN (toward earlier wall time), never up
+    assert b["first_window"] == pd.Timestamp("1969-12-31 23:58:00")
+
+
+def test_gap_profile_staleness(spark):
+    from tstore_spark.operators.coverage import gap_profile
+
+    got = {r["key"]: r.asDict() for r in gap_profile(
+        _gap_series(spark), "key", "ts", 60,
+        as_of="2024-01-01 00:33:00", max_age_seconds=120).collect()}
+    # A's last raw observation is 00:30:30 -> age 150s > 120 -> stale
+    assert got["A"]["age_seconds"] == 150 and got["A"]["stale"] is True
+    assert got["B"]["stale"] is True  # 1969 series is long gone
+    fresh = {r["key"]: r["stale"] for r in gap_profile(
+        _gap_series(spark), "key", "ts", 60,
+        as_of="2024-01-01 00:31:00").collect()}
+    assert fresh["A"] is False  # age 30s <= default bar of one step
+
+
+def test_gap_profile_guards_and_determinism(spark):
+    import pytest as _pt
+
+    from tstore_spark.operators.coverage import gap_profile
+
+    df = _gap_series(spark)
+    with _pt.raises(ValueError, match="step_seconds"):
+        gap_profile(df, "key", "ts", 0)
+    with _pt.raises(ValueError, match="as_of"):
+        gap_profile(df, "key", "ts", 60, max_age_seconds=10)
+
+    def run(parts):
+        return sorted(tuple(r) for r in gap_profile(
+            df.repartition(parts), "key", "ts", 60).collect())
+
+    assert run(1) == run(16)

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from tstore_spark.functions.timeparts import ntz_epoch_seconds
+from tstore_spark.functions.timeparts import ntz_epoch_micros, ntz_epoch_seconds
 
 
 def interval_coverage(
@@ -85,4 +85,105 @@ def interval_coverage(
         F.sum("_n").alias("n_intervals"),
         F.count(F.lit(1)).alias("n_islands"),
         F.sum("_len").alias("covered_seconds"),
+    )
+
+
+def gap_profile(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    step_seconds: int,
+    as_of: str | None = None,
+    max_age_seconds: int | None = None,
+) -> DataFrame:
+    """Heartbeat / staleness profile of each key's point series against a
+    regular ``step_seconds`` grid — the monitoring question gap_fill
+    ANSWERS BY PATCHING, reported instead: which series have holes, how
+    big is the worst one, and which have gone silent (PromQL ``absent()``
+    over the rollup tiers).
+
+    Per key: ``(key, n_rows, n_windows, first_window, last_window,
+    expected_windows, missing_windows, longest_gap_seconds[, age_seconds,
+    stale])`` where windows are the sign-safe pmod floor of each
+    observation onto the grid (pre-1970-safe), ``expected_windows`` spans
+    first..last inclusive, ``longest_gap_seconds`` is the largest distance
+    between CONSECUTIVE observed windows minus one step (0 when dense),
+    and — when ``as_of`` (an ISO instant, parsed wall-clock via
+    ``to_timestamp_ntz``) is given — ``age_seconds`` is the distance from
+    the key's last raw observation and ``stale`` flags age beyond
+    ``max_age_seconds`` (default: one step).
+
+    Exactness: all integer epoch-second arithmetic on wall-clock fields
+    (TZ-proof on NTZ); windows dedupe in one groupBy, the consecutive-gap
+    pass is one ordered window over the DEDUPED (window-grain, not
+    row-grain) series, so the per-key task is bounded by the grid size.
+    """
+    if step_seconds < 1:
+        raise ValueError(f"step_seconds must be >= 1, got {step_seconds}")
+    if max_age_seconds is not None and as_of is None:
+        raise ValueError("max_age_seconds requires as_of")
+    e = ntz_epoch_seconds(time_col)
+    # sign-safe grid floor: pmod keeps pre-1970 epochs on the correct side.
+    # The floored TIMESTAMP rides alongside its epoch (timestampadd on NTZ
+    # is wall-clock-safe; a from-epoch reconstruction would transit the
+    # session zone). Two staged remainders: sub-second micros first (raw
+    # timestamps carry fractions; leaving them in splits one window into
+    # per-microsecond groups), then the whole-second grid remainder — both
+    # int-safe quantities (< 1e6 and < step respectively).
+    staged = (
+        df.select(
+            F.col(key_col).alias("key"), F.col(time_col).alias("_t"), e.alias("_e")
+        )
+        .withColumn("_us", F.pmod(ntz_epoch_micros("_t"), F.lit(1_000_000)))
+        .withColumn("_rem", F.pmod(F.col("_e"), F.lit(int(step_seconds))))
+    )
+    per_window = (
+        staged.select(
+            "key",
+            (F.col("_e") - F.col("_rem")).alias("_w"),
+            F.expr(
+                "timestampadd(SECOND, CAST(-_rem AS INT), "
+                "timestampadd(MICROSECOND, CAST(-_us AS INT), _t))"
+            ).alias("_wts"),
+            "_e",
+        )
+        .groupBy("key", "_w", "_wts")
+        .agg(F.count(F.lit(1)).alias("_rows"), F.max("_e").alias("_last_e"))
+    )
+    win = Window.partitionBy("key").orderBy("_w")
+    gapped = per_window.withColumn(
+        "_gap", F.col("_w") - F.lag("_w").over(win) - F.lit(int(step_seconds))
+    )
+    agg = gapped.groupBy("key").agg(
+        F.sum("_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.min("_wts").alias("first_window"),
+        F.max("_wts").alias("last_window"),
+        F.min("_w").alias("_w0"),
+        F.max("_w").alias("_w1"),
+        F.greatest(F.max("_gap"), F.lit(0)).alias("longest_gap_seconds"),
+        F.max("_last_e").alias("_last_e"),
+    )
+    expected = (F.col("_w1") - F.col("_w0")) / F.lit(int(step_seconds)) + F.lit(1)
+    out = agg.select(
+        "key",
+        "n_rows",
+        "n_windows",
+        "first_window",
+        "last_window",
+        expected.cast("long").alias("expected_windows"),
+        (expected.cast("long") - F.col("n_windows")).alias("missing_windows"),
+        "longest_gap_seconds",
+        "_last_e",
+    )
+    if as_of is None:
+        return out.drop("_last_e")
+    as_of_e = ntz_epoch_seconds(F.to_timestamp_ntz(F.lit(as_of)))
+    age = (as_of_e - F.col("_last_e")).alias("age_seconds")
+    bar = int(max_age_seconds if max_age_seconds is not None else step_seconds)
+    return out.select(
+        "key", "n_rows", "n_windows", "first_window", "last_window",
+        "expected_windows", "missing_windows", "longest_gap_seconds",
+        age,
+        (F.col("_last_e") + F.lit(bar) < as_of_e).alias("stale"),
     )
