@@ -2913,6 +2913,18 @@ def _holt_oracle() -> str:
     )
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (corpus.py chunk_documents): 64-token chunks
+    with 16-token overlap, starts on a generated arithmetic sequence whose
+    bound guarantees total coverage with no fully-contained trailing
+    chunk. Pure Catalyst, zero shuffle. Oracle replays the identical
+    integer bound and slicing in SQL — exact string equality."""
+    from tstore_spark.operators.corpus import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=64, overlap_tokens=16)
+
+
 def _q_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heartbeat/staleness profile of each event type's 1-minute grid
     (operators/coverage.py gap_profile): exact integer window floors
@@ -3198,6 +3210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_forecast": _q_holt_forecast,
         "holt_winters_forecast": _q_holt_winters,
         "gap_profile": _q_gap_profile,
+        "chunk_documents": _q_chunk_documents,
         "hll_union_daily": _q_hll_union_daily,
         "range_aggregate": _q_range_aggregate,
         "top_days_per_type": _q_top_days_per_type,
@@ -4713,6 +4726,21 @@ def oracle_sql() -> dict[str, str]:
         "sax_words": _sax_words_oracle(),
         "holt_forecast": _holt_oracle(),
         "holt_winters_forecast": _holt_winters_oracle(),
+        "chunk_documents": r"""
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents
+                WHERE text IS NOT NULL AND len(trim(text)) > 0),
+            s AS (
+                SELECT doc_id, toks,
+                       GREATEST(len(toks) - 64, 0) + 47 AS d
+                FROM t)
+            SELECT doc_id,
+                   CAST(u // 48 AS INT) AS chunk_id,
+                   CAST(len(toks[u + 1 : u + 64]) AS BIGINT) AS n_tokens,
+                   array_to_string(toks[u + 1 : u + 64], ' ') AS chunk_text
+            FROM s, unnest(generate_series(0, d - (d % 48), 48)) AS g(u)
+        """,
         "gap_profile": """
             WITH pts AS (
                 SELECT event_type, ts,

@@ -113,6 +113,7 @@ HEADLINE = [
     "cube_doc_stats",
     "holt_winters_forecast",
     "gap_profile",
+    "chunk_documents",
     "ccf_sweep",
     "seasonal_score",
 ]

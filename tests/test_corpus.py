@@ -343,3 +343,87 @@ def test_url_template_profile_deterministic_across_parallelism(spark):
     a = sorted(map(tuple, url_template_profile(sdf).collect()))
     b = sorted(map(tuple, url_template_profile(sdf.repartition(11)).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents (token-window chunking)
+# ---------------------------------------------------------------------------
+
+
+def _ref_chunks(text, chunk, overlap):
+    toks = text.split()
+    if not toks:
+        return []
+    step = chunk - overlap
+    n = len(toks)
+    ub = max(n - chunk, 0)
+    ub = -(-ub // step) * step  # ceil to a multiple of step
+    out = []
+    for cid, s in enumerate(range(0, ub + 1, step)):
+        w = toks[s : s + chunk]
+        out.append((cid, len(w), " ".join(w)))
+    return out
+
+
+def test_chunk_documents_matches_reference(spark):
+    import pandas as pd
+
+    from tstore_spark.operators.corpus import chunk_documents
+
+    texts = {
+        1: " ".join(f"t{i}" for i in range(25)),   # 25 toks
+        2: " ".join(f"t{i}" for i in range(8)),    # exactly one window
+        3: "single",
+        4: " ".join(f"t{i}" for i in range(9)),    # window + 1
+        5: "  padded   whitespace\ttokens\nhere  ",
+        6: "",                                     # zero rows
+        7: None,                                   # zero rows
+    }
+    pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    for chunk, overlap in [(8, 0), (8, 4), (5, 2), (1, 0)]:
+        got = sorted(
+            tuple(r)
+            for r in chunk_documents(
+                spark.createDataFrame(pdf), chunk_tokens=chunk,
+                overlap_tokens=overlap,
+            ).collect()
+        )
+        want = sorted(
+            (d, cid, n, t)
+            for d, txt in texts.items()
+            if txt
+            for cid, n, t in _ref_chunks(txt, chunk, overlap)
+        )
+        assert got == want, (chunk, overlap)
+
+
+def test_chunk_documents_coverage_and_no_contained_chunks(spark):
+    import pandas as pd
+
+    from tstore_spark.operators.corpus import chunk_documents
+
+    pdf = pd.DataFrame({"doc_id": [1], "text": [" ".join(f"t{i}" for i in range(10))]})
+    rows = chunk_documents(
+        spark.createDataFrame(pdf), chunk_tokens=8, overlap_tokens=4
+    ).collect()
+    # starts 0 and 4 only: the would-be chunk at 8 is contained in [4:10]
+    assert [(r["chunk_id"], r["n_tokens"]) for r in sorted(rows, key=lambda r: r["chunk_id"])] == [(0, 8), (1, 6)]
+    # total coverage: union of windows == all tokens
+    seen = set()
+    for r in rows:
+        s = r["chunk_id"] * 4
+        seen.update(range(s, s + r["n_tokens"]))
+    assert seen == set(range(10))
+
+
+def test_chunk_documents_guards(spark):
+    import pandas as pd
+    import pytest as _pt
+
+    from tstore_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a b"]}))
+    with _pt.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, chunk_tokens=0)
+    with _pt.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap_tokens=4)

@@ -325,3 +325,70 @@ def url_template_profile(
             (F.col("n_urls") >= F.lit(int(trap_min_urls))).alias("is_trap"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 0,
+) -> DataFrame:
+    """Split long documents into fixed-token-window chunks with optional
+    overlap — the sequence-chunking step of an LLM training/RAG pipeline
+    (token_pack_offsets PACKS short docs into budgets; this SPLITS long
+    docs down to them).
+
+    Chunks are whitespace-token windows starting every
+    ``chunk_tokens − overlap_tokens`` tokens, up to the FIRST start whose
+    window reaches the end of the doc — so coverage is total, the last
+    chunk may be shorter, and no chunk is ever fully contained in its
+    predecessor (a contained trailing chunk is pure duplication in a
+    training set). A doc shorter than one window yields one chunk;
+    NULL/empty texts yield zero rows. Chunk text is
+    whitespace-NORMALIZED (tokens re-joined with single spaces — the
+    token-window contract; byte-faithful slicing would need offsets the
+    tokens don't carry). Output: ``(id, chunk_id, n_tokens, chunk_text)``
+    with ``chunk_id`` the 0-based window ordinal, so (id, chunk_id) is a
+    deterministic stable chunk key.
+
+    Scale shape: pure Catalyst — one split per doc, starts from a
+    generated arithmetic sequence, one explode of a (start, slice) struct
+    EXPRESSION over the hoisted token array (the dedup.py explode rule:
+    never explode an expensive array COLUMN through a pushable filter).
+    No shuffle at all; chunking composes with the samplers and writers as
+    a free map.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap_tokens < chunk_tokens, got {overlap_tokens}"
+        )
+    step = chunk_tokens - overlap_tokens
+    staged = df.where(
+        F.col(text_col).isNotNull() & (F.length(F.trim(text_col)) > 0)
+    ).select(
+        F.col(id_col),
+        F.split(F.trim(text_col), r"\s+").alias("_toks"),
+    )
+    # starts: 0, step, 2·step, …, ub where ub = the smallest multiple of
+    # step whose window reaches the doc end: ceil(max(n − chunk, 0) / step)
+    # · step, in pure integer arithmetic
+    d = F.greatest(F.size("_toks") - F.lit(chunk_tokens), F.lit(0)) + F.lit(step - 1)
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), d - F.pmod(d, F.lit(step)), F.lit(step)),
+            lambda s: F.struct(
+                (s / step).cast("int").alias("chunk_id"),
+                F.slice("_toks", s + 1, chunk_tokens).alias("_ct"),
+            ),
+        )
+    )
+    out = staged.select(F.col(id_col), chunk.alias("_c"))
+    return out.select(
+        id_col,
+        F.col("_c.chunk_id").alias("chunk_id"),
+        F.size("_c._ct").cast("long").alias("n_tokens"),
+        F.array_join("_c._ct", " ").alias("chunk_text"),
+    )
