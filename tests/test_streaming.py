@@ -329,3 +329,49 @@ def test_stream_cascade_kmins_cells_match_batch_sketch(spark, stream_dirs):
     assert set(g) == closed_keys and closed_keys
     for k in closed_keys:
         assert g[k] == b[k], f"cell drift at {k}"
+
+
+def test_seasonal_score_streams_unmodified(spark):
+    """seasonal_score is stateless + a stream-static broadcast join, so the
+    SAME function runs on a streaming frame (one semantics, two execution
+    modes — the attribution_join contract): streamed scores == batch."""
+    import pandas as pd
+
+    from tstore_spark.operators.seasonal import seasonal_baseline, seasonal_score
+
+    rows = []
+    for d in range(7):
+        for h in range(24):
+            ts = pd.Timestamp("2024-03-04") + pd.Timedelta(days=d, hours=h)
+            rows.append(("m", ts, float(10 + (h * 7) % 5)))
+    pdf = pd.DataFrame(rows, columns=["key", "ts", "value"])
+    sdf = spark.createDataFrame(pdf)
+    base = tempfile.mkdtemp(prefix="ts_score_stream_")
+    try:
+        src = f"{base}/src"
+        sdf.repartition(4).write.parquet(src)
+        baseline = seasonal_baseline(sdf, "key", "ts", "value")
+        stream = (
+            spark.readStream.schema(sdf.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        scored_stream = seasonal_score(stream, baseline, "key", "ts", "value")
+        q = (
+            scored_stream.writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            tuple(r) for r in spark.read.parquet(f"{base}/out").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in seasonal_score(sdf, baseline, "key", "ts", "value").collect()
+        )
+        assert got == want and len(got) == len(pdf)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

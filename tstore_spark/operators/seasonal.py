@@ -194,7 +194,13 @@ def seasonal_score(
     """Each point's deviation from ITS seasonal cohort, in cohort sigmas
     (NULL where the cohort is too small or flat — never a division error).
     The baseline broadcast-joins on (key, bucket); the series itself is
-    never shuffled."""
+    never shuffled.
+
+    Streaming: stateless + a stream-static broadcast join, so the SAME
+    function scores a ``readStream`` frame against a static (periodically
+    recomputed) baseline with identical semantics — proven
+    streamed == batch in tests/test_streaming.py (the attribution_join
+    one-semantics-two-modes contract)."""
     b = F.broadcast(
         baseline.where(F.col("n") >= min_n).select(
             F.col("key").alias("_bk"),
