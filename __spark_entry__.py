@@ -2913,6 +2913,26 @@ def _holt_oracle() -> str:
     )
 
 
+def _q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of each event type's hourly series
+    (robust.py theil_sen): slope = exact interpolated median of all
+    pairwise slopes over trend_fit's integer discretization, rounded 4dp
+    (the module's engine-identical percentile discipline); intercept =
+    median residual. Oracle replays the identical pair join, fixed slope
+    expression, and quantile_cont in SQL."""
+    from tstore_spark.operators.robust import theil_sen
+
+    ev = _t(spark, sf_dir, "events")
+    ser = ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("t"),
+    ).agg(
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("v")
+    )
+    out = theil_sen(ser, "k", "t", "v", anchor="2024-01-01")
+    return out.withColumnRenamed("key", "event_type")
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking (corpus.py chunk_documents): 64-token chunks
     with 16-token overlap, starts on a generated arithmetic sequence whose
@@ -3211,6 +3231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters_forecast": _q_holt_winters,
         "gap_profile": _q_gap_profile,
         "chunk_documents": _q_chunk_documents,
+        "theil_sen_trend": _q_theil_sen,
         "hll_union_daily": _q_hll_union_daily,
         "range_aggregate": _q_range_aggregate,
         "top_days_per_type": _q_top_days_per_type,
@@ -4726,6 +4747,44 @@ def oracle_sql() -> dict[str, str]:
         "sax_words": _sax_words_oracle(),
         "holt_forecast": _holt_oracle(),
         "holt_winters_forecast": _holt_winters_oracle(),
+        "theil_sen_trend": """
+            WITH ser AS (
+                SELECT event_type AS key, date_trunc('hour', ts) AS t,
+                       CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                            AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+            pts AS (
+                SELECT key,
+                       CAST((epoch_us(t)
+                             - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+                            // 60000000 AS BIGINT) AS x,
+                       c
+                FROM ser),
+            p AS (
+                SELECT a.key,
+                       CAST(b.c - a.c AS DOUBLE)
+                         / CAST(b.x - a.x AS DOUBLE) / 100.0 AS sl
+                FROM pts a JOIN pts b ON a.key = b.key AND a.x < b.x),
+            sl AS (
+                SELECT key, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       round(quantile_cont(sl, 0.5), 4) + 0.0 AS slope
+                FROM p GROUP BY 1),
+            np AS (
+                SELECT key, CAST(COUNT(*) AS BIGINT) AS n_points
+                FROM pts GROUP BY 1),
+            ic AS (
+                SELECT pts.key,
+                       round(quantile_cont(
+                           CAST(pts.c AS DOUBLE) / 100.0
+                             - sl.slope * CAST(pts.x AS DOUBLE), 0.5), 4)
+                         + 0.0 AS intercept
+                FROM pts JOIN sl ON pts.key = sl.key GROUP BY pts.key)
+            SELECT np.key AS event_type, np.n_points,
+                   COALESCE(sl.n_pairs, 0) AS n_pairs, sl.slope, ic.intercept
+            FROM np
+            LEFT JOIN sl ON np.key = sl.key
+            LEFT JOIN ic ON np.key = ic.key
+        """,
         "chunk_documents": r"""
             WITH t AS (
                 SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

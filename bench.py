@@ -114,6 +114,7 @@ HEADLINE = [
     "holt_winters_forecast",
     "gap_profile",
     "chunk_documents",
+    "theil_sen_trend",
     "ccf_sweep",
     "seasonal_score",
 ]

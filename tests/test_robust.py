@@ -72,3 +72,89 @@ def test_winsorize_validates_bounds(spark):
     df = spark.createDataFrame([("x", 1.0)], "k string, v double")
     with pytest.raises(ValueError):
         winsorize(df, "k", "v", 0.9, 0.1)
+
+
+# ---------------------------------------------------------------------------
+# theil_sen
+# ---------------------------------------------------------------------------
+
+
+def _ts_series(spark):
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    rng = np.random.default_rng(5)
+    for k, (slope, base) in {"up": (0.5, 10.0), "flat": (0.0, 4.0)}.items():
+        for i in range(40):
+            noise = float(rng.integers(-100, 101)) / 100.0
+            rows.append(
+                (k, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+                 round(base + slope * i + noise, 2))
+            )
+    # one massive outlier in 'up' (the OLS breaker)
+    rows.append(("up", pd.Timestamp("2024-01-01 00:20:30"), 10_000.0))
+    # a key whose points all share one minute: pairs impossible
+    rows.append(("stack", pd.Timestamp("2024-01-01 00:00:10"), 1.0))
+    rows.append(("stack", pd.Timestamp("2024-01-01 00:00:40"), 9.0))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["key", "ts", "value"]))
+
+
+def _ref_theil_sen(pdf, anchor_us):
+    import numpy as np
+
+    out = {}
+    for k, g in pdf[pdf.value.notna()].groupby("key"):
+        x = ((g["ts"].astype("int64") // 1000 - anchor_us) // 60_000_000).to_numpy()
+        c = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        sl = [
+            (float(c[j] - c[i]) / float(x[j] - x[i])) / 100.0
+            for i in range(len(x))
+            for j in range(len(x))
+            if x[i] < x[j]
+        ]
+        if sl:
+            slope = round(float(np.median(sl)), 4)
+            resid = c / 100.0 - slope * x
+            out[k] = (len(x), len(sl), slope, round(float(np.median(resid)), 4))
+        else:
+            out[k] = (len(x), 0, None, None)
+    return out
+
+
+def test_theil_sen_matches_reference_and_resists_outlier(spark):
+    from tstore_spark.operators.robust import theil_sen
+    from tstore_spark.operators.trend import trend_fit
+
+    sdf = _ts_series(spark)
+    got = {
+        r["key"]: (r["n_points"], r["n_pairs"], r["slope"], r["intercept"])
+        for r in theil_sen(sdf, "key", "ts", "value").collect()
+    }
+    pdf = sdf.toPandas()
+    anchor_us = int(pdf["ts"].astype("int64").min() // 1000)
+    assert got == _ref_theil_sen(pdf, anchor_us)
+    # robustness: the planted 10k spike drags OLS far off; Theil-Sen stays
+    assert abs(got["up"][2] - 0.5) < 0.05
+    ols = {r["key"]: r["slope"] for r in trend_fit(sdf, "key", "ts", "value").collect()}
+    assert abs(ols["up"] - 0.5) > 0.5  # OLS dragged ~2x off the true slope
+    # same-minute stack: no valid pair -> NULL slope, zero pairs
+    assert got["stack"][1] == 0 and got["stack"][2] is None
+
+
+def test_theil_sen_guard_and_determinism(spark):
+    import pytest as _pt
+
+    from tstore_spark.operators.robust import theil_sen
+
+    sdf = _ts_series(spark)
+    with _pt.raises(ValueError, match="max_points_per_key"):
+        theil_sen(sdf, "key", "ts", "value", max_points_per_key=10)
+
+    def run(parts):
+        return sorted(
+            tuple(r)
+            for r in theil_sen(sdf.repartition(parts), "key", "ts", "value").collect()
+        )
+
+    assert run(1) == run(16)
