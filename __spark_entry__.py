@@ -2913,6 +2913,18 @@ def _holt_oracle() -> str:
     )
 
 
+def _q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level term co-occurrence (corpus.py term_cooccurrence):
+    exact pair counts from the per-doc postings self-join, token document
+    frequencies and corpus size riding each row so PMI is one expression
+    away (PMI itself is ln-based and pytest-gated — the BM25 rule).
+    Oracle replays the identical tokenize/distinct/self-join in SQL."""
+    from tstore_spark.operators.corpus import term_cooccurrence
+
+    d = _t(spark, sf_dir, "documents")
+    return term_cooccurrence(d, min_pair_count=5)
+
+
 def _q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend of each event type's hourly series
     (robust.py theil_sen): slope = exact interpolated median of all
@@ -3232,6 +3244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_profile": _q_gap_profile,
         "chunk_documents": _q_chunk_documents,
         "theil_sen_trend": _q_theil_sen,
+        "term_cooccurrence": _q_term_cooccurrence,
         "hll_union_daily": _q_hll_union_daily,
         "range_aggregate": _q_range_aggregate,
         "top_days_per_type": _q_top_days_per_type,
@@ -4747,6 +4760,31 @@ def oracle_sql() -> dict[str, str]:
         "sax_words": _sax_words_oracle(),
         "holt_forecast": _holt_oracle(),
         "holt_winters_forecast": _holt_winters_oracle(),
+        "term_cooccurrence": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_distinct(regexp_split_to_array(
+                           trim(lower(text)), '\s+')) AS tk
+                FROM documents
+                WHERE text IS NOT NULL AND len(trim(text)) > 0),
+            posts AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+            pairs AS (
+                SELECT a.tok AS token_a, b.tok AS token_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_pair
+                FROM posts a
+                JOIN posts b ON a.doc_id = b.doc_id AND a.tok < b.tok
+                GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+            dfreq AS (
+                SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM posts
+                GROUP BY 1),
+            nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM t)
+            SELECT p.token_a, p.token_b, p.n_pair,
+                   da.df AS df_a, db.df AS df_b, nd.n_docs
+            FROM pairs p
+            JOIN dfreq da ON p.token_a = da.tok
+            JOIN dfreq db ON p.token_b = db.tok
+            CROSS JOIN nd
+        """,
         "theil_sen_trend": """
             WITH ser AS (
                 SELECT event_type AS key, date_trunc('hour', ts) AS t,

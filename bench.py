@@ -115,6 +115,7 @@ HEADLINE = [
     "gap_profile",
     "chunk_documents",
     "theil_sen_trend",
+    "term_cooccurrence",
     "ccf_sweep",
     "seasonal_score",
 ]

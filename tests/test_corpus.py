@@ -427,3 +427,90 @@ def test_chunk_documents_guards(spark):
         chunk_documents(df, chunk_tokens=0)
     with _pt.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
+
+
+# ---------------------------------------------------------------------------
+# term_cooccurrence / pmi
+# ---------------------------------------------------------------------------
+
+
+def _cooc_docs(spark):
+    import pandas as pd
+
+    texts = [
+        "spark rollup tier",
+        "spark rollup cascade",
+        "spark tier",
+        "rollup tier spark",
+        "cascade only here",
+        "Spark SPARK spark",  # distinct-per-doc + lowercasing
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+
+def test_term_cooccurrence_matches_reference(spark):
+    from itertools import combinations
+
+    from tstore_spark.operators.corpus import term_cooccurrence
+
+    sdf = _cooc_docs(spark)
+    got = {
+        (r["token_a"], r["token_b"]): (r["n_pair"], r["df_a"], r["df_b"], r["n_docs"])
+        for r in term_cooccurrence(sdf, min_pair_count=1).collect()
+    }
+    docs = [set(t.lower().split()) for t in sdf.toPandas()["text"]]
+    from collections import Counter
+
+    pair_c, df_c = Counter(), Counter()
+    for s in docs:
+        df_c.update(s)
+        pair_c.update(combinations(sorted(s), 2))
+    want = {
+        p: (c, df_c[p[0]], df_c[p[1]], len(docs)) for p, c in pair_c.items()
+    }
+    assert got == want
+    assert got[("rollup", "spark")][0] == 3
+    # min_pair_count filters deterministically
+    got2 = {
+        (r["token_a"], r["token_b"])
+        for r in term_cooccurrence(sdf, min_pair_count=2).collect()
+    }
+    assert got2 == {p for p, c in pair_c.items() if c >= 2}
+
+
+def test_term_cooccurrence_guards_and_pmi(spark):
+    import math
+
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from tstore_spark.operators.corpus import pmi_expr, term_cooccurrence
+
+    sdf = _cooc_docs(spark)
+    with _pt.raises(ValueError, match="min_pair_count"):
+        term_cooccurrence(sdf, min_pair_count=0)
+    with _pt.raises((SparkRuntimeException, Py4JJavaError)):
+        term_cooccurrence(sdf, max_doc_tokens=2).collect()
+    out = term_cooccurrence(sdf, min_pair_count=1).withColumn("pmi", pmi_expr())
+    for r in out.collect():
+        want = math.log(r["n_pair"] * r["n_docs"] / (r["df_a"] * r["df_b"]))
+        assert r["pmi"] == _pt.approx(want, rel=1e-12)
+    # 'spark rollup' co-occur maximally -> PMI above independence (> 0)
+    top = {(r["token_a"], r["token_b"]): r["pmi"] for r in out.collect()}
+    assert top[("rollup", "spark")] > 0
+
+
+def test_term_cooccurrence_deterministic(spark):
+    from tstore_spark.operators.corpus import term_cooccurrence
+
+    sdf = _cooc_docs(spark)
+
+    def run(parts):
+        return sorted(
+            tuple(r) for r in term_cooccurrence(sdf.repartition(parts)).collect()
+        )
+
+    assert run(1) == run(16)

@@ -392,3 +392,80 @@ def chunk_documents(
         F.size("_c._ct").cast("long").alias("n_tokens"),
         F.array_join("_c._ct", " ").alias("chunk_text"),
     )
+
+
+def term_cooccurrence(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    max_doc_tokens: int = 5_000,
+) -> DataFrame:
+    """Document-level term co-occurrence counts — the corpus statistic
+    phrase mining, query expansion, and embedding-prep pipelines start
+    from: for every unordered token pair, in how many documents do both
+    appear, alongside each token's document frequency and the corpus size
+    (so PMI & friends are one expression away — see :func:`pmi_expr`).
+
+    Output: ``(token_a, token_b, n_pair, df_a, df_b, n_docs)`` with
+    ``token_a < token_b``, exact integers only, filtered to ``n_pair >=
+    min_pair_count`` (a deterministic row set — no ranking ties).
+
+    Scale shape: distinct tokens per doc first (one projection), pair
+    generation is a per-doc self-join of the exploded postings —
+    inherently quadratic in per-doc DISTINCT-token count, which is why
+    docs beyond ``max_doc_tokens`` distinct tokens raise loudly (the
+    token_jaccard_pairs valve; at web scale run after boilerplate removal
+    or with a vocabulary restriction). df counts and the pair counts are
+    map-side-combined groupBys; df/corpus-size attach via broadcast-sized
+    joins on the token.
+    """
+    if min_pair_count < 1:
+        raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
+    staged = df.where(
+        F.col(text_col).isNotNull() & (F.length(F.trim(text_col)) > 0)
+    ).select(F.col(id_col).alias("_id"), F.array_distinct(tokens(text_col)).alias("_tk"))
+    guarded = staged.select(
+        "_id",
+        F.when(F.size("_tk") <= max_doc_tokens, F.col("_tk")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"term_cooccurrence: doc exceeds max_doc_tokens="
+                        f"{max_doc_tokens} distinct tokens at id "
+                    ),
+                    F.col("_id").cast("string"),
+                )
+            )
+        ).alias("_tk"),
+    )
+    posts = guarded.select("_id", F.explode("_tk").alias("_t"))
+    a, b = posts.alias("a"), posts.alias("b")
+    pairs = (
+        a.join(b, (F.col("a._id") == F.col("b._id")) & (F.col("a._t") < F.col("b._t")))
+        .groupBy(F.col("a._t").alias("token_a"), F.col("b._t").alias("token_b"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_pair_count)
+    )
+    dfreq = posts.groupBy(F.col("_t")).agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = guarded.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        pairs.join(dfreq.select(F.col("_t").alias("token_a"), F.col("_df").alias("df_a")), "token_a")
+        .join(dfreq.select(F.col("_t").alias("token_b"), F.col("_df").alias("df_b")), "token_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select("token_a", "token_b", "n_pair", "df_a", "df_b", "n_docs")
+    )
+
+
+def pmi_expr(
+    n_pair="n_pair", df_a="df_a", df_b="df_b", n_docs="n_docs"
+):
+    """Pointwise mutual information over :func:`term_cooccurrence` output:
+    ``ln(n_pair · N / (df_a · df_b))``. ln is implementation-defined in
+    IEEE (the BM25 lesson) so PMI is pytest-gated, never hash-gated —
+    rank/filter on it downstream, gate the integers it derives from."""
+    return F.log(
+        F.col(n_pair).cast("double")
+        * F.col(n_docs).cast("double")
+        / (F.col(df_a).cast("double") * F.col(df_b).cast("double"))
+    )
