@@ -2457,7 +2457,7 @@ def _q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return seasonal_baseline(ev, "event_type", "ts", "value").select(
         F.col("key").alias("event_type"),
-        "bucket", "n", "sum_cents", "sumsq_cents", "mean", "std",
+        "bucket", "n", "sum_cents", "sumsq_cents", "mean", "std", "period",
     )
 
 
@@ -4233,7 +4233,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type,
                        CAST((isodow(ts) - 1) * 24 + hour(ts) AS INT) AS bucket,
                        CAST(round(value * 100) AS BIGINT) AS c
-                FROM events),
+                FROM events WHERE value IS NOT NULL),
             st AS (
                 SELECT event_type, bucket,
                        CAST(COUNT(*) AS BIGINT) AS n,
@@ -4244,7 +4244,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum_cents AS DOUBLE) / n / 100.0 AS mean,
                    sqrt(GREATEST(CAST(n * sumsq_cents
                                       - sum_cents * sum_cents AS DOUBLE), 0.0))
-                       / n / 100.0 AS std
+                       / n / 100.0 AS std,
+                   'hour_of_week' AS period
             FROM st
         """,
         "prefix_jaccard": _SHINGLE_PAIRS_ORACLE.format(thr=0.35),
@@ -4272,7 +4273,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(COUNT(*) AS BIGINT) AS n,
                        CAST(SUM(c) AS BIGINT) AS sum_cents,
                        CAST(SUM(c * c) AS BIGINT) AS sumsq_cents
-                FROM x GROUP BY 1, 2),
+                FROM x WHERE value IS NOT NULL GROUP BY 1, 2),
             b AS (
                 SELECT event_type, bucket,
                        CAST(sum_cents AS DOUBLE) / n / 100.0 AS mean,
@@ -4792,10 +4793,13 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) AS c
                 FROM events GROUP BY 1, 2),
             pts AS (
+                -- floor(), not // : DuckDB's // truncates toward zero, so a
+                -- pre-anchor point at a fractional minute would bucket one
+                -- minute late vs Spark's F.floor (theil_sen review finding)
                 SELECT key,
-                       CAST((epoch_us(t)
-                             - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
-                            // 60000000 AS BIGINT) AS x,
+                       CAST(floor((epoch_us(t)
+                                   - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+                                  / 60000000) AS BIGINT) AS x,
                        c
                 FROM ser),
             p AS (

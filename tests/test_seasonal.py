@@ -186,3 +186,34 @@ def test_seasonal_score_isolates_cohort_abnormal_point(spark):
     assert scored[anomaly_ts] > 4.0
     normals = [abs(s) for t, s in scored.items() if t != anomaly_ts and s is not None]
     assert max(normals) < 4.0
+
+
+def test_seasonal_baseline_skips_null_values(spark):
+    from tstore_spark.operators.seasonal import seasonal_baseline
+
+    rows = [
+        ("A", pd.Timestamp("2024-03-04 05:00:00"), 10.0),
+        ("A", pd.Timestamp("2024-03-05 05:00:00"), 10.0),
+        ("A", pd.Timestamp("2024-03-06 05:00:00"), None),  # carries nothing
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["key", "ts", "value"]))
+    r = seasonal_baseline(df, "key", "ts", "value", period="hour_of_day").collect()[0]
+    # n counts OBSERVATIONS: a NULL in n while the sums skip it would give
+    # mean 6.67 / std 4.71 for a constant-10 cohort (review finding)
+    assert (r["n"], r["mean"], r["std"]) == (2, 10.0, 0.0)
+    assert r["period"] == "hour_of_day"
+
+
+def test_seasonal_score_period_mismatch_raises(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from tstore_spark.operators.seasonal import seasonal_baseline, seasonal_score
+
+    df = _series(spark)
+    base_day = seasonal_baseline(df, "key", "ts", "value", period="hour_of_day")
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="period"):
+        seasonal_score(df, base_day, "key", "ts", "value",
+                       period="hour_of_week").collect()
+    with pytest.raises(ValueError, match="period"):
+        seasonal_score(df, base_day.drop("period"), "key", "ts", "value")

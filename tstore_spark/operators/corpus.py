@@ -422,6 +422,13 @@ def term_cooccurrence(
     """
     if min_pair_count < 1:
         raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
+    # the tokenized postings feed three aggregations (pair join, df counts,
+    # corpus size): scope-cache them or the doc-proportional tokenize +
+    # array_distinct work runs three times per action (the
+    # shingle_jaccard_pairs_exact discipline, dedup.py's registry)
+    from tstore_spark.operators.dedup import _cache_scoped, _evict_prior_caches
+
+    _evict_prior_caches()
     staged = df.where(
         F.col(text_col).isNotNull() & (F.length(F.trim(text_col)) > 0)
     ).select(F.col(id_col).alias("_id"), F.array_distinct(tokens(text_col)).alias("_tk"))
@@ -439,6 +446,7 @@ def term_cooccurrence(
             )
         ).alias("_tk"),
     )
+    guarded = _cache_scoped(guarded)
     posts = guarded.select("_id", F.explode("_tk").alias("_t"))
     a, b = posts.alias("a"), posts.alias("b")
     pairs = (

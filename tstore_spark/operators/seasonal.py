@@ -33,16 +33,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-#: supported phase grammars: name -> (Spark expr builder, period length)
+#: the ONE phase/period grammar of this module: name -> (expr builder,
+#: period length). All calendar positions are wall-clock FIELD extraction
+#: (TZ-safe on NTZ); weekday() is Monday=0..Sunday=6.
 _PHASES = {
     "hour": (lambda t: F.hour(t).cast("int"), 24),
-    "dow": (lambda t: F.weekday(t).cast("int"), 7),  # Monday=0 .. Sunday=6
+    "dow": (lambda t: F.weekday(t).cast("int"), 7),
+    "hour_of_day": (lambda t: F.hour(t).cast("int"), 24),
+    "hour_of_week": (lambda t: (F.weekday(t) * 24 + F.hour(t)).cast("int"), 168),
 }
 
 
-def _phase_expr(phase: str, time_col: str) -> Column:
-    if phase not in _PHASES:
-        raise ValueError(f"phase must be one of {sorted(_PHASES)}, got {phase!r}")
+def _phase_expr(phase: str, time_col: str, allowed=None) -> Column:
+    names = sorted(allowed) if allowed else sorted(_PHASES)
+    if phase not in (allowed or _PHASES):
+        raise ValueError(f"phase/period must be one of {names}, got {phase!r}")
     return _PHASES[phase][0](F.col(time_col))
 
 
@@ -130,19 +135,14 @@ def deseasonalize(
     )
 
 
-_BUCKETS = {"hour_of_day": 24, "hour_of_week": 168}
+#: baseline/score period vocabulary (a subset of the shared _PHASES table)
+_BUCKET_PERIODS = ("hour_of_day", "hour_of_week")
 
 
 def season_bucket(time_col: str, period: str = "hour_of_week"):
-    """The season-bucket expression: wall-clock field extraction (TZ-safe
-    on NTZ). ``hour_of_week``: Monday 00:00 -> 0 ... Sunday 23:00 -> 167."""
-    if period not in _BUCKETS:
-        raise ValueError(f"period must be one of {sorted(_BUCKETS)}, got {period!r}")
-    hour = F.hour(time_col)
-    if period == "hour_of_day":
-        return hour.cast("int")
-    # weekday(): Monday=0..Sunday=6 — wall-clock field, no session-zone math
-    return (F.weekday(time_col) * 24 + hour).cast("int")
+    """The season-bucket expression (the shared :data:`_PHASES` grammar).
+    ``hour_of_week``: Monday 00:00 -> 0 ... Sunday 23:00 -> 167."""
+    return _phase_expr(period, time_col, allowed=_BUCKET_PERIODS)
 
 
 def seasonal_baseline(
@@ -154,13 +154,18 @@ def seasonal_baseline(
     cents: bool = True,
 ) -> DataFrame:
     """Per (key, bucket) exact statistics and derived mean/std:
-    ``(key, bucket, n, sum_cents, sumsq_cents, mean, std)``. std is the
-    population form ``sqrt(n*Σx² − (Σx)²) / n`` computed by one fixed
-    expression over the integers (value units, i.e. cents / 100)."""
+    ``(key, bucket, n, sum_cents, sumsq_cents, mean, std, period)``. std
+    is the population form ``sqrt(n*Σx² − (Σx)²) / n`` computed by one
+    fixed expression over the integers (value units, i.e. cents / 100).
+    NULL values are skipped (a NULL carries no observation — counting it
+    in ``n`` while the sums skip it would corrupt every cohort moment).
+    The ``period`` literal rides the output so :func:`seasonal_score` can
+    refuse a baseline built on a different calendar grammar."""
     v = F.col(value_col)
     x = F.round(v * 100).cast("long") if cents else v.cast("long")
     stats = (
-        df.select(
+        df.where(F.col(value_col).isNotNull())
+        .select(
             F.col(key_col).alias("key"),
             season_bucket(time_col, period).alias("bucket"),
             x.alias("_x"),
@@ -179,7 +184,8 @@ def seasonal_baseline(
     ).cast("double")
     std = F.sqrt(F.greatest(var_num, F.lit(0.0))) / F.col("n") / scale
     return stats.select("key", "bucket", "n", "sum_cents", "sumsq_cents",
-                        mean.alias("mean"), std.alias("std"))
+                        mean.alias("mean"), std.alias("std"),
+                        F.lit(period).alias("period"))
 
 
 def seasonal_score(
@@ -200,12 +206,34 @@ def seasonal_score(
     function scores a ``readStream`` frame against a static (periodically
     recomputed) baseline with identical semantics — proven
     streamed == batch in tests/test_streaming.py (the attribution_join
-    one-semantics-two-modes contract)."""
+    one-semantics-two-modes contract).
+
+    The baseline must carry :func:`seasonal_baseline`'s ``period`` column:
+    a missing column raises at build time, a mismatched period raises
+    in-plan at action time — scoring hour-of-day cohorts onto hour-of-week
+    buckets (both numeric 0..23 on Mondays) would otherwise be silently,
+    confidently wrong."""
+    if "period" not in baseline.columns:
+        raise ValueError(
+            "seasonal_score: baseline lacks the 'period' column — build it "
+            "with seasonal_baseline (or attach F.lit(<period>) to a custom one)"
+        )
+    checked_mean = F.when(
+        F.col("period") == F.lit(period), F.col("mean")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "seasonal_score: baseline was built with period=%s but "
+                f"scoring requested period={period}",
+                F.col("period"),
+            )
+        )
+    )
     b = F.broadcast(
         baseline.where(F.col("n") >= min_n).select(
             F.col("key").alias("_bk"),
             F.col("bucket").alias("_bb"),
-            "mean",
+            checked_mean.alias("mean"),
             "std",
         )
     )
