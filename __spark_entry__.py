@@ -1230,6 +1230,17 @@ def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-doc duplicate passages (Lee et al. 2022 substring dedup):
+    maximal runs of >= 10 shared whitespace tokens per doc pair, as 0-based
+    token coordinates. N-gram postings equi-join + gaps-and-islands merge
+    per alignment diagonal — pure integers, engine-identical; the oracle
+    runs the same diagonal recursion in SQL."""
+    from tstore_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf_dir, "documents"), n=10)
+
+
 def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of two retrieval rankings: tf of 'spark'
     (from the real inverted index) and a doc-length prior. Ranks are
@@ -3148,6 +3159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_daily": _q_winsorized_daily,
         "rrf_fusion": _q_rrf_fusion,
         "containment_pairs": _q_containment,
+        "duplicate_spans": _q_duplicate_spans,
         "skew_profile": _q_skew_profile,
         "html_extract": _q_html_extract,
         "lttb_downsample": _q_lttb,
@@ -3701,6 +3713,31 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT id_b, id_a, round(CAST(inter AS DOUBLE) / nb, 4)
             FROM c WHERE round(CAST(inter AS DOUBLE) / nb, 4) >= 0.5
+        """,
+        "duplicate_spans": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+                FROM documents WHERE text IS NOT NULL),
+            g AS (
+                SELECT doc_id, u.p AS p,
+                       array_to_string(l[u.p+1 : u.p+10], ' ') AS gram
+                FROM t, unnest(range(0, len(l) - 10 + 1)) AS u(p)
+                WHERE len(l) >= 10),
+            c AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+            r AS (
+                SELECT doc_a, doc_b, pa - pb AS diag, pa,
+                       pa - row_number() OVER (
+                           PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+                FROM c)
+            SELECT doc_a, doc_b,
+                   CAST(MIN(pa) AS BIGINT) AS start_a,
+                   CAST(MIN(pa) - diag AS BIGINT) AS start_b,
+                   CAST(MAX(pa) - MIN(pa) + 10 AS BIGINT) AS span_tokens
+            FROM r GROUP BY doc_a, doc_b, diag, isl
+            HAVING MAX(pa) - MIN(pa) + 10 >= 10
         """,
         "rrf_fusion": """
             WITH tf AS (

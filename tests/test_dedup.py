@@ -244,3 +244,99 @@ def test_dedup_clusters_deterministic_across_parallelism(spark):
     a = DD.dedup_clusters(_pairs_df(spark, pairs), num_partitions=2).collect()
     b = DD.dedup_clusters(_pairs_df(spark, pairs), num_partitions=16).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans: exact cross-doc duplicate passages (Lee et al. 2022 shape)
+# ---------------------------------------------------------------------------
+
+
+def _brute_spans(docs, n):
+    """Straight-line reference: maximal equal-token runs >= n per pair."""
+    toks = {i: t.split() for i, t in docs}
+    out = []
+    ids = sorted(toks)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            A, B = toks[a], toks[b]
+            for i in range(len(A)):
+                for j in range(len(B)):
+                    if A[i] != B[j] or (i > 0 and j > 0 and A[i - 1] == B[j - 1]):
+                        continue  # not a run start
+                    k = 0
+                    while i + k < len(A) and j + k < len(B) and A[i + k] == B[j + k]:
+                        k += 1
+                    if k >= n:
+                        out.append((a, b, i, j, k))
+    return sorted(out)
+
+
+_SPAN_DOCS = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa tail one"),
+    # shares the 10-token prefix run with doc 1 (run length 10 exactly)
+    (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa other end"),
+    # shares an 11-token INTERNAL quote with doc 1 (offset alignment)
+    (3, "lead in alpha beta gamma delta epsilon zeta eta theta iota kappa tail"),
+    # 9-token overlap only -> below n, no row
+    (4, "alpha beta gamma delta epsilon zeta eta theta iota MISMATCH x y"),
+    # case-sensitive: no match despite lowercase equality
+    (5, "ALPHA BETA GAMMA DELTA EPSILON ZETA ETA THETA IOTA KAPPA tail one"),
+    # two disjoint runs on the same diagonal vs doc 6b
+    (6, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 BREAK q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"),
+    (7, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 SPLIT q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"),
+]
+
+
+def _spans_df(spark, docs=_SPAN_DOCS):
+    return spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+
+
+def test_duplicate_spans_vs_brute(spark):
+    got = sorted(
+        tuple(r)
+        for r in DD.duplicate_spans(_spans_df(spark), n=10).collect()
+    )
+    assert got == _brute_spans(_SPAN_DOCS, 10)
+    # the planted shapes actually exercised what they claim
+    assert (1, 2, 0, 0, 10) in got           # exact-n prefix run
+    assert (1, 3, 0, 2, 11) in got           # internal quote, offset diagonal
+    assert not any(r[0] == 4 or r[1] == 4 for r in got)   # 9-token overlap absent
+    assert not any(r[0] == 5 or r[1] == 5 for r in got)   # case-sensitive
+    assert [r for r in got if r[:2] == (6, 7)] == [
+        (6, 7, 0, 0, 10), (6, 7, 11, 11, 10)]             # two islands, one diagonal
+
+
+def test_duplicate_spans_min_span_filter(spark):
+    got = DD.duplicate_spans(_spans_df(spark), n=10, min_span_tokens=11).collect()
+    assert sorted(tuple(r) for r in got) == [(1, 3, 0, 2, 11)]
+    with pytest.raises(ValueError, match="min_span_tokens"):
+        DD.duplicate_spans(_spans_df(spark), n=10, min_span_tokens=9)
+    with pytest.raises(ValueError, match="n must be"):
+        DD.duplicate_spans(_spans_df(spark), n=1)
+
+
+def test_duplicate_spans_gram_df_guard(spark):
+    import pyspark.errors
+
+    boiler = " ".join(f"w{i}" for i in range(12))
+    docs = [(i, boiler) for i in range(5)]
+    with pytest.raises(pyspark.errors.PySparkException, match="max_gram_df"):
+        DD.duplicate_spans(_spans_df(spark, docs), n=10, max_gram_df=3).collect()
+    # cap not exceeded -> all 10 pairs, full-doc span
+    ok = DD.duplicate_spans(_spans_df(spark, docs), n=10, max_gram_df=5).collect()
+    assert len(ok) == 10 and all(r["span_tokens"] == 12 for r in ok)
+
+
+def test_duplicate_spans_deterministic_across_parallelism(spark):
+    df = _spans_df(spark)
+    a = DD.duplicate_spans(df.repartition(1), n=10).collect()
+    b = DD.duplicate_spans(df.repartition(16), n=10).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_duplicate_spans_null_and_short_texts(spark):
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["a b c", None, "   "]}
+    )
+    assert DD.duplicate_spans(spark.createDataFrame(docs), n=2).count() == 0

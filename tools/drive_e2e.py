@@ -1,0 +1,314 @@
+"""End-to-end drive of the tstore_spark surface, from a user's seat.
+
+Run from OUTSIDE the repo so executors import the installed/zipped package
+by name (the spark-submit --py-files posture; a driver-side sys.path hack
+does not reach Python workers):
+
+    cd /tmp && PYTHONPATH=/root/repo python /root/repo/tools/drive_e2e.py
+
+Covers the verify skill's canonical flow (archive write/open/filter ->
+rollup pipeline -> gap_fill -> Gorilla roundtrip -> rerun-skip ->
+retention), the round-2 additions (z-order + zone-map prune on the second
+dimension, z-ordered compaction, streaming 1m->1h cascade), and the
+round-3 surface (graph layer, robust stats, rank fusion, containment +
+duplicate spans, KMV, bigram LM, streaming attribution join). Every check
+prints PASS/FAIL and the script exits non-zero on the first failure.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+import numpy as np  # noqa: F401  (imported to fail fast if env is broken)
+import pandas as pd
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from tstore_spark import TSLong
+    from tstore_spark.datagen import pages_spark
+    from tstore_spark.session import get_spark
+
+    spark = get_spark(app_name="drive_e2e", master="local[8]")
+    tmp = tempfile.mkdtemp(prefix="drive_e2e_")
+    n_checks = 0
+
+    def check(name: str, cond: bool) -> None:
+        nonlocal n_checks
+        n_checks += 1
+        print(("PASS " if cond else "FAIL ") + name, flush=True)
+        if not cond:
+            raise AssertionError(name)
+
+    try:
+        # ------------------------------------------------------------------
+        # 1. archive write / open / filter / error probes
+        # ------------------------------------------------------------------
+        from tstore_spark.sources.archive import (
+            apply_retention,
+            open_archive,
+            write_archive,
+        )
+
+        pages = pages_spark(spark, rows=20_000).cache()
+        n = pages.count()
+        base = f"{tmp}/arch"
+        tl = TSLong.wrap(
+            pages, id_var="url", time_var="warc_ts",
+            ts_vars={"content": ["html", "text", "lang"]},
+        )
+        write_archive(
+            tl, base,
+            stats_columns={
+                "html_bytes": F.octet_length("html"),
+                "text_len": F.length("text"),
+            },
+        )
+        back = open_archive(spark, base, with_attributes=False)
+        check("archive roundtrip row count", back.df.count() == n)
+
+        lo, hi = pages.agg(F.min("warc_ts"), F.max("warc_ts")).first()
+        mid = lo + (hi - lo) / 2
+        filt = open_archive(
+            spark, base, start_time=lo, end_time=mid,
+            inclusive="left", with_attributes=False,
+        )
+        expect = pages.where(
+            (F.col("warc_ts") >= F.lit(lo)) & (F.col("warc_ts") < F.lit(mid))
+        ).count()
+        check("time-filtered open matches predicate", filt.df.count() == expect)
+
+        for probe, kw in [
+            ("reversed range", dict(start_time=hi, end_time=lo)),
+            ("bad inclusive", dict(start_time=lo, end_time=hi, inclusive="sideways")),
+        ]:
+            try:
+                open_archive(spark, base, with_attributes=False, **kw)
+                check(f"{probe} raises ValueError", False)
+            except ValueError:
+                check(f"{probe} raises ValueError", True)
+
+        # ------------------------------------------------------------------
+        # 2. rollup pipeline -> gap_fill -> Gorilla roundtrip -> rerun/retention
+        # ------------------------------------------------------------------
+        from tstore_spark.operators.gapfill import gap_fill
+        from tstore_spark.operators.gorilla import compress_tier, decompress_chunks
+        from tstore_spark.plans.pipeline import read_tier, run_rollup_pipeline
+
+        rb = f"{tmp}/rollup"
+        s1 = run_rollup_pipeline(spark, pages, rb)
+        check("pipeline processed pending days",
+              len(s1["days_processed"]) > 0 and not s1["days_skipped"])
+        check("1h tier non-empty", read_tier(spark, rb, "1h").count() > 0)
+
+        t1m = read_tier(spark, rb, "1m")
+        gf = gap_fill(t1m, "1m")
+        check("gap_fill emits flag column and only adds rows",
+              "gap_filled" in gf.columns and gf.count() >= t1m.count())
+
+        chunks = compress_tier(t1m)
+        dec = decompress_chunks(chunks)
+        t1m_d = t1m.select("domain", "window_start",
+                           F.col("doc_count").cast("double").alias("doc_count"))
+        diff = t1m_d.exceptAll(dec.select("domain", "window_start", "doc_count")).count()
+        check("gorilla compress->decompress lossless",
+              diff == 0 and dec.count() == t1m.count())
+
+        s2 = run_rollup_pipeline(spark, pages, rb)
+        check("rerun skips every completed day",
+              not s2["days_processed"] and len(s2["days_skipped"]) == len(s1["days_processed"]))
+
+        days = sorted(s1["days_processed"])
+        dropped = apply_retention(rb, "rollup_1m", days[len(days) // 2])
+        check("retention dropped old 1m partitions", len(dropped) >= 1)
+
+        # ------------------------------------------------------------------
+        # 3. z-order write + zone-map prune on the SECOND dimension;
+        #    z-ordered compaction of the pages archive (numeric stat cols)
+        # ------------------------------------------------------------------
+        from tstore_spark.sources.compact import compact_archive
+        from tstore_spark.sources.zonemaps import prune_paths, zone_maps
+        from tstore_spark.sources.zorder import zorder_write
+
+        zsrc = pages.select(
+            "url",
+            F.octet_length("html").alias("b"),
+            F.xxhash64("url").alias("h"),
+        )
+        zdir = f"{tmp}/z"
+        zorder_write(zsrc, zdir, ["b", "h"], n_files=16)
+        zm = zone_maps(spark, zdir, ["b", "h"])
+        hmin, hmax = zsrc.agg(F.min("h"), F.max("h")).first()
+        span = (hmax - hmin) // 64
+        probe_lo = hmin + (hmax - hmin) // 2
+        keep, total = prune_paths(zm, {"h": (probe_lo, probe_lo + span)})
+        check("zone maps prune on second z dimension",
+              total == 16 and 0 < len(keep) < total)
+
+        before = open_archive(spark, base, with_attributes=False).df.count()
+        compact_archive(spark, base, zorder_by=["html_bytes", "text_len"])
+        after = open_archive(spark, base, with_attributes=False).df.count()
+        check("z-ordered compaction preserves rows", before == after == n)
+
+        # ------------------------------------------------------------------
+        # 4. streaming 1m->1h cascade over a file stream (availableNow)
+        # ------------------------------------------------------------------
+        from tstore_spark.operators.rollup import rollup_all_tiers
+        from tstore_spark.streaming.stream_rollup import (
+            read_pages_stream,
+            stream_rollup_cascade_1h,
+            write_stream_tier,
+        )
+
+        sdir = f"{tmp}/stream_in"
+        pages.write.mode("overwrite").parquet(sdir)
+        ps = read_pages_stream(spark, sdir, pages.schema)
+        q = write_stream_tier(
+            stream_rollup_cascade_1h(ps), f"{tmp}/stream_1h", f"{tmp}/ckpt_1h"
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(f"{tmp}/stream_1h").count()
+        batch_1h = rollup_all_tiers(pages)["1h"].count()
+        check("streaming cascade emits closed 1h windows",
+              0 < got <= batch_1h)
+
+        # ------------------------------------------------------------------
+        # 5. graph layer: links -> host edges -> degrees/pagerank/components;
+        #    planted triangle
+        # ------------------------------------------------------------------
+        from tstore_spark.operators import graph as G
+
+        linked = spark.createDataFrame(pd.DataFrame({
+            "url": [f"http://h{i}.com/p" for i in range(6)],
+            "html": [
+                f'<a href="http://h{(i + 1) % 6}.com/x">a</a>'
+                f'<a href="http://h{(i + 2) % 6}.com/y">b</a>'
+                for i in range(6)
+            ],
+        }))
+        edges = G.host_edges(G.extract_links(linked))
+        check("host graph: 6 nodes, 12 edges",
+              G.host_degrees(edges).count() == 6 and edges.count() == 12)
+        pr = G.pagerank(edges, iterations=3)
+        check("pagerank covers every node", pr.count() == 6)
+        cc = G.connected_components(edges)
+        check("one connected component",
+              cc.select("component_id").distinct().count() == 1)
+
+        tri = G.triangle_counts(spark.createDataFrame(
+            pd.DataFrame({"src": ["a", "b", "c", "c"], "dst": ["b", "c", "a", "d"]})
+        ))
+        check("planted triangle counted once per member",
+              {r["node"]: r["n_triangles"] for r in tri.collect()}
+              == {"a": 1, "b": 1, "c": 1})
+
+        # ------------------------------------------------------------------
+        # 6. robust stats + rank fusion
+        # ------------------------------------------------------------------
+        from tstore_spark.operators.ranking import ranked_by, rrf_fuse
+        from tstore_spark.operators.robust import mad_scores, winsorize
+
+        ev = spark.createDataFrame(pd.DataFrame({
+            "k": ["a"] * 20 + ["b"] * 20,
+            "v": list(range(20)) + [5] * 19 + [500],
+        }))
+        ms = {(r["k"], r["v"]): r["is_outlier"] for r in mad_scores(ev, "k", "v").collect()}
+        check("MAD flags the planted spike, not the ramp",
+              ms[("b", 500)] and not any(f for (k, _), f in ms.items() if k == "a"))
+        wz = winsorize(ev, "k", "v")
+        check("winsorize clips the spike",
+              max(r["winsorized"] for r in wz.collect() if r["k"] == "b") < 500)
+
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": range(10), "x": range(10), "y": [9 - i for i in range(10)],
+        }))
+        ra = ranked_by(docs, "doc_id", F.desc("x"), limit=5)
+        rb2 = ranked_by(docs, "doc_id", F.desc("y"), limit=5)
+        fused = rrf_fuse([ra, rb2], top=3)
+        check("rrf fusion returns top-3 with scores",
+              fused.count() == 3 and "rrf_score" in fused.columns)
+
+        # ------------------------------------------------------------------
+        # 7. dedup: containment + exact duplicate spans
+        # ------------------------------------------------------------------
+        from tstore_spark.operators.dedup import containment_pairs, duplicate_spans
+
+        quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        dd = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [
+                quote + " tail one two three",
+                "lead in " + quote + " different ending",
+                "nothing shared here at all in this one document",
+            ],
+        }))
+        cp = containment_pairs(dd, threshold=0.3)
+        check("containment finds the quote relation", cp.count() >= 1)
+        spans = duplicate_spans(dd, n=10).collect()
+        check("duplicate span localizes the quote",
+              [(r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["span_tokens"])
+               for r in spans] == [(1, 2, 0, 2, 10)])
+
+        # ------------------------------------------------------------------
+        # 8. KMV sketch + bigram LM scoring
+        # ------------------------------------------------------------------
+        from tstore_spark.operators.kmv import kmv_estimate, kmv_sketch
+        from tstore_spark.operators.lm import bigram_counts, lm_score, unigram_counts
+
+        users = spark.createDataFrame(pd.DataFrame({
+            "day": ["d1"] * 30 + ["d2"] * 30,
+            "uid": [f"u{i}" for i in range(30)] + [f"u{i}" for i in range(15, 45)],
+        }))
+        sk = kmv_sketch(users, ["day"], "uid", k=64)
+        est = sk.select("day", kmv_estimate("kmv", k=64).alias("est")).collect()
+        check("KMV exact below capacity", all(r["est"] == 30 for r in est))
+
+        uni, bi = unigram_counts(dd), bigram_counts(dd)
+        scored = lm_score(dd, uni, bi, vocab_size=uni.count())
+        check("LM scores every doc",
+              scored.where(F.col("cross_entropy").isNotNull()).count() == 3)
+
+        # ------------------------------------------------------------------
+        # 9. streaming attribution join vs its batch twin
+        # ------------------------------------------------------------------
+        from tstore_spark.streaming.stream_join import attribution_join
+
+        imps = pd.DataFrame({
+            "k": [f"k{i}" for i in range(40)],
+            "ts": pd.to_datetime("2024-03-01 12:00:00")
+            + pd.to_timedelta(range(40), unit="m"),
+        })
+        convs = imps.assign(ts=imps.ts + pd.to_timedelta(3, unit="m")).iloc[::2]
+        li, ri = f"{tmp}/imps", f"{tmp}/convs"
+        spark.createDataFrame(imps).write.mode("overwrite").parquet(li)
+        spark.createDataFrame(convs).write.mode("overwrite").parquet(ri)
+        batch_n = attribution_join(
+            spark.read.parquet(li), spark.read.parquet(ri), "k",
+            time_col="ts", max_delay="10 minutes",
+        ).count()
+        ls = spark.readStream.schema("k string, ts timestamp").parquet(li)
+        rs = spark.readStream.schema("k string, ts timestamp").parquet(ri)
+        joined = attribution_join(ls, rs, "k", time_col="ts",
+                                  max_delay="10 minutes", watermark="2 hours")
+        sq = (joined.writeStream.format("parquet")
+              .option("path", f"{tmp}/attr_out")
+              .option("checkpointLocation", f"{tmp}/attr_ckpt")
+              .outputMode("append").trigger(availableNow=True).start())
+        sq.awaitTermination()
+        stream_n = spark.read.parquet(f"{tmp}/attr_out").count()
+        check("stream attribution == batch twin",
+              stream_n == batch_n == len(convs))
+
+        print(f"\nALL {n_checks} CHECKS PASS")
+        return 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1184,6 +1184,126 @@ def sorted_neighborhood_pairs(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    min_span_tokens: int | None = None,
+    max_gram_df: int | None = 1_000,
+) -> DataFrame:
+    """Exact cross-document duplicate SPANS: maximal runs of shared text of
+    at least ``n`` consecutive whitespace tokens, per document pair — the
+    substring-level dedup of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"), where the unit of duplication is the
+    repeated PASSAGE (boilerplate paragraph, quoted article, licence block),
+    not the whole document. Doc-level MinHash/SimHash structurally miss a
+    300-token verbatim quote inside two otherwise-different pages; this
+    operator returns its exact coordinates so a pipeline can cut the span
+    from one side rather than drop a whole document.
+
+    Output: ``(doc_a, doc_b, start_a, start_b, span_tokens)`` with
+    ``doc_a < doc_b``; ``start_*`` are 0-based token offsets into each
+    document's whitespace tokenization and ``span_tokens`` the shared run
+    length. A run is maximal on its pair's alignment diagonal: extending it
+    one token on either side breaks token equality. Tokenization is raw
+    whitespace splitting, case-SENSITIVE — "duplicate" here means verbatim
+    text, matching the byte-identical-text invariant the archive keeps.
+
+    Semantics via n-gram diagonals (suffix-array-free, join-expressible):
+    position ``p`` of doc A matches position ``q`` of doc B iff their
+    n-grams are equal; all matches of a shared run of length ``L >= n``
+    fall on one diagonal ``p - q`` as ``L - n + 1`` CONSECUTIVE positions,
+    so merging consecutive-position islands per (pair, diagonal) — the
+    classic gaps-and-islands ``p - row_number()`` trick — reconstructs every
+    maximal span exactly. Islands are windows over candidate MATCHES (pair
+    grain), never over the corpus.
+
+    Scale shape: the posting table is one row per (doc, position) — ~token
+    count of the corpus — and the candidate join is a string equi-join on
+    the n-gram, uniform by construction except for boilerplate grams, which
+    is why ``max_gram_df`` raises in-plan when any gram's document-position
+    frequency exceeds it (df² pairs per gram — the token_jaccard valve; at
+    web scale strip boilerplate first or lower the cap). Set
+    ``min_span_tokens`` above ``n`` to keep only substantial passages.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    min_span = n if min_span_tokens is None else min_span_tokens
+    if min_span < n:
+        raise ValueError(f"min_span_tokens must be >= n={n}, got {min_span}")
+    from pyspark.sql import Window
+
+    _evict_prior_caches()
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    staged = (
+        # hash-spread docs first: a few-file input would otherwise build the
+        # n-fold gram expansion in as many tasks as there are input files
+        df.repartition(n_part, id_col)
+        .where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), toks.alias("_tk"))
+        .where(F.size("_tk") >= n)
+    )
+    # one gram string per 0-based start position; posexplode's index IS the
+    # position. The n-fold text expansion lives only inside this shuffle
+    # stage — nothing doc-proportional is cached beyond the postings.
+    posts = staged.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_tk") - n),
+                lambda p: F.array_join(F.slice("_tk", p + F.lit(1), n), " "),
+            )
+        ).alias("_p", "_g"),
+    )
+    if max_gram_df is not None:
+        posts = _cache_scoped(posts)
+        dfreq = posts.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+        # guard rides the join-key column (never pruned away): any gram over
+        # the cap aborts the job before the pair join can go quadratic
+        posts = posts.join(dfreq, "_g").select(
+            F.when(F.col("_df") <= max_gram_df, F.col("_id")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"duplicate_spans: n-gram exceeds max_gram_df="
+                            f"{max_gram_df} occurrences (boilerplate?): "
+                        ),
+                        F.col("_g"),
+                    )
+                )
+            ).alias("_id"),
+            "_p",
+            "_g",
+        )
+    a, b = posts.alias("a"), posts.alias("b")
+    cand = a.join(
+        b, (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id"))
+    ).select(
+        F.col("a._id").alias("doc_a"),
+        F.col("b._id").alias("doc_b"),
+        F.col("a._p").cast("long").alias("_pa"),
+        F.col("b._p").cast("long").alias("_pb"),
+    )
+    diag = (F.col("_pa") - F.col("_pb")).alias("_diag")
+    w = Window.partitionBy("doc_a", "doc_b", "_diag").orderBy("_pa")
+    runs = cand.select("doc_a", "doc_b", diag, "_pa").withColumn(
+        "_isl", F.col("_pa") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b", "_diag", "_isl")
+        .agg(
+            F.min("_pa").alias("start_a"),
+            (F.min("_pa") - F.col("_diag")).alias("start_b"),
+            (F.max("_pa") - F.min("_pa") + n).alias("span_tokens"),
+        )
+        .where(F.col("span_tokens") >= min_span)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     key_col: str,
