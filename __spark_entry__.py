@@ -31,7 +31,11 @@ from tstore_spark.operators import similarity as SIM
 from tstore_spark.operators.gapfill import gap_fill
 from tstore_spark.operators.acf import acf_oracle_sql, ccf_oracle_sql
 from tstore_spark.operators.olap import cube_oracle_sql
-from tstore_spark.operators.graph import hits_oracle_sql, pagerank_oracle_sql
+from tstore_spark.operators.graph import (
+    hits_oracle_sql,
+    k_core_oracle_sql,
+    pagerank_oracle_sql,
+)
 from tstore_spark.operators.metric_rollup import (
     finalize,
     metric_rollup_all_tiers,
@@ -1040,6 +1044,38 @@ def _q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tstore_spark.operators.graph import pagerank
 
     return pagerank(_link_edges(_t(spark, sf_dir, "documents")), iterations=3)
+
+
+def _q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (operators/graph.py:k_core) — iterative peeling
+    to fixpoint over a doc-derived graph planted so the peel RUNS: a
+    7-node path hanging off a dense component peels one node per round
+    (~8 rounds), plus an ER-ish mod-101 component whose edge set differs
+    by scale factor. Exact integer degrees, set output — the oracle is the
+    same peel unrolled 18 rounds (no-op past the fixpoint; the operator
+    raises if 18 wouldn't suffice, so the twins cannot silently diverge)."""
+    from tstore_spark.operators.graph import k_core
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    path = d.where(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    cyc = d.select(
+        (F.col("doc_id") % 8 + 1000).alias("src"),
+        ((F.col("doc_id") * 3 + 1) % 8 + 1000).alias("dst"),
+    )
+    bridge = d.where(F.col("doc_id") == 0).select(
+        F.lit(0).cast("long").alias("src"), F.lit(1000).cast("long").alias("dst")
+    )
+    er = d.select(
+        (F.col("doc_id") % 101 + 2000).alias("src"),
+        ((F.col("doc_id") * 17 + 5) % 101 + 2000).alias("dst"),
+    )
+    edges = path.unionByName(cyc).unionByName(bridge).unionByName(er)
+    # the fixture graph is a few hundred edges: 8 loop partitions keep the
+    # ~8 peel rounds overhead-bound, not shuffle-bound (param exists for
+    # exactly this — at web scale leave it at the session default)
+    return k_core(edges, k=2, max_rounds=12, num_partitions=8)
 
 
 def _q_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3148,6 +3184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_degrees": _q_link_degrees,
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
+        "k_core_hosts": _q_k_core,
         "triangle_counts": _q_triangle_counts,
         "kmv_returning_users": _q_kmv_returning_users,
         "lm_bigram_counts": _q_lm_bigram_counts,
@@ -3505,6 +3542,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_hosts": pagerank_oracle_sql(_LINK_EDGES_SQL, iterations=3),
         "hits_hosts": hits_oracle_sql(_LINK_EDGES_SQL, iterations=3),
+        "k_core_hosts": k_core_oracle_sql(
+            """
+            SELECT CAST(doc_id AS BIGINT) AS src,
+                   CAST(doc_id + 1 AS BIGINT) AS dst
+            FROM documents WHERE doc_id < 6
+            UNION ALL
+            SELECT doc_id % 8 + 1000, (doc_id * 3 + 1) % 8 + 1000 FROM documents
+            UNION ALL
+            SELECT 0, 1000 FROM documents WHERE doc_id = 0
+            UNION ALL
+            SELECT doc_id % 101 + 2000, (doc_id * 17 + 5) % 101 + 2000
+            FROM documents
+            """,
+            k=2,
+            rounds=12,
+        ),
         "seasonal_profile": """
             WITH pts AS (
                 SELECT event_type AS key, CAST(hour(ts) AS INT) AS phase,

@@ -321,3 +321,92 @@ def test_hits_rejects_zero_iterations(spark):
     e = spark.createDataFrame([("a", "b")], "src string, dst string")
     with _pt.raises(ValueError, match="iterations"):
         hits(e, iterations=0)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition
+# ---------------------------------------------------------------------------
+
+
+def _brute_k_core(edges, k):
+    import collections
+
+    E = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        deg = collections.Counter()
+        for a, b in E:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {n for n, d in deg.items() if d >= k}
+        E2 = {(a, b) for (a, b) in E if a in keep and b in keep}
+        if E2 == E:
+            return dict(deg) if all(d >= k for d in deg.values()) else {}
+        if not E2:
+            return {}
+        E = E2
+
+
+def _kcore_fixture_edges():
+    import itertools
+
+    edges = [(i, i + 1) for i in range(12)]                      # path: peels away
+    edges += list(itertools.combinations(range(100, 105), 2))    # 5-clique: 4-core
+    edges += [(200, x) for x in range(201, 208)]                 # star: empty at k=2
+    edges += [(0, 100)]                                          # bridge path->clique
+    return edges
+
+
+def test_k_core_vs_brute_and_planted_shapes(spark):
+    from tstore_spark.operators.graph import k_core
+
+    edges = _kcore_fixture_edges()
+    sdf = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    for k in (2, 3, 4, 5):
+        got = {r["node"]: r["degree"] for r in k_core(sdf, k=k).collect()}
+        assert got == _brute_k_core(edges, k), k
+    # planted semantics: star and path peel away entirely; clique is the 4-core
+    core2 = {r["node"] for r in k_core(sdf, k=2).collect()}
+    assert core2 == set(range(100, 105))
+    assert {r["degree"] for r in k_core(sdf, k=4).collect()} == {4}
+    assert k_core(sdf, k=5).count() == 0
+
+
+def test_k_core_oracle_parity(spark):
+    import duckdb as _dd
+
+    from tstore_spark.operators.graph import k_core, k_core_oracle_sql
+
+    edges = _kcore_fixture_edges()
+    sdf = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    vals = ", ".join(f"({s}, {d})" for s, d in edges)
+    for k in (2, 4):
+        got = sorted((r["node"], r["degree"]) for r in k_core(sdf, k=k).collect())
+        sql = k_core_oracle_sql(f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", k=k, rounds=16)
+        assert got == sorted(map(tuple, _dd.sql(sql).fetchall())), k
+
+
+def test_k_core_convergence_guard_and_validation(spark):
+    import pytest as _pt
+
+    from tstore_spark.operators.graph import k_core
+
+    path = spark.createDataFrame(
+        pd.DataFrame([(i, i + 1) for i in range(10)], columns=["src", "dst"])
+    )
+    with _pt.raises(ValueError, match="did not converge"):
+        k_core(path, k=2, max_rounds=2)
+    with _pt.raises(ValueError, match="k must be"):
+        k_core(path, k=0)
+    # a long-enough budget peels the whole path to the (empty) 2-core
+    assert k_core(path, k=2, max_rounds=10).count() == 0
+
+
+def test_k_core_deterministic_across_parallelism(spark):
+    from tstore_spark.operators.graph import k_core
+
+    edges = [(i % 37, (i * 17 + 5) % 37) for i in range(200)]
+    edges += [(i % 37, (i * 29 + 11) % 37) for i in range(200)]
+    sdf = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    a = k_core(sdf, k=3, num_partitions=2).collect()
+    b = k_core(sdf, k=3, num_partitions=16).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) != []

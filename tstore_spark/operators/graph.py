@@ -473,3 +473,115 @@ def hits_oracle_sql(edges_sql: str, iterations: int = 3, scale: int = 10**9) -> 
         f"FROM nodes n LEFT JOIN {prev_h} h ON n.node = h.node "
         f"LEFT JOIN a{iterations} a ON n.node = a.node"
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The k-core of the undirected graph: ``(node, degree)`` for every
+    node of the maximal subgraph in which ALL nodes have degree >= ``k``
+    (``degree`` is the node's degree WITHIN the core). The standard
+    nucleus/periphery decomposition signal — link-farm and mirror-clique
+    hosts sit in deep cores while organic long-tail hosts peel away — and
+    the classic preprocessing cut before expensive clique/community work.
+
+    Algorithm: iterative peeling (Matula/Beck) — drop every node with
+    degree < k and every edge touching it, recompute, repeat to fixpoint.
+    Peeling is confluent (the k-core is unique regardless of removal
+    order), so the synchronized whole-round variant computed here returns
+    exactly the textbook core. Raises if ``max_rounds`` passes without a
+    fixpoint (rounds needed is bounded by the longest chain the peel eats
+    end-to-end — a path graph at k=2 peels one node per end per round).
+
+    Scale shape: each round is ONE checkpointed job — edge-sized degree
+    aggregation plus two semi-joins of the edge list against the
+    surviving-node set (uniform hash keys), lineage cut per round, the
+    dedup_clusters discipline — followed by a count over the in-memory
+    checkpoint blocks. Fixpoint detection is edge-count equality (peeling
+    removes a node only by removing its incident edges, so an unchanged
+    edge count IS the fixpoint). State is the surviving edge list itself,
+    monotonically shrinking. Exact integer degrees, set-valued output ⇒
+    bit-identical at any parallelism.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = edges.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+
+    cur = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .repartition(n_part, "a")
+        .localCheckpoint(eager=True)
+    )
+    prev_edges = cur.count()
+    for _ in range(max_rounds):
+        if prev_edges == 0:
+            break
+        keep = degrees(cur).where(F.col("degree") >= k).select("node")
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .repartition(n_part, "a")
+            .localCheckpoint(eager=True)
+        )
+        n = nxt.count()
+        cur = nxt
+        if n == prev_edges:
+            return degrees(cur)  # fixpoint: every surviving node has degree >= k
+        prev_edges = n
+    else:
+        raise ValueError(
+            f"k_core did not converge in {max_rounds} rounds: the graph has "
+            "a longer peel chain — raise max_rounds"
+        )
+    return degrees(cur)  # graph peeled empty: typed empty (node, degree) frame
+
+
+def k_core_oracle_sql(edges_sql: str, k: int = 2, rounds: int = 30) -> str:
+    """DuckDB twin of :func:`k_core`, generated from the same constants:
+    the peel unrolled ``rounds`` times (MATERIALIZED CTEs — each round's
+    edge set is referenced three times, inlining would go exponential).
+    Exact when the Spark side converges within the same ``rounds`` (it
+    raises otherwise), because extra rounds past the fixpoint are no-ops.
+    """
+    parts = [
+        f"raw AS MATERIALIZED ({edges_sql})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM raw WHERE src <> dst)",
+    ]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts += [
+            f"d{i} AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree "
+            f"FROM (SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}) "
+            f"GROUP BY node)",
+            f"e{i} AS MATERIALIZED (SELECT a, b FROM {prev} "
+            f"WHERE a IN (SELECT node FROM d{i} WHERE degree >= {k}) "
+            f"AND b IN (SELECT node FROM d{i} WHERE degree >= {k}))",
+        ]
+        prev = f"e{i}"
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM ("
+        f"SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}) "
+        f"GROUP BY node"
+    )
