@@ -36,6 +36,7 @@ from tstore_spark.operators.graph import (
     k_core_oracle_sql,
     pagerank_oracle_sql,
 )
+from tstore_spark.operators.kmeans import kmeans_oracle_sql
 from tstore_spark.operators.metric_rollup import (
     finalize,
     metric_rollup_all_tiers,
@@ -1569,6 +1570,20 @@ def _q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sk.join(exact, "event_type")
         .select("event_type", "user_distinct", within.alias("within_2pct"))
+    )
+
+
+def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer-lattice Lloyd (operators/kmeans.py): vectors floored
+    onto a 1e-6 lattice, distances/centroid floor-means pure BIGINT ⇒ the
+    assignment AND dist2 are bit-identical in any engine — the oracle runs
+    the whole 3-iteration recursion relationally. The clustering step
+    SemDeDup/IVF-style pipelines run, with a correctness gate (quality is
+    data/init-dependent and NOT gated; exactness of the computation is)."""
+    from tstore_spark.operators.kmeans import kmeans_exact
+
+    return kmeans_exact(
+        _t(spark, sf_dir, "embeddings"), k=10, iterations=3
     )
 
 
@@ -3223,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,
         "embedding_norms": _q_embedding_norms,
+        "kmeans_clusters": _q_kmeans_clusters,
         "tslong_roundtrip": _q_tslong_roundtrip,
         "tstore_layout_roundtrip": _q_tstore_layout_roundtrip,
         "compaction_roundtrip": _q_compaction_roundtrip,
@@ -3983,6 +3999,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM e a JOIN e b ON a.vec_id < b.vec_id)
             WHERE cos_sim >= 0.45
         """,
+        "kmeans_clusters": kmeans_oracle_sql(
+            "SELECT vec_id AS id, embedding AS vec FROM embeddings",
+            k=10,
+            iterations=3,
+            dim=64,
+        ),
         "embedding_norms": """
             SELECT vec_id,
                    round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) AS l2_norm

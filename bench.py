@@ -118,6 +118,10 @@ HEADLINE = [
     "term_cooccurrence",
     "ccf_sweep",
     "seasonal_score",
+    # round-3 fourth-session additions
+    "duplicate_spans",
+    "k_core_hosts",
+    "kmeans_clusters",
 ]
 
 
