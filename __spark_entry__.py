@@ -32,6 +32,7 @@ from tstore_spark.operators.gapfill import gap_fill
 from tstore_spark.operators.acf import acf_oracle_sql, ccf_oracle_sql
 from tstore_spark.operators.olap import cube_oracle_sql
 from tstore_spark.operators.graph import (
+    bfs_hops_oracle_sql,
     hits_oracle_sql,
     k_core_oracle_sql,
     pagerank_oracle_sql,
@@ -1047,17 +1048,12 @@ def _q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_link_edges(_t(spark, sf_dir, "documents")), iterations=3)
 
 
-def _q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core decomposition (operators/graph.py:k_core) — iterative peeling
-    to fixpoint over a doc-derived graph planted so the peel RUNS: a
-    7-node path hanging off a dense component peels one node per round
-    (~8 rounds), plus an ER-ish mod-101 component whose edge set differs
-    by scale factor. Exact integer degrees, set output — the oracle is the
-    same peel unrolled 18 rounds (no-op past the fixpoint; the operator
-    raises if 18 wouldn't suffice, so the twins cannot silently diverge)."""
-    from tstore_spark.operators.graph import k_core
-
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+def _planted_graph(docs: DataFrame) -> DataFrame:
+    """Doc-derived graph planted so round-based graph ops do real work:
+    a 7-node path (peels/walks one node per round) bridged to two 4-cycles
+    at 1000+, plus an ER-ish mod-101 component at 2000+ whose edge set
+    varies with the scale factor. Mirrored verbatim by _PLANTED_GRAPH_SQL."""
+    d = docs.select("doc_id")
     path = d.where(F.col("doc_id") < 6).select(
         F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
     )
@@ -1068,15 +1064,60 @@ def _q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     bridge = d.where(F.col("doc_id") == 0).select(
         F.lit(0).cast("long").alias("src"), F.lit(1000).cast("long").alias("dst")
     )
+    # the crawl-batch term (doc_id div 101) multiplies distinct edges with
+    # corpus size, so this component's structure genuinely varies by sf
     er = d.select(
         (F.col("doc_id") % 101 + 2000).alias("src"),
-        ((F.col("doc_id") * 17 + 5) % 101 + 2000).alias("dst"),
+        (
+            (F.col("doc_id") * 17 + F.expr("doc_id div 101") * 31 + 5) % 101 + 2000
+        ).alias("dst"),
     )
-    edges = path.unionByName(cyc).unionByName(bridge).unionByName(er)
+    return path.unionByName(cyc).unionByName(bridge).unionByName(er)
+
+
+_PLANTED_GRAPH_SQL = """
+    SELECT CAST(doc_id AS BIGINT) AS src, CAST(doc_id + 1 AS BIGINT) AS dst
+    FROM documents WHERE doc_id < 6
+    UNION ALL
+    SELECT doc_id % 8 + 1000, (doc_id * 3 + 1) % 8 + 1000 FROM documents
+    UNION ALL
+    SELECT 0, 1000 FROM documents WHERE doc_id = 0
+    UNION ALL
+    SELECT doc_id % 101 + 2000,
+           (doc_id * 17 + (doc_id // 101) * 31 + 5) % 101 + 2000
+    FROM documents
+"""
+
+
+def _q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (operators/graph.py:k_core) — iterative peeling
+    to fixpoint over the planted graph: the path hanging off the cycles
+    peels one node per round (~8 rounds), the ER component varies with
+    scale. Exact integer degrees, set output — the oracle is the same peel
+    unrolled 12 rounds (no-op past the fixpoint; the operator raises if 12
+    wouldn't suffice, so the twins cannot silently diverge)."""
+    from tstore_spark.operators.graph import k_core
+
+    edges = _planted_graph(_t(spark, sf_dir, "documents"))
     # the fixture graph is a few hundred edges: 8 loop partitions keep the
     # ~8 peel rounds overhead-bound, not shuffle-bound (param exists for
     # exactly this — at web scale leave it at the session default)
     return k_core(edges, k=2, max_rounds=12, num_partitions=8)
+
+
+def _q_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (operators/graph.py:bfs_hops) — the
+    crawl-depth-from-seeds signal, undirected over the planted graph from
+    seeds {0, 2000}: the path yields a 1..6 hop gradient, the cycles sit
+    across the bridge, the ER component's internal distances vary with
+    scale. Bounded depth is a semantic (the crawl-depth cap), so the SQL
+    twin runs the identical 12-round recursion."""
+    from tstore_spark.operators.graph import bfs_hops
+
+    edges = _planted_graph(_t(spark, sf_dir, "documents"))
+    return bfs_hops(
+        edges, [0, 2000], max_hops=12, directed=False, num_partitions=8
+    )
 
 
 def _q_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3200,6 +3241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
         "k_core_hosts": _q_k_core,
+        "bfs_depth": _q_bfs_depth,
         "triangle_counts": _q_triangle_counts,
         "kmv_returning_users": _q_kmv_returning_users,
         "lm_bigram_counts": _q_lm_bigram_counts,
@@ -3558,21 +3600,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_hosts": pagerank_oracle_sql(_LINK_EDGES_SQL, iterations=3),
         "hits_hosts": hits_oracle_sql(_LINK_EDGES_SQL, iterations=3),
-        "k_core_hosts": k_core_oracle_sql(
-            """
-            SELECT CAST(doc_id AS BIGINT) AS src,
-                   CAST(doc_id + 1 AS BIGINT) AS dst
-            FROM documents WHERE doc_id < 6
-            UNION ALL
-            SELECT doc_id % 8 + 1000, (doc_id * 3 + 1) % 8 + 1000 FROM documents
-            UNION ALL
-            SELECT 0, 1000 FROM documents WHERE doc_id = 0
-            UNION ALL
-            SELECT doc_id % 101 + 2000, (doc_id * 17 + 5) % 101 + 2000
-            FROM documents
-            """,
-            k=2,
-            rounds=12,
+        "k_core_hosts": k_core_oracle_sql(_PLANTED_GRAPH_SQL, k=2, rounds=12),
+        "bfs_depth": bfs_hops_oracle_sql(
+            _PLANTED_GRAPH_SQL,
+            "SELECT 0 AS node UNION ALL SELECT 2000",
+            max_hops=12,
+            directed=False,
         ),
         "seasonal_profile": """
             WITH pts AS (

@@ -122,6 +122,7 @@ HEADLINE = [
     "duplicate_spans",
     "k_core_hosts",
     "kmeans_clusters",
+    "bfs_depth",
 ]
 
 

@@ -410,3 +410,99 @@ def test_k_core_deterministic_across_parallelism(spark):
     a = k_core(sdf, k=3, num_partitions=2).collect()
     b = k_core(sdf, k=3, num_partitions=16).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b)) != []
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS hop distance (crawl depth from seeds)
+# ---------------------------------------------------------------------------
+
+
+def _brute_bfs(edges, seeds, max_hops, directed):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            if not directed:
+                adj[d].add(s)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = h
+                    nxt.add(v)
+        frontier = nxt
+        if not nxt:
+            break
+    return dist
+
+
+_BFS_EDGES = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (4, 10),
+              (5, 0), (20, 21), (21, 20), (30, 31)]
+
+
+def test_bfs_hops_vs_brute_directed_and_undirected(spark):
+    from tstore_spark.operators.graph import bfs_hops
+
+    sdf = spark.createDataFrame(pd.DataFrame(_BFS_EDGES, columns=["src", "dst"]))
+    for directed in (True, False):
+        for mh in (2, 10):
+            got = {
+                r["node"]: r["hops"]
+                for r in bfs_hops(sdf, [0, 20], max_hops=mh, directed=directed).collect()
+            }
+            assert got == _brute_bfs(_BFS_EDGES, [0, 20], mh, directed), (directed, mh)
+    # directed: 5 -> 0 edge never reaches 5 from seed 0; undirected does
+    d = {r["node"]: r["hops"] for r in bfs_hops(sdf, [0], directed=True).collect()}
+    u = {r["node"]: r["hops"] for r in bfs_hops(sdf, [0], directed=False).collect()}
+    assert 5 not in d and u[5] == 1
+    # unreached component omitted entirely
+    assert 30 not in u and 31 not in u
+
+
+def test_bfs_hops_oracle_parity(spark):
+    import duckdb as _dd
+
+    from tstore_spark.operators.graph import bfs_hops, bfs_hops_oracle_sql
+
+    sdf = spark.createDataFrame(pd.DataFrame(_BFS_EDGES, columns=["src", "dst"]))
+    vals = ", ".join(f"({s},{d})" for s, d in _BFS_EDGES)
+    for directed in (True, False):
+        got = sorted(
+            (r["node"], r["hops"])
+            for r in bfs_hops(sdf, [0, 20], max_hops=6, directed=directed).collect()
+        )
+        sql = bfs_hops_oracle_sql(
+            f"SELECT * FROM (VALUES {vals}) t(src, dst)",
+            "SELECT 0 AS node UNION ALL SELECT 20",
+            max_hops=6,
+            directed=directed,
+        )
+        assert got == sorted(map(tuple, _dd.sql(sql).fetchall())), directed
+
+
+def test_bfs_hops_guards_and_seed_only(spark):
+    from tstore_spark.operators.graph import bfs_hops
+
+    sdf = spark.createDataFrame(pd.DataFrame(_BFS_EDGES, columns=["src", "dst"]))
+    with pytest.raises(ValueError, match="max_hops"):
+        bfs_hops(sdf, [0], max_hops=0)
+    with pytest.raises(ValueError, match="seeds"):
+        bfs_hops(sdf, [])
+    # a seed absent from the graph still reports itself at hop 0
+    got = {r["node"]: r["hops"] for r in bfs_hops(sdf, [999], max_hops=3).collect()}
+    assert got == {999: 0}
+
+
+def test_bfs_hops_deterministic_across_parallelism(spark):
+    from tstore_spark.operators.graph import bfs_hops
+
+    edges = [(i % 53, (i * 13 + 3) % 53) for i in range(150)]
+    sdf = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    a = bfs_hops(sdf, [0], directed=False, num_partitions=2).collect()
+    b = bfs_hops(sdf, [0], directed=False, num_partitions=16).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) != []

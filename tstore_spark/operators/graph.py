@@ -585,3 +585,96 @@ def k_core_oracle_sql(edges_sql: str, k: int = 2, rounds: int = 30) -> str:
         f"SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}) "
         f"GROUP BY node"
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: list,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 10,
+    directed: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Minimum hop distance from a seed set: ``(node, hops)`` for every
+    node reachable within ``max_hops`` (seeds themselves at 0). The crawl
+    analytics primitive — distance-from-seed-whitelist is the classic
+    frontier-quality signal (CommonCrawl-style seed curation), and
+    bounded-depth BFS IS the crawl-depth cap, so ``max_hops`` is a
+    semantic, not a convergence guard: both this and the SQL twin run
+    exactly the same bounded recursion (the loop merely early-stops once a
+    frontier round discovers nothing, which cannot change the answer).
+
+    Multi-source BFS on DataFrames: the frontier (nodes first reached last
+    round) joins the edge list, discoveries fold in via a min-groupBy —
+    per-round work is frontier-edge-sized, not graph-sized, and lineage is
+    cut per round (the dedup_clusters discipline). Exact integers,
+    set-valued output ⇒ bit-identical at any parallelism.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    if not seeds:
+        raise ValueError("seeds must be a non-empty list of node ids")
+    spark = edges.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if not directed:
+        e = e.unionAll(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
+    e = e.where(F.col("_s") != F.col("_d")).distinct().repartition(n_part, "_s").localCheckpoint(eager=True)
+
+    node_type = dict(e.dtypes)["_s"]
+    seed_df = spark.createDataFrame([(s,) for s in seeds], f"node {node_type}").distinct()
+    dist = seed_df.select("node", F.lit(0).alias("hops")).repartition(n_part, "node").localCheckpoint(eager=True)
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        reached = (
+            e.join(frontier.withColumnRenamed("node", "_s").select("_s"), "_s")
+            .select(F.col("_d").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).alias("hops"))
+        )
+        dist = (
+            dist.unionByName(reached)
+            .repartition(n_part, "node")
+            .localCheckpoint(eager=True)
+        )
+        frontier = dist.where(F.col("hops") == h)
+        if frontier.limit(1).count() == 0:
+            break
+    return dist
+
+
+def bfs_hops_oracle_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    max_hops: int = 10,
+    directed: bool = True,
+) -> str:
+    """DuckDB twin of :func:`bfs_hops`, the same bounded recursion unrolled
+    (MATERIALIZED — each round's distance set feeds two references).
+    ``edges_sql`` must yield ``(src, dst)``; ``seeds_sql`` one ``node``
+    column (duplicates fine)."""
+    und = (
+        "SELECT src AS s, dst AS d FROM raw UNION ALL SELECT dst, src FROM raw"
+        if not directed
+        else "SELECT src AS s, dst AS d FROM raw"
+    )
+    parts = [
+        f"raw AS ({edges_sql})",
+        f"e AS MATERIALIZED (SELECT DISTINCT s, d FROM ({und}) WHERE s <> d)",
+        f"d0 AS MATERIALIZED (SELECT DISTINCT node, 0 AS hops FROM ({seeds_sql}))",
+    ]
+    prev = "d0"
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"d{h} AS MATERIALIZED (SELECT node, MIN(hops) AS hops FROM ("
+            f"SELECT node, hops FROM {prev} UNION ALL "
+            f"SELECT e.d AS node, {h} AS hops FROM e "
+            f"JOIN {prev} p ON e.s = p.node AND p.hops = {h - 1}) GROUP BY node)"
+        )
+        prev = f"d{h}"
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node, CAST(hops AS INTEGER) AS hops FROM {prev}"
+    )
