@@ -2526,6 +2526,28 @@ def _q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_profile(ev, "event_type", "ts", "value", phase="hour")
 
 
+def _q_changepoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single best level-shift changepoint per event type (binary-
+    segmentation scoring, operators/changepoint.py:best_changepoint) over
+    the per-type 1-minute cents series. Prefix sums/counts are exact longs;
+    the gain is one FIXED chain of IEEE ops on exactly-representable longs
+    (the rrf_fusion precedent), argmax ties to the smallest index — the
+    oracle replays identical windows and the identical op order."""
+    from tstore_spark.operators.changepoint import best_changepoint
+
+    ev = _t(spark, sf_dir, "events")
+    ser = ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.date_trunc("minute", "ts").cast("timestamp_ntz").alias("t"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+    out = best_changepoint(ser, "k", "t", "v", min_segment=5)
+    return out.select(
+        F.col("k").alias("event_type"),
+        "cp_index", "cp_time", "n_left", "n_right",
+        "sum_left", "sum_right", "gain",
+    )
+
+
 def _q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM drift statistics over the per-type 1-minute value
     series (integer cents), using the cumsum-minus-running-min identity —
@@ -3307,6 +3329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_lags": _q_acf,
         "seasonal_profile": _q_seasonal_profile,
         "cusum_drift": _q_cusum_drift,
+        "changepoint_split": _q_changepoint_split,
         "seasonal_baseline": _q_seasonal_baseline,
         "prefix_jaccard": _q_prefix_jaccard,
         "cube_doc_stats": _q_cube_doc_stats,
@@ -4431,6 +4454,39 @@ def oracle_sql() -> dict[str, str]:
                    END AS sigmas
             FROM x LEFT JOIN b
               ON x.event_type = b.event_type AND x.bucket = b.bucket
+        """,
+        "changepoint_split": """
+            WITH s AS (
+                SELECT event_type AS k, date_trunc('minute', ts) AS t,
+                       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+                FROM events GROUP BY 1, 2),
+            b AS (
+                SELECT k, t, v,
+                       row_number() OVER w AS rn,
+                       CAST(SUM(v) OVER (PARTITION BY k ORDER BY t, v
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                       lead(t) OVER w AS next_t,
+                       CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n_tot,
+                       CAST(SUM(v) OVER (PARTITION BY k) AS BIGINT) AS s_tot
+                FROM s
+                WINDOW w AS (PARTITION BY k ORDER BY t, v)),
+            g AS (
+                SELECT k, CAST(rn AS INTEGER) AS cp_index, next_t AS cp_time,
+                       CAST(rn AS INTEGER) AS n_left,
+                       CAST(n_tot - rn AS BIGINT) AS n_right,
+                       cum AS sum_left, CAST(s_tot - cum AS BIGINT) AS sum_right,
+                       ((CAST(cum AS DOUBLE) * CAST(cum AS DOUBLE)) / rn
+                        + (CAST(s_tot - cum AS DOUBLE) * CAST(s_tot - cum AS DOUBLE))
+                          / (n_tot - rn))
+                       - (CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)) / n_tot
+                       AS gain
+                FROM b WHERE rn >= 5 AND rn <= n_tot - 5)
+            SELECT k AS event_type, cp_index, cp_time, n_left, n_right,
+                   sum_left, sum_right, gain
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY k ORDER BY gain DESC, cp_index ASC) AS rk
+                  FROM g)
+            WHERE rk = 1
         """,
         "cusum_drift": """
             WITH s AS (

@@ -123,6 +123,7 @@ HEADLINE = [
     "k_core_hosts",
     "kmeans_clusters",
     "bfs_depth",
+    "changepoint_split",
 ]
 
 
