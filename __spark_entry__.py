@@ -2875,6 +2875,45 @@ def _q_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional deletion vectors end to end (sources/deletion_vectors.py):
+    archive the events stream, DELETE the 'error' rows as merge-on-read
+    tombstones (zero data rewrite), assert the MoR scan already excludes
+    them, then PURGE (copy-on-write fold scoped to touched partitions) and
+    return the physically rewritten survivors — both halves of the
+    Iceberg-v2 delete story in one row, hash-matched to the plain SQL
+    anti-filter."""
+    import re as _re
+    import shutil as _sh
+
+    from tstore_spark.model.tslong import TSLong
+    from tstore_spark.sources.archive import open_archive, write_archive
+    from tstore_spark.sources.deletion_vectors import (
+        delete_where_dv,
+        purge_deletes,
+        read_with_deletes,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    tl = TSLong.wrap(
+        ev, id_var="event_id", time_var="ts", ts_vars={"metrics": ["event_type", "value"]}
+    )
+    base = "/tmp/tstore_spark_dv_rt_" + _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    _sh.rmtree(base, ignore_errors=True)
+    write_archive(tl, base, num_buckets=2, check_static_uniqueness=False)
+    summary = delete_where_dv(spark, base, F.col("event_type") == "error")
+    if summary["rows_deleted"] == 0:
+        raise RuntimeError("delete_where_dv unexpectedly matched nothing")
+    mor_errors = read_with_deletes(spark, base).where(F.col("event_type") == "error").count()
+    if mor_errors != 0:
+        raise RuntimeError("merge-on-read scan leaked tombstoned rows")
+    purge_deletes(spark, base)
+    back = open_archive(spark, base, with_attributes=False)
+    return back.df.select(
+        F.col("event_id").cast("long").alias("event_id"), "ts", "event_type", "value"
+    )
+
+
 def _q_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data feed between versions: archive events, pin v1, MERGE a
     batch (value restatements for event_id % 10 == 3, brand-new ids for
@@ -3341,6 +3380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_time_travel": _q_snapshot_time_travel,
         "snapshot_cdc": _q_snapshot_cdc,
         "delete_where_roundtrip": _q_delete_where,
+        "delete_vectors_roundtrip": _q_delete_vectors,
         "expectations_report": _q_expectations_report,
         "quarantine_split": _q_quarantine,
         "geo_bbox": _q_geo_bbox,
@@ -4101,6 +4141,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, failed FROM f WHERE failed <> ''
         """,
         "delete_where_roundtrip": """
+            SELECT event_id, ts, event_type, value FROM events
+            WHERE event_type <> 'error'
+        """,
+        "delete_vectors_roundtrip": """
             SELECT event_id, ts, event_type, value FROM events
             WHERE event_type <> 'error'
         """,

@@ -9,6 +9,8 @@ nightly (Iceberg analog in parentheses):
                                      [--zorder-by col,col[,..]]
                                                        # OPTIMIZE / bin-pack
                                                        # (ZORDER BY variant)
+        --archive <base dir> purge-deletes             # fold deletion
+                                                       # vectors into files
         --archive <base dir> retention --keep-after YYYY-MM-DD
                                                        # DELETE + expire
         --archive <base dir> expire --keep-last N      # expire_snapshots
@@ -45,6 +47,7 @@ def main(argv: list[str] | None = None) -> int:
                      help="'all' or a comma-separated subset of --zorder-by to "
                           "put on exact-percentile (equi-depth) grids — use for "
                           "skewed dimensions like text length")
+    sub.add_parser("purge-deletes")
     p_r = sub.add_parser("retention")
     p_r.add_argument("--keep-after", required=True)
     p_e = sub.add_parser("expire")
@@ -54,6 +57,7 @@ def main(argv: list[str] | None = None) -> int:
     from tstore_spark.session import get_spark
     from tstore_spark.sources.archive import apply_retention
     from tstore_spark.sources.compact import compact_archive
+    from tstore_spark.sources.deletion_vectors import has_pending_deletes, purge_deletes
     from tstore_spark.sources.snapshots import expire_snapshots, snapshot_commit
 
     out: dict = {"cmd": args.cmd, "archive": args.archive, "table": args.table}
@@ -81,8 +85,16 @@ def main(argv: list[str] | None = None) -> int:
     if not args.no_snapshot:
         out["pre_snapshot"] = snapshot_commit(args.archive, args.table)
 
-    if args.cmd == "compact":
+    if args.cmd == "purge-deletes":
         spark = get_spark(app_name="tstore-maintenance")
+        out["summary"] = purge_deletes(spark, args.archive, table=args.table)
+    elif args.cmd == "compact":
+        spark = get_spark(app_name="tstore-maintenance")
+        # the Iceberg sequencing rule: compaction rewrites files, so pending
+        # positional tombstones MUST be folded in first or their deletes
+        # would silently un-happen in the rewritten files
+        if has_pending_deletes(args.archive, args.table):
+            out["purged_deletes"] = purge_deletes(spark, args.archive, table=args.table)
         cluster = args.cluster_by.split(",") if args.cluster_by else None
         zorder = args.zorder_by.split(",") if args.zorder_by else None
         eq: bool | list[str] = False
