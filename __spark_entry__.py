@@ -2875,6 +2875,56 @@ def _q_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion end to end (sources/warc.py): serialize the documents
+    corpus into real ISO-28500 WARC files (4 shards, half of them
+    per-record-gzip like Common Crawl, bodies wrapped in HTTP envelopes),
+    read them back distributed via the binaryFile source + Arrow parser,
+    and return (url, warc_ts, text). The oracle states the same mapping
+    over the documents table in plain SQL — the bytes round-tripped
+    through the actual framing, so equality proves the parser."""
+    import gzip as _gzip
+    import os as _os
+    import re as _re
+    import shutil as _sh
+    from datetime import datetime as _dt, timedelta as _td
+
+    from tstore_spark.sources.warc import read_warc, warc_bytes
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    base = "/tmp/tstore_spark_warc_" + _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    _sh.rmtree(base, ignore_errors=True)
+    _os.makedirs(base)
+    t0 = _dt(2024, 3, 1)
+    shards: list[list[dict]] = [[], [], [], []]
+    for r in docs:
+        body = r["text"].encode("utf-8")
+        shards[r["doc_id"] % 4].append(
+            {
+                "url": f"http://doc{r['doc_id']}.example.com/",
+                "ts": t0 + _td(minutes=int(r["doc_id"])),
+                "payload": b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body,
+            }
+        )
+    for i, recs in enumerate(shards):
+        gz = i % 2 == 1
+        name = f"{base}/shard{i}.warc" + (".gz" if gz else "")
+        with open(name, "wb") as f:
+            f.write(warc_bytes(recs, compress=gz))
+    out = read_warc(spark, base)
+    return out.select(
+        "url",
+        "warc_ts",
+        F.decode(F.col("html"), "UTF-8").alias("text"),
+    )
+
+
 def _q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional deletion vectors end to end (sources/deletion_vectors.py):
     archive the events stream, DELETE the 'error' rows as merge-on-read
@@ -3381,6 +3431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_cdc": _q_snapshot_cdc,
         "delete_where_roundtrip": _q_delete_where,
         "delete_vectors_roundtrip": _q_delete_vectors,
+        "warc_ingest": _q_warc_ingest,
         "expectations_report": _q_expectations_report,
         "quarantine_split": _q_quarantine,
         "geo_bbox": _q_geo_bbox,
@@ -4147,6 +4198,12 @@ def oracle_sql() -> dict[str, str]:
         "delete_vectors_roundtrip": """
             SELECT event_id, ts, event_type, value FROM events
             WHERE event_type <> 'error'
+        """,
+        "warc_ingest": """
+            SELECT 'http://doc' || CAST(doc_id AS VARCHAR) || '.example.com/' AS url,
+                   TIMESTAMP '2024-03-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS warc_ts,
+                   text
+            FROM documents WHERE text IS NOT NULL
         """,
         "snapshot_cdc": """
             WITH upd AS (

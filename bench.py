@@ -124,6 +124,7 @@ HEADLINE = [
     "kmeans_clusters",
     "bfs_depth",
     "changepoint_split",
+    "warc_ingest",
 ]
 
 
