@@ -14,7 +14,13 @@ exact and countable:
 - pagerank's integer recursion must be bit-identical across parallelism
   levels (rank multisets compared between local[2] and the requested
   master) — the same exactness bar parcheck holds the rollup cascade to;
-- total rank mass never exceeds ``scale`` (integer division only leaks).
+- total rank mass never exceeds ``scale`` (integer division only leaks);
+- k_core(k=2) over the graph plus a planted 5-node pendant tail per
+  community must peel EXACTLY the tails (every ring node keeps degree
+  >= 2) — a multi-round peel with countable truth at a million edges;
+- bfs_hops from community 0's anchor must reach EXACTLY community 0's
+  hosts plus its tail (communities are disconnected), bit-identical
+  across parallelism.
 
 Prints one JSON line with edges/sec per stage.
 """
@@ -129,9 +135,66 @@ def main(master: str = "local[16]", n_edges: int = 1_000_000) -> dict:
 
     h_a = digest(ranks)
     h_b = digest(pagerank(edges.repartition(3), iterations=5))
-    spark.stop()
     assert h_a == h_b, "pagerank differs across partitioning"
     out["deterministic_across_partitioning"] = True
+
+    # ------------------------------------------------------------------
+    # k-core + BFS with planted truth: hang a 5-node pendant tail off each
+    # community's anchor host. k=2 peeling must eat EXACTLY the tails
+    # (ring nodes keep degree >= 2); BFS from community 0's anchor must
+    # reach EXACTLY its community + its tail.
+    # ------------------------------------------------------------------
+    from tstore_spark.operators.graph import bfs_hops, k_core
+
+    n_comm = n_hosts // community
+    comm = spark.range(n_comm)
+    anchor = F.concat(F.lit("h"), (F.col("id") * community).cast("string"))
+    tail_parts = []
+    for i in range(5):
+        src = anchor if i == 0 else F.concat(
+            F.lit("t"), F.col("id").cast("string"), F.lit(f"_{i - 1}")
+        )
+        dst = F.concat(F.lit("t"), F.col("id").cast("string"), F.lit(f"_{i}"))
+        tail_parts.append(comm.select(src.alias("src"), dst.alias("dst")))
+    tails = tail_parts[0]
+    for p in tail_parts[1:]:
+        tails = tails.unionByName(p)
+    with_tails = edges.unionByName(tails).localCheckpoint(eager=True)
+
+    t0 = time.time()
+    core = k_core(with_tails, k=2, max_rounds=12)
+    n_core, min_deg, n_tail_in_core = core.agg(
+        F.count(F.lit(1)),
+        F.min("degree"),
+        F.count(F.when(F.col("node").startswith("t"), 1)),
+    ).head()
+    dt = time.time() - t0
+    assert (n_core, n_tail_in_core) == (n_hosts, 0) and min_deg >= 2, (
+        n_core, min_deg, n_tail_in_core,
+    )
+    out["k_core"] = {"seconds": round(dt, 2), "edges_per_sec": int(n_real / dt)}
+
+    t0 = time.time()
+    reach = bfs_hops(with_tails, ["h0"], max_hops=600, directed=False)
+    n_reach, n_tail_reach, max_h = reach.agg(
+        F.count(F.lit(1)),
+        F.count(F.when(F.col("node").startswith("t0_"), 1)),
+        F.max("hops"),
+    ).head()
+    dt = time.time() - t0
+    assert (n_reach, n_tail_reach) == (community + 5, 5), (n_reach, n_tail_reach)
+    out["bfs"] = {
+        "seconds": round(dt, 2),
+        "reached": int(n_reach),
+        "max_hops": int(max_h),
+    }
+    h_a = digest(reach.withColumnRenamed("hops", "rank"))
+    h_b = digest(
+        bfs_hops(with_tails.repartition(3), ["h0"], max_hops=600, directed=False)
+        .withColumnRenamed("hops", "rank")
+    )
+    assert h_a == h_b, "bfs differs across partitioning"
+    spark.stop()
     return out
 
 
