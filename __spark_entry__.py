@@ -2875,6 +2875,42 @@ def _q_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance filtering (operators/robots.py): per-host
+    robots files are BUILT as real text (groups, precedence, wildcard, $
+    anchor, plus an unrelated agent group on even hosts), parsed through
+    the actual line/group/LIKE chain, and every doc-derived URL is
+    decided. The oracle derives the expected decision INDEPENDENTLY from
+    the fixture's case structure — not a parser twin, so parser and
+    matcher bugs cannot cancel out."""
+    from tstore_spark.operators.robots import parse_robots, robots_allowed
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    m = (F.col("doc_id") % 20).cast("string")
+    host = F.concat(F.lit("h"), m, F.lit(".example.com"))
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /p"), m, F.lit("/\nAllow: /p"), m,
+        F.lit("/ok*\nDisallow: /exact"), m, F.lit("$\n"),
+    )
+    special = F.concat(F.lit("User-agent: specialbot\nDisallow: /\n\n"), body)
+    robots = d.select(
+        host.alias("host"),
+        F.when(F.col("doc_id") % 20 % 2 == 0, special).otherwise(body).alias("robots_txt"),
+    ).dropDuplicates(["host"])
+    c = F.col("doc_id") % 5
+    did = F.col("doc_id").cast("string")
+    path = (
+        F.when(c == 0, F.concat(F.lit("/p"), m, F.lit("/x"), did))
+        .when(c == 1, F.concat(F.lit("/p"), m, F.lit("/ok/y"), did))
+        .when(c == 2, F.concat(F.lit("/exact"), m))
+        .when(c == 3, F.concat(F.lit("/exact"), m, F.lit("z")))
+        .otherwise(F.concat(F.lit("/free/"), did))
+    )
+    urls = d.select(F.concat(F.lit("http://"), host, path).alias("url")).distinct()
+    rules = parse_robots(robots, agent="*")
+    return robots_allowed(urls, rules).select("url", "allowed", "matched_pattern")
+
+
 def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingestion end to end (sources/warc.py): serialize the documents
     corpus into real ISO-28500 WARC files (4 shards, half of them
@@ -3432,6 +3468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_where_roundtrip": _q_delete_where,
         "delete_vectors_roundtrip": _q_delete_vectors,
         "warc_ingest": _q_warc_ingest,
+        "robots_filter": _q_robots_filter,
         "expectations_report": _q_expectations_report,
         "quarantine_split": _q_quarantine,
         "geo_bbox": _q_geo_bbox,
@@ -4198,6 +4235,27 @@ def oracle_sql() -> dict[str, str]:
         "delete_vectors_roundtrip": """
             SELECT event_id, ts, event_type, value FROM events
             WHERE event_type <> 'error'
+        """,
+        "robots_filter": """
+            WITH u AS (
+                SELECT DISTINCT
+                       CAST(doc_id % 20 AS VARCHAR) AS m,
+                       CAST(doc_id AS VARCHAR) AS did,
+                       doc_id % 5 AS c
+                FROM documents)
+            SELECT DISTINCT
+                   'http://h' || m || '.example.com' ||
+                   CASE c WHEN 0 THEN '/p' || m || '/x' || did
+                          WHEN 1 THEN '/p' || m || '/ok/y' || did
+                          WHEN 2 THEN '/exact' || m
+                          WHEN 3 THEN '/exact' || m || 'z'
+                          ELSE '/free/' || did END AS url,
+                   CASE c WHEN 0 THEN FALSE WHEN 2 THEN FALSE ELSE TRUE END AS allowed,
+                   CASE c WHEN 0 THEN '/p' || m || '/'
+                          WHEN 1 THEN '/p' || m || '/ok*'
+                          WHEN 2 THEN '/exact' || m || '$'
+                          ELSE NULL END AS matched_pattern
+            FROM u
         """,
         "warc_ingest": """
             SELECT 'http://doc' || CAST(doc_id AS VARCHAR) || '.example.com/' AS url,

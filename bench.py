@@ -125,6 +125,7 @@ HEADLINE = [
     "bfs_depth",
     "changepoint_split",
     "warc_ingest",
+    "robots_filter",
 ]
 
 
