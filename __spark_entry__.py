@@ -33,6 +33,7 @@ from tstore_spark.operators.acf import acf_oracle_sql, ccf_oracle_sql
 from tstore_spark.operators.olap import cube_oracle_sql
 from tstore_spark.operators.graph import (
     bfs_hops_oracle_sql,
+    resolve_redirects_oracle_sql,
     hits_oracle_sql,
     k_core_oracle_sql,
     pagerank_oracle_sql,
@@ -2875,6 +2876,46 @@ def _q_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling (graph.py:
+    resolve_redirects): every group of 8 consecutive doc_ids forms a
+    7-hop 301 chain into a terminal (scale-varying row count), plus a
+    planted 2-cycle that must come back unresolved. 4 doublings cover
+    2^4 = 16 hops; the oracle runs the identical doubling unrolled."""
+    from tstore_spark.operators.graph import resolve_redirects
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    chain = d.select(
+        F.concat(F.lit("u"), did).alias("src"),
+        F.when(
+            F.col("doc_id") % 8 < 7,
+            F.concat(F.lit("u"), (F.col("doc_id") + 1).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("t"), F.expr("doc_id div 8").cast("string")))
+        .alias("dst"),
+    )
+    cyc = d.where(F.col("doc_id") == 0).selectExpr(
+        "'cycA' AS src", "'cycB' AS dst"
+    ).unionByName(
+        d.where(F.col("doc_id") == 0).selectExpr("'cycB' AS src", "'cycA' AS dst")
+    )
+    return resolve_redirects(
+        chain.unionByName(cyc), max_rounds=4, num_partitions=8
+    )
+
+
+def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch / Flesch-Kincaid readability (corpus.py:readability_scores):
+    exact long word/sentence/vowel-group counts from pure Catalyst, scores
+    one fixed IEEE chain (the rrf_fusion bit-stability rule) — the oracle
+    mirrors counts and op order exactly."""
+    from tstore_spark.operators.corpus import readability_scores
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return readability_scores(docs)
+
+
 def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt compliance filtering (operators/robots.py): per-host
     robots files are BUILT as real text (groups, precedence, wildcard, $
@@ -3469,6 +3510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_vectors_roundtrip": _q_delete_vectors,
         "warc_ingest": _q_warc_ingest,
         "robots_filter": _q_robots_filter,
+        "redirect_resolution": _q_redirect_resolution,
+        "readability": _q_readability,
         "expectations_report": _q_expectations_report,
         "quarantine_split": _q_quarantine,
         "geo_bbox": _q_geo_bbox,
@@ -4235,6 +4278,50 @@ def oracle_sql() -> dict[str, str]:
         "delete_vectors_roundtrip": """
             SELECT event_id, ts, event_type, value FROM events
             WHERE event_type <> 'error'
+        """,
+        "redirect_resolution": resolve_redirects_oracle_sql(
+            """SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+                   CASE WHEN doc_id % 8 < 7
+                        THEN 'u' || CAST(doc_id + 1 AS VARCHAR)
+                        ELSE 't' || CAST(doc_id // 8 AS VARCHAR) END AS dst
+            FROM documents
+            UNION ALL SELECT 'cycA', 'cycB' FROM documents WHERE doc_id = 0
+            UNION ALL SELECT 'cycB', 'cycA' FROM documents WHERE doc_id = 0""",
+            max_rounds=4,
+        ),
+        "readability": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS w,
+                       list_filter(string_split_regex(text, '[.!?]+'),
+                                   s -> trim(s) <> '') AS sen
+                FROM documents WHERE text IS NOT NULL),
+            c AS (
+                SELECT doc_id,
+                       CAST(len(w) AS BIGINT) AS n_words,
+                       CAST(len(sen) AS BIGINT) AS n_sentences,
+                       CAST(COALESCE(list_aggregate(list_transform(w,
+                            x -> greatest(1, len(regexp_extract_all(lower(x),
+                                 '[aeiouy]+')))), 'sum'), 0) AS BIGINT)
+                           AS n_syllables
+                FROM t)
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+                        CAST(206.835 AS DOUBLE)
+                        - CAST(1.015 AS DOUBLE)
+                          * (CAST(n_words AS DOUBLE) / n_sentences)
+                        - CAST(84.6 AS DOUBLE)
+                          * (CAST(n_syllables AS DOUBLE) / n_words)
+                   END AS flesch,
+                   CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+                        CAST(0.39 AS DOUBLE)
+                          * (CAST(n_words AS DOUBLE) / n_sentences)
+                        + CAST(11.8 AS DOUBLE)
+                          * (CAST(n_syllables AS DOUBLE) / n_words)
+                        - CAST(15.59 AS DOUBLE)
+                   END AS fk_grade
+            FROM c
         """,
         "robots_filter": """
             WITH u AS (

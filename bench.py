@@ -126,6 +126,8 @@ HEADLINE = [
     "changepoint_split",
     "warc_ingest",
     "robots_filter",
+    "redirect_resolution",
+    "readability",
 ]
 
 

@@ -514,3 +514,48 @@ def test_term_cooccurrence_deterministic(spark):
         )
 
     assert run(1) == run(16)
+
+
+# ---------------------------------------------------------------------------
+# readability scores
+# ---------------------------------------------------------------------------
+
+
+def _ref_readability(text):
+    import re
+
+    words = [w for w in text.split()]
+    sents = [s for s in re.split(r"[.!?]+", text) if s.strip()]
+    syll = sum(max(1, len(re.findall(r"[aeiouy]+", w.lower()))) for w in words)
+    if not words or not sents:
+        return (len(words), len(sents), syll, None, None)
+    wps, spw = len(words) / len(sents), syll / len(words)
+    return (
+        len(words), len(sents), syll,
+        206.835 - 1.015 * wps - 84.6 * spw,
+        0.39 * wps + 11.8 * spw - 15.59,
+    )
+
+
+def test_readability_vs_reference(spark):
+    from tstore_spark.operators.corpus import readability_scores
+
+    texts = [
+        "The cat sat on the mat. It was happy!",
+        "Notwithstanding heretofore promulgated regulations, implementation "
+        "necessitates comprehensive organizational restructuring.",
+        "no terminator here at all",
+        "Word",
+        "!!!",
+        "",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_sentences"], r["n_syllables"],
+                      r["flesch"], r["fk_grade"])
+        for r in readability_scores(spark.createDataFrame(pdf)).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _ref_readability(t), (i, t)
+    # simple prose scores far easier than legalese
+    assert got[0][3] > got[1][3] + 50

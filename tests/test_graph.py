@@ -506,3 +506,78 @@ def test_bfs_hops_deterministic_across_parallelism(spark):
     a = bfs_hops(sdf, [0], directed=False, num_partitions=2).collect()
     b = bfs_hops(sdf, [0], directed=False, num_partitions=16).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b)) != []
+
+
+# ---------------------------------------------------------------------------
+# redirect-chain resolution (pointer doubling)
+# ---------------------------------------------------------------------------
+
+_REDIRECTS = (
+    [(f"c{i}", f"c{i+1}") for i in range(9)]        # 9-hop chain -> c9
+    + [("x", "y"), ("y", "x")]                      # 2-cycle
+    + [("self", "self")]                            # 1-cycle
+    + [("a", "final"), ("b", "final")]              # direct terminals
+    + [("into_cycle", "x")]                         # chain ending in a cycle
+)
+
+
+def test_resolve_redirects_chains_cycles_terminals(spark):
+    from tstore_spark.operators.graph import resolve_redirects
+
+    sdf = spark.createDataFrame(pd.DataFrame(_REDIRECTS, columns=["src", "dst"]))
+    got = {r["url"]: (r["final_url"], r["resolved"])
+           for r in resolve_redirects(sdf, max_rounds=6).collect()}
+    for i in range(9):
+        assert got[f"c{i}"] == ("c9", True)          # log2(9) < 6 rounds
+    assert got["a"] == ("final", True) and got["b"] == ("final", True)
+    assert not got["x"][1] and not got["y"][1] and not got["self"][1]
+    assert not got["into_cycle"][1]                  # never terminates
+    assert len(got) == len(_REDIRECTS)
+
+
+def test_resolve_redirects_oracle_parity_and_log_bound(spark):
+    import duckdb as _dd
+
+    from tstore_spark.operators.graph import (
+        resolve_redirects,
+        resolve_redirects_oracle_sql,
+    )
+
+    sdf = spark.createDataFrame(pd.DataFrame(_REDIRECTS, columns=["src", "dst"]))
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in _REDIRECTS)
+    for rounds in (3, 6):
+        got = sorted(map(tuple, resolve_redirects(sdf, max_rounds=rounds).collect()))
+        sql = resolve_redirects_oracle_sql(
+            f"SELECT * FROM (VALUES {vals}) t(src, dst)", max_rounds=rounds
+        )
+        assert got == sorted(map(tuple, _dd.sql(sql).fetchall())), rounds
+    # 3 doublings resolve chains up to 2^3 hops: c0 (9 hops) is NOT yet
+    # terminal, c1 (8 hops) is — the log bound, exactly
+    got3 = {r["url"]: r["resolved"]
+            for r in resolve_redirects(sdf, max_rounds=3).collect()}
+    assert not got3["c0"] and got3["c1"]
+
+
+def test_resolve_redirects_guards(spark):
+    import pyspark.errors
+
+    from tstore_spark.operators.graph import resolve_redirects
+
+    dup = spark.createDataFrame(
+        pd.DataFrame([("u", "a"), ("u", "b")], columns=["src", "dst"])
+    )
+    with pytest.raises(pyspark.errors.PySparkException, match="duplicate source"):
+        resolve_redirects(dup).collect()
+    with pytest.raises(ValueError, match="max_rounds"):
+        resolve_redirects(dup, max_rounds=0)
+
+
+def test_resolve_redirects_deterministic_across_parallelism(spark):
+    from tstore_spark.operators.graph import resolve_redirects
+
+    chain = [(f"u{i}", f"u{i+1}") for i in range(200)]
+    sdf = spark.createDataFrame(pd.DataFrame(chain, columns=["src", "dst"]))
+    a = resolve_redirects(sdf, max_rounds=8, num_partitions=2).collect()
+    b = resolve_redirects(sdf, max_rounds=8, num_partitions=16).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(r["final_url"] == "u200" and r["resolved"] for r in a)

@@ -273,6 +273,89 @@ def main() -> int:
               scored.where(F.col("cross_entropy").isNotNull()).count() == 3)
 
         # ------------------------------------------------------------------
+        # 8b. round-3 late surface: k-core, BFS, exact k-means, changepoint,
+        #     WARC ingestion, robots filtering, deletion vectors
+        # ------------------------------------------------------------------
+        from tstore_spark.operators.changepoint import best_changepoint
+        from tstore_spark.operators.graph import bfs_hops, k_core
+        from tstore_spark.operators.kmeans import kmeans_exact
+
+        ge = spark.createDataFrame(pd.DataFrame(
+            [(i, i + 1) for i in range(6)]
+            + [(100 + i, 100 + (i + 1) % 4) for i in range(4)]
+            + [(0, 100)],
+            columns=["src", "dst"],
+        ))
+        core = {r["node"] for r in k_core(ge, k=2, max_rounds=10).collect()}
+        check("k-core peels the pendant path", core == {100, 101, 102, 103})
+        hops = {r["node"]: r["hops"] for r in
+                bfs_hops(ge, [0], directed=False, max_hops=10).collect()}
+        check("BFS hop gradient from seed", hops[6] == 6 and hops[100] == 1)
+
+        emb = spark.createDataFrame(pd.DataFrame({
+            "vec_id": range(40),
+            "embedding": [[float(i % 2) * 2, float(i % 2) * 2 + 0.01 * i] for i in range(40)],
+        }))
+        km = kmeans_exact(emb, k=2, iterations=3).collect()
+        by_par = {r["vec_id"] % 2 for r in km}
+        check("k-means assigns every vector", len(km) == 40 and by_par == {0, 1})
+
+        cp = best_changepoint(
+            spark.createDataFrame(pd.DataFrame(
+                [("s", i, 10 if i < 25 else 300) for i in range(40)],
+                columns=["k", "t", "v"],
+            )), "k", "t", "v",
+        ).collect()[0]
+        check("changepoint finds the planted shift", cp["cp_index"] == 25)
+
+        from tstore_spark.sources.warc import read_warc, warc_bytes
+        from datetime import datetime as _dt
+
+        wdir = f"{tmp}/warc"
+        os.makedirs(wdir)
+        recs = [{"url": f"http://w{i}.com/", "ts": _dt(2024, 3, 1, 12, i),
+                 "payload": f"<html>{i}</html>".encode()} for i in range(6)]
+        with open(f"{wdir}/a.warc.gz", "wb") as f:
+            f.write(warc_bytes(recs, compress=True))
+        warc_df = read_warc(spark, wdir)
+        check("WARC gzip round trip", warc_df.count() == 6
+              and warc_df.where("url = 'http://w3.com/'").head()["html"] == b"<html>3</html>")
+
+        from tstore_spark.operators.robots import parse_robots, robots_allowed
+
+        rb = spark.createDataFrame(pd.DataFrame({
+            "host": ["w1.com"],
+            "robots_txt": ["User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"],
+        }))
+        dec = {r["url"]: r["allowed"] for r in robots_allowed(
+            spark.createDataFrame(pd.DataFrame({"url": [
+                "http://w1.com/private/x", "http://w1.com/private/ok/y",
+                "http://w1.com/open"]})),
+            parse_robots(rb),
+        ).collect()}
+        check("robots precedence decisions",
+              dec == {"http://w1.com/private/x": False,
+                      "http://w1.com/private/ok/y": True,
+                      "http://w1.com/open": True})
+
+        from tstore_spark.operators.dedup import duplicate_spans as _dspans  # noqa: F401
+        from tstore_spark.sources.deletion_vectors import (
+            delete_where_dv, purge_deletes, read_with_deletes,
+        )
+
+        n_err = pages.where(F.col("lang") == "de").count()
+        if n_err:
+            s_dv = delete_where_dv(spark, base, F.col("lang") == "de")
+            mor_n = read_with_deletes(spark, base).count()
+            check("deletion vectors: MoR scan hides tombstoned rows",
+                  s_dv["rows_deleted"] == n_err and mor_n == n - n_err)
+            purge_deletes(spark, base)
+            check("deletion vectors: purge rewrites physically",
+                  open_archive(spark, base, with_attributes=False).df.count() == n - n_err)
+        else:
+            check("deletion vectors: fixture has no 'de' rows (skipped)", True)
+
+        # ------------------------------------------------------------------
         # 9. streaming attribution join vs its batch twin
         # ------------------------------------------------------------------
         from tstore_spark.streaming.stream_join import attribution_join

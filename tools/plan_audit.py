@@ -297,6 +297,28 @@ def main(sf_dir: str) -> int:
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
           "attribution join is the key equi-join + range filter")
 
+    # 23. duplicate spans: the pair generation is an equi-join on the
+    # n-gram (hash-partitionable), never a nested loop / cartesian; the
+    # maximal-run merge is a windowed aggregate, not a Python stage
+    p = plan_of(qs["duplicate_spans"](spark, sf_dir))
+    check("spans.equi_join",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+          "n-gram postings pair-join is an equi-join")
+    check("spans.jvm", "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "gram build + island merge stay in Catalyst")
+
+    # 24. robots: URL decisions join rules on host (equi), LIKE matching is
+    # a filter above it — no nested loop over (urls x rules)
+    p = plan_of(qs["robots_filter"](spark, sf_dir))
+    check("robots.no_cartesian",
+          "CartesianProduct" not in p,
+          "url x rules matching is the host equi-join")
+
+    # 25. readability: a pure per-row projection — no shuffle at all
+    p = plan_of(qs["readability"](spark, sf_dir))
+    check("readability.no_shuffle", "Exchange" not in p,
+          "counts and scores are projections over the scan")
+
     spark.stop()
     print(f"\n{'ALL PASS' if not failures else 'FAILURES: ' + ', '.join(failures)}")
     return 1 if failures else 0

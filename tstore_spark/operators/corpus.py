@@ -477,3 +477,56 @@ def pmi_expr(
         * F.col(n_docs).cast("double")
         / (F.col(df_a).cast("double") * F.col(df_b).cast("double"))
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document — the
+    classic prose-complexity quality signals (filter web text that is
+    either word salad or legalese before it reaches a training mix).
+
+    Counts are exact longs from pure Catalyst expressions: ``n_words``
+    (whitespace tokens), ``n_sentences`` (non-empty ``[.!?]+`` splits —
+    terminator-less text is one sentence), ``n_syllables`` (per word:
+    ``[aeiouy]+`` vowel groups, floor 1 — the standard heuristic; exact
+    syllabification needs a dictionary and gains nothing for FILTERING).
+    The two scores are then fixed chains of IEEE ops on those longs —
+
+        flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+        fk_grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+
+    — bit-identical in any engine that mirrors the op order (the
+    rrf_fusion rule). Documents with no words score NULL. Zero shuffle:
+    everything is a per-row projection.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+    syll_of = lambda w: F.greatest(  # noqa: E731 — inline, mirrored in SQL
+        F.lit(1), F.size(F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"), 0))
+    )
+    sents = F.size(
+        F.filter(F.split(F.col(text_col), r"[.!?]+"), lambda s: F.trim(s) != F.lit(""))
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, w: acc + syll_of(w)
+        ).alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    ok = (F.col("n_words") > 0) & (F.col("n_sentences") > 0)
+    return base.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(ok, F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw)
+        .alias("flesch"),
+        F.when(ok, F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59))
+        .alias("fk_grade"),
+    )

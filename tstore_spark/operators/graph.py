@@ -26,7 +26,7 @@ cut per iteration with ``localCheckpoint`` (the same guard
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: href attribute matcher — double- or single-quoted values.
@@ -677,4 +677,96 @@ def bfs_hops_oracle_sql(
     return (
         "WITH " + ", ".join(parts)
         + f" SELECT node, CAST(hops AS INTEGER) AS hops FROM {prev}"
+    )
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 16,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Resolve redirect chains to their terminal targets: one row per
+    redirecting URL — ``(url, final_url, resolved)`` — where ``final_url``
+    is the first target that does not itself redirect. The crawl-map
+    primitive behind canonical-URL consolidation (an alias family's
+    signals — links, duplicates, clicks — must attribute to the terminal
+    page, not to hop k of a 301 chain).
+
+    Pointer doubling (the classic O(log chain-length) find-root): each
+    round rewrites every pointer to its pointer's pointer —
+    ``f ← f∘f`` — so a length-L chain resolves in ⌈log₂ L⌉ rounds, NOT L
+    rounds (a 1000-hop pathological chain is 10 rounds). ``resolved`` is
+    FALSE for URLs whose pointer still redirects after ``max_rounds``
+    doublings: redirect CYCLES (they never terminate — the caller's spam
+    signal) and chains longer than 2^max_rounds (at the default, a
+    65k-hop chain — not a thing a real crawl produces). ``max_rounds`` is
+    therefore a semantic bound like bfs_hops' depth cap, and the SQL twin
+    runs the identical doubling.
+
+    Input must be a FUNCTION: one outgoing redirect per ``src``
+    (duplicate sources raise in-plan — resolution would be ambiguous).
+    Each round is one self-equi-join on uniform keys, lineage cut per
+    round; rounds are log-bounded, no convergence action needed.
+    """
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    spark = redirects.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    dup = F.count(F.lit(1)).over(Window.partitionBy("_s"))
+    cur = (
+        redirects.select(F.col(src).alias("_s"), F.col(dst).alias("_p"))
+        .select(
+            F.when(dup == 1, F.col("_s")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("resolve_redirects: duplicate source url (ambiguous map): "),
+                        F.col("_s").cast("string"),
+                    )
+                )
+            ).alias("_s"),
+            "_p",
+        )
+        .repartition(n_part, "_s")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nxt = cur.select(F.col("_s").alias("_ns"), F.col("_p").alias("_np"))
+        cur = (
+            cur.join(nxt, cur["_p"] == nxt["_ns"], "left")
+            .select("_s", F.coalesce("_np", "_p").alias("_p"))
+            .repartition(n_part, "_s")
+            .localCheckpoint(eager=True)
+        )
+    domain = cur.select(F.col("_s").alias("_p")).distinct()
+    return (
+        cur.join(domain.withColumn("_redirects", F.lit(True)), "_p", "left")
+        .select(
+            F.col("_s").alias("url"),
+            F.col("_p").alias("final_url"),
+            F.coalesce(~F.col("_redirects"), F.lit(True)).alias("resolved"),
+        )
+    )
+
+
+def resolve_redirects_oracle_sql(
+    redirects_sql: str, max_rounds: int = 16
+) -> str:
+    """DuckDB twin of :func:`resolve_redirects`: the identical pointer
+    doubling unrolled (MATERIALIZED — each round self-joins)."""
+    parts = [
+        f"r0 AS MATERIALIZED (SELECT src AS s, dst AS p FROM ({redirects_sql}))",
+    ]
+    prev = "r0"
+    for i in range(1, max_rounds + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT a.s, COALESCE(b.p, a.p) AS p "
+            f"FROM {prev} a LEFT JOIN {prev} b ON a.p = b.s)"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT a.s AS url, a.p AS final_url, "
+        f"(a.p NOT IN (SELECT s FROM {prev})) AS resolved FROM {prev} a"
     )
