@@ -1258,25 +1258,35 @@ def duplicate_spans(
             )
         ).alias("_p", "_g"),
     )
+    guard = None
     if max_gram_df is not None:
         posts = _cache_scoped(posts)
-        dfreq = posts.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
-        # guard rides the join-key column (never pruned away): any gram over
-        # the cap aborts the job before the pair join can go quadratic
-        posts = posts.join(dfreq, "_g").select(
-            F.when(F.col("_df") <= max_gram_df, F.col("_id")).otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            f"duplicate_spans: n-gram exceeds max_gram_df="
-                            f"{max_gram_df} occurrences (boilerplate?): "
-                        ),
-                        F.col("_g"),
-                    )
-                )
-            ).alias("_id"),
-            "_p",
-            "_g",
+        # the guard counts by the gram's 64-bit HASH, not the gram string:
+        # an 8-byte map-side-combined shuffle instead of re-shuffling the
+        # full posting strings and joining them back (measured 4-5x the
+        # whole operator). Hash collisions only MERGE counts, so the cap
+        # can only fire early, never late — a conservative valve. The
+        # 1-row aggregate rides the output as a broadcast cross join (the
+        # drift-totals pattern) so Catalyst cannot prune it away.
+        dfreq = posts.groupBy(F.xxhash64("_g").alias("_gh")).agg(
+            F.count(F.lit(1)).alias("_df")
+        )
+        guard = dfreq.agg(
+            F.sum(
+                F.when(
+                    F.col("_df") > max_gram_df,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"duplicate_spans: n-gram exceeds max_gram_df="
+                                f"{max_gram_df} occurrences (boilerplate?), "
+                                f"gram hash "
+                            ),
+                            F.col("_gh").cast("string"),
+                        )
+                    ).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("_guard")
         )
     a, b = posts.alias("a"), posts.alias("b")
     cand = a.join(
@@ -1292,7 +1302,7 @@ def duplicate_spans(
     runs = cand.select("doc_a", "doc_b", diag, "_pa").withColumn(
         "_isl", F.col("_pa") - F.row_number().over(w)
     )
-    return (
+    out = (
         runs.groupBy("doc_a", "doc_b", "_diag", "_isl")
         .agg(
             F.min("_pa").alias("start_a"),
@@ -1302,6 +1312,13 @@ def duplicate_spans(
         .where(F.col("span_tokens") >= min_span)
         .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
     )
+    if guard is not None:
+        out = (
+            out.crossJoin(F.broadcast(guard))
+            .where(F.coalesce(F.col("_guard"), F.lit(0)) >= 0)
+            .drop("_guard")
+        )
+    return out
 
 
 def edit_distance_pairs(
