@@ -33,6 +33,7 @@ from tstore_spark.operators.acf import acf_oracle_sql, ccf_oracle_sql
 from tstore_spark.operators.olap import cube_oracle_sql
 from tstore_spark.operators.graph import (
     bfs_hops_oracle_sql,
+    label_propagation_oracle_sql,
     resolve_redirects_oracle_sql,
     hits_oracle_sql,
     k_core_oracle_sql,
@@ -2876,6 +2877,19 @@ def _q_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (graph.py:
+    label_propagation) over the planted graph — density communities where
+    connected_components sees one blob: the path, the bridged cycles and
+    the scale-varying ER component all carry labels after 4 fixed rounds
+    (fixed budget because synchronous LPA may oscillate; determinism over
+    convergence). Oracle = the identical rounds unrolled."""
+    from tstore_spark.operators.graph import label_propagation
+
+    edges = _planted_graph(_t(spark, sf_dir, "documents"))
+    return label_propagation(edges, iterations=4, num_partitions=8)
+
+
 def _q_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution by pointer doubling (graph.py:
     resolve_redirects): every group of 8 consecutive doc_ids forms a
@@ -3429,6 +3443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
         "k_core_hosts": _q_k_core,
+        "lpa_communities": _q_lpa_communities,
         "bfs_depth": _q_bfs_depth,
         "triangle_counts": _q_triangle_counts,
         "kmv_returning_users": _q_kmv_returning_users,
@@ -3795,6 +3810,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_hosts": pagerank_oracle_sql(_LINK_EDGES_SQL, iterations=3),
         "hits_hosts": hits_oracle_sql(_LINK_EDGES_SQL, iterations=3),
         "k_core_hosts": k_core_oracle_sql(_PLANTED_GRAPH_SQL, k=2, rounds=12),
+        "lpa_communities": label_propagation_oracle_sql(
+            _PLANTED_GRAPH_SQL, iterations=4
+        ),
         "bfs_depth": bfs_hops_oracle_sql(
             _PLANTED_GRAPH_SQL,
             "SELECT 0 AS node UNION ALL SELECT 2000",

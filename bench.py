@@ -128,6 +128,7 @@ HEADLINE = [
     "robots_filter",
     "redirect_resolution",
     "readability",
+    "lpa_communities",
 ]
 
 

@@ -581,3 +581,82 @@ def test_resolve_redirects_deterministic_across_parallelism(spark):
     b = resolve_redirects(sdf, max_rounds=8, num_partitions=16).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert all(r["final_url"] == "u200" and r["resolved"] for r in a)
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities
+# ---------------------------------------------------------------------------
+
+
+def _brute_lpa(edges, iters):
+    import collections
+
+    und = collections.defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            und[s].add(d)
+            und[d].add(s)
+    lab = {n: n for n in und}
+    for _ in range(iters):
+        lab = {
+            n: min(
+                collections.Counter(lab[m] for m in und[n]).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for n in und
+        }
+    return lab
+
+
+_LPA_EDGES = (
+    [(a, b) for a in range(6) for b in range(a + 1, 6)]            # clique A
+    + [(a, b) for a in range(100, 106) for b in range(a + 1, 106)]  # clique B
+    + [(5, 100)]                                                    # bridge
+    + [(200 + i, 200 + (i + 1) % 5) for i in range(5)]              # 5-cycle
+)
+
+
+def test_label_propagation_vs_brute_and_cliques(spark):
+    from tstore_spark.operators.graph import label_propagation
+
+    sdf = spark.createDataFrame(pd.DataFrame(_LPA_EDGES, columns=["src", "dst"]))
+    for it in (1, 4):
+        got = {r["node"]: r["community"]
+               for r in label_propagation(sdf, iterations=it).collect()}
+        assert got == _brute_lpa(_LPA_EDGES, it), it
+    got = {r["node"]: r["community"]
+           for r in label_propagation(sdf, iterations=4).collect()}
+    # bridged cliques: one COMPONENT but two COMMUNITIES
+    a, b = {got[i] for i in range(6)}, {got[i] for i in range(100, 106)}
+    assert a == {0} and b == {100}
+    with pytest.raises(ValueError, match="iterations"):
+        label_propagation(sdf, iterations=0)
+
+
+def test_label_propagation_oracle_parity(spark):
+    import duckdb as _dd
+
+    from tstore_spark.operators.graph import (
+        label_propagation,
+        label_propagation_oracle_sql,
+    )
+
+    sdf = spark.createDataFrame(pd.DataFrame(_LPA_EDGES, columns=["src", "dst"]))
+    vals = ", ".join(f"({s}, {d})" for s, d in _LPA_EDGES)
+    got = sorted(
+        map(tuple, label_propagation(sdf, iterations=4).collect())
+    )
+    sql = label_propagation_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) t(src, dst)", iterations=4
+    )
+    assert got == sorted(map(tuple, _dd.sql(sql).fetchall()))
+
+
+def test_label_propagation_deterministic_across_parallelism(spark):
+    from tstore_spark.operators.graph import label_propagation
+
+    edges = [(i % 41, (i * 13 + 3) % 41) for i in range(150)]
+    sdf = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    a = label_propagation(sdf, iterations=3, num_partitions=2).collect()
+    b = label_propagation(sdf, iterations=3, num_partitions=16).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) != []

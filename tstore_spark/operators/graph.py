@@ -770,3 +770,93 @@ def resolve_redirects_oracle_sql(
         + f" SELECT a.s AS url, a.p AS final_url, "
         f"(a.p NOT IN (SELECT s FROM {prev})) AS resolved FROM {prev} a"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) made
+    deterministic: ``(node, community)`` after a FIXED number of rounds,
+    each node adopting the most frequent label among its (undirected)
+    neighbors, ties broken toward the smallest label. Where
+    ``connected_components`` answers reachability, LPA answers DENSITY —
+    two mirror farms bridged by a single stray link are one component but
+    two communities.
+
+    Determinism contract (the repo rule): classic LPA breaks ties
+    randomly and updates asynchronously — irreproducible by construction.
+    Here rounds are synchronous, the argmax is (count DESC, label ASC),
+    and ``iterations`` is fixed (synchronous LPA can oscillate on
+    bipartite-ish structures; a fixed budget is honest where a
+    convergence test would hide the oscillation). Exact counts + total
+    tie order ⇒ bit-identical at any parallelism, twinned in SQL by
+    ``label_propagation_oracle_sql``.
+
+    Scale shape per round: one edge×labels equi-join, one (node, label)
+    count aggregation, one per-node argmax window over label-grain rows —
+    all uniform-hash shuffles, lineage cut per round.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    spark = edges.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .unionAll(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
+        .where(F.col("_s") != F.col("_d"))
+        .distinct()
+        .repartition(n_part, "_s")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("_s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("community"))
+        .repartition(n_part, "node")
+        .localCheckpoint(eager=True)
+    )
+    pick = Window.partitionBy("node").orderBy(F.desc("_n"), F.asc("community"))
+    for _ in range(iterations):
+        msgs = e.join(
+            labels.select(F.col("node").alias("_s"), "community"), "_s"
+        ).select(F.col("_d").alias("node"), "community")
+        labels = (
+            msgs.groupBy("node", "community")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .withColumn("_rk", F.row_number().over(pick))
+            .where(F.col("_rk") == 1)
+            .select("node", "community")
+            .repartition(n_part, "node")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def label_propagation_oracle_sql(
+    edges_sql: str, iterations: int = 4
+) -> str:
+    """DuckDB twin of :func:`label_propagation` — the identical rounds
+    unrolled (MATERIALIZED: each round's labels feed a join)."""
+    parts = [
+        f"raw AS ({edges_sql})",
+        "e AS MATERIALIZED (SELECT DISTINCT s, d FROM ("
+        "SELECT src AS s, dst AS d FROM raw UNION ALL "
+        "SELECT dst, src FROM raw) WHERE s <> d)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS community FROM e)",
+    ]
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT node, community FROM ("
+            f"SELECT e.d AS node, p.community, COUNT(*) AS n, "
+            f"row_number() OVER (PARTITION BY e.d "
+            f"ORDER BY COUNT(*) DESC, p.community ASC) AS rk "
+            f"FROM e JOIN {prev} p ON e.s = p.node "
+            f"GROUP BY e.d, p.community) WHERE rk = 1)"
+        )
+        prev = f"l{i}"
+    return "WITH " + ", ".join(parts) + f" SELECT node, community FROM {prev}"
