@@ -1321,6 +1321,19 @@ def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(_t(spark, sf_dir, "documents"), n=10)
 
 
+def _q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of Lee et al. 2022 substring dedup
+    (dedup.py:remove_duplicate_spans): duplicated passages are CUT from
+    the higher-id document (interval union per doc, no double-deletion),
+    untouched docs pass through byte-identical, fully-duplicated docs
+    become the empty string. Oracle replays the whole chain — spans,
+    island merge, anti range join, ordered rebuild — in SQL."""
+    from tstore_spark.operators.dedup import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, n=10).select("doc_id", "text")
+
+
 def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of two retrieval rankings: tf of 'spark'
     (from the real inverted index) and a doc-length prior. Ranks are
@@ -3457,6 +3470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": _q_rrf_fusion,
         "containment_pairs": _q_containment,
         "duplicate_spans": _q_duplicate_spans,
+        "span_scrub": _q_span_scrub,
         "skew_profile": _q_skew_profile,
         "html_extract": _q_html_extract,
         "lttb_downsample": _q_lttb,
@@ -4052,6 +4066,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(pa) - MIN(pa) + 10 AS BIGINT) AS span_tokens
             FROM r GROUP BY doc_a, doc_b, diag, isl
             HAVING MAX(pa) - MIN(pa) + 10 >= 10
+        """,
+        "span_scrub": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+                FROM documents WHERE text IS NOT NULL),
+            g AS (
+                SELECT doc_id, u.p AS p,
+                       array_to_string(l[u.p+1 : u.p+10], ' ') AS gram
+                FROM t, unnest(range(0, len(l) - 10 + 1)) AS u(p)
+                WHERE len(l) >= 10),
+            c AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+            r AS (
+                SELECT doc_a, doc_b, pa - pb AS diag, pa,
+                       pa - row_number() OVER (
+                           PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+                FROM c),
+            iv AS (
+                SELECT doc_b AS id,
+                       MIN(pa) - diag AS lo,
+                       MAX(pa) - MIN(pa) + 10 + MIN(pa) - diag AS hi
+                FROM r GROUP BY doc_a, doc_b, diag, isl),
+            mi AS (
+                SELECT id, lo, hi,
+                       CASE WHEN lo > COALESCE(MAX(hi) OVER (
+                                PARTITION BY id ORDER BY lo, hi
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                -1)
+                            THEN 1 ELSE 0 END AS nw
+                FROM iv),
+            mg AS (
+                SELECT id, isl2, MIN(lo) AS lo, MAX(hi) AS hi FROM (
+                    SELECT *, SUM(nw) OVER (PARTITION BY id ORDER BY lo, hi
+                        ROWS UNBOUNDED PRECEDING) AS isl2 FROM mi)
+                GROUP BY id, isl2),
+            pos AS (
+                SELECT t.doc_id, u.p AS p, t.l[u.p + 1] AS tok
+                FROM t, unnest(range(0, len(l))) AS u(p)
+                WHERE t.doc_id IN (SELECT id FROM mg)),
+            surv AS (
+                SELECT p.doc_id, p.p, p.tok FROM pos p
+                WHERE NOT EXISTS (SELECT 1 FROM mg m
+                    WHERE m.id = p.doc_id AND p.p >= m.lo AND p.p < m.hi)),
+            reb AS (
+                SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS new_text
+                FROM surv GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN m.id IS NOT NULL THEN COALESCE(reb.new_text, '')
+                        ELSE d.text END AS text
+            FROM documents d
+            LEFT JOIN (SELECT DISTINCT id FROM mg) m ON d.doc_id = m.id
+            LEFT JOIN reb ON d.doc_id = reb.doc_id
         """,
         "rrf_fusion": """
             WITH tf AS (

@@ -129,6 +129,7 @@ HEADLINE = [
     "redirect_resolution",
     "readability",
     "lpa_communities",
+    "span_scrub",
 ]
 
 

@@ -340,3 +340,58 @@ def test_duplicate_spans_null_and_short_texts(spark):
         {"doc_id": [1, 2, 3], "text": ["a b c", None, "   "]}
     )
     assert DD.duplicate_spans(spark.createDataFrame(docs), n=2).count() == 0
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            quote + " tail one two",            # keeps its copy (smallest id)
+            "lead in " + quote + " end bit",    # loses the quote
+            "nothing shared here whatsoever in this document",
+            quote,                               # whole doc duplicated -> ""
+            None,                                # NULL passes through
+        ],
+    })
+    out = {r["doc_id"]: r["text"]
+           for r in DD.remove_duplicate_spans(spark.createDataFrame(docs)).collect()}
+    assert out[1] == docs.text[0]               # untouched: byte-identical
+    assert out[2] == "lead in end bit"
+    assert out[3] == docs.text[2]
+    assert out[4] == ""
+    assert out[5] is None
+
+
+def test_remove_duplicate_spans_overlap_merge(spark):
+    # doc 30 shares overlapping runs with docs 10 and 20: the two intervals
+    # into doc 30 overlap and must merge (no double-deletion, no slivers)
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    docs = pd.DataFrame({
+        "doc_id": [10, 20, 30],
+        "text": [
+            a,                                       # tokens 0..11
+            " ".join(a.split()[2:]) + " x1 x2",      # tokens w3..w12 + tail
+            "pre " + a + " post",                    # contains both runs
+        ],
+    })
+    out = {r["doc_id"]: r["text"]
+           for r in DD.remove_duplicate_spans(
+               spark.createDataFrame(docs), n=10).collect()}
+    assert out[10] == docs.text[0]
+    # doc 30 loses the merged [1, 13) interval: 'pre' and 'post' survive
+    assert out[30] == "pre post"
+
+
+def test_remove_duplicate_spans_precomputed_and_columns(spark):
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a b c d e f g h i j k", "a b c d e f g h i j z"],
+        "lang": ["en", "de"],
+    })
+    sdf = spark.createDataFrame(docs)
+    spans = DD.duplicate_spans(sdf, n=10)
+    out = DD.remove_duplicate_spans(sdf, spans=spans).collect()
+    got = {r["doc_id"]: (r["text"], r["lang"]) for r in out}
+    assert got[1] == ("a b c d e f g h i j k", "en")
+    assert got[2] == ("z", "de")    # surviving token, lang passes through

@@ -1360,3 +1360,101 @@ def edit_distance_pairs(
         cand.withColumn("dist", d.cast("int"))
         .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    min_span_tokens: int | None = None,
+    max_gram_df: int | None = 1_000,
+) -> DataFrame:
+    """Cut duplicated passages instead of dropping documents — the second
+    half of Lee et al. 2022: for every pair found by
+    :func:`duplicate_spans`, the HIGHER-id document loses the shared run
+    (the lower id keeps its copy), so corpus-wide each passage survives
+    exactly at its smallest-id occurrence along pairwise links.
+
+    Returns ``(id_col, text_col)`` for EVERY input document. Documents
+    that lose spans are rebuilt from their surviving tokens joined by
+    single spaces (whitespace-NORMALIZED — coordinates are token-grain, so
+    the original inter-token whitespace of removed regions is
+    unreconstructable); untouched documents pass through byte-identical
+    (the archive invariant). Overlapping/adjacent spans merge before
+    removal (running-max islands), so nested pair structure cannot
+    double-delete or leave slivers.
+
+    ``spans``: a precomputed :func:`duplicate_spans` result (else computed
+    here with the given parameters). Scale shape: interval merge is one
+    window over span-grain rows; token filtering is an equi-join on the
+    doc id with the range test as a join filter (never a cross join);
+    rebuild is one ordered collect_list per REWRITTEN doc only.
+    """
+    from pyspark.sql import Window
+
+    if spans is None:
+        spans = duplicate_spans(
+            df, id_col=id_col, text_col=text_col, n=n,
+            min_span_tokens=min_span_tokens, max_gram_df=max_gram_df,
+        )
+    iv = spans.select(
+        F.col("doc_b").alias("_id"),
+        F.col("start_b").alias("_lo"),
+        (F.col("start_b") + F.col("span_tokens")).alias("_hi"),
+    )
+    # merge overlapping/adjacent intervals: running max of _hi over the
+    # (_lo, _hi)-ordered window; a row starting beyond the previous running
+    # max opens a new island
+    w = Window.partitionBy("_id").orderBy("_lo", "_hi")
+    prev_max = F.max("_hi").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = iv.withColumn(
+        "_new", F.when(prev_max.isNull() | (F.col("_lo") > prev_max), 1).otherwise(0)
+    ).withColumn(
+        "_isl",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    # span-grain and consumed by THREE joins below (touched semi, survivor
+    # anti, marker) — without a scoped cache the whole upstream spans DAG
+    # (pair join + islands) re-evaluates per consumer (measured ~3x)
+    merged = _cache_scoped(
+        islands.groupBy("_id", "_isl").agg(
+            F.min("_lo").alias("_lo"), F.max("_hi").alias("_hi")
+        )
+    )
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+    touched_ids = merged.select("_id").distinct()
+    touched = (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_tk"))
+        .join(touched_ids, "_id", "left_semi")
+        .select("_id", F.posexplode("_tk").alias("_p", "_t"))
+    )
+    survivors = touched.join(
+        merged,
+        (touched["_id"] == merged["_id"])
+        & (F.col("_p") >= F.col("_lo"))
+        & (F.col("_p") < F.col("_hi")),
+        "left_anti",
+    )
+    rebuilt = survivors.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_t"))), lambda s: s["_t"]
+            ),
+            " ",
+        ).alias("_new_text")
+    )
+    # a doc whose every token was removed vanishes from `survivors`: the
+    # touched-ids marker (not the rebuilt frame) decides it becomes ""
+    marked = df.join(
+        touched_ids.select(F.col("_id").alias(id_col), F.lit(True).alias("_touched")),
+        id_col,
+        "left",
+    ).join(rebuilt.select(F.col("_id").alias(id_col), "_new_text"), id_col, "left")
+    return marked.select(
+        *[c for c in df.columns if c != text_col],
+        F.when(F.col("_touched").isNotNull(), F.coalesce("_new_text", F.lit("")))
+        .otherwise(F.col(text_col))
+        .alias(text_col),
+    )
