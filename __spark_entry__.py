@@ -2987,7 +2987,6 @@ def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     and return (url, warc_ts, text). The oracle states the same mapping
     over the documents table in plain SQL — the bytes round-tripped
     through the actual framing, so equality proves the parser."""
-    import gzip as _gzip
     import os as _os
     import re as _re
     import shutil as _sh

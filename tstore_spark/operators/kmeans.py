@@ -83,8 +83,10 @@ def kmeans_exact(
     """Run ``iterations`` Lloyd updates and return the final assignment:
     ``(id_col, cluster int, dist2 bigint)`` — the exact squared lattice
     distance to the point's final centroid. Clusters are labeled 0..k-1 in
-    the order of their init ids; a cluster that empties keeps its previous
-    centroid (it can re-acquire points later).
+    ASCENDING init-id order (explicit ``init_ids`` are sorted first — the
+    labeling is a function of the id set, not the list order); a cluster
+    that empties keeps its previous centroid (it can re-acquire points
+    later).
 
     ``init_ids``: optional explicit seed ids (e.g. a k-means++ pick made
     upstream); default = the k smallest ids present.

@@ -19,6 +19,12 @@ otherwise surviving rows migrate into new files the tombstones no longer
 match and the deletes silently un-happen. ``has_pending_deletes`` is the
 cheap guard; the maintenance CLI purges before compaction.
 
+Snapshot interplay: ``snapshot_commit`` pins the TABLE directory only —
+the tombstone sidecar is not versioned, so rolling back to an earlier
+snapshot keeps pending deletes applied (they address file paths the
+rollback restores). Purge before snapshotting when a version must be
+tombstone-free.
+
 Scale shape: the tombstone table is row-proportional to DELETED rows only
 (two columns), the read-path anti-join shuffles on (file, position) —
 uniform keys — and purge touches exactly the partitions holding
