@@ -299,11 +299,19 @@ def main(sf_dir: str) -> int:
 
     # 23. duplicate spans: the pair generation is an equi-join on the
     # n-gram (hash-partitionable), never a nested loop / cartesian; the
-    # maximal-run merge is a windowed aggregate, not a Python stage
+    # maximal-run merge is a windowed aggregate, not a Python stage.
+    # The boilerplate-df guard rides as a broadcast 1-ROW cross (the
+    # in-plan raise pattern) — that BuildRight Cross shape is allowed;
+    # anything else nested-loop-shaped is not.
     p = plan_of(qs["duplicate_spans"](spark, sf_dir))
+    bnlj_lines = [ln for ln in p.splitlines()
+                  if "BroadcastNestedLoopJoin" in ln
+                  and not ln.lstrip().startswith("(")]
     check("spans.equi_join",
-          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
-          "n-gram postings pair-join is an equi-join")
+          "CartesianProduct" not in p
+          and all("Cross BuildRight" in ln for ln in bnlj_lines)
+          and ("BroadcastHashJoin" in p or "SortMergeJoin" in p),
+          "n-gram postings pair-join is an equi-join (1-row guard cross allowed)")
     check("spans.jvm", "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
           "gram build + island merge stay in Catalyst")
 
