@@ -39,6 +39,7 @@ from tstore_spark.operators.graph import (
     k_core_oracle_sql,
     pagerank_oracle_sql,
 )
+from tstore_spark.operators.bpe import bpe_oracle_sql
 from tstore_spark.operators.kmeans import kmeans_oracle_sql
 from tstore_spark.operators.metric_rollup import (
     finalize,
@@ -1294,6 +1295,19 @@ def _q_lm_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tstore_spark.operators.lm import bigram_counts
 
     return bigram_counts(_t(spark, sf_dir, "documents"))
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/bpe.py, Sennrich 2016): the corpus
+    collapses to one (word, freq) groupBy — the ONLY corpus-scale pass —
+    then 8 merge rounds over the distinct-word table: exact BIGINT pair
+    counts (map-side combined), (count DESC, l, r) argmax, greedy merges
+    as a pure Catalyst fold. The oracle replays the whole recursion
+    unrolled (gaps-and-islands form of greedy leftmost non-overlapping
+    matching) — every learned rule AND its count is hash-gated."""
+    from tstore_spark.operators.bpe import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), merges=8)
 
 
 def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3460,6 +3474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": _q_triangle_counts,
         "kmv_returning_users": _q_kmv_returning_users,
         "lm_bigram_counts": _q_lm_bigram_counts,
+        "bpe_merges": _q_bpe_merges,
         "scd2_versions": _q_scd2_versions,
         "crawl_diff": _q_crawl_diff,
         "geo_polygon": _q_geo_polygon,
@@ -3914,6 +3929,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN n n2 ON n2.day = n1.day + 1
             LEFT JOIN i ON i.day = n1.day
         """,
+        "bpe_merges": bpe_oracle_sql("SELECT * FROM documents", merges=8),
         "lm_bigram_counts": """
             WITH t AS (
                 SELECT doc_id,

@@ -130,6 +130,7 @@ HEADLINE = [
     "readability",
     "lpa_communities",
     "span_scrub",
+    "bpe_merges",
 ]
 
 
