@@ -1297,6 +1297,41 @@ def _q_lm_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_counts(_t(spark, sf_dir, "documents"))
 
 
+#: the wordlist gate patterns (documents vocabulary is DB words)
+_BLOCK_PATTERNS = ["slow fast", "hash", "merge batch", "table"]
+
+
+def _q_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring wordlist matching (operators/blocklist.py): patterns
+    broadcast, corpus never shuffles, counts = the exact non-overlapping
+    replace-length identity — whole-stage codegen, no Python. The
+    CCNet/RefinedWeb bad-word policy pass."""
+    from tstore_spark.operators.blocklist import blocklist_matches
+
+    return blocklist_matches(_t(spark, sf_dir, "documents"), _BLOCK_PATTERNS)
+
+
+def _q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain suffix blocklist (operators/blocklist.py): blocking a domain
+    blocks its subdomains via the suffix-explode EQUI-join (no endswith
+    nested loop at any blocklist size). URLs derived algebraically from
+    doc_id (the link-edges fixture pattern) so the oracle rebuilds them."""
+    from tstore_spark.operators.blocklist import domain_blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("b"), (F.col("doc_id") % 7).cast("string"), F.lit(".blocked.example")))
+            .otherwise(F.concat(F.lit("ok"), (F.col("doc_id") % 5).cast("string"), F.lit(".example.org"))),
+            F.lit("/p"),
+        ).alias("url"),
+    )
+    return domain_blocklist_filter(
+        docs, ["blocked.example", "ok3.example.org"]
+    )
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (operators/bpe.py, Sennrich 2016): the corpus
     collapses to one (word, freq) groupBy — the ONLY corpus-scale pass —
@@ -3475,6 +3510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_returning_users": _q_kmv_returning_users,
         "lm_bigram_counts": _q_lm_bigram_counts,
         "bpe_merges": _q_bpe_merges,
+        "blocklist_hits": _q_blocklist_hits,
+        "domain_blocklist": _q_domain_blocklist,
         "scd2_versions": _q_scd2_versions,
         "crawl_diff": _q_crawl_diff,
         "geo_polygon": _q_geo_polygon,
@@ -3930,6 +3967,31 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN i ON i.day = n1.day
         """,
         "bpe_merges": bpe_oracle_sql("SELECT * FROM documents", merges=8),
+        "blocklist_hits": f"""
+            WITH p AS (SELECT unnest({_BLOCK_PATTERNS!r}) AS pattern),
+            d AS (SELECT doc_id, lower(text) AS t FROM documents)
+            SELECT doc_id, pattern,
+                   CAST((length(t) - length(replace(t, pattern, '')))
+                        // length(pattern) AS BIGINT) AS n_hits
+            FROM d JOIN p ON contains(t, pattern)
+        """,
+        "domain_blocklist": """
+            WITH u AS (
+                SELECT doc_id,
+                       'https://' || CASE WHEN doc_id % 3 = 0
+                           THEN 'b' || CAST(doc_id % 7 AS VARCHAR) || '.blocked.example'
+                           ELSE 'ok' || CAST(doc_id % 5 AS VARCHAR) || '.example.org'
+                       END || '/p' AS url,
+                       CASE WHEN doc_id % 3 = 0
+                           THEN 'b' || CAST(doc_id % 7 AS VARCHAR) || '.blocked.example'
+                           ELSE 'ok' || CAST(doc_id % 5 AS VARCHAR) || '.example.org'
+                       END AS host
+                FROM documents)
+            SELECT doc_id, url FROM u
+            WHERE NOT EXISTS (
+                SELECT 1 FROM (SELECT unnest(['blocked.example', 'ok3.example.org']) AS d)
+                WHERE u.host = d OR u.host LIKE '%.' || d)
+        """,
         "lm_bigram_counts": """
             WITH t AS (
                 SELECT doc_id,

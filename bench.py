@@ -131,6 +131,8 @@ HEADLINE = [
     "lpa_communities",
     "span_scrub",
     "bpe_merges",
+    "blocklist_hits",
+    "domain_blocklist",
 ]
 
 

@@ -315,6 +315,18 @@ def main(sf_dir: str) -> int:
     check("spans.jvm", "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
           "gram build + island merge stay in Catalyst")
 
+    # 23b. blocklists: the domain-suffix filter is a pure equi-join chain
+    # (the whole point of the suffix explode — no endswith nested loop);
+    # the substring matcher stays JVM codegen end to end
+    p = plan_of(qs["domain_blocklist"](spark, sf_dir))
+    check("blocklist.suffix_equi",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+          "domain suffix blocking is equi-join only")
+    p = plan_of(qs["blocklist_hits"](spark, sf_dir))
+    check("blocklist.jvm",
+          "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "substring matching is contains/replace codegen, no Python")
+
     # 24. robots: URL decisions join rules on host (equi), LIKE matching is
     # a filter above it — no nested loop over (urls x rules)
     p = plan_of(qs["robots_filter"](spark, sf_dir))
