@@ -1332,6 +1332,29 @@ def _q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (corpus.normalize_text — the CCNet text
+    hygiene pass): the fixture decorates each doc's text with DECOMPOSED
+    sequences (e + U+0301, i + U+0308) built identically in both engines;
+    the kernel's unicodedata NFC must match DuckDB's utf8proc
+    nfc_normalize byte-for-byte, and the char length must shrink by the
+    two composed marks."""
+    from tstore_spark.operators.corpus import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 16), F.lit("cafe\u0301 nai\u0308ve")
+        ).alias("text"),
+    )
+    return normalize_text(docs, "text").select(
+        "doc_id",
+        "norm_text",
+        F.length("text").alias("n_before"),
+        F.length("norm_text").alias("n_after"),
+    )
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (operators/bpe.py, Sennrich 2016): the corpus
     collapses to one (word, freq) groupBy — the ONLY corpus-scale pass —
@@ -2841,6 +2864,54 @@ def _q_merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (streaming/stream_merge.py): three change files
+    replayed as one-file micro-batches through foreachBatch ->
+    merge_upsert, each restating the SAME update keys from the original
+    values with a rising seq — so the final table is the last writer's
+    version, exactly what the oracle states in plain SQL. Ledger +
+    checkpoint are wiped per call (a stale ledger would skip the replay);
+    within-batch collapse and cross-batch ordering both exercised."""
+    import re as _re
+    import shutil
+
+    from tstore_spark.model.tslong import TSLong
+    from tstore_spark.sources.archive import open_archive, write_archive
+    from tstore_spark.streaming.stream_merge import apply_stream_upserts
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    tl = TSLong.wrap(ev, id_var="event_id", time_var="ts", ts_vars={"metrics": ["value"]})
+    base = "/tmp/tstore_spark_smerge_" + _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    shutil.rmtree(base, ignore_errors=True)
+    write_archive(tl, base, num_buckets=2, check_static_uniqueness=False)
+    src = base + "_changes"
+    shutil.rmtree(src, ignore_errors=True)
+    for i in range(3):
+        upd = ev.where(F.col("event_id") % 10 == 3).select(
+            "event_id", "ts", (F.col("value") + 1000.0 * (i + 1)).alias("value")
+        )
+        ins = ev.where(F.col("event_id") % 97 == 0).select(
+            (F.col("event_id") + 10_000_000).alias("event_id"),
+            "ts",
+            (F.col("value") * float(i + 2)).alias("value"),
+        )
+        upd.unionByName(ins).withColumn("seq", F.lit(i)).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+    schema = spark.read.parquet(f"{src}/f0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    q = apply_stream_upserts(stream, base, order_col="seq")
+    q.awaitTermination(300)
+    back = open_archive(spark, base, with_attributes=False)
+    return back.df.select(
+        F.col("event_id").cast("long").alias("event_id"), "ts", "value"
+    )
+
+
 def _q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot isolation, end to end: archive the events stream, pin
     snapshot v1, run a destructive MERGE (updates + inserts), then read
@@ -3510,6 +3581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_returning_users": _q_kmv_returning_users,
         "lm_bigram_counts": _q_lm_bigram_counts,
         "bpe_merges": _q_bpe_merges,
+        "unicode_nfc": _q_unicode_nfc,
         "blocklist_hits": _q_blocklist_hits,
         "domain_blocklist": _q_domain_blocklist,
         "scd2_versions": _q_scd2_versions,
@@ -3553,6 +3625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tstore_layout_roundtrip": _q_tstore_layout_roundtrip,
         "compaction_roundtrip": _q_compaction_roundtrip,
         "merge_upsert_roundtrip": _q_merge_upsert_roundtrip,
+        "stream_upsert_apply": _q_stream_upsert_apply,
         "zonemap_scan": _q_zonemap_scan,
         "bloom_index_scan": _q_bloom_index_scan,
         "more_like_this": _q_more_like_this,
@@ -3967,6 +4040,18 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN i ON i.day = n1.day
         """,
         "bpe_merges": bpe_oracle_sql("SELECT * FROM documents", merges=8),
+        "unicode_nfc": """
+            WITH s AS (
+                SELECT doc_id,
+                       substr(text, 1, 16) || 'cafe' || chr(769)
+                           || ' nai' || chr(776) || 've' AS t
+                FROM documents)
+            SELECT doc_id,
+                   nfc_normalize(t) AS norm_text,
+                   CAST(length(t) AS INTEGER) AS n_before,
+                   CAST(length(nfc_normalize(t)) AS INTEGER) AS n_after
+            FROM s
+        """,
         "blocklist_hits": f"""
             WITH p AS (SELECT unnest({_BLOCK_PATTERNS!r}) AS pattern),
             d AS (SELECT doc_id, lower(text) AS t FROM documents)
@@ -5058,6 +5143,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WHERE event_id % 10 = 3
                 UNION ALL
                 SELECT event_id + 10000000, ts, value * 2.0
+                FROM events WHERE event_id % 97 = 0)
+            SELECT e.event_id, e.ts, e.value FROM events e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM u WHERE u.event_id = e.event_id AND u.ts = e.ts)
+            UNION ALL
+            SELECT event_id, ts, value FROM u
+        """,
+        "stream_upsert_apply": """
+            WITH u AS (
+                SELECT event_id, ts, value + 3000.0 AS value
+                FROM events WHERE event_id % 10 = 3
+                UNION ALL
+                SELECT event_id + 10000000, ts, value * 4.0
                 FROM events WHERE event_id % 97 = 0)
             SELECT e.event_id, e.ts, e.value FROM events e
             WHERE NOT EXISTS (

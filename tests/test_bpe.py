@@ -136,6 +136,14 @@ def test_encode_matches_reference(spark):
         assert enc[doc_id][1] == len(want)
 
 
+def test_encode_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, "low low"), (2, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["bpe_token_count"] for r in bpe_encode(df, [("l", "o")]).collect()}
+    assert got == {1: 4, 2: 0}
+
+
 def test_deterministic_across_parallelism(spark):
     df = spark.createDataFrame(CORPUS, "doc_id long, text string")
     a = [tuple(r) for r in bpe_train(df.repartition(1), merges=4).collect()]

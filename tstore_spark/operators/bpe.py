@@ -204,8 +204,10 @@ def bpe_encode(
             )
 
     id_type = dict(docs.dtypes)[id_col]
+    # NULL text tokenizes to NULL — coalesce so the kernel sees an empty doc
     prepped = docs.select(
-        F.col(id_col).alias("_id"), _tokens(text_col).alias("_w")
+        F.col(id_col).alias("_id"),
+        F.coalesce(_tokens(text_col), F.array().cast("array<string>")).alias("_w"),
     )
     return prepped.mapInPandas(
         kernel, schema=f"_id {id_type}, bpe_tokens array<string>, n int"

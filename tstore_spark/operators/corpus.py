@@ -530,3 +530,66 @@ def readability_scores(
         F.when(ok, F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59))
         .alias("fk_grade"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    form: str = "NFC",
+    strip_marks: bool = False,
+    collapse_ws: bool = False,
+) -> DataFrame:
+    """Unicode-normalize a text column (the CCNet text-hygiene pass: the
+    same logical string must fingerprint/dedup identically whether a crawl
+    emitted it precomposed or decomposed).
+
+    ``form`` is a UAX#15 normalization form (NFC/NFKC/NFD/NFKD);
+    ``strip_marks`` additionally folds accents (NFD -> drop combining
+    marks -> recompose — classic accent folding); ``collapse_ws`` squeezes
+    whitespace runs to single spaces and trims (that part is pure Catalyst
+    and runs AFTER normalization, codegen-side).
+
+    Spark has no normalization builtin, so the normalize step is the one
+    honest Arrow kernel here (per-batch, NULL-preserving); everything
+    downstream of it (fingerprints, dedup, tokenization) stays JVM. Scale
+    shape: a projection — no shuffle, no state — but the kernel ships every
+    column of ``df`` through Arrow, so select down to the columns you need
+    BEFORE normalizing (a join-back would shuffle; this does not). DuckDB's ``nfc_normalize``
+    twins the NFC form for the gate; both sides implement UAX#15, which is
+    version-stable for all long-assigned codepoints.
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    import pandas as pd
+    import unicodedata
+
+    def kernel(batches):
+        def norm(s):
+            if s is None:
+                return None
+            t = unicodedata.normalize(form, s)
+            if strip_marks:
+                t = unicodedata.normalize(
+                    "NFC",
+                    "".join(
+                        ch
+                        for ch in unicodedata.normalize("NFD", t)
+                        if unicodedata.category(ch) != "Mn"
+                    ),
+                )
+            return t
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__norm"] = pdf["__raw"].map(norm)
+            yield pdf
+
+    cols = df.columns
+    prepped = df.withColumn("__raw", F.col(text_col).cast("string"))
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in prepped.schema.fields)
+    out = prepped.mapInPandas(kernel, schema=f"{schema}, __norm string")
+    result = F.col("__norm")
+    if collapse_ws:
+        result = F.trim(F.regexp_replace(result, r"\s+", " "))
+    return out.select(*cols, result.alias(out_col))
