@@ -1332,6 +1332,25 @@ def _q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON sidecar flattening (operators/jsonflat.py): metadata JSON built
+    algebraically from doc fields (heterogeneous — an extra nested object
+    on doc_id % 5 == 0 rows), leaf paths DISCOVERED by the bounded
+    per-depth key aggregation, values extracted by pure-codegen
+    get_json_object. Oracle = json_extract_string at the same paths."""
+    from tstore_spark.operators.jsonflat import flatten_json
+
+    docs = _t(spark, sf_dir, "documents")
+    meta = F.concat(
+        F.lit('{"lang": "'), F.col("lang"),
+        F.lit('", "stats": {"chars": '), F.col("n_chars").cast("string"),
+        F.lit(', "source": "'), F.col("source"), F.lit('"}'),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(', "extra": {"flag": true}')).otherwise(F.lit("")),
+        F.lit(', "idmod": '), (F.col("doc_id") % 7).cast("string"), F.lit("}"),
+    )
+    return flatten_json(docs.select("doc_id", meta.alias("meta")), "meta")
+
+
 def _q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization (corpus.normalize_text — the CCNet text
     hygiene pass): the fixture decorates each doc's text with DECOMPOSED
@@ -3582,6 +3601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_counts": _q_lm_bigram_counts,
         "bpe_merges": _q_bpe_merges,
         "unicode_nfc": _q_unicode_nfc,
+        "json_flatten": _q_json_flatten,
         "blocklist_hits": _q_blocklist_hits,
         "domain_blocklist": _q_domain_blocklist,
         "scd2_versions": _q_scd2_versions,
@@ -4040,6 +4060,22 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN i ON i.day = n1.day
         """,
         "bpe_merges": bpe_oracle_sql("SELECT * FROM documents", merges=8),
+        "json_flatten": """
+            WITH s AS (
+                SELECT doc_id,
+                       '{"lang": "' || lang || '", "stats": {"chars": '
+                       || CAST(n_chars AS VARCHAR) || ', "source": "' || source || '"}'
+                       || CASE WHEN doc_id % 5 = 0 THEN ', "extra": {"flag": true}' ELSE '' END
+                       || ', "idmod": ' || CAST(doc_id % 7 AS VARCHAR) || '}' AS meta
+                FROM documents)
+            SELECT doc_id,
+                   json_extract_string(meta, '$.extra.flag') AS "extra.flag",
+                   json_extract_string(meta, '$.idmod') AS idmod,
+                   json_extract_string(meta, '$.lang') AS lang,
+                   json_extract_string(meta, '$."stats"."chars"') AS "stats.chars",
+                   json_extract_string(meta, '$.stats.source') AS "stats.source"
+            FROM s
+        """,
         "unicode_nfc": """
             WITH s AS (
                 SELECT doc_id,

@@ -133,6 +133,8 @@ HEADLINE = [
     "bpe_merges",
     "blocklist_hits",
     "domain_blocklist",
+    "json_flatten",
+    "unicode_nfc",
 ]
 
 
