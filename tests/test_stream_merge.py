@@ -89,6 +89,13 @@ def test_stream_apply_matches_batch_twin(spark, archive, tmp_path):
     assert "v2" in langs and "v0" not in langs and "v1" not in langs
 
 
+def _applied_markers(archive):
+    out = []
+    for dp, _d, fs in os.walk(archive + "/_stream_merge/pages"):
+        out += [os.path.join(os.path.basename(dp), f) for f in fs if f.startswith("applied_")]
+    return sorted(out)
+
+
 def test_restart_is_idempotent(spark, archive, tmp_path):
     src = str(tmp_path / "changes")
     os.makedirs(src)
@@ -98,7 +105,7 @@ def test_restart_is_idempotent(spark, archive, tmp_path):
 
     _run(spark, archive, src, schema, ckpt)
     state1 = open_archive(spark, archive, with_attributes=False).df.localCheckpoint()
-    ledger = [f for f in os.listdir(archive + "/_stream_merge/pages") if f.startswith("applied_")]
+    ledger = _applied_markers(archive)
 
     # second availableNow run over the same checkpoint: no new files, table
     # unchanged, ledger unchanged
@@ -106,7 +113,7 @@ def test_restart_is_idempotent(spark, archive, tmp_path):
     state2 = open_archive(spark, archive, with_attributes=False).df
     assert state2.exceptAll(state1).count() == 0
     assert state1.exceptAll(state2).count() == 0
-    ledger2 = [f for f in os.listdir(archive + "/_stream_merge/pages") if f.startswith("applied_")]
+    ledger2 = _applied_markers(archive)
     assert sorted(ledger) == sorted(ledger2)
 
 
@@ -122,3 +129,17 @@ def test_collapse_last_writer_deterministic(spark):
     assert out1 == out7
     assert out1[("b", 2)] == "w"
     assert out1[("a", 1)] in ("y", "z")  # seq tie -> stable hash pick, same both runs
+
+
+def test_fresh_checkpoint_gets_its_own_ledger(spark, archive, tmp_path):
+    """Batch ids restart at 0 in a new checkpoint; markers must not be
+    shared across checkpoints or the new stream's batches are skipped."""
+    src = str(tmp_path / "changes")
+    os.makedirs(src)
+    _change_files(spark, archive, src)
+    schema = spark.read.parquet(src + "/f0").schema
+    _run(spark, archive, src, schema, str(tmp_path / "ckptA"))
+    n_a = len(_applied_markers(archive))
+    _run(spark, archive, src, schema, str(tmp_path / "ckptB"))
+    n_b = len(_applied_markers(archive))
+    assert n_a == 3 and n_b == 6  # second checkpoint re-applied (idempotent merge)

@@ -33,6 +33,8 @@ def _pattern_df(docs: DataFrame, patterns) -> DataFrame:
     if isinstance(patterns, DataFrame):
         pdf = patterns
     else:
+        if not patterns:
+            raise ValueError("blocklist: empty pattern list — nothing to match")
         pdf = docs.sparkSession.createDataFrame(
             [(str(p),) for p in patterns], "pattern string"
         )

@@ -83,9 +83,17 @@ def apply_stream_upserts(
     last-writer-wins collapse inside each batch."""
     from tstore_spark.sources.merge import merge_upsert
 
-    ledger = _ledger_dir(base_dir, table)
+    root = _ledger_dir(base_dir, table)
+    checkpoint = checkpoint or os.path.join(root, "checkpoint")
+    # markers are namespaced by the CHECKPOINT identity: batch ids restart
+    # at 0 in a fresh checkpoint, and an un-namespaced ledger would then
+    # silently skip the new stream's first batches
+    import hashlib
+
+    ledger = os.path.join(
+        root, "ledger_" + hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+    )
     os.makedirs(ledger, exist_ok=True)
-    checkpoint = checkpoint or os.path.join(ledger, "checkpoint")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(ledger, f"applied_{batch_id}")
