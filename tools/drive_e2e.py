@@ -386,6 +386,88 @@ def main() -> int:
         check("stream attribution == batch twin",
               stream_n == batch_n == len(convs))
 
+        # ------------------------------------------------------------------
+        # 10. fifth-session ops: BPE, blocklists, normalization, JSON
+        #     flattening, streaming CDC apply
+        # ------------------------------------------------------------------
+        from tstore_spark.operators.bpe import bpe_encode, bpe_train
+
+        corpus = spark.createDataFrame(
+            [(1, "low low lower lowest"), (2, "new newer newest")],
+            "doc_id long, text string",
+        )
+        mt = bpe_train(corpus, merges=3).collect()
+        check("bpe: 3 merges learned with positive counts",
+              len(mt) == 3 and all(r["pair_count"] > 0 for r in mt))
+        texts = {1: "low low lower lowest", 2: "new newer newest"}
+        enc = bpe_encode(corpus, [(r["lhs"], r["rhs"]) for r in mt]).collect()
+        check("bpe: encode compresses below the letter count",
+              all(0 < r["bpe_token_count"] < sum(c.isalnum() for c in texts[r["doc_id"]])
+                  for r in enc))
+
+        from tstore_spark.operators.blocklist import (
+            blocklist_filter,
+            domain_blocklist_filter,
+        )
+
+        bl = blocklist_filter(corpus, ["lowest"])
+        check("blocklist: substring hit drops the doc",
+              sorted(r["doc_id"] for r in bl.collect()) == [2])
+        urls = spark.createDataFrame(
+            [(1, "https://a.bad.example/x"), (2, "https://good.org/y")],
+            "doc_id long, url string",
+        )
+        check("blocklist: subdomain blocked via suffix equi-join",
+              [r["doc_id"] for r in domain_blocklist_filter(urls, ["bad.example"]).collect()] == [2])
+
+        from tstore_spark.operators.corpus import normalize_text
+
+        dec = spark.createDataFrame([(1, "café")], "doc_id long, text string")
+        check("normalize_text: NFC composes",
+              normalize_text(dec).collect()[0]["norm_text"] == "café")
+
+        from tstore_spark.operators.jsonflat import flatten_json
+
+        meta = spark.createDataFrame(
+            [(1, '{"a": {"b": 7}, "c": "x"}'), (2, '{"c": "y"}')],
+            "doc_id long, meta string",
+        )
+        flat = {r["doc_id"]: r.asDict() for r in flatten_json(meta, "meta").collect()}
+        check("jsonflat: discovery + extraction",
+              flat[1]["a.b"] == "7" and flat[2]["a.b"] is None and flat[2]["c"] == "y")
+
+        from tstore_spark.sources.archive import open_archive as _oa
+        from tstore_spark.streaming.stream_merge import apply_stream_upserts
+
+        ev_base = f"{tmp}/smerge_archive"
+        ev = spark.createDataFrame(
+            pd.DataFrame({
+                "event_id": list(range(20)),
+                "ts": pd.to_datetime("2024-03-01 12:00:00")
+                + pd.to_timedelta(range(20), unit="m"),
+                "value": [float(i) for i in range(20)],
+            })
+        )
+        write_archive(
+            TSLong.wrap(ev, id_var="event_id", time_var="ts",
+                        ts_vars={"metrics": ["value"]}),
+            ev_base, num_buckets=2, check_static_uniqueness=False,
+        )
+        chg = f"{tmp}/smerge_changes"
+        for i in range(2):
+            ev.limit(5).select(
+                "event_id", "ts", (F.col("value") + 100.0 * (i + 1)).alias("value")
+            ).withColumn("seq", F.lit(i)).coalesce(1).write.parquet(f"{chg}/f{i}")
+        schema = spark.read.parquet(f"{chg}/f0").schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(chg + "/f*"))
+        q = apply_stream_upserts(stream, ev_base, order_col="seq")
+        q.awaitTermination(120)
+        final = _oa(spark, ev_base, with_attributes=False).df
+        updated = final.where(F.col("value") >= 200.0).count()
+        check("stream CDC apply: last micro-batch wins",
+              final.count() == 20 and updated == 5)
+
         print(f"\nALL {n_checks} CHECKS PASS")
         return 0
     finally:
