@@ -33,11 +33,13 @@ from tstore_spark.operators.acf import acf_oracle_sql, ccf_oracle_sql
 from tstore_spark.operators.olap import cube_oracle_sql
 from tstore_spark.operators.graph import (
     bfs_hops_oracle_sql,
+    cocitation_oracle_sql,
     label_propagation_oracle_sql,
     resolve_redirects_oracle_sql,
     hits_oracle_sql,
     k_core_oracle_sql,
     pagerank_oracle_sql,
+    scc_oracle_sql,
 )
 from tstore_spark.operators.bpe import bpe_oracle_sql
 from tstore_spark.operators.kmeans import kmeans_oracle_sql
@@ -1170,6 +1172,35 @@ def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return triangle_counts(edges)
+
+
+def _q_scc_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (operators/graph.py:scc) — the web
+    bow-tie primitive — over the planted graph: the 0..6 path stays seven
+    singleton SCCs (reachability is one-way), the two directed 4-cycles at
+    1000+ become two 4-node SCCs, and the mod-101 crawl-batch component's
+    affine permutation maps weld into large SCCs whose shape varies with
+    sf. Mutual reachability = bounded pair-doubling closure (7 rounds =
+    128 hops) intersected with its transpose; the oracle is the identical
+    doubling unrolled. Exact set/min output, loud max_pairs guard."""
+    from tstore_spark.operators.graph import scc
+
+    edges = _planted_graph(_t(spark, sf_dir, "documents"))
+    return scc(edges, doubling_rounds=7, num_partitions=8)
+
+
+def _q_cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation relatedness (operators/graph.py:cocitation — Small
+    1973): target-host pairs ranked by how many distinct source hosts link
+    BOTH, over the doc-derived link graph (the real html→href→host chain).
+    The bounded out-degree cap (the anti-directory-page guard) is part of
+    the semantics and applied identically by the SQL twin. Exact integer
+    counts from one self-equi-join on the source key."""
+    from tstore_spark.operators.graph import cocitation
+
+    return cocitation(
+        _link_edges(_t(spark, sf_dir, "documents")), max_out_degree=100
+    )
 
 
 def _q_kmv_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3597,6 +3628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities": _q_lpa_communities,
         "bfs_depth": _q_bfs_depth,
         "triangle_counts": _q_triangle_counts,
+        "scc_hosts": _q_scc_hosts,
+        "cocitation_pairs": _q_cocitation_pairs,
         "kmv_returning_users": _q_kmv_returning_users,
         "lm_bigram_counts": _q_lm_bigram_counts,
         "bpe_merges": _q_bpe_merges,
@@ -3976,6 +4009,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 0 AS node UNION ALL SELECT 2000",
             max_hops=12,
             directed=False,
+        ),
+        "scc_hosts": scc_oracle_sql(_PLANTED_GRAPH_SQL, doubling_rounds=7),
+        "cocitation_pairs": cocitation_oracle_sql(
+            _LINK_EDGES_SQL, max_out_degree=100
         ),
         "seasonal_profile": """
             WITH pts AS (

@@ -660,3 +660,135 @@ def test_label_propagation_deterministic_across_parallelism(spark):
     a = label_propagation(sdf, iterations=3, num_partitions=2).collect()
     b = label_propagation(sdf, iterations=3, num_partitions=16).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b)) != []
+
+
+# ---------------------------------------------------------------- SCC
+
+
+def _brute_scc(edges):
+    """Tarjan-free brute force: per-node DFS reach sets, mutual-min ids."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+
+    def reach(v):
+        seen, stack = set(), [v]
+        while stack:
+            u = stack.pop()
+            for w in adj.get(u, ()):
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        return seen
+
+    r = {v: reach(v) for v in nodes}
+    return {
+        v: min([v] + [u for u in nodes if u in r[v] and v in r[u]])
+        for v in nodes
+    }
+
+
+_SCC_EDGES = (
+    [(i, i + 1) for i in range(5)]            # path: singleton SCCs
+    + [(10, 11), (11, 12), (12, 10)]          # 3-cycle
+    + [(20, 21), (21, 20), (21, 22), (22, 23), (23, 21)]  # nested cycles
+    + [(4, 10), (12, 20)]                     # DAG links between them
+    + [(30, 30)]                              # self-loop
+)
+
+
+def test_scc_vs_brute(spark):
+    from tstore_spark.operators.graph import scc
+
+    sdf = spark.createDataFrame(pd.DataFrame(_SCC_EDGES, columns=["src", "dst"]))
+    got = {r["node"]: r["scc_id"] for r in scc(sdf).collect()}
+    assert got == _brute_scc(_SCC_EDGES)
+    # the planted structure, explicitly
+    assert got[10] == got[11] == got[12] == 10
+    assert got[20] == got[21] == got[22] == got[23] == 20
+    assert len({got[i] for i in range(5)}) == 5
+
+
+def test_scc_oracle_parity_and_guard(spark):
+    import duckdb as _dd
+
+    from tstore_spark.operators.graph import scc, scc_oracle_sql, transitive_closure
+
+    sdf = spark.createDataFrame(pd.DataFrame(_SCC_EDGES, columns=["src", "dst"]))
+    got = sorted(map(tuple, scc(sdf, doubling_rounds=4).collect()))
+    vals = ", ".join(f"({s}, {d})" for s, d in _SCC_EDGES)
+    sql = scc_oracle_sql(f"SELECT * FROM (VALUES {vals}) t(src, dst)", doubling_rounds=4)
+    assert got == sorted(map(tuple, _dd.sql(sql).fetchall()))
+    with pytest.raises(ValueError, match="max_pairs"):
+        transitive_closure(sdf, max_pairs=3).count()
+
+
+def test_scc_long_cycle_needs_doubling(spark):
+    from tstore_spark.operators.graph import scc
+
+    # 40-node directed cycle: diameter 39 > 2^5 would fail at rounds=5? no:
+    # 2^5=32 < 39 hops -> with rounds 5 the closure is still the full cycle
+    # because doubling composes the CLOSURE (1..2^k hops), 2^6=64 >= 39. Use
+    # rounds=6 and verify one SCC; rounds high default also fine.
+    edges = [(i, (i + 1) % 40) for i in range(40)]
+    sdf = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {r["node"]: r["scc_id"] for r in scc(sdf, doubling_rounds=6).collect()}
+    assert set(got.values()) == {0} and len(got) == 40
+
+
+def test_scc_deterministic_across_parallelism(spark):
+    from tstore_spark.operators.graph import scc
+
+    edges = [(i % 23, (i * 7 + 2) % 23) for i in range(60)]
+    sdf = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    a = scc(sdf, num_partitions=2).collect()
+    b = scc(sdf, num_partitions=16).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) != []
+
+
+# ---------------------------------------------------------- co-citation
+
+
+def test_cocitation_vs_brute(spark):
+    from tstore_spark.operators.graph import cocitation
+
+    edges = [
+        ("s1", "a"), ("s1", "b"), ("s1", "c"),
+        ("s2", "a"), ("s2", "b"),
+        ("s3", "a"), ("s3", "b"), ("s3", "a"),  # dup edge dedups
+        ("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "d"),
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {
+        (r["node_a"], r["node_b"]): r["n_common"]
+        for r in cocitation(sdf, max_out_degree=3).collect()
+    }
+    # hub (out-degree 4 > 3) excluded; s3's duplicate edge counted once
+    assert got == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1}
+
+    from tstore_spark.operators.graph import bibliographic_coupling
+
+    coup = {
+        (r["node_a"], r["node_b"]): r["n_common"]
+        for r in bibliographic_coupling(sdf, max_in_degree=10).collect()
+    }
+    # sources sharing targets: s1&s2 share {a,b}, etc. ("hub" now a source node)
+    assert coup[("s1", "s2")] == 2 and coup[("hub", "s1")] == 3
+    with pytest.raises(ValueError, match="max_out_degree"):
+        cocitation(sdf, max_out_degree=1)
+
+
+def test_cocitation_oracle_parity(spark):
+    import duckdb as _dd
+
+    from tstore_spark.operators.graph import cocitation, cocitation_oracle_sql
+
+    edges = [(f"s{i % 7}", f"d{(i * 5 + j) % 11}") for i in range(40) for j in (0, 1)]
+    sdf = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = sorted(map(tuple, cocitation(sdf, max_out_degree=20).collect()))
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in edges)
+    sql = cocitation_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) t(src, dst)", max_out_degree=20
+    )
+    assert got == sorted(map(tuple, _dd.sql(sql).fetchall())) != []

@@ -836,6 +836,229 @@ def label_propagation(
     return labels
 
 
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    doubling_rounds: int = 7,
+    max_pairs: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Bounded directed reachability closure: distinct ``(s, d)`` pairs
+    with a directed path of length 1..2^``doubling_rounds`` from s to d
+    (``s = d`` rows appear exactly when s lies on a cycle).
+
+    Pointer doubling on PAIRS — round k composes the current closure with
+    itself (``C ∪ C∘C``), so path length doubles per round: the default 7
+    rounds cover 128 hops, beyond any real host-graph diameter. Early-stops
+    at the fixpoint (an unchanged pair count IS the fixpoint — composition
+    only adds pairs), which cannot change the answer, so an SQL twin that
+    runs all rounds unconditionally matches exactly.
+
+    Scale shape — the honest quadratic guard (the token-Jaccard
+    discipline): a reachability closure is inherently output-sized
+    Θ(Σ|reach(v)|). That is fine on host-level graphs (10^5–10^6 hosts
+    with bounded reach — the bow-tie / mirror-family use case) and
+    catastrophic on page-level graphs with giant reachable sets, so every
+    round counts the (checkpointed, so already-paid) closure and raises
+    loudly once it exceeds ``max_pairs`` instead of melting. Each round is
+    one self-equi-join on uniform hash keys + distinct, lineage cut per
+    round. Set-valued output ⇒ bit-identical at any parallelism.
+    """
+    if doubling_rounds < 1:
+        raise ValueError(f"doubling_rounds must be >= 1, got {doubling_rounds}")
+    spark = edges.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    c = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .repartition(n_part, "s")
+        .localCheckpoint(eager=True)
+    )
+    prev = c.count()
+    for _ in range(doubling_rounds):
+        if prev > max_pairs:
+            raise ValueError(
+                f"transitive_closure exceeded max_pairs={max_pairs} "
+                f"({prev} reachability pairs): page-level graphs with giant "
+                "reachable sets need the component/bfs operators, not a closure"
+            )
+        step = (
+            c.alias("x")
+            .join(c.alias("y"), F.col("x.d") == F.col("y.s"))
+            .select(F.col("x.s").alias("s"), F.col("y.d").alias("d"))
+        )
+        nxt = (
+            c.unionByName(step)
+            .distinct()
+            .repartition(n_part, "s")
+            .localCheckpoint(eager=True)
+        )
+        n = nxt.count()
+        c = nxt
+        if n == prev:
+            break  # fixpoint: further composition is a no-op (twin runs it anyway)
+        prev = n
+    return c
+
+
+def scc(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    doubling_rounds: int = 7,
+    max_pairs: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Strongly connected components: ``(node, scc_id)`` for every node of
+    the directed graph, where the id is the MINIMUM node mutually reachable
+    with it (itself included) — the web bow-tie primitive (the giant SCC is
+    the bow-tie core; link rings and mirror farms surface as nontrivial
+    SCCs where ``connected_components`` would blur them into one blob).
+
+    Exact whenever every SCC's internal diameter is <= 2^``doubling_rounds``
+    hops (128 at the default — a cycle of 10^38 nodes would be needed to
+    break it at host granularity): mutual reachability is the intersection
+    of the bounded :func:`transitive_closure` with its own transpose (one
+    self-join), and the id is a per-node MIN over that pair set. Inherits
+    the closure's loud ``max_pairs`` guard; set/min-valued output ⇒
+    bit-identical at any parallelism. Singleton SCCs (DAG nodes) map to
+    themselves via the left join's coalesce.
+    """
+    c = transitive_closure(
+        edges, src, dst,
+        doubling_rounds=doubling_rounds, max_pairs=max_pairs,
+        num_partitions=num_partitions,
+    )
+    mutual = c.alias("f").join(
+        c.alias("r"),
+        (F.col("f.s") == F.col("r.d")) & (F.col("f.d") == F.col("r.s")),
+        "left_semi",
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    best = mutual.groupBy(F.col("s").alias("node")).agg(F.min("d").alias("_m"))
+    return nodes.join(best, "node", "left").select(
+        "node",
+        F.least(F.col("node"), F.coalesce(F.col("_m"), F.col("node"))).alias("scc_id"),
+    )
+
+
+def scc_oracle_sql(edges_sql: str, doubling_rounds: int = 7) -> str:
+    """DuckDB twin of :func:`scc`: the identical pair doubling unrolled
+    (MATERIALIZED — each round's closure is referenced twice), then the
+    same transpose-intersection + per-node MIN. Exact when the Spark side
+    converges within the same rounds (its guard raises otherwise; rounds
+    past the fixpoint are no-ops)."""
+    parts = [
+        f"raw AS ({edges_sql})",
+        "c0 AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS d FROM raw)",
+    ]
+    prev = "c0"
+    for i in range(1, doubling_rounds + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT DISTINCT s, d FROM ("
+            f"SELECT s, d FROM {prev} UNION ALL "
+            f"SELECT x.s, y.d FROM {prev} x JOIN {prev} y ON x.d = y.s))"
+        )
+        prev = f"c{i}"
+    return (
+        "WITH " + ", ".join(parts) + f", "
+        f"nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw), "
+        f"m AS (SELECT f.s, f.d FROM {prev} f JOIN {prev} r "
+        f"ON f.s = r.d AND f.d = r.s) "
+        f"SELECT n.node, LEAST(n.node, COALESCE(MIN(m.d), n.node)) AS scc_id "
+        f"FROM nodes n LEFT JOIN m ON m.s = n.node GROUP BY n.node"
+    )
+
+
+def cocitation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_out_degree: int = 1000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Co-citation counts: ``(node_a, node_b, n_common)`` for every pair of
+    targets linked by at least one COMMON source (``node_a < node_b``,
+    ``n_common`` = exact number of distinct common sources). The classic
+    off-page similarity signal (Small 1973): two hosts the web repeatedly
+    cites together are topically related even if they never link each
+    other — the "related hosts" primitive search engines derive from the
+    link graph.
+
+    Scale shape: per-source pair enumeration is quadratic in out-degree,
+    so sources with out-degree > ``max_out_degree`` are EXCLUDED before
+    pairing — the standard co-citation cap (a directory page linking 10^5
+    hosts asserts almost nothing about any pair, while its pair set alone
+    would be 10^10 rows). The cap is a semantic parameter applied
+    identically by the SQL twin, not a silent truncation: degree filtering
+    is one aggregate + semi-join, pairing one self-equi-join on the source
+    key, counting one map-side-combined groupBy — all uniform-hash
+    shuffles. Exact integers ⇒ bit-identical at any parallelism.
+    """
+    if max_out_degree < 2:
+        raise ValueError(f"max_out_degree must be >= 2, got {max_out_degree}")
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    keep = (
+        e.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .where(F.col("_deg") <= max_out_degree)
+        .select("s")
+    )
+    e = e.join(keep, "s", "left_semi")
+    if num_partitions:
+        e = e.repartition(num_partitions, "s")
+    pairs = (
+        e.alias("x")
+        .join(
+            e.alias("y"),
+            (F.col("x.s") == F.col("y.s")) & (F.col("x.d") < F.col("y.d")),
+        )
+        .select(F.col("x.d").alias("node_a"), F.col("y.d").alias("node_b"))
+    )
+    return pairs.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+
+
+def bibliographic_coupling(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_in_degree: int = 1000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Bibliographic-coupling counts (Kessler 1963): ``(node_a, node_b,
+    n_common)`` for every pair of SOURCES that link at least one common
+    target — the transpose of :func:`cocitation` (two pages citing the
+    same references are related), with the cap now on target IN-degree
+    (everyone links example.com; that asserts nothing about any pair of
+    its citers). Same exact-integer, guarded-quadratic shape."""
+    return cocitation(
+        edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")),
+        max_out_degree=max_in_degree,
+        num_partitions=num_partitions,
+    )
+
+
+def cocitation_oracle_sql(edges_sql: str, max_out_degree: int = 1000) -> str:
+    """DuckDB twin of :func:`cocitation` — identical degree cap, pairing
+    and counting."""
+    return f"""
+        WITH raw AS ({edges_sql}),
+        e AS (SELECT DISTINCT src AS s, dst AS d FROM raw),
+        keep AS (SELECT s FROM e GROUP BY s HAVING COUNT(*) <= {max_out_degree}),
+        ek AS (SELECT e.s, e.d FROM e JOIN keep k ON e.s = k.s)
+        SELECT x.d AS node_a, y.d AS node_b, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM ek x JOIN ek y ON x.s = y.s AND x.d < y.d
+        GROUP BY x.d, y.d
+    """
+
+
 def label_propagation_oracle_sql(
     edges_sql: str, iterations: int = 4
 ) -> str:
