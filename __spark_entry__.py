@@ -42,6 +42,7 @@ from tstore_spark.operators.graph import (
     scc_oracle_sql,
 )
 from tstore_spark.operators.bpe import bpe_oracle_sql
+from tstore_spark.operators.burst import burst_oracle_sql
 from tstore_spark.operators.kmeans import kmeans_oracle_sql
 from tstore_spark.operators.metric_rollup import (
     finalize,
@@ -1172,6 +1173,52 @@ def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return triangle_counts(edges)
+
+
+def _q_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg-style burst episodes (operators/burst.py:burst_label) over
+    per-type hourly event counts with a deterministic planted elevation
+    (+20 on hours where (hour-index mod 50) < 3 — sustained 3-hour bursts
+    the entry toll should accept, while organic single-hour count noise
+    should not pay for). Integer quadratic DP, forward/backward marginal
+    labeling; the oracle is the identical recursion as DuckDB recursive
+    CTEs. Window key is the NTZ epoch-micro hour start (BIGINT both
+    sides — no session-zone cast anywhere)."""
+    from tstore_spark.functions.timeparts import ntz_epoch_micros
+    from tstore_spark.operators.burst import burst_label
+
+    ev = _t(spark, sf_dir, "events")
+    us = ntz_epoch_micros(F.col("ts"))
+    counts = (
+        ev.groupBy(
+            F.col("event_type"),
+            (us - us % 3_600_000_000).alias("w0_us"),
+        )
+        .agg(F.count(F.lit(1)).alias("_raw"))
+        .select(
+            "event_type",
+            "w0_us",
+            (
+                F.col("_raw")
+                + F.when(
+                    F.expr("w0_us div 3600000000") % 50 < 3,
+                    F.lit(20),
+                ).otherwise(F.lit(0))
+            ).alias("n"),
+        )
+    )
+    return burst_label(counts, "event_type", "w0_us", "n")
+
+
+_BURST_COUNTS_SQL = """
+    SELECT event_type AS key,
+           epoch_us(ts) - epoch_us(ts) % 3600000000 AS t,
+           CAST(COUNT(*) AS BIGINT)
+             + CASE WHEN ((epoch_us(ts) - epoch_us(ts) % 3600000000)
+                          // 3600000000) % 50 < 3 THEN 20 ELSE 0 END AS n
+    FROM events
+    GROUP BY 1, 2
+"""
 
 
 def _q_scc_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3630,6 +3677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": _q_triangle_counts,
         "scc_hosts": _q_scc_hosts,
         "cocitation_pairs": _q_cocitation_pairs,
+        "burst_windows": _q_burst_windows,
         "kmv_returning_users": _q_kmv_returning_users,
         "lm_bigram_counts": _q_lm_bigram_counts,
         "bpe_merges": _q_bpe_merges,
@@ -4013,6 +4061,12 @@ def oracle_sql() -> dict[str, str]:
         "scc_hosts": scc_oracle_sql(_PLANTED_GRAPH_SQL, doubling_rounds=7),
         "cocitation_pairs": cocitation_oracle_sql(
             _LINK_EDGES_SQL, max_out_degree=100
+        ),
+        "burst_windows": burst_oracle_sql(
+            _BURST_COUNTS_SQL,
+            key_alias="event_type",
+            time_alias="w0_us",
+            n_alias="n",
         ),
         "seasonal_profile": """
             WITH pts AS (
