@@ -39,6 +39,7 @@ from tstore_spark.operators.graph import (
     hits_oracle_sql,
     k_core_oracle_sql,
     pagerank_oracle_sql,
+    personalized_pagerank_oracle_sql,
     scc_oracle_sql,
 )
 from tstore_spark.operators.bpe import bpe_oracle_sql
@@ -1247,6 +1248,22 @@ def _q_cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return cocitation(
         _link_edges(_t(spark, sf_dir, "documents")), max_out_degree=100
+    )
+
+
+def _q_trustrank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (operators/graph.py:personalized_pagerank — Gyöngyi 2004):
+    integer personalized PageRank from a two-host trusted seed whitelist
+    over the doc-derived link graph. Teleport mass flows only from the
+    seeds, so unreferenced hosts score exactly 0 — the spam-demotion
+    signal global PageRank cannot give. Same bit-exact integer recursion
+    as pagerank_hosts; the oracle is the generated SQL twin."""
+    from tstore_spark.operators.graph import personalized_pagerank
+
+    return personalized_pagerank(
+        _link_edges(_t(spark, sf_dir, "documents")),
+        seeds=["s0.example.com", "s1.example.com"],
+        iterations=3,
     )
 
 
@@ -3678,6 +3695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_hosts": _q_scc_hosts,
         "cocitation_pairs": _q_cocitation_pairs,
         "burst_windows": _q_burst_windows,
+        "trustrank_hosts": _q_trustrank_hosts,
         "kmv_returning_users": _q_kmv_returning_users,
         "lm_bigram_counts": _q_lm_bigram_counts,
         "bpe_merges": _q_bpe_merges,
@@ -4061,6 +4079,12 @@ def oracle_sql() -> dict[str, str]:
         "scc_hosts": scc_oracle_sql(_PLANTED_GRAPH_SQL, doubling_rounds=7),
         "cocitation_pairs": cocitation_oracle_sql(
             _LINK_EDGES_SQL, max_out_degree=100
+        ),
+        "trustrank_hosts": personalized_pagerank_oracle_sql(
+            _LINK_EDGES_SQL,
+            "SELECT 's0.example.com' AS node UNION ALL SELECT 's1.example.com'",
+            n_seeds=2,
+            iterations=3,
         ),
         "burst_windows": burst_oracle_sql(
             _BURST_COUNTS_SQL,

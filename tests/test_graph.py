@@ -792,3 +792,67 @@ def test_cocitation_oracle_parity(spark):
         f"SELECT * FROM (VALUES {vals}) t(src, dst)", max_out_degree=20
     )
     assert got == sorted(map(tuple, _dd.sql(sql).fetchall())) != []
+
+
+# ------------------------------------------------- personalized PageRank
+
+
+def _brute_ppr(edges, seeds, iterations=3, damping_pct=85, scale=10**12):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges} | set(seeds))
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r0 = scale // len(seeds)
+    base = ((100 - damping_pct) * r0) // 100
+    rank = {v: (r0 if v in seeds else 0) for v in nodes}
+    for _ in range(iterations):
+        acc = {v: 0 for v in nodes}
+        for u, v in edges:
+            acc[v] += rank[u] // deg[u]
+        rank = {
+            v: (base if v in seeds else 0) + (damping_pct * acc[v]) // 100
+            for v in nodes
+        }
+    return rank
+
+
+def test_personalized_pagerank_vs_brute_and_oracle(spark):
+    import duckdb as _dd
+
+    from tstore_spark.operators.graph import (
+        personalized_pagerank,
+        personalized_pagerank_oracle_sql,
+    )
+
+    edges = [("t", "a"), ("a", "b"), ("b", "a"), ("spam1", "spam2"),
+             ("spam2", "spam1"), ("b", "c"), ("x", "t")]
+    seeds = ["t"]
+    sdf = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {r["node"]: r["rank"] for r in personalized_pagerank(sdf, seeds).collect()}
+    assert got == _brute_ppr(edges, seeds)
+    # the trust story: the disconnected spam ring holds ZERO trust even
+    # though its global pagerank is self-sustaining
+    assert got["spam1"] == 0 and got["spam2"] == 0 and got["a"] > 0
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in edges)
+    sql = personalized_pagerank_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) t(src, dst)",
+        "SELECT 't' AS node",
+        n_seeds=1,
+    )
+    assert sorted(got.items()) == sorted(_dd.sql(sql).fetchall())
+    with pytest.raises(ValueError, match="duplicate seeds"):
+        personalized_pagerank(sdf, ["t", "t"])
+    with pytest.raises(ValueError, match="non-empty"):
+        personalized_pagerank(sdf, [])
+
+
+def test_personalized_pagerank_seed_not_in_graph(spark):
+    from tstore_spark.operators.graph import personalized_pagerank
+
+    sdf = spark.createDataFrame(
+        pd.DataFrame([("a", "b")], columns=["src", "dst"])
+    )
+    got = {r["node"]: r["rank"] for r in personalized_pagerank(sdf, ["zz"]).collect()}
+    # isolated seed keeps only its teleport base; graph nodes get nothing
+    assert set(got) == {"a", "b", "zz"}
+    assert got["zz"] > 0 and got["a"] == 0 and got["b"] == 0

@@ -213,6 +213,125 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Exact integer PERSONALIZED PageRank: ``(node, rank)`` with the
+    teleport restricted to ``seeds`` — rank mass flows only from the seed
+    set, so scores measure proximity-to-seeds rather than global
+    importance. With a trusted-host whitelist as seeds this is TrustRank
+    (Gyöngyi et al., VLDB 2004): spam farms that sustain high global
+    PageRank through self-linking collect ~zero trust because no seed
+    path reaches them. With a single seed it is the classic
+    related-hosts / recommendation primitive.
+
+    Identical integer semantics to :func:`pagerank` except the teleport
+    vector: r₀(v) = ``scale // |S|`` for seeds, 0 otherwise; the per-node
+    base term ``((100-d) * (scale // |S|)) // 100`` is added only to
+    seeds. Dangling mass leaks deterministically (same rationale). Seeds
+    absent from the node set still emit rows (they hold teleport mass by
+    definition); duplicate seeds raise.
+    """
+    if not seeds:
+        raise ValueError("personalized_pagerank needs a non-empty seed list")
+    if len(set(seeds)) != len(seeds):
+        raise ValueError("personalized_pagerank: duplicate seeds")
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    node_type = dict(e.dtypes)["src"]
+    seed_df = spark.createDataFrame([(s,) for s in seeds], f"node {node_type}")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .union(seed_df)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    out_deg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    r0 = scale // len(seeds)
+    base = ((100 - damping_pct) * r0) // 100
+    is_seed = F.col("node").isin(seeds)
+    ranks = nodes.withColumn(
+        "rank", F.when(is_seed, F.lit(r0)).otherwise(F.lit(0)).cast("long")
+    )
+    for _ in range(iterations):
+        share = ranks.join(out_deg, "node").select(
+            F.col("node").alias("src"),
+            F.expr("rank div deg").alias("share"),
+        )
+        contrib = (
+            e.join(share, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(is_seed, F.lit(base)).otherwise(F.lit(0)).cast("long")
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def personalized_pagerank_oracle_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    n_seeds: int,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> str:
+    """DuckDB twin of :func:`personalized_pagerank`, generated from the
+    same constants. ``seeds_sql`` must yield the distinct seed ``node``
+    rows and ``n_seeds`` their exact count (a literal, so the generated
+    arithmetic is constant-folded identically in both engines)."""
+    r0 = scale // n_seeds
+    base = ((100 - damping_pct) * r0) // 100
+    parts = [
+        f"e AS ({edges_sql})",
+        f"seeds AS ({seeds_sql})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e "
+        "UNION SELECT node FROM seeds)",
+        "deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src)",
+        f"r0 AS (SELECT n.node, CAST(CASE WHEN s.node IS NOT NULL THEN {r0} "
+        f"ELSE 0 END AS BIGINT) AS rank "
+        f"FROM nodes n LEFT JOIN seeds s ON n.node = s.node)",
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"r{i} AS (SELECT n.node, "
+            f"CAST(CASE WHEN sd.node IS NOT NULL THEN {base} ELSE 0 END AS BIGINT)"
+            f" + ({damping_pct} * COALESCE(s.c, 0)) // 100 AS rank "
+            f"FROM nodes n LEFT JOIN seeds sd ON n.node = sd.node LEFT JOIN ("
+            f"SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS c "
+            f"FROM e JOIN {prev} r ON e.src = r.node JOIN deg d ON d.node = e.src "
+            f"GROUP BY e.dst) s ON n.node = s.node)"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node, CAST(rank AS BIGINT) AS rank FROM {prev}"
+    )
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
