@@ -44,6 +44,7 @@ from tstore_spark.operators.graph import (
 )
 from tstore_spark.operators.bpe import bpe_oracle_sql
 from tstore_spark.operators.burst import burst_oracle_sql
+from tstore_spark.operators.search import doc_keywords_oracle_sql
 from tstore_spark.operators.kmeans import kmeans_oracle_sql
 from tstore_spark.operators.metric_rollup import (
     finalize,
@@ -2942,6 +2943,19 @@ def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc keyword extraction (operators/search.py:doc_keywords):
+    top-3 terms by integer tf-idf (tf * greatest(1, 1e6 div df) — the
+    more_like_this idf; ln() isn't IEEE-portable, integer division is)
+    through the real inverted index. Total tie order (score desc, token
+    asc) makes ranks bit-identical; oracle re-derives postings by SQL
+    tokenization and runs the same arithmetic."""
+    from tstore_spark.operators.search import build_inverted_index, doc_keywords
+
+    idx = build_inverted_index(_t(spark, sf_dir, "documents"))
+    return doc_keywords(idx, k=3)
+
+
 def _q_merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics, end to end: archive the events stream keyed by
     (event_id, ts), upsert a batch that restates values for event_id % 10 == 3
@@ -3756,6 +3770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_click_attribution": _q_stream_click_attribution,
         "text_search": _q_text_search,
         "term_stats": _q_term_stats,
+        "doc_keywords": _q_doc_keywords,
         "phrase_search": _q_phrase_search,
         "sessionize_events": _q_sessionize_events,
         "profile_events": _q_profile_events,
@@ -5288,6 +5303,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS tf_total
             FROM t GROUP BY tok
         """,
+        "doc_keywords": doc_keywords_oracle_sql(
+            """
+            SELECT doc_id, tok AS token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, u.tok
+                  FROM documents,
+                       unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(tok)
+                  WHERE u.tok <> '')
+            GROUP BY doc_id, tok
+            """,
+            k=3,
+        ),
         "merge_upsert_roundtrip": """
             WITH u AS (
                 SELECT event_id, ts, value + 1000.0 AS value

@@ -313,3 +313,57 @@ def test_more_like_this_guards(index):
 
     with pytest.raises(ValueError, match="query_ids"):
         more_like_this(index, [])
+
+
+def test_doc_keywords_and_oracle(spark):
+    import duckdb as _dd
+
+    from tstore_spark.operators.search import (
+        build_inverted_index,
+        doc_keywords,
+        doc_keywords_oracle_sql,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "quantum cats purr quantum quantum a b",  # rare term repeated
+                    "the cats sleep the the sofa",
+                    "quantum sofa sofa",
+                ],
+            }
+        )
+    )
+    idx = build_inverted_index(docs)
+    got = doc_keywords(idx, k=2).orderBy("doc_id", "rank").collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r["token"])
+    # doc 1: 'quantum' tf=3 df=2 beats 'purr' tf=1 df=1; short 'a'/'b' dropped
+    assert by_doc[1][0] == "quantum" and len(by_doc[1]) == 2
+    assert all(len(t) >= 3 for toks in by_doc.values() for t in toks)
+    # rank column is a total order: ranks are 1..k per doc
+    assert [r["rank"] for r in got if r["doc_id"] == 1] == [1, 2]
+
+    pidx = idx.toPandas()
+    _dd.sql("CREATE OR REPLACE TABLE post AS SELECT * FROM pidx")
+    exp = sorted(
+        map(tuple, _dd.sql(
+            doc_keywords_oracle_sql("SELECT doc_id, token, tf FROM post", k=2)
+        ).fetchall())
+    )
+    assert sorted(map(tuple, got)) == exp
+
+
+def test_doc_keywords_guard(spark):
+    import pytest as _pt
+
+    from tstore_spark.operators.search import doc_keywords
+
+    idx = spark.createDataFrame(
+        pd.DataFrame({"token": ["abc"], "doc_id": [1], "tf": [1]})
+    )
+    with _pt.raises(ValueError, match="k must be"):
+        doc_keywords(idx, k=0)

@@ -371,3 +371,77 @@ def more_like_this(
         .withColumn("rank", F.row_number().over(topw))
         .where(F.col("rank") <= k)
     )
+
+
+def doc_keywords(
+    index: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    idf_scale: int = 1_000_000,
+    min_token_len: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction: the ``k`` most characteristic
+    terms of every document — ``(doc_id, token, tf, df, score, rank)``
+    with ``score = tf * greatest(1, idf_scale div df)``, the
+    :func:`more_like_this` integer tf-idf (ln() is not IEEE-portable
+    across engines; integer division is — the BM25 lesson). The classic
+    corpus-annotation primitive: topic tags for routing/mixture labeling,
+    distilled doc descriptors for clustering.
+
+    Semantics: df = number of documents containing the token (exactly the
+    posting-row count per token); tokens shorter than ``min_token_len``
+    are dropped (single letters and digits dominate raw tf and carry no
+    topical signal — the cheap stopword proxy that needs no wordlist, and
+    a parameter so the twin can mirror it). Ties break (score desc, token
+    asc) — total order, bit-identical ranks at any parallelism.
+
+    Scale shape: one token-grain df aggregation (map-side combined), one
+    equi-join back on token (both sides posting-shaped; at corpus scale
+    persist the index bucketed by token — sources/bucketed.py — and the
+    join co-locates), one per-doc row_number window over doc-grain rows.
+    No driver collects, no floats anywhere.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql.window import Window
+
+    base = index.where(F.length("token") >= min_token_len)
+    dfs = base.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = base.join(dfs, "token").withColumn(
+        "score",
+        F.col("tf")
+        * F.expr(f"greatest(CAST({idf_scale} AS BIGINT) div df, CAST(1 AS BIGINT))"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "df", "score", "rank")
+    )
+
+
+def doc_keywords_oracle_sql(
+    postings_sql: str,
+    k: int = 5,
+    idf_scale: int = 1_000_000,
+    min_token_len: int = 3,
+) -> str:
+    """DuckDB twin of :func:`doc_keywords`. ``postings_sql`` must yield
+    ``(doc_id, token, tf)`` rows (one per doc-token)."""
+    return f"""
+        WITH p AS ({postings_sql}),
+        base AS (SELECT * FROM p WHERE length(token) >= {min_token_len}),
+        dfs AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+                FROM base GROUP BY token),
+        scored AS (
+            SELECT b.doc_id, b.token, CAST(b.tf AS BIGINT) AS tf, d.df,
+                   CAST(b.tf AS BIGINT)
+                     * GREATEST({idf_scale} // d.df, 1) AS score
+            FROM base b JOIN dfs d USING (token))
+        SELECT doc_id, token, tf, df, score,
+               CAST(rank AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+              FROM scored)
+        WHERE rank <= {k}
+    """
