@@ -2956,6 +2956,49 @@ def _q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_keywords(idx, k=3)
 
 
+def _q_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list compression lossless loop (operators/postings.py):
+    inverted index -> delta-gap varint blocks (doc-id-RANGE blocks, no
+    per-token window) -> decode -> flat postings. Restricted to rare-letter
+    tokens to bound the compare; block_span=128 so multiple blocks per
+    token exist at sf0.01. The oracle is the direct SQL tokenization —
+    hash equality IS the losslessness proof (the gorilla_roundtrip
+    pattern)."""
+    from tstore_spark.operators.postings import (
+        compress_postings,
+        decompress_postings,
+    )
+    from tstore_spark.operators.search import build_inverted_index
+
+    idx = build_inverted_index(_t(spark, sf_dir, "documents")).where(
+        F.col("token").rlike("^[jqxz]")
+    )
+    chunks = compress_postings(idx, block_span=128)
+    return decompress_postings(chunks, block_span=128)
+
+
+def _q_postings_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block metadata of the compressed index, decode-free: per (token,
+    doc-id-range block) doc count + min/max doc (the skip-list pruning
+    columns) and the `compressed` invariant (bytes < 16/posting raw).
+    Oracle re-derives block membership with SQL floor-division."""
+    from tstore_spark.operators.postings import compress_postings
+    from tstore_spark.operators.search import build_inverted_index
+
+    idx = build_inverted_index(_t(spark, sf_dir, "documents")).where(
+        F.col("token").rlike("^[sv]")
+    )
+    chunks = compress_postings(idx, block_span=128)
+    return chunks.select(
+        "token",
+        "block",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "min_doc",
+        "max_doc",
+        (F.col("n_bytes") < 16 * F.col("n_docs")).alias("compressed"),
+    )
+
+
 def _q_merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics, end to end: archive the events stream keyed by
     (event_id, ts), upsert a batch that restates values for event_id % 10 == 3
@@ -3771,6 +3814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search": _q_text_search,
         "term_stats": _q_term_stats,
         "doc_keywords": _q_doc_keywords,
+        "postings_roundtrip": _q_postings_roundtrip,
+        "postings_blocks": _q_postings_blocks,
         "phrase_search": _q_phrase_search,
         "sessionize_events": _q_sessionize_events,
         "profile_events": _q_profile_events,
@@ -5314,6 +5359,30 @@ def oracle_sql() -> dict[str, str]:
             """,
             k=3,
         ),
+        "postings_roundtrip": """
+            SELECT tok AS token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, u.tok
+                  FROM documents,
+                       unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(tok)
+                  WHERE u.tok <> '' AND regexp_matches(u.tok, '^[jqxz]'))
+            GROUP BY tok, doc_id
+        """,
+        "postings_blocks": """
+            WITH p AS (
+                SELECT tok AS token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, u.tok
+                      FROM documents,
+                           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(tok)
+                      WHERE u.tok <> '' AND regexp_matches(u.tok, '^[sv]'))
+                GROUP BY tok, doc_id)
+            SELECT token,
+                   CAST(doc_id // 128 AS BIGINT) AS block,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+                   CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+                   TRUE AS compressed
+            FROM p GROUP BY token, block
+        """,
         "merge_upsert_roundtrip": """
             WITH u AS (
                 SELECT event_id, ts, value + 1000.0 AS value

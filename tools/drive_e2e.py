@@ -387,6 +387,32 @@ def main() -> int:
               stream_n == batch_n == len(convs))
 
         # ------------------------------------------------------------------
+        # 9b. posting-list compression: index -> varint blocks -> decode
+        # ------------------------------------------------------------------
+        from tstore_spark.operators.postings import (
+            compress_postings,
+            decompress_postings,
+            postings_stats,
+        )
+        from tstore_spark.operators.search import build_inverted_index
+
+        pdocs = spark.createDataFrame(
+            [(i, "alpha beta" if i % 2 else "alpha") for i in range(300)],
+            "doc_id long, text string",
+        )
+        pidx = build_inverted_index(pdocs)
+        pchunks = compress_postings(pidx, block_span=128).cache()
+        pback = decompress_postings(pchunks, block_span=128)
+        check("postings: varint block roundtrip lossless",
+              {tuple(r) for r in pback.collect()}
+              == {tuple(r) for r in pidx.collect()})
+        pstats = {r["token"]: r for r in postings_stats(pchunks).collect()}
+        check("postings: range blocks + compression ratio",
+              pstats["alpha"]["n_blocks"] == 3
+              and pstats["alpha"]["ratio_vs_raw16"] > 4.0)
+        pchunks.unpersist()
+
+        # ------------------------------------------------------------------
         # 10. fifth-session ops: BPE, blocklists, normalization, JSON
         #     flattening, streaming CDC apply
         # ------------------------------------------------------------------
