@@ -2956,6 +2956,78 @@ def _q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_keywords(idx, k=3)
 
 
+def _q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (sampling.py:epoch_shuffle): per-row
+    md5 order key + tail-byte shard over documents — a pure projection
+    (zero shuffle in the plan; write_epoch_shards owns the one
+    materializing repartition). Oracle recomputes key and shard from the
+    same md5 arithmetic."""
+    from tstore_spark.operators.sampling import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, "doc_id", n_shards=8, epoch=1, seed=7)
+
+
+def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware crawl scheduling (operators/crawl.py): frontier
+    derived from events (host = event_type, priority = user_id%7), one
+    row_number window per host with total (priority DESC, url ASC) order,
+    integer fetch offsets, portable-digest fetcher ownership, budget 40
+    per host. Oracle = the same window + arithmetic in SQL."""
+    from tstore_spark.operators.crawl import crawl_schedule
+
+    ev = _t(spark, sf_dir, "events")
+    frontier = ev.select(
+        F.concat(
+            F.lit("https://"), F.col("event_type"), F.lit(".example/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.col("event_type"), F.lit(".example")).alias("host"),
+        (F.col("user_id") % 7).alias("prio"),
+    )
+    return crawl_schedule(
+        frontier, priority_col="prio", delay_ms=250, n_fetchers=16,
+        max_per_host=40,
+    )
+
+
+def _q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear BoW quality classifier (operators/classify.py) over the
+    documents corpus with a literal integer lexicon: score = bias + Σ
+    tf·weight, exact BIGINT (order-independent, oracle = the same join
+    written as VALUES + SUM). `keep` gates the filter decision itself."""
+    from tstore_spark.operators.classify import classifier_score
+
+    lex = spark.createDataFrame(
+        [("spark", 8), ("fast", 6), ("join", 3), ("hash", 2),
+         ("slow", -5), ("dup", -9)],
+        "token string, weight long",
+    )
+    scored = classifier_score(
+        _t(spark, sf_dir, "documents"), lex, bias=1
+    )
+    return scored.select(
+        "doc_id", "n_tokens", "score", (F.col("score") >= 10).alias("keep")
+    )
+
+
+def _q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level eval decontamination (similarity.py:
+    semantic_decontaminate): the eval set is the vec_id%17==3 slice — its
+    leaked copies inside the corpus score cosine 1.0 and must flag at
+    threshold 0.9, everything else stays clean. Broadcast eval side, one
+    max-struct aggregate per corpus row; cosine rounded 3dp (the
+    cosine_topk float discipline), ties to the larger eval id in both
+    engines."""
+    from tstore_spark.operators.similarity import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") % 17 == 3).select(
+        F.col("vec_id").alias("eval_id"), "embedding"
+    )
+    return semantic_decontaminate(emb, ev, threshold=0.9)
+
+
 def _q_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list compression lossless loop (operators/postings.py):
     inverted index -> delta-gap varint blocks (doc-id-RANGE blocks, no
@@ -3814,6 +3886,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search": _q_text_search,
         "term_stats": _q_term_stats,
         "doc_keywords": _q_doc_keywords,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "crawl_schedule": _q_crawl_schedule,
+        "classifier_score": _q_classifier_score,
+        "semantic_decontam": _q_semantic_decontam,
         "postings_roundtrip": _q_postings_roundtrip,
         "postings_blocks": _q_postings_blocks,
         "phrase_search": _q_phrase_search,
@@ -5359,6 +5435,81 @@ def oracle_sql() -> dict[str, str]:
             """,
             k=3,
         ),
+        "epoch_shuffle": """
+            SELECT doc_id,
+                   md5(CAST(doc_id AS VARCHAR) || ':7:1') AS sort_key,
+                   CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR) || ':7:1'), 31, 1)) * 256
+                         + ascii(substr(md5(CAST(doc_id AS VARCHAR) || ':7:1'), 32, 1))) % 8
+                        AS INTEGER) AS shard
+            FROM documents
+        """,
+        "crawl_schedule": """
+            WITH f AS (
+                SELECT 'https://' || event_type || '.example/' || CAST(event_id AS VARCHAR) AS url,
+                       event_type || '.example' AS host,
+                       user_id % 7 AS prio
+                FROM events),
+            ranked AS (
+                SELECT url, host,
+                       CAST(row_number() OVER (
+                           PARTITION BY host ORDER BY prio DESC, url ASC) - 1
+                            AS BIGINT) AS slot
+                FROM f)
+            SELECT url, host, slot,
+                   CAST(slot * 250 AS BIGINT) AS fetch_offset_ms,
+                   CAST(ascii(substr(md5(host), 1, 1)) % 16 AS INTEGER) AS fetcher
+            FROM ranked WHERE slot < 40
+        """,
+        "classifier_score": """
+            WITH lex(token, weight) AS (
+                VALUES ('spark', 8), ('fast', 6), ('join', 3), ('hash', 2),
+                       ('slow', -5), ('dup', -9)),
+            toks AS (
+                SELECT doc_id, u.tok
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(tok)
+                WHERE u.tok <> ''),
+            contrib AS (
+                SELECT t.doc_id, CAST(SUM(l.weight) AS BIGINT) AS s
+                FROM toks t JOIN lex l ON t.tok = l.token
+                GROUP BY t.doc_id),
+            ntok AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+                FROM toks GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(n.n_tokens, 0) AS n_tokens,
+                   CAST(COALESCE(c.s, 0) + 1 AS BIGINT) AS score,
+                   (COALESCE(c.s, 0) + 1 >= 10) AS keep
+            FROM documents d
+            LEFT JOIN ntok n ON d.doc_id = n.doc_id
+            LEFT JOIN contrib c ON d.doc_id = c.doc_id
+        """,
+        "semantic_decontam": """
+            WITH ev AS (
+                SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 17 = 3),
+            c AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            s AS (
+                SELECT c.vec_id, ev.eval_id,
+                       round(list_dot_product(c.v, ev.v)
+                             / NULLIF(sqrt(list_dot_product(c.v, c.v))
+                                      * sqrt(list_dot_product(ev.v, ev.v)), 0.0),
+                             3) AS sim
+                FROM c, ev),
+            best AS (
+                SELECT vec_id, sim, eval_id FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY vec_id
+                        ORDER BY sim DESC, eval_id DESC) AS rn
+                    FROM s WHERE sim IS NOT NULL) WHERE rn = 1)
+            SELECT c2.vec_id,
+                   best.sim AS max_eval_sim,
+                   best.eval_id AS matched_eval_id,
+                   COALESCE(best.sim >= 0.9, FALSE) AS contaminated
+            FROM (SELECT DISTINCT vec_id FROM embeddings) c2
+            LEFT JOIN best ON c2.vec_id = best.vec_id
+        """,
         "postings_roundtrip": """
             SELECT tok AS token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
             FROM (SELECT doc_id, u.tok

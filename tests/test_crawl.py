@@ -1,0 +1,64 @@
+"""Crawl scheduling: politeness slots, budgets, fetcher ownership."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tstore_spark.operators.crawl import crawl_schedule, fetcher_load
+
+
+@pytest.fixture(scope="module")
+def frontier(spark):
+    rows = [
+        (f"https://a.example/{i}", "a.example", i % 3) for i in range(6)
+    ] + [(f"https://b.example/{i}", "b.example", 0) for i in range(2)]
+    return spark.createDataFrame(rows, "url string, host string, prio int")
+
+
+def test_slots_follow_priority_then_url(spark, frontier):
+    sched = crawl_schedule(frontier, priority_col="prio", delay_ms=500)
+    a = [
+        (r["slot"], r["url"], r["fetch_offset_ms"])
+        for r in sched.where(F.col("host") == "a.example").orderBy("slot").collect()
+    ]
+    # prio 2 first (urls /2, /5), then prio 1 (/1, /4), then prio 0 (/0, /3)
+    assert [u for _, u, _ in a] == [
+        f"https://a.example/{i}" for i in (2, 5, 1, 4, 0, 3)
+    ]
+    assert [o for s, _, o in a] == [0, 500, 1000, 1500, 2000, 2500]
+
+
+def test_one_fetcher_owns_each_host(spark, frontier):
+    sched = crawl_schedule(frontier, priority_col="prio")
+    per_host = (
+        sched.groupBy("host").agg(F.countDistinct("fetcher").alias("nf")).collect()
+    )
+    assert all(r["nf"] == 1 for r in per_host)
+    assert all(0 <= r["fetcher"] < 64 for r in sched.collect())
+
+
+def test_budget_caps_per_host(spark, frontier):
+    sched = crawl_schedule(frontier, priority_col="prio", max_per_host=2)
+    counts = {r["host"]: r["n"] for r in
+              sched.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a.example": 2, "b.example": 2}
+
+
+def test_schedule_deterministic_across_parallelism(spark, frontier):
+    one = sorted(map(tuple, crawl_schedule(frontier.repartition(1), priority_col="prio").collect()))
+    many = sorted(map(tuple, crawl_schedule(frontier.repartition(7), priority_col="prio").collect()))
+    assert one == many
+
+
+def test_fetcher_load_accounting(spark, frontier):
+    load = fetcher_load(crawl_schedule(frontier, priority_col="prio", delay_ms=1000))
+    total_urls = sum(r["n_urls"] for r in load.collect())
+    assert total_urls == 8
+    mk = {r["fetcher"]: r["makespan_ms"] for r in load.collect()}
+    assert max(mk.values()) == 5000  # a.example's 6th url at slot 5
+
+
+def test_bad_args_raise(spark, frontier):
+    for kwargs in ({"delay_ms": 0}, {"n_fetchers": 0}, {"max_per_host": 0}):
+        with pytest.raises(ValueError):
+            crawl_schedule(frontier, **kwargs)

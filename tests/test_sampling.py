@@ -249,3 +249,63 @@ def test_weighted_sample_is_stable_under_growth(spark):
     kept_small = {r["doc_id"] for r in weighted_sample(small, "doc_id", "w").collect()}
     kept_big = {r["doc_id"] for r in weighted_sample(big, "doc_id", "w").collect()}
     assert kept_small == {d for d in kept_big if d < 200}
+
+
+# ---------------------------------------------------------------------------
+# epoch shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_shuffle_covers_and_reproduces(spark):
+    from tstore_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = epoch_shuffle(docs, "doc_id", n_shards=4, epoch=0).collect()
+    b = epoch_shuffle(docs.repartition(9), "doc_id", n_shards=4, epoch=0).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert {r["doc_id"] for r in a} == set(range(500))
+    assert {r["shard"] for r in a} == {0, 1, 2, 3}
+    # roughly balanced shards (multinomial, n=500, p=1/4)
+    from collections import Counter
+    sizes = Counter(r["shard"] for r in a)
+    assert all(80 < sizes[s] < 175 for s in range(4))
+
+
+def test_epoch_shuffle_epochs_differ(spark):
+    from tstore_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    e0 = [r["doc_id"] for r in
+          epoch_shuffle(docs, "doc_id", 1, epoch=0).orderBy("sort_key").collect()]
+    e1 = [r["doc_id"] for r in
+          epoch_shuffle(docs, "doc_id", 1, epoch=1).orderBy("sort_key").collect()]
+    assert sorted(e0) == sorted(e1) == list(range(200))
+    assert e0 != e1
+
+
+def test_write_epoch_shards_ordered_files(spark, tmp_path):
+    from tstore_spark.operators.sampling import epoch_shuffle, write_epoch_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(300)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "epoch0")
+    write_epoch_shards(docs, out, "doc_id", n_shards=3, epoch=0)
+    back = spark.read.parquet(out)
+    assert back.count() == 300
+    assert {r["shard"] for r in back.select("shard").distinct().collect()} == {0, 1, 2}
+    # within each shard file, rows are stored in sort_key order
+    import pyarrow.parquet as pq
+    import glob as _glob
+    for f in _glob.glob(out + "/shard=*/part-*.parquet"):
+        keys = pq.read_table(f, columns=["sort_key"])["sort_key"].to_pylist()
+        assert keys == sorted(keys)
+
+
+def test_epoch_shuffle_bad_shards(spark):
+    from tstore_spark.operators.sampling import epoch_shuffle
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    with _pytest.raises(ValueError):
+        epoch_shuffle(docs, "doc_id", 0)

@@ -258,3 +258,46 @@ def test_ivf_topk_string_ids(spark):
     assert set(out.query_id) == {"doc_0000", "doc_0001", "doc_0002"}
     assert (out.groupby("query_id").size() == 3).all()
     assert not (out.query_id == out.neighbor_id).any()
+
+
+def test_semantic_decontaminate_flags_and_nulls(spark):
+    from tstore_spark.operators.similarity import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),     # exact copy of eval 10
+            (2, [0.8, 0.6]),     # cos 0.8 vs eval 10: below the threshold
+            (3, [0.0, 1.0]),     # orthogonal to eval 10, exact copy of eval 11
+            (4, [0.0, 0.0]),     # zero vector: never matches
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    eval_set = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, [0.0, 0.0])],
+        "eval_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(corpus, eval_set, threshold=0.95).collect()
+    }
+    assert len(rows) == 4
+    assert rows[1]["contaminated"] and rows[1]["max_eval_sim"] == 1.0
+    assert rows[1]["matched_eval_id"] == 10
+    assert rows[2]["contaminated"] is False and 0.7 < rows[2]["max_eval_sim"] < 0.95
+    assert rows[3]["contaminated"] and rows[3]["matched_eval_id"] == 11
+    # zero-norm corpus vector: no scorable pair at all -> NULL sim, clean
+    assert rows[4]["max_eval_sim"] is None and rows[4]["contaminated"] is False
+
+
+def test_semantic_decontaminate_tie_breaks_to_larger_eval_id(spark):
+    from tstore_spark.operators.similarity import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    eval_set = spark.createDataFrame(
+        [(10, [2.0, 0.0]), (20, [3.0, 0.0])],
+        "eval_id long, embedding array<double>",
+    )
+    (row,) = semantic_decontaminate(corpus, eval_set, threshold=0.5).collect()
+    assert row["max_eval_sim"] == 1.0 and row["matched_eval_id"] == 20

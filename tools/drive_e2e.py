@@ -387,6 +387,24 @@ def main() -> int:
               stream_n == batch_n == len(convs))
 
         # ------------------------------------------------------------------
+        # 9a2. semantic decontamination: leaked eval embedding flags
+        # ------------------------------------------------------------------
+        from tstore_spark.operators.similarity import semantic_decontaminate
+
+        sd_corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.6, 0.8]), (3, [0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        sd_eval = spark.createDataFrame(
+            [(10, [2.0, 0.0])], "eval_id long, embedding array<double>"
+        )
+        sd = {r["vec_id"]: r for r in
+              semantic_decontaminate(sd_corpus, sd_eval, threshold=0.9).collect()}
+        check("semantic decontamination flags the leaked eval row",
+              sd[1]["contaminated"] and not sd[2]["contaminated"]
+              and sd[3]["max_eval_sim"] is None and not sd[3]["contaminated"])
+
+        # ------------------------------------------------------------------
         # 9b. posting-list compression: index -> varint blocks -> decode
         # ------------------------------------------------------------------
         from tstore_spark.operators.postings import (
@@ -411,6 +429,44 @@ def main() -> int:
               pstats["alpha"]["n_blocks"] == 3
               and pstats["alpha"]["ratio_vs_raw16"] > 4.0)
         pchunks.unpersist()
+
+        # 9c. training-pipeline ops: classifier gate, crawl schedule,
+        #     epoch shuffle
+        # ------------------------------------------------------------------
+        from tstore_spark.operators.classify import classifier_filter
+        from tstore_spark.operators.crawl import crawl_schedule, fetcher_load
+        from tstore_spark.operators.sampling import write_epoch_shards
+
+        cdocs = spark.createDataFrame(
+            [(1, "good good text"), (2, "spam spam spam")],
+            "doc_id long, text string",
+        )
+        clex = spark.createDataFrame(
+            [("good", 5), ("spam", -5)], "token string, weight long"
+        )
+        check("classifier filter keeps only the quality doc",
+              [r["doc_id"] for r in classifier_filter(cdocs, clex, 0).collect()]
+              == [1])
+
+        cfront = spark.createDataFrame(
+            [(f"https://h{i % 2}.ex/{i}", f"h{i % 2}.ex", i % 3)
+             for i in range(10)],
+            "url string, host string, prio int",
+        )
+        csched = crawl_schedule(cfront, priority_col="prio", delay_ms=100)
+        cload = fetcher_load(csched).collect()
+        check("crawl schedule: polite slots + fetcher ownership",
+              csched.where(F.col("slot") == 0).count() == 2
+              and sum(r["n_urls"] for r in cload) == 10
+              and max(r["makespan_ms"] for r in cload) == 400)
+
+        epath = f"{tmp}/epoch_shards"
+        write_epoch_shards(cdocs.union(cdocs.selectExpr("doc_id+10", "text")),
+                           epath, "doc_id", n_shards=2, epoch=0)
+        eback = spark.read.parquet(epath)
+        check("epoch shuffle shards cover every row",
+              eback.count() == 4
+              and eback.select("doc_id").distinct().count() == 4)
 
         # ------------------------------------------------------------------
         # 10. fifth-session ops: BPE, blocklists, normalization, JSON

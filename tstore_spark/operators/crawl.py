@@ -1,0 +1,90 @@
+"""Crawl-frontier scheduling — politeness-aware fetch planning.
+
+`operators/robots.py` decides WHETHER a URL may be fetched; this module
+decides WHEN. A crawl frontier at web scale is a table of (url, host,
+priority) rows, and the politeness contract — one request per host per
+``delay_ms`` — turns scheduling into pure relational window math:
+
+* ``slot`` — the URL's position in its host's fetch queue: one
+  ``row_number`` window per host ordered by (priority DESC, url ASC) — a
+  total order, so the plan is bit-identical at any parallelism.
+* ``fetch_offset_ms = slot * delay_ms`` — the earliest polite fetch
+  time relative to the host's crawl start. Integer arithmetic, exact.
+* ``fetcher`` — which of ``n_fetchers`` workers owns the host: a
+  portable digest of the host name (every URL of a host maps to the
+  SAME fetcher — politeness is enforceable only if one worker owns the
+  host's clock). ``ascii(substr(md5(host),1,1)) % n`` is deliberately
+  engine-portable (the media_features idiom) so schedules are
+  oracle-checkable; it costs ~2 bits of balance vs a full hash, which a
+  64-way spread absorbs.
+
+Scale: the only shuffle is the per-host window. A pathological host with
+10^9 frontier URLs would make one giant partition — but a polite crawler
+could never fetch it anyway (10^9 s of delay), so the honest valve is
+``max_per_host``: the per-host crawl budget every real crawler has
+(frontier rows past the budget drop from THIS schedule round and
+re-enter the next). With a budget of B the window partition is cut to
+the top-B rows per host... after ranking — so set the budget to bound
+schedule SIZE, and rely on the frontier builder (priority thresholds,
+per-host sampling) to bound the ranking input for adversarial hosts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def crawl_schedule(
+    frontier: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    priority_col: str | None = None,
+    delay_ms: int = 1000,
+    n_fetchers: int = 64,
+    max_per_host: int | None = None,
+) -> DataFrame:
+    """Plan one polite crawl round over the frontier.
+
+    Returns ``(url, host, slot, fetch_offset_ms, fetcher)`` — one row per
+    scheduled URL. With ``priority_col`` unset, hosts fetch in plain url
+    order (still deterministic). ``max_per_host`` keeps only the first B
+    slots per host (the crawl budget).
+    """
+    if delay_ms <= 0 or n_fetchers <= 0:
+        raise ValueError("delay_ms and n_fetchers must be positive")
+    order = (
+        [F.desc(priority_col), F.asc(url_col)]
+        if priority_col
+        else [F.asc(url_col)]
+    )
+    w = Window.partitionBy(host_col).orderBy(*order)
+    out = frontier.select(
+        F.col(url_col).alias("url"),
+        F.col(host_col).alias("host"),
+        (F.row_number().over(w) - 1).cast("bigint").alias("slot"),
+    )
+    if max_per_host is not None:
+        if max_per_host <= 0:
+            raise ValueError("max_per_host must be positive")
+        out = out.where(F.col("slot") < int(max_per_host))
+    return out.select(
+        "url",
+        "host",
+        "slot",
+        (F.col("slot") * F.lit(int(delay_ms))).cast("bigint").alias("fetch_offset_ms"),
+        (F.ascii(F.substring(F.md5(F.col("host")), 1, 1)) % F.lit(int(n_fetchers)))
+        .cast("int")
+        .alias("fetcher"),
+    )
+
+
+def fetcher_load(schedule: DataFrame) -> DataFrame:
+    """Per-fetcher accounting from a schedule: hosts owned, URLs queued,
+    and the makespan (the slowest host's last fetch offset) — the number
+    that says whether ``n_fetchers`` is sized right. Pure aggregate."""
+    return schedule.groupBy("fetcher").agg(
+        F.countDistinct("host").alias("n_hosts"),
+        F.count(F.lit(1)).alias("n_urls"),
+        F.max("fetch_offset_ms").alias("makespan_ms"),
+    )

@@ -271,3 +271,69 @@ def stratified_sample(
         ).cast(id_type),
     ).otherwise(F.col(id_col))
     return picked.withColumn(id_col, checked_id).drop("_u", "_cnt", "_rn")
+
+
+def epoch_shuffle_key(id_col: str | Column, epoch: int = 0, seed: int = 42) -> Column:
+    """Deterministic training-order key for one epoch: the full md5 hex of
+    ``id || ':' || seed || ':' || epoch``. Hex-string order IS the epoch
+    order — portable to any engine with md5 and free of float rounding.
+    Different epochs permute independently (the hash reseeds); the same
+    (seed, epoch) reproduces the exact order forever."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(F.concat(c.cast("string"), F.lit(f":{seed}:{epoch}")))
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    epoch: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Assign every row a shard and an order key for one training epoch:
+    ``(*, shard, sort_key)``. The shard id comes from the key's TAIL
+    (hex chars 31-32 mod ``n_shards``) while ordering uses the whole key
+    from its head — independent bits, so shard sizes stay
+    multinomial-uniform regardless of id distribution and each shard's
+    internal order is itself a uniform shuffle. That per-shard order is
+    what training loaders consume (each worker streams its shard
+    sequentially); a global order across parallel shard readers is not
+    meaningful, so none is promised.
+
+    Pure projection — zero shuffle HERE. Materializing is the caller's
+    one repartition: :func:`write_epoch_shards`.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    key = epoch_shuffle_key(id_col, epoch, seed)
+    return df.withColumn("sort_key", key).withColumn(
+        "shard",
+        (
+            (F.ascii(F.substring("sort_key", 31, 1)) * F.lit(256)
+             + F.ascii(F.substring("sort_key", 32, 1)))
+            % F.lit(int(n_shards))
+        ).cast("int"),
+    )
+
+
+def write_epoch_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    epoch: int = 0,
+    seed: int = 42,
+) -> None:
+    """Materialize one epoch's shuffled shards: ONE hash repartition on the
+    shard id + a local sort by the epoch key, written as
+    ``shard=<k>/part-*.parquet``. Each shard file set read top-to-bottom
+    is that worker's epoch stream. Row groups preserve the sorted order
+    (parquet writers keep input order), so a loader never re-sorts."""
+    shuffled = epoch_shuffle(df, id_col, n_shards, epoch, seed)
+    (
+        shuffled.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "sort_key")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )

@@ -573,3 +573,63 @@ def lsh_ann_topk(
         ),
     )
     return ranked.where(F.col("rank") <= k).select("query_id", "neighbor_id", "rank", "cos_sim")
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "eval_id",
+    eval_vec_col: str = "embedding",
+    round_digits: int = 3,
+) -> DataFrame:
+    """Embedding-level decontamination: flag corpus rows whose embedding is
+    within ``threshold`` cosine of ANY eval-set vector — the semantic
+    complement of :func:`tstore_spark.operators.corpus.decontaminate`'s
+    exact n-gram probe (paraphrased eval leakage has no shared 13-gram but
+    lands next to the eval item in embedding space).
+
+    Shape mirrors the n-gram path: the EVAL side broadcasts (benchmark
+    suites are thousands of rows, never corpus-sized) and the corpus side
+    is touched once — a broadcast nested-loop scoring pass, then ONE
+    map-side-combined max-struct aggregate per corpus id, so the shuffle
+    carries one row per corpus document, not |corpus|x|eval| pairs. For an
+    eval set too large to broadcast, prefilter candidates with
+    :func:`lsh_ann_topk` and score only those pairs.
+
+    Returns every corpus id with ``max_eval_sim`` (cosine rounded
+    ``round_digits``, the cosine_topk float discipline), the matching
+    ``matched_eval_id`` (ties at equal similarity break to the LARGER eval
+    id — the max-struct order, mirrored in the oracle), and
+    ``contaminated``. Zero-norm vectors never match (cosine() yields NULL,
+    filtered before the aggregate); a corpus row with no scorable eval
+    pair keeps NULL similarity and ``contaminated = false``.
+    """
+    ev = eval_set.select(
+        F.col(eval_id_col).alias("__eval_id"), F.col(eval_vec_col).alias("__eval_vec")
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("__eval_vec")), round_digits)
+    pairs = (
+        corpus.select(id_col, vec_col)
+        .join(F.broadcast(ev))
+        .select(F.col(id_col), sim.alias("__sim"), F.col("__eval_id"))
+        .where(F.col("__sim").isNotNull())
+    )
+    best = pairs.groupBy(id_col).agg(
+        F.max(F.struct(F.col("__sim"), F.col("__eval_id"))).alias("__best")
+    )
+    return (
+        corpus.select(id_col)
+        .distinct()
+        .join(best, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__best.__sim").alias("max_eval_sim"),
+            F.col("__best.__eval_id").alias("matched_eval_id"),
+            F.coalesce(
+                F.col("__best.__sim") >= F.lit(float(threshold)), F.lit(False)
+            ).alias("contaminated"),
+        )
+    )
