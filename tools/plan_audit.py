@@ -339,6 +339,36 @@ def main(sf_dir: str) -> int:
     check("readability.no_shuffle", "Exchange" not in p,
           "counts and scores are projections over the scan")
 
+    # 26. classifier: lexicon broadcast (corpus never shuffles by token),
+    # pure JVM path
+    p = plan_of(qs["classifier_score"](spark, sf_dir))
+    check("classifier.broadcast",
+          "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+          "weight table broadcast; no corpus shuffle on token")
+    check("classifier.jvm",
+          "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "tokenize + score stay in codegen")
+
+    # 27. semantic decontamination: eval side broadcast, single partial-agg
+    # shuffle on corpus id
+    p = plan_of(qs["semantic_decontam"](spark, sf_dir))
+    check("decontam.broadcast",
+          "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p,
+          "eval embeddings broadcast to the corpus scan")
+    check("decontam.partial_agg", "HashAggregate" in p or "SortAggregate" in p,
+          "max-struct aggregate combines map-side")
+
+    # 28. epoch shuffle: a pure projection — zero exchange in the plan
+    p = plan_of(qs["epoch_shuffle"](spark, sf_dir))
+    check("epoch_shuffle.no_shuffle", "Exchange" not in p,
+          "order key + shard are projections over the scan")
+
+    # 29. postings compression: one shuffle (the token/block group), no
+    # per-token global window
+    p = plan_of(qs["postings_roundtrip"](spark, sf_dir))
+    check("postings.no_window", "Window" not in p,
+          "range blocks avoid the per-token rank window")
+
     spark.stop()
     print(f"\n{'ALL PASS' if not failures else 'FAILURES: ' + ', '.join(failures)}")
     return 1 if failures else 0

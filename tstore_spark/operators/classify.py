@@ -53,21 +53,25 @@ def classifier_score(
     exact).
     """
     w = weights.select(
-        F.col(token_col).alias("__tok"),
+        F.col(token_col).alias("__wtok"),
         F.col(weight_col).cast("bigint").alias("__w"),
     )
+    # explode_OUTER keeps zero-token documents as one NULL-token row, so
+    # token count and weight sum fold into a SINGLE per-doc aggregate — no
+    # doc_id re-join of two derivations of the corpus scan (that plan
+    # sort-merge-joins the corpus with itself; this one shuffles once).
     toks = docs.select(
-        F.col(id_col), F.explode(_tokens(text_col)).alias("__tok")
+        F.col(id_col), F.explode_outer(_tokens(text_col)).alias("__tok")
     )
-    contrib = (
-        toks.join(F.broadcast(w), "__tok")
+    scored = (
+        toks.join(F.broadcast(w), F.col("__tok") == F.col("__wtok"), "left")
         .groupBy(id_col)
-        .agg(F.sum("__w").alias("__s"))
+        .agg(
+            F.count("__tok").alias("n_tokens"),
+            F.sum("__w").alias("__s"),
+        )
     )
-    n_tok = docs.select(
-        F.col(id_col), F.size(_tokens(text_col)).cast("bigint").alias("n_tokens")
-    )
-    return n_tok.join(contrib, id_col, "left").select(
+    return scored.select(
         F.col(id_col),
         "n_tokens",
         (F.coalesce(F.col("__s"), F.lit(0)) + F.lit(int(bias)))
