@@ -2956,6 +2956,25 @@ def _q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_keywords(idx, k=3)
 
 
+def _q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert clustering key (sources/hilbert.py): the xy→d quadrant
+    recursion over a 32x32 grid derived from documents, Arrow kernel in
+    Spark vs THE SAME recursion as a recursive CTE in DuckDB (rx/ry
+    quadrant index, rotate/reflect, five s-halvings) — the curve itself
+    is hash-gated, like dtw/bpe's recursion twins."""
+    from tstore_spark.sources.hilbert import hilbert_cell_key
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(32)).cast("long").alias("cx"),
+        F.pmod(F.col("n_chars"), F.lit(32)).cast("long").alias("cy"),
+    )
+    return d.select(
+        "doc_id", "cx", "cy",
+        hilbert_cell_key(F.col("cx"), F.col("cy"), 5).alias("hkey"),
+    )
+
+
 def _q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle (sampling.py:epoch_shuffle): per-row
     md5 order key + tail-byte shard over documents — a pure projection
@@ -3886,6 +3905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search": _q_text_search,
         "term_stats": _q_term_stats,
         "doc_keywords": _q_doc_keywords,
+        "hilbert_key": _q_hilbert_key,
         "epoch_shuffle": _q_epoch_shuffle,
         "crawl_schedule": _q_crawl_schedule,
         "classifier_score": _q_classifier_score,
@@ -5435,6 +5455,33 @@ def oracle_sql() -> dict[str, str]:
             """,
             k=3,
         ),
+        "hilbert_key": """
+            WITH RECURSIVE pts AS (
+                SELECT doc_id,
+                       CAST(doc_id % 32 AS BIGINT) AS cx,
+                       CAST(n_chars % 32 AS BIGINT) AS cy
+                FROM documents),
+            h AS (
+                SELECT doc_id, cx AS x, cy AS y,
+                       CAST(16 AS BIGINT) AS s, CAST(0 AS BIGINT) AS d
+                FROM pts
+                UNION ALL
+                SELECT doc_id,
+                       CASE WHEN ry = 0
+                            THEN (CASE WHEN rx = 1 THEN 31 - y ELSE y END)
+                            ELSE x END AS x,
+                       CASE WHEN ry = 0
+                            THEN (CASE WHEN rx = 1 THEN 31 - x ELSE x END)
+                            ELSE y END AS y,
+                       s // 2 AS s,
+                       d + s * s * xor(3 * rx, ry) AS d
+                FROM (SELECT doc_id, x, y, s, d,
+                             CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END AS rx,
+                             CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END AS ry
+                      FROM h WHERE s > 0))
+            SELECT p.doc_id, p.cx, p.cy, h.d AS hkey
+            FROM pts p JOIN h ON p.doc_id = h.doc_id AND h.s = 0
+        """,
         "epoch_shuffle": """
             SELECT doc_id,
                    md5(CAST(doc_id AS VARCHAR) || ':7:1') AS sort_key,

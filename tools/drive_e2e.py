@@ -430,6 +430,27 @@ def main() -> int:
               and pstats["alpha"]["ratio_vs_raw16"] > 4.0)
         pchunks.unpersist()
 
+        # 9b2. Hilbert-clustered layout: write + two-dimension pruning
+        # ------------------------------------------------------------------
+        from tstore_spark.sources.hilbert import hilbert_write
+        from tstore_spark.sources.zonemaps import prune_paths as _pp
+        from tstore_spark.sources.zonemaps import zone_maps as _zm
+
+        hdf = spark.range(4096).select(
+            F.col("id").alias("rid"),
+            ((F.col("id") * 7919) % 4096).alias("hx"),
+            (F.col("id") % 4096).alias("hy"),
+        )
+        hroot = f"{tmp}/hilbert"
+        hilbert_write(hdf, hroot, ["hx", "hy"], n_files=16, bits=8)
+        hzm = _zm(spark, hroot, ["hx", "hy"])
+        hx_paths, htotal = _pp(hzm, {"hx": (0, 511)})
+        hy_paths, _ = _pp(hzm, {"hy": (0, 511)})
+        check("hilbert layout prunes on both dimensions",
+              htotal == 16 and len(hx_paths) < 16 and len(hy_paths) < 16
+              and spark.read.parquet(hroot).count() == 4096)
+
+        # ------------------------------------------------------------------
         # 9c. training-pipeline ops: classifier gate, crawl schedule,
         #     epoch shuffle
         # ------------------------------------------------------------------
