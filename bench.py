@@ -331,6 +331,13 @@ def run_scaling() -> dict:
         "efficiency_max": max(pair_effs),
         "efficiency_per_round": pair_effs,
         "efficiency_min_based": round((rows / best_n4) / (4 * rows / best_n), 3),
+        # the whole-job number read against what THIS host scaled THIS run
+        # on pure Spark-free CPU work (cpu_substrate below): >= 1.0 means
+        # the cascade scales as well as the machine itself can — the
+        # engine-attributable efficiency once shared-host noise is factored
+        "efficiency_vs_cpu_substrate": round(median_eff / cpu["efficiency"], 3)
+        if cpu.get("efficiency")
+        else None,
         "deterministic_across_parallelism": len(digests) == 1,
         "rollup_points": windows,
         # context: measured efficiency is bounded by what this shared host
