@@ -5485,8 +5485,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": """
             SELECT doc_id,
                    md5(CAST(doc_id AS VARCHAR) || ':7:1') AS sort_key,
-                   CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR) || ':7:1'), 31, 1)) * 256
-                         + ascii(substr(md5(CAST(doc_id AS VARCHAR) || ':7:1'), 32, 1))) % 8
+                   CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7:1'), 29, 4)) AS BIGINT) % 8
                         AS INTEGER) AS shard
             FROM documents
         """,

@@ -113,3 +113,10 @@ def test_hilbert_write_prunes_both_dims_and_beats_nothing_lost(spark, tmp_path):
     )
     full = got.where((F.col("x") <= 511) & (F.col("y") <= 511))
     assert kept.count() == full.count()
+
+
+def test_kernel_rejects_out_of_grid_cells():
+    with pytest.raises(ValueError):
+        hilbert_key_kernel(np.array([16]), np.array([0]), 4)
+    with pytest.raises(ValueError):
+        hilbert_key_kernel(np.array([0]), np.array([-1]), 4)

@@ -309,3 +309,19 @@ def test_epoch_shuffle_bad_shards(spark):
     docs = spark.createDataFrame([(1,)], "doc_id long")
     with _pytest.raises(ValueError):
         epoch_shuffle(docs, "doc_id", 0)
+
+
+def test_epoch_shuffle_shard_uniform_at_8(spark):
+    """Regression: ascii-code sharding gave shard 1 a 3x share of shard 7
+    at n_shards=8 (hex-char ascii residues are not uniform); hex-VALUE
+    decoding must keep every shard within a tight band of n/8."""
+    from tstore_spark.operators.sampling import epoch_shuffle
+    from collections import Counter
+
+    docs = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    sizes = Counter(
+        r["shard"] for r in epoch_shuffle(docs, "doc_id", 8).collect()
+    )
+    assert set(sizes) == set(range(8))
+    # expected 500/shard; 3-sigma of Binomial(4000, 1/8) is ~±63
+    assert all(380 < sizes[s] < 620 for s in range(8)), sizes

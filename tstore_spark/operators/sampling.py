@@ -291,14 +291,16 @@ def epoch_shuffle(
     seed: int = 42,
 ) -> DataFrame:
     """Assign every row a shard and an order key for one training epoch:
-    ``(*, shard, sort_key)``. The shard id comes from the key's TAIL
-    (hex chars 31-32 mod ``n_shards``) while ordering uses the whole key
-    from its head — independent bits, so shard sizes stay
-    multinomial-uniform regardless of id distribution and each shard's
-    internal order is itself a uniform shuffle. That per-shard order is
-    what training loaders consume (each worker streams its shard
-    sequentially); a global order across parallel shard readers is not
-    meaningful, so none is promised.
+    ``(*, shard, sort_key)``. The shard id decodes the key's TAIL (hex
+    chars 29-32 as a 16-bit VALUE, mod ``n_shards`` — decoded with
+    ``conv``, never via ascii codes of the hex characters, whose residues
+    are up to 3x non-uniform) while ordering uses the whole key from its
+    head — independent bits, so shard sizes stay multinomial-uniform
+    regardless of id distribution and each shard's internal order is
+    itself a uniform shuffle. That per-shard order is what training
+    loaders consume (each worker streams its shard sequentially); a
+    global order across parallel shard readers is not meaningful, so
+    none is promised.
 
     Pure projection — zero shuffle HERE. Materializing is the caller's
     one repartition: :func:`write_epoch_shards`.
@@ -309,8 +311,7 @@ def epoch_shuffle(
     return df.withColumn("sort_key", key).withColumn(
         "shard",
         (
-            (F.ascii(F.substring("sort_key", 31, 1)) * F.lit(256)
-             + F.ascii(F.substring("sort_key", 32, 1)))
+            F.conv(F.substring("sort_key", 29, 4), 16, 10).cast("long")
             % F.lit(int(n_shards))
         ).cast("int"),
     )

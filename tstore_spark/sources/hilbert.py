@@ -58,6 +58,14 @@ def hilbert_key_kernel(x: np.ndarray, y: np.ndarray, bits: int) -> np.ndarray:
     x = np.asarray(x, dtype=np.int64).copy()
     y = np.asarray(y, dtype=np.int64).copy()
     mask = (1 << bits) - 1
+    if len(x) and (
+        int(x.min()) < 0 or int(y.min()) < 0
+        or int(x.max()) > mask or int(y.max()) > mask
+    ):
+        raise ValueError(
+            f"hilbert cells out of [0, 2^{bits}) — scale/clamp first "
+            "(with_hilbert_key does; hilbert_cell_key trusts its input)"
+        )
     d = np.zeros_like(x)
     s = 1 << (bits - 1)
     while s > 0:
