@@ -1323,6 +1323,54 @@ def _q_kmv_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmv_churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-DIFFERENCE estimates (kmv.py:kmv_difference_estimate):
+    day-over-day CHURNED users (seen on day d, gone on d+1) — the churn
+    question that completes the sketch set algebra (union: HLL/KMV,
+    intersection: kmv_returning_users, difference: here) from the same
+    per-day sketches. Gate invariant: |est − exact| ≤ 20% of the exact
+    UNION + 2 — the band is union-relative because a difference
+    estimator's error scales with |A∪B|/√k, not with the (possibly tiny)
+    difference itself (measured max err/union 0.07 at both SFs ≈ 0.56×
+    the 1/√64 standard error; deterministic for this dataset). Oracle:
+    exact counts + TRUE booleans in plain SQL."""
+    from tstore_spark.operators.kmv import kmv_difference_estimate, kmv_sketch
+
+    K = 64
+    ev = _t(spark, sf_dir, "events").select(F.to_date("ts").alias("day"), "user_id")
+    sk = kmv_sketch(ev, ["day"], "user_id", k=K)
+    nxt = sk.select(F.date_add("day", -1).alias("day"), F.col("kmv").alias("_kb"))
+    pairs = sk.join(nxt, "day").select(
+        "day", kmv_difference_estimate("kmv", "_kb", K).alias("_ed")
+    )
+
+    d = ev.distinct()
+    n = d.groupBy("day").agg(F.count(F.lit(1)).alias("_na"))
+    both = (
+        d.join(d.select(F.date_add("day", -1).alias("day"), "user_id"), ["day", "user_id"])
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    exact = (
+        n.join(n.select(F.date_add("day", -1).alias("day"), F.col("_na").alias("_nb")), "day")
+        .join(both, "day", "left")
+        .select(
+            "day",
+            (F.col("_na") - F.coalesce("_inter", F.lit(0))).alias("exact_churn"),
+            (F.col("_na") + F.col("_nb") - F.coalesce("_inter", F.lit(0))).alias(
+                "exact_union"
+            ),
+        )
+    )
+    return exact.join(pairs, "day").select(
+        "day",
+        "exact_churn",
+        "exact_union",
+        (F.abs(F.col("_ed") - F.col("exact_churn"))
+         <= F.lit(0.20) * F.col("exact_union") + F.lit(2.0)).alias("churn_ok"),
+    )
+
+
 def _q_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-polygon over WKB (functions/geo.py:in_polygon): doc-derived
     lattice points encode to WKB (point_wkb), decode inside the Arrow
@@ -2956,6 +3004,27 @@ def _q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_keywords(idx, k=3)
 
 
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salt-replicated join (skew.py:salted_join): events (the
+    hot-keyed fact) join a derived event_type dim on the skewed key, hot
+    keys spread over 8 salts. The oracle is the PLAIN SQL join — salting
+    must be semantically invisible, and the hash equality proves it
+    row-for-row."""
+    from tstore_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("type_total"))
+        .withColumn("type_rank", F.length("event_type").cast("long"))
+    )
+    out = salted_join(
+        ev.select("event_id", "event_type"), dim, ["event_type"],
+        uniformizer="event_id", num_salts=8,
+    )
+    return out.select("event_id", "event_type", "type_total", "type_rank")
+
+
 def _q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hilbert clustering key (sources/hilbert.py): the xy→d quadrant
     recursion over a 32x32 grid derived from documents, Arrow kernel in
@@ -3905,6 +3974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search": _q_text_search,
         "term_stats": _q_term_stats,
         "doc_keywords": _q_doc_keywords,
+        "salted_join": _q_salted_join,
+        "kmv_churned_users": _q_kmv_churned_users,
         "hilbert_key": _q_hilbert_key,
         "epoch_shuffle": _q_epoch_shuffle,
         "crawl_schedule": _q_crawl_schedule,
@@ -5455,6 +5526,33 @@ def oracle_sql() -> dict[str, str]:
             """,
             k=3,
         ),
+        "kmv_churned_users": """
+            WITH d AS (
+                SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+            n AS (SELECT day, CAST(count(*) AS BIGINT) AS na FROM d GROUP BY day),
+            i AS (
+                SELECT a.day AS day, CAST(count(*) AS BIGINT) AS inter
+                FROM d a JOIN d b
+                  ON b.user_id = a.user_id AND b.day = a.day + 1
+                GROUP BY a.day)
+            SELECT n1.day AS day,
+                   CAST(n1.na - COALESCE(i.inter, 0) AS BIGINT) AS exact_churn,
+                   CAST(n1.na + n2.na - COALESCE(i.inter, 0) AS BIGINT)
+                       AS exact_union,
+                   TRUE AS churn_ok
+            FROM n n1
+            JOIN n n2 ON n2.day = n1.day + 1
+            LEFT JOIN i ON i.day = n1.day
+        """,
+        "salted_join": """
+            WITH dim AS (
+                SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS type_total,
+                       CAST(length(event_type) AS BIGINT) AS type_rank
+                FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type, d.type_total, d.type_rank
+            FROM events e JOIN dim d ON e.event_type = d.event_type
+        """,
         "hilbert_key": """
             WITH RECURSIVE pts AS (
                 SELECT doc_id,

@@ -144,3 +144,24 @@ def test_kmins_jaccard_planted_overlap(spark):
     cb = kmins_cells(b, ["g"], "item", k=k)
     j = kmins_jaccard(ca, cb, ["g"], k=k).head()["jaccard_est"]
     assert abs(j - 1 / 7) < 4 * ((1 / 7) * (6 / 7) / k) ** 0.5
+
+
+def test_difference_exact_below_capacity(spark):
+    from tstore_spark.operators.kmv import kmv_difference_estimate, kmv_sketch
+
+    rows = [("a", f"u{i}") for i in range(40)] + [("b", f"u{i}") for i in range(25, 70)]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    sk = kmv_sketch(df, ["grp"], "item", k=256)
+    a = sk.where("grp = 'a'").select(F.col("kmv").alias("ka"))
+    b = sk.where("grp = 'b'").select(F.col("kmv").alias("kb"))
+    (row,) = (
+        a.crossJoin(b)
+        .select(
+            kmv_difference_estimate("ka", "kb", k=256).alias("a_minus_b"),
+            kmv_difference_estimate("kb", "ka", k=256).alias("b_minus_a"),
+        )
+        .collect()
+    )
+    # exact below capacity: |A\B| = 25 (u0..u24), |B\A| = 30 (u40..u69)
+    assert row["a_minus_b"] == 25.0
+    assert row["b_minus_a"] == 30.0

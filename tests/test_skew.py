@@ -96,3 +96,53 @@ def test_key_skew_profile_deterministic(spark):
     a = [tuple(r) for r in key_skew_profile(df.repartition(8), "k").collect()]
     b = [tuple(r) for r in key_skew_profile(df.coalesce(1), "k").collect()]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# salted join
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_equals_plain_join(spark):
+    from tstore_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}") for i in range(1000)],
+        "rid long, k string",
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1), ("k0", 2), ("k10", 3), ("nomatch", 4)],
+        "k string, label int",
+    )
+    plain = sorted(map(tuple, fact.join(dim, ["k"]).select("rid", "k", "label").collect()))
+    salted = sorted(map(tuple, salted_join(fact, dim, ["k"], "rid", num_salts=8)
+                        .select("rid", "k", "label").collect()))
+    assert salted == plain and len(plain) == 900 + 1 + 1
+
+
+def test_salted_join_left_and_guards(spark):
+    from tstore_spark.operators.skew import salted_join
+    import pytest as _pytest
+
+    fact = spark.createDataFrame([(1, "a"), (2, "zzz")], "rid long, k string")
+    dim = spark.createDataFrame([("a", 10)], "k string, label int")
+    rows = {r["rid"]: r["label"]
+            for r in salted_join(fact, dim, ["k"], "rid", how="left").collect()}
+    assert rows == {1: 10, 2: None}
+    with _pytest.raises(ValueError):
+        salted_join(fact, dim, ["k"], "rid", how="full")
+    with _pytest.raises(ValueError):
+        salted_join(fact, dim, ["k"], "rid", num_salts=0)
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from tstore_spark.operators.skew import salt_column, salted_join
+    from pyspark.sql import functions as F
+
+    fact = spark.createDataFrame(
+        [(i, "hot") for i in range(500)], "rid long, k string"
+    )
+    n_salts = (
+        fact.withColumn("s", salt_column("rid", 8)).select("s").distinct().count()
+    )
+    assert n_salts == 8  # the hot key's rows really land on 8 distinct salts

@@ -451,6 +451,24 @@ def main() -> int:
               and spark.read.parquet(hroot).count() == 4096)
 
         # ------------------------------------------------------------------
+        # 9b3. salted join: hot-key replication == plain join
+        # ------------------------------------------------------------------
+        from tstore_spark.operators.skew import salted_join
+
+        sj_fact = spark.createDataFrame(
+            [(i, "hot" if i % 5 else f"cold{i}") for i in range(200)],
+            "rid long, k string",
+        )
+        sj_dim = spark.createDataFrame(
+            [("hot", 1), ("cold0", 2)], "k string, lab int"
+        )
+        check("salted join row-identical to plain join",
+              sorted(map(tuple, salted_join(sj_fact, sj_dim, ["k"], "rid")
+                         .select("rid", "lab").collect()))
+              == sorted(map(tuple, sj_fact.join(sj_dim, ["k"])
+                            .select("rid", "lab").collect())))
+
+        # ------------------------------------------------------------------
         # 9c. training-pipeline ops: classifier gate, crawl schedule,
         #     epoch shuffle
         # ------------------------------------------------------------------

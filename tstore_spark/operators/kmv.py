@@ -214,3 +214,24 @@ def kmv_jaccard_estimate(a: Column | str, b: Column | str, k: int = DEFAULT_K) -
     return F.when(denom > 0, in_both.cast("double") / denom.cast("double")).otherwise(
         F.lit(0.0)
     )
+
+
+def kmv_difference_estimate(
+    a: Column | str, b: Column | str, k: int = DEFAULT_K
+) -> Column:
+    """|A \\ B| estimate — churn, not overlap: the day-over-day "users we
+    LOST" / "new docs only in this crawl" number. Same Beyer et al.
+    machinery as the intersection: the merged sketch X estimates |A ∪ B|,
+    the fraction of X's hashes in A but NOT in B estimates
+    |A \\ B| / |A ∪ B|, and the product estimates the difference. Exact
+    whenever both sketches are below capacity (then X = A ∪ B literally).
+    Note A \\ B and B \\ A come from the same two sketches — sketch once,
+    derive every set-algebra estimate."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    x = kmv_merge_expr(a, b, k)
+    only_a = F.size(F.array_except(F.array_intersect(x, a), b))
+    denom = F.least(F.lit(k), F.size(x))
+    return F.when(
+        denom > 0, only_a.cast("double") / denom.cast("double") * kmv_estimate(x, k)
+    ).otherwise(F.lit(0.0))

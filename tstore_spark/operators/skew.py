@@ -70,6 +70,44 @@ def salted_repartition(
     return df.repartition(*cols)
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    uniformizer: str,
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: the classic salt-replication trick for a hot
+    join key that AQE's skew split can't always reach (e.g. when the
+    skewed side feeds from an already-aggregated exchange).
+
+    The FACT side gets a deterministic salt (hash of ``uniformizer``, a
+    row-unique or near-unique column — never Spark's ``rand()``, which is
+    layout-dependent and breaks retry idempotence); the DIM side is
+    replicated ``num_salts``× via one ``explode(sequence(...))``. Joining
+    on ``on + [salt]`` spreads each hot key over ``num_salts`` reducers;
+    the result is row-for-row IDENTICAL to the plain join (the gate
+    hash-checks exactly that). Replication costs ``num_salts × |dim|``
+    shuffle rows — the regime between "small enough to broadcast" and
+    "both sides huge" where skew actually bites.
+
+    ``how``: ``inner`` or ``left`` only. Each fact row carries exactly ONE
+    salt, so fact-side semantics are unchanged; ``right``/``full`` would
+    emit one unmatched copy PER SALT of a dim row and are refused.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left' only")
+    if num_salts <= 0:
+        raise ValueError("num_salts must be positive")
+    f = fact.withColumn("__salt", salt_column(uniformizer, num_salts))
+    d = dim.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(int(num_salts) - 1))),
+    )
+    return f.join(d, on + ["__salt"], how).drop("__salt")
+
+
 def key_skew_profile(
     df: DataFrame,
     key_col: str,
