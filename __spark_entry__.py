@@ -3004,6 +3004,28 @@ def _q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_keywords(idx, k=3)
 
 
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-grain exact dedup (corpus.py:dedup_paragraphs): documents
+    rebuilt as three paragraphs — a per-doc-varying prefix, a corpus-wide
+    boilerplate block, a per-doc tail slice — so the boilerplate must
+    survive ONLY in the globally first doc and every other doc reassembles
+    without it (order preserved, empty-paragraph semantics untouched).
+    Oracle replays split → first-occurrence window → ordered string_agg
+    in SQL over the identically constructed texts."""
+    from tstore_spark.operators.corpus import dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.substring("text", 1, 40) ,
+            F.lit("ACCEPT COOKIES to continue reading this page"),
+            F.substring("text", 61, 20 + F.pmod(F.col("doc_id"), F.lit(10)).cast("int")),
+        ).alias("text"),
+    )
+    return dedup_paragraphs(docs)
+
+
 def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof salt-replicated join (skew.py:salted_join): events (the
     hot-keyed fact) join a derived event_type dim on the skewed key, hot
@@ -3974,6 +3996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search": _q_text_search,
         "term_stats": _q_term_stats,
         "doc_keywords": _q_doc_keywords,
+        "paragraph_dedup": _q_paragraph_dedup,
         "salted_join": _q_salted_join,
         "kmv_churned_users": _q_kmv_churned_users,
         "hilbert_key": _q_hilbert_key,
@@ -5526,6 +5549,36 @@ def oracle_sql() -> dict[str, str]:
             """,
             k=3,
         ),
+        "paragraph_dedup": """
+            WITH docs2 AS (
+                SELECT doc_id,
+                       substr(text, 1, 40) || chr(10) || chr(10)
+                       || 'ACCEPT COOKIES to continue reading this page'
+                       || chr(10) || chr(10)
+                       || substr(text, 61, 20 + doc_id % 10) AS text
+                FROM documents),
+            ps AS (
+                SELECT doc_id, string_split(text, chr(10) || chr(10)) AS l
+                FROM docs2),
+            p AS (
+                SELECT doc_id, unnest(l) AS para,
+                       CAST(generate_subscripts(l, 1) AS BIGINT) - 1 AS pos
+                FROM ps),
+            f AS (
+                SELECT doc_id, pos, para,
+                       row_number() OVER (
+                           PARTITION BY para ORDER BY doc_id, pos) AS rn
+                FROM p WHERE para <> ''),
+            keep AS (
+                SELECT doc_id, pos, para FROM f WHERE rn = 1
+                UNION ALL
+                SELECT doc_id, pos, para FROM p WHERE para = '')
+            SELECT d.doc_id,
+                   COALESCE(string_agg(k.para, chr(10) || chr(10) ORDER BY k.pos), '')
+                       AS text
+            FROM docs2 d LEFT JOIN keep k ON d.doc_id = k.doc_id
+            GROUP BY d.doc_id
+        """,
         "kmv_churned_users": """
             WITH d AS (
                 SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),

@@ -451,6 +451,19 @@ def main() -> int:
               and spark.read.parquet(hroot).count() == 4096)
 
         # ------------------------------------------------------------------
+        # 9a3. paragraph-grain dedup: boilerplate survives once
+        # ------------------------------------------------------------------
+        from tstore_spark.operators.corpus import dedup_paragraphs
+
+        pd_docs = spark.createDataFrame(
+            [(1, "keep me\n\nBOILER"), (2, "BOILER\n\nother"), (3, "BOILER")],
+            "doc_id long, text string",
+        )
+        pd_out = {r["doc_id"]: r["text"] for r in dedup_paragraphs(pd_docs).collect()}
+        check("paragraph dedup keeps boilerplate only at first occurrence",
+              pd_out == {1: "keep me\n\nBOILER", 2: "other", 3: ""})
+
+        # ------------------------------------------------------------------
         # 9b3. salted join: hot-key replication == plain join
         # ------------------------------------------------------------------
         from tstore_spark.operators.skew import salted_join

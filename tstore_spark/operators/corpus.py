@@ -593,3 +593,62 @@ def normalize_text(
     if collapse_ws:
         result = F.trim(F.regexp_replace(result, r"\s+", " "))
     return out.select(*cols, result.alias(out_col))
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Paragraph-grain exact dedup with first-occurrence survival — the
+    RefinedWeb/SlimPajama corpus pass between doc-level `exact_dedup` and
+    substring-level `dedup.duplicate_spans`: a boilerplate paragraph
+    (cookie banner, license block) pasted across thousands of pages is
+    kept ONCE (in the globally first document that carries it) and cut
+    everywhere else, while each host document survives with its unique
+    paragraphs intact.
+
+    Pure Catalyst: split → posexplode → md5 fingerprint → ONE groupBy
+    picking the global first occurrence (min (doc, pos) struct — a total
+    order, so survival is deterministic at any parallelism) → semi-join
+    keep → order-preserving reassembly (array_sort over (pos, para)
+    structs; no window). Shuffles carry (fingerprint, doc, pos) triples —
+    never full texts except the final per-doc rebuild.
+
+    EMPTY paragraphs (consecutive separators) are never dedup candidates
+    — deduping '' would collapse every paragraph break corpus-wide, the
+    exact remove_boilerplate_lines empty-line lesson.
+
+    Returns ``(id_col, text_col)`` with the deduplicated text; documents
+    whose every paragraph was cut return the empty string (row retained —
+    a filter pass must never drop rows silently).
+    """
+    paras = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para")
+    )
+    fp = paras.where(F.col("para") != "").withColumn("_fp", F.md5("para"))
+    first = fp.groupBy("_fp").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("_keep")
+    )
+    kept_dup = (
+        fp.join(first, "_fp")
+        .where((F.col(id_col) == F.col("_keep.i")) & (F.col("pos") == F.col("_keep.p")))
+        .select(id_col, "pos", "para")
+    )
+    kept = kept_dup.unionByName(
+        paras.where(F.col("para") == "").select(id_col, "pos", "para")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias(text_col)
+    )
+    # left join keeps fully-cut documents (empty string, never a dropped row)
+    return docs.select(id_col).join(rebuilt, id_col, "left").select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )
