@@ -451,6 +451,34 @@ def main() -> int:
               and spark.read.parquet(hroot).count() == 4096)
 
         # ------------------------------------------------------------------
+        # 9a0. bucket-spec evolution: metadata-only rebucket, both eras read
+        # ------------------------------------------------------------------
+        from tstore_spark.sources.archive import append_archive, evolve_buckets
+
+        ev_base2 = f"{tmp}/spec_evo"
+        ids2 = [f"u{i}" for i in range(10)]
+        import pandas as _pd
+
+        def _mk(days):
+            rows = [(i, _pd.Timestamp(f"{d} 06:00:00"), 1.0)
+                    for d in days for i in ids2]
+            return TSLong.wrap(
+                spark.createDataFrame(_pd.DataFrame(rows, columns=["uid", "t", "v"])),
+                id_var="uid", time_var="t", ts_vars={"m": ["v"]},
+            )
+
+        write_archive(_mk(["2024-05-01"]), ev_base2, num_buckets=2,
+                      check_static_uniqueness=False)
+        evolve_buckets(ev_base2, 8, "2024-06-01")
+        append_archive(_mk(["2024-05-02", "2024-06-02"]), ev_base2)
+        got_evo = open_archive(spark, ev_base2, ids=["u3", "u7"],
+                               with_attributes=False).df
+        check("bucket-spec evolution: id-filtered read exact across eras",
+              got_evo.count() == 6
+              and {r["uid"] for r in got_evo.select("uid").distinct().collect()}
+              == {"u3", "u7"})
+
+        # ------------------------------------------------------------------
         # 9a3. paragraph-grain dedup: boilerplate survives once
         # ------------------------------------------------------------------
         from tstore_spark.operators.corpus import dedup_paragraphs

@@ -54,6 +54,7 @@ def write_metadata(
     descriptor: TableDescriptor,
     num_buckets: int,
     fact_schema_json: str | None = None,
+    extra_meta: dict | None = None,
 ) -> None:
     """Write the descriptor as BOTH json and yaml (same dict) — the yaml
     mirror matches the reference's metadata format family
@@ -67,6 +68,9 @@ def write_metadata(
     meta = descriptor.to_dict() | {"num_buckets": num_buckets, "tstore_structure": "spark-hidden-partition"}
     if fact_schema_json is not None:
         meta["fact_schema"] = fact_schema_json
+    # carry forward keys owned by other metadata writers (bucket_specs from
+    # evolve_buckets) — an append must never drop an evolution record
+    meta |= extra_meta or {}
     os.makedirs(base_dir, exist_ok=True)
     with open(os.path.join(base_dir, METADATA_FILE), "w") as f:
         json.dump(meta, f, indent=2, sort_keys=True)
@@ -92,6 +96,87 @@ def read_metadata_all(base_dir: str) -> tuple[TableDescriptor, int, dict]:
 def read_metadata(base_dir: str) -> tuple[TableDescriptor, int]:
     d, n, _ = read_metadata_all(base_dir)
     return d, n
+
+
+# -- bucket-spec evolution (Iceberg partition-spec evolution, bucket(N) only) -
+
+#: sentinel from_day for the initial spec — earlier than any real p_day
+_SPEC_EPOCH = "0001-01-01"
+
+
+def bucket_specs(meta: dict) -> list[tuple[str, int]]:
+    """``[(from_day, num_buckets), ...]`` ascending by day; the last entry
+    is the CURRENT spec. A legacy archive (no ``bucket_specs`` key) has
+    one spec covering all time — ``num_buckets`` keeps meaning "current
+    spec" either way, so pre-evolution metadata stays readable."""
+    if "bucket_specs" in meta:
+        specs = [(s["from_day"], int(s["num_buckets"])) for s in meta["bucket_specs"]]
+        return sorted(specs)
+    return [(_SPEC_EPOCH, int(meta["num_buckets"]))]
+
+
+def bucket_expr_for_specs(
+    id_col: str | Column, day_col: str | Column, specs: list[tuple[str, int]]
+) -> Column:
+    """Per-row bucket under the spec owning the row's day: a CASE chain
+    from the newest spec down (first match wins). Pure codegen — spec
+    evolution adds one comparison per historical spec, nothing else."""
+    day = F.col(day_col) if isinstance(day_col, str) else day_col
+    expr = bucket_column(id_col, specs[0][1])
+    for from_day, n in specs[1:]:
+        expr = F.when(
+            day >= F.lit(from_day).cast("date"), bucket_column(id_col, n)
+        ).otherwise(expr)
+    return expr
+
+
+def evolve_buckets(base_dir: str, new_num_buckets: int, from_day: str) -> None:
+    """Change the bucket count for data from ``from_day`` onward — the
+    Iceberg partition-spec-evolution move (spec change is METADATA ONLY;
+    not one stored file is rewritten). Old days keep their old spec
+    forever: appends landing on a pre-``from_day`` day still bucket under
+    the spec that owns that day, and reads prune per day range.
+
+    Guard: no partition may already exist at ``from_day`` or later — a
+    directory written under the old spec inside the new spec's day range
+    would misprune (the exact corruption Iceberg's per-file spec_id
+    prevents; with day-ranged specs the same safety comes from refusing
+    the overlap). Pick a ``from_day`` just past the newest ingested day.
+    """
+    d, _n, meta = read_metadata_all(base_dir)
+    if int(new_num_buckets) <= 0:
+        raise ValueError("new_num_buckets must be positive")
+    specs = bucket_specs(meta)
+    if from_day <= specs[-1][0]:
+        raise ValueError(
+            f"from_day {from_day!r} must be after the current spec's start "
+            f"{specs[-1][0]!r}"
+        )
+    pages = os.path.join(base_dir, PAGES_DIR)
+    if os.path.isdir(pages):
+        clash = [
+            e for e in os.listdir(pages)
+            if e.startswith("p_day=") and e.split("=", 1)[1] >= from_day
+        ]
+        if clash:
+            raise ValueError(
+                f"cannot evolve buckets from {from_day}: partitions already "
+                f"exist at/after it under the current spec ({sorted(clash)[:3]}...); "
+                "choose a from_day after the newest ingested day"
+            )
+    specs = specs + [(from_day, int(new_num_buckets))]
+    meta = meta | {
+        "bucket_specs": [
+            {"from_day": fd, "num_buckets": n} for fd, n in specs
+        ],
+        "num_buckets": int(new_num_buckets),
+    }
+    with open(os.path.join(base_dir, METADATA_FILE), "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+    import yaml
+
+    with open(os.path.join(base_dir, METADATA_FILE.replace(".json", ".yaml")), "w") as f:
+        yaml.dump(meta, f)
 
 
 # -- write path (reference write lifecycle, SURVEY §3.1) ----------------------
@@ -184,9 +269,11 @@ def append_archive(
     fact = tslong.df.select(d_new.id_var, d_new.time_var, *d_new.ts_columns)
     for name, col in (stats_columns or {}).items():
         fact = fact.withColumn(name, col)
-    fact = (
-        fact.withColumn("p_day", F.to_date(F.col(d_new.time_var)))
-        .withColumn("p_bucket", bucket_column(d_new.id_var, num_buckets))
+    fact = fact.withColumn("p_day", F.to_date(F.col(d_new.time_var)))
+    # bucket under the spec that owns each row's DAY (spec evolution: rows
+    # landing on pre-evolution days keep the old bucket count forever)
+    fact = fact.withColumn(
+        "p_bucket", bucket_expr_for_specs(d_new.id_var, "p_day", bucket_specs(meta))
     )
 
     # unified schema = old unified schema ∪ new batch columns (order: old
@@ -226,7 +313,13 @@ def append_archive(
         .partitionBy("p_day", "p_bucket")
         .parquet(os.path.join(base_dir, PAGES_DIR))
     )
-    write_metadata(base_dir, merged, num_buckets, fact_schema_json=old_schema.json())
+    write_metadata(
+        base_dir,
+        merged,
+        num_buckets,
+        fact_schema_json=old_schema.json(),
+        extra_meta={"bucket_specs": meta["bucket_specs"]} if "bucket_specs" in meta else None,
+    )
 
 
 # -- read path (reference read lifecycle, SURVEY §3.2) ------------------------
@@ -279,8 +372,7 @@ def open_archive(
     if ids is not None:
         ids = [str(i) for i in ids]
         df = df.where(F.col(d.id_var).isin(ids))
-        buckets = _buckets_of(spark, ids, num_buckets)
-        df = df.where(F.col("p_bucket").isin(buckets))
+        df = df.where(_bucket_prune_predicate(spark, ids, bucket_specs(meta)))
 
     df = df.drop("p_day", "p_bucket")  # hidden partitioning: logical schema never sees them
 
@@ -295,6 +387,35 @@ def open_archive(
         TableDescriptor(d.id_var, d.time_var, d.ts_vars, statics, d.partitioning),
     )
     return wrapped.query(ts_variables=ts_variables, columns=columns) if (ts_variables or columns) else wrapped
+
+
+def _bucket_prune_predicate(
+    spark: SparkSession, ids: list[str], specs: list[tuple[str, int]]
+) -> Column:
+    """Bucket-pruning predicate across evolved specs: for each spec's day
+    range, ``p_bucket ∈ buckets-under-that-spec`` — OR'd over specs, so a
+    query on an archive that rebucketed 8→32 still prunes both eras. One
+    Spark job computes the id buckets under EVERY spec (the _buckets_of
+    single-pass discipline)."""
+    if len(specs) == 1:
+        return F.col("p_bucket").isin(_buckets_of(spark, ids, specs[0][1]))
+    df = spark.createDataFrame([(str(v),) for v in ids], "v string")
+    sel = df.select(
+        *[
+            bucket_column(F.col("v"), n).alias(f"b{i}")
+            for i, (_fd, n) in enumerate(specs)
+        ]
+    )
+    rows = sel.collect()
+    pred = None
+    for i, (from_day, _n) in enumerate(specs):
+        buckets = sorted({int(r[f"b{i}"]) for r in rows})
+        seg = F.col("p_bucket").isin(buckets)
+        seg = seg & (F.col("p_day") >= F.lit(from_day).cast("date"))
+        if i + 1 < len(specs):
+            seg = seg & (F.col("p_day") < F.lit(specs[i + 1][0]).cast("date"))
+        pred = seg if pred is None else (pred | seg)
+    return pred
 
 
 def _buckets_of(spark: SparkSession, values: list[str], num_buckets: int) -> list[int]:

@@ -34,7 +34,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tstore_spark.functions.timeparts import bucket_column
+
 from tstore_spark.sources.archive import PAGES_DIR, fact_reader, read_metadata_all
 
 _PART_COLS = ["p_day", "p_bucket"]
@@ -77,8 +77,12 @@ def merge_upsert(
                          "last-writer-wins inside a batch is order-dependent; "
                          "pre-aggregate the batch to one row per key")
 
+    from tstore_spark.sources.archive import bucket_expr_for_specs, bucket_specs
+
+    # spec-aware: a row updating a pre-evolution day must target the bucket
+    # that day's spec assigned, or the rewrite would miss the stored rows
     staged = updates.withColumn("p_day", F.to_date(F.col(d.time_var))).withColumn(
-        "p_bucket", bucket_column(d.id_var, num_buckets)
+        "p_bucket", bucket_expr_for_specs(d.id_var, "p_day", bucket_specs(meta))
     )
     staged = staged.persist()
     try:
