@@ -62,3 +62,44 @@ def test_bad_args_raise(spark, frontier):
     for kwargs in ({"delay_ms": 0}, {"n_fetchers": 0}, {"max_per_host": 0}):
         with pytest.raises(ValueError):
             crawl_schedule(frontier, **kwargs)
+
+
+def test_plan_crawl_round_end_to_end(spark):
+    from tstore_spark.operators.crawl import plan_crawl_round
+    from tstore_spark.operators.robots import parse_robots
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.ex/p1",
+             '<a href="https://b.ex/new1">x</a><a href="https://b.ex/seen">y</a>'
+             '<a href="https://b.ex/private/s">z</a>'),
+            ("https://a.ex/p2", '<a href="https://b.ex/new1">again</a>'),
+            ("https://a.ex/p3", "no links here"),
+        ],
+        "url string, html string",
+    )
+    seen = spark.createDataFrame([("https://b.ex/seen",)], "url string")
+    robots = spark.createDataFrame(
+        [("b.ex", "User-agent: *\nDisallow: /private/")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(robots)
+    sched = plan_crawl_round(pages, seen, robots_rules=rules, delay_ms=100)
+    rows = {r["url"]: r for r in sched.collect()}
+    # seen url dropped, disallowed url dropped, duplicate discovery deduped
+    assert set(rows) == {"https://b.ex/new1"}
+    assert rows["https://b.ex/new1"]["slot"] == 0
+    assert rows["https://b.ex/new1"]["host"] == "b.ex"
+
+
+def test_plan_crawl_round_no_robots(spark):
+    from tstore_spark.operators.crawl import plan_crawl_round
+
+    pages = spark.createDataFrame(
+        [("https://a.ex/p", '<a href="https://c.ex/1">l</a><a href="https://c.ex/2">m</a>')],
+        "url string, html string",
+    )
+    seen = spark.createDataFrame([], "url string")
+    sched = plan_crawl_round(pages, seen, delay_ms=50)
+    got = sorted((r["url"], r["slot"], r["fetch_offset_ms"]) for r in sched.collect())
+    assert got == [("https://c.ex/1", 0, 0), ("https://c.ex/2", 1, 50)]

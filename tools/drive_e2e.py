@@ -540,6 +540,25 @@ def main() -> int:
               and sum(r["n_urls"] for r in cload) == 10
               and max(r["makespan_ms"] for r in cload) == 400)
 
+        from tstore_spark.operators.crawl import plan_crawl_round
+        from tstore_spark.operators.robots import parse_robots as _pr
+
+        cr_pages = spark.createDataFrame(
+            [("https://s.ex/p",
+              '<a href="https://t.ex/ok">a</a><a href="https://t.ex/no/x">b</a>'
+              '<a href="https://t.ex/old">c</a>')],
+            "url string, html string",
+        )
+        cr_sched = plan_crawl_round(
+            cr_pages,
+            seen_urls=spark.createDataFrame([("https://t.ex/old",)], "url string"),
+            robots_rules=_pr(spark.createDataFrame(
+                [("t.ex", "User-agent: *\nDisallow: /no/")],
+                "host string, robots_txt string")),
+        )
+        check("crawl round: links -> unseen -> robots -> schedule",
+              [r["url"] for r in cr_sched.collect()] == ["https://t.ex/ok"])
+
         epath = f"{tmp}/epoch_shards"
         write_epoch_shards(cdocs.union(cdocs.selectExpr("doc_id+10", "text")),
                            epath, "doc_id", n_shards=2, epoch=0)

@@ -88,3 +88,56 @@ def fetcher_load(schedule: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_urls"),
         F.max("fetch_offset_ms").alias("makespan_ms"),
     )
+
+
+def plan_crawl_round(
+    pages: DataFrame,
+    seen_urls: DataFrame,
+    robots_rules: DataFrame | None = None,
+    priority_col: str | None = None,
+    delay_ms: int = 1000,
+    n_fetchers: int = 64,
+    max_per_host: int | None = None,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """One full frontier-planning round, composed from the layers that
+    each carry their own proof: extracted links (graph.extract_links) →
+    NEW urls only (anti-join against ``seen_urls``; the crawl ledger) →
+    RFC 9309 compliance (robots.robots_allowed, skipped when ``rules`` is
+    None) → polite schedule (:func:`crawl_schedule`). Returns the
+    schedule columns plus nothing else — feed the fetch results back in
+    as the next round's ``pages`` and union the scheduled urls into
+    ``seen_urls``.
+
+    Scale shape: links are edge-proportional; the seen-ledger anti-join
+    is the only corpus-history-sized shuffle (keyed by url — bucket the
+    ledger by url to co-locate it); robots rules broadcast-ish via the
+    host equi-join; scheduling shuffles once per host window.
+
+    Frontier urls deduplicate by MIN source url (deterministic) before
+    scheduling — one fetch per target regardless of in-degree.
+    """
+    from tstore_spark.operators.graph import extract_links
+    from tstore_spark.operators.robots import robots_allowed
+
+    links = extract_links(pages, html_col=html_col, url_col=url_col)
+    frontier = (
+        links.groupBy(F.col("href").alias("url"))
+        .agg(F.min("src_url").alias("discovered_via"))
+        .join(seen_urls.select(F.col(url_col).alias("url")), "url", "left_anti")
+    )
+    if robots_rules is not None:
+        frontier = robots_allowed(frontier, robots_rules).where(
+            F.col("allowed")
+        ).select("url", "discovered_via")
+    frontier = frontier.withColumn(
+        "host", F.coalesce(F.try_parse_url("url", F.lit("HOST")), F.lit(""))
+    )
+    return crawl_schedule(
+        frontier,
+        priority_col=priority_col,
+        delay_ms=delay_ms,
+        n_fetchers=n_fetchers,
+        max_per_host=max_per_host,
+    )
