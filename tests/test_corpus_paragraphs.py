@@ -41,3 +41,12 @@ def test_no_dedup_identity(spark):
     )
     out = {r["doc_id"]: r["text"] for r in dedup_paragraphs(docs).collect()}
     assert out == {1: "aaa\n\nbbb", 2: "ccc\n\nddd"}
+
+
+def test_metachar_separator_is_literal(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha|beta"), (2, "beta|gamma")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["text"]
+           for r in dedup_paragraphs(docs, sep="|").collect()}
+    assert out == {1: "alpha|beta", 2: "gamma"}

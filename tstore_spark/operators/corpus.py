@@ -624,8 +624,14 @@ def dedup_paragraphs(
     whose every paragraph was cut return the empty string (row retained —
     a filter pass must never drop rows silently).
     """
+    import re as _re
+
+    # F.split takes a REGEX — escape so ``sep`` is always literal (a '.'
+    # separator must not split on every character); reassembly's concat_ws
+    # is literal already, so both directions agree.
     paras = docs.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para")
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "para"),
     )
     fp = paras.where(F.col("para") != "").withColumn("_fp", F.md5("para"))
     first = fp.groupBy("_fp").agg(
