@@ -135,3 +135,70 @@ def test_materialize_evicts_prior_manifest(spark, clustered_root):
     assert len(zmod._LIVE_MANIFESTS) == 1
     zmod._evict_prior_manifests()
     assert second.storageLevel == StorageLevel.NONE
+
+
+# ---------------------------------------------------------------------------
+# persistent manifest + incremental refresh
+# ---------------------------------------------------------------------------
+
+
+def _write_slice(spark, root, lo, hi, sub):
+    spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/{sub}")
+
+
+def test_manifest_save_load_refresh(spark, tmp_path):
+    from tstore_spark.sources.zonemaps import (
+        load_zone_maps,
+        prune_paths,
+        refresh_zone_maps,
+        save_zone_maps,
+        zone_maps,
+    )
+
+    root = str(tmp_path / "tbl")
+    _write_slice(spark, root, 0, 1000, "part=a")
+    saved = save_zone_maps(spark, root, ["v"])
+    assert load_zone_maps(spark, root).count() == saved.count() >= 1
+
+    # append a new slice: refresh must pick it up and match a full rebuild
+    _write_slice(spark, root, 1000, 2000, "part=b")
+    refreshed = refresh_zone_maps(spark, root, ["v"])
+    full = zone_maps(spark, root, ["v"], materialize=False)
+    got = sorted(map(tuple, refreshed.collect()))
+    exp = sorted(map(tuple, full.collect()))
+    assert got == exp and len(got) >= 2
+
+    # manifest files themselves are never indexed as data
+    assert not any("_zonemaps" in r["path"] for r in refreshed.collect())
+
+    # pruning over the refreshed manifest stays exact
+    keep, total = prune_paths(refreshed, {"v": (3000, 3500)})
+    assert total == len(got)
+    back = spark.read.parquet(*keep).where("v between 3000 and 3500")
+    assert back.count() == 251
+
+
+def test_manifest_refresh_drops_vanished_files(spark, tmp_path):
+    import shutil
+
+    from tstore_spark.sources.zonemaps import refresh_zone_maps, save_zone_maps
+
+    root = str(tmp_path / "tbl2")
+    _write_slice(spark, root, 0, 100, "part=a")
+    _write_slice(spark, root, 100, 200, "part=b")
+    save_zone_maps(spark, root, ["v"])
+    shutil.rmtree(f"{root}/part=a")
+    refreshed = refresh_zone_maps(spark, root, ["v"])
+    assert all("part=b" in r["path"] for r in refreshed.collect())
+
+
+def test_manifest_refresh_rebuilds_on_column_change(spark, tmp_path):
+    from tstore_spark.sources.zonemaps import refresh_zone_maps, save_zone_maps
+
+    root = str(tmp_path / "tbl3")
+    _write_slice(spark, root, 0, 100, "part=a")
+    save_zone_maps(spark, root, ["v"])
+    refreshed = refresh_zone_maps(spark, root, ["k", "v"])
+    assert {"k_min", "k_max", "v_min", "v_max"} <= set(refreshed.columns)

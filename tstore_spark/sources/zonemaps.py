@@ -37,7 +37,12 @@ from pyspark.sql import functions as F
 
 def _list_parquet(root: str) -> list[str]:
     out = []
-    for dirpath, _d, files in os.walk(root):
+    for dirpath, dirs, files in os.walk(root):
+        # Spark's convention: underscore/dot directories are metadata
+        # (_zonemaps manifests, stream-merge ledgers, _SUCCESS sidecars) —
+        # never data; pruning them here keeps the manifest from indexing
+        # its own files
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         out.extend(os.path.join(dirpath, f) for f in files if f.endswith(".parquet"))
     return sorted(out)
 
@@ -74,7 +79,20 @@ def zone_maps(
     paths = _list_parquet(root)
     if not paths:
         raise ValueError(f"no parquet files under {root}")
+    zm = _manifest_df(spark, paths, columns)
+    if materialize:
+        _evict_prior_manifests()
+        zm = zm.persist()
+        _LIVE_MANIFESTS.append(zm)
+        zm.count()
+    return zm
 
+
+def _manifest_df(
+    spark: SparkSession, paths: list[str], columns: list[str]
+) -> DataFrame:
+    """The footer-stat manifest for an explicit file list (the shared core
+    of :func:`zone_maps` and :func:`refresh_zone_maps`)."""
     import pyarrow.parquet as pq
 
     from pyspark.sql.pandas.types import from_arrow_type
@@ -95,7 +113,7 @@ def zone_maps(
                 arrow_field = sch.field(c)
                 break
         if arrow_field is None:
-            raise ValueError(f"column {c!r} not present in any parquet file under {root}")
+            raise ValueError(f"column {c!r} not present in any listed parquet file")
         t = from_arrow_type(arrow_field.type).simpleString()
         fields += [f"{c}_min {t}", f"{c}_max {t}"]
     schema = ", ".join(fields)
@@ -127,13 +145,72 @@ def zone_maps(
 
     files_df = spark.createDataFrame([(p,) for p in paths], "path string")
     n_tasks = max(1, min(len(paths), 256))
-    zm = files_df.repartition(n_tasks).mapInPandas(read_footers, schema)
-    if materialize:
-        _evict_prior_manifests()
-        zm = zm.persist()
-        _LIVE_MANIFESTS.append(zm)
-        zm.count()
-    return zm
+    return files_df.repartition(n_tasks).mapInPandas(read_footers, schema)
+
+
+# -- persistent manifest with incremental refresh (Iceberg manifest files) ---
+
+#: manifest directory under the data root; the leading underscore makes
+#: Spark's file listing skip it, so the manifest never pollutes data scans
+ZM_DIR = "_zonemaps"
+
+
+def _zm_path(root: str) -> str:
+    return os.path.join(root, ZM_DIR, "manifest.parquet")
+
+
+def save_zone_maps(spark: SparkSession, root: str, columns: list[str]) -> DataFrame:
+    """Build the full manifest ONCE and persist it as parquet under
+    ``<root>/_zonemaps/`` — across sessions, a probe loads O(#files)
+    manifest rows instead of re-reading every footer."""
+    zm = _manifest_df(spark, _list_parquet(root), columns)
+    tmp = _zm_path(root) + ".tmp"
+    zm.coalesce(1).write.mode("overwrite").parquet(tmp)
+    final = _zm_path(root)
+    import shutil as _sh
+
+    _sh.rmtree(final, ignore_errors=True)
+    os.replace(tmp, final)
+    return load_zone_maps(spark, root)
+
+
+def load_zone_maps(spark: SparkSession, root: str) -> DataFrame | None:
+    """The persisted manifest, or None when none was saved."""
+    p = _zm_path(root)
+    return spark.read.parquet(p) if os.path.isdir(p) else None
+
+
+def refresh_zone_maps(spark: SparkSession, root: str, columns: list[str]) -> DataFrame:
+    """Incremental manifest maintenance after appends/deletes: footers are
+    read ONLY for files the stored manifest has not seen; rows for files
+    that vanished (retention drop, compaction swap) are removed. Per-append
+    cost ∝ new files, never the accumulated table — the property that makes
+    a 10^6-file manifest maintainable. Falls back to a full build when no
+    manifest exists or its column set changed."""
+    stored = load_zone_maps(spark, root)
+    current = _list_parquet(root)
+    if stored is None:
+        return save_zone_maps(spark, root, columns)
+    expect_cols = {"path", "row_count"} | {
+        f"{c}_{mm}" for c in columns for mm in ("min", "max")
+    }
+    if set(stored.columns) != expect_cols:
+        return save_zone_maps(spark, root, columns)
+    seen = {r["path"] for r in stored.select("path").collect()}
+    new = [p for p in current if p not in seen]
+    cur_set = set(current)
+    kept = stored.where(F.col("path").isin(list(cur_set & seen)))
+    manifest = (
+        kept.unionByName(_manifest_df(spark, new, columns)) if new else kept
+    )
+    tmp = _zm_path(root) + ".tmp"
+    manifest.coalesce(1).write.mode("overwrite").parquet(tmp)
+    final = _zm_path(root)
+    import shutil as _sh
+
+    _sh.rmtree(final, ignore_errors=True)
+    os.replace(tmp, final)
+    return load_zone_maps(spark, root)
 
 
 def prune_paths(
