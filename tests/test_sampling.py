@@ -325,3 +325,128 @@ def test_epoch_shuffle_shard_uniform_at_8(spark):
     assert set(sizes) == set(range(8))
     # expected 500/shard; 3-sigma of Binomial(4000, 1/8) is ~±63
     assert all(380 < sizes[s] < 620 for s in range(8)), sizes
+
+
+# ---------------------------------------------------------------- upsample
+
+
+def test_upsample_integer_factor_replicates_exactly(spark):
+    from tstore_spark.operators.sampling import upsample_mixture
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(300)}))
+    up = upsample_mixture(df, "doc_id", 3.0)
+    assert up.count() == 900
+    per = {r["doc_id"]: r["n"] for r in up.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert set(per.values()) == {3}
+    # copy indices are exactly 0..n-1
+    idx = up.groupBy("doc_id").agg(F.sort_array(F.collect_list("copy_idx")).alias("c")).limit(5).collect()
+    assert all(r["c"] == [0, 1, 2] for r in idx)
+
+
+def test_upsample_fractional_matches_md5_reference(spark):
+    from tstore_spark.operators.sampling import upsample_mixture
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(2000)}))
+    up = upsample_mixture(df, "doc_id", 1.4, seed=7)
+    per = {r["doc_id"]: r["n"] for r in up.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    n_extra = 0
+    for i in range(2000):
+        u = int(hashlib.md5(f"{i}:7".encode()).hexdigest()[:8], 16) / float(1 << 32)
+        want = 1 + (1 if u < 0.4 else 0)
+        assert per[i] == want, i
+        n_extra += want - 1
+    # E[copies] = 1.4 exactly; the realized count concentrates around it
+    assert abs(n_extra / 2000 - 0.4) < 0.05
+
+
+def test_upsample_zero_factor_drops_and_guard_raises(spark):
+    from tstore_spark.operators.sampling import upsample_mixture
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(100)}))
+    fac = F.when(F.col("doc_id") < 50, F.lit(0.0)).otherwise(F.lit(1.0))
+    up = upsample_mixture(df, "doc_id", fac)
+    assert up.count() == 50
+    assert up.agg(F.min("doc_id")).first()[0] == 50
+    with pytest.raises(Exception, match="upsample_mixture"):
+        upsample_mixture(df, "doc_id", 1000.0).count()
+    with pytest.raises(Exception, match="upsample_mixture"):
+        upsample_mixture(df, "doc_id", -0.5).count()
+    # intended blow-ups opt in
+    assert upsample_mixture(df, "doc_id", 200.0, max_factor=200.0).count() == 20000
+
+
+def test_upsample_deterministic_across_parallelism(spark):
+    from tstore_spark.operators.sampling import upsample_mixture
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(1000)}))
+    a = upsample_mixture(df.repartition(1), "doc_id", 2.3)
+    b = upsample_mixture(df.repartition(13), "doc_id", 2.3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------- priority
+
+
+def _priority_reference(weights: dict[int, float], k: int, seed: int = 42):
+    """Straight-line Duffield-Lund-Thorup priority sampling."""
+    qs = []
+    for i, w in weights.items():
+        if w <= 0:
+            continue
+        u = int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:8], 16) / float(1 << 32)
+        qs.append((w / u, i, w))
+    qs.sort(key=lambda t: (-t[0], t[1]))
+    top = qs[:k]
+    tau = qs[k][0] if len(qs) > k else 0.0
+    return {i: (w, q, max(w, tau)) for q, i, w in top}
+
+
+def test_priority_sample_matches_reference(spark):
+    from tstore_spark.operators.sampling import priority_sample
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    weights = {i: float(w) for i, w in enumerate(rng.randint(1, 1000, size=500))}
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": list(weights), "w": list(weights.values())}))
+    got = {r["doc_id"]: (r["weight"], r["priority"], r["est_w"]) for r in priority_sample(df, "doc_id", "w", k=40).collect()}
+    want = _priority_reference(weights, 40)
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i] == want[i], i
+
+
+def test_priority_sample_ht_estimator_unbiased_shape(spark):
+    from tstore_spark.operators.sampling import priority_sample
+
+    # per Duffield et al., sum(est_w) estimates sum(w); with k = n/2 over a
+    # mild weight spread the relative error stays small
+    weights = {i: 1.0 + (i % 7) for i in range(400)}
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": list(weights), "w": list(weights.values())}))
+    est = priority_sample(df, "doc_id", "w", k=200).agg(F.sum("est_w")).first()[0]
+    true = sum(weights.values())
+    assert abs(est - true) / true < 0.2
+
+
+def test_priority_sample_small_population_keeps_all(spark):
+    from tstore_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(10), "w": [5.0] * 10}))
+    rows = priority_sample(df, "doc_id", "w", k=25).collect()
+    assert len(rows) == 10
+    assert all(r["est_w"] == 5.0 for r in rows)
+    # zero/negative weights never sampled
+    df2 = spark.createDataFrame(pd.DataFrame({"doc_id": range(4), "w": [1.0, 0.0, -3.0, 2.0]}))
+    got = {r["doc_id"] for r in priority_sample(df2, "doc_id", "w", k=10).collect()}
+    assert got == {0, 3}
+    with pytest.raises(ValueError):
+        priority_sample(df, "doc_id", "w", k=0)
+
+
+def test_priority_sample_deterministic_across_parallelism(spark):
+    from tstore_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(800), "w": [float(1 + i % 13) for i in range(800)]}))
+    a = priority_sample(df.repartition(1), "doc_id", "w", k=50).collect()
+    b = priority_sample(df.repartition(17), "doc_id", "w", k=50).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

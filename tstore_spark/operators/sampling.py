@@ -16,7 +16,7 @@ from the id alone years later.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _DENOM = float(1 << 32)
@@ -140,6 +140,137 @@ def weighted_sample(
     # NULL weight means p = NULL and the row drops
     p = F.when(prod.isNotNull(), F.least(F.lit(1.0), prod))
     return df.where(u < p)
+
+
+def upsample_mixture(
+    df: DataFrame,
+    id_col: str,
+    factor: str | Column | float,
+    seed: int = 42,
+    copy_col: str = "copy_idx",
+    max_factor: float = 100.0,
+) -> DataFrame:
+    """Fractional-epoch UPsampling: replicate each row ``factor`` times in
+    expectation — the data-mixing recipe that runs high-quality sources for
+    e.g. 2.45 epochs while a crawl runs for 0.6 (the >1x direction
+    :func:`weighted_sample` deliberately refuses). ``factor`` may be a
+    constant, a column name, or any Column expression (a per-domain CASE, a
+    quality score); copies = ``floor(f)`` plus one more iff the row's
+    deterministic md5 variate falls under ``frac(f)``, so E[copies] == f
+    EXACTLY and integer factors replicate exactly — no RNG, no layout
+    dependence, the same copy set in any engine with md5.
+
+    Output: the input columns plus ``copy_col`` (0-based copy index). The
+    copy index exists so downstream :func:`epoch_shuffle` can reseed per
+    copy (hash over ``id || '#' || copy``) and the replicas land in
+    different shards / positions instead of training back-to-back.
+
+    Scale notes (100 TB): a pure projection + ``explode(sequence(...))`` —
+    zero shuffle, no state; output bytes = sum(factor) x input, which is the
+    caller's explicit choice. ``max_factor`` guards the accidental
+    ``factor=tokens_col`` mistake (a 10^5-fold explode) with an in-plan
+    raise riding the copy column, so a bad factor fails loudly on the first
+    executor batch instead of filling the cluster's disks."""
+    f = (
+        F.col(factor)
+        if isinstance(factor, str)
+        else F.lit(float(factor))
+        if isinstance(factor, (int, float))
+        else factor
+    ).cast("double")
+    u = hash_uniform(id_col, seed)
+    n = (
+        F.floor(f) + F.when(u < (f - F.floor(f)), F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    guarded = F.when(
+        (f < 0) | (f > F.lit(float(max_factor))),
+        F.raise_error(
+            F.format_string(
+                f"upsample_mixture: factor %s outside [0, {max_factor}] "
+                f"(raise max_factor= if the blow-up is intended)",
+                f.cast("string"),
+            ).cast("long"),
+        ),
+    ).otherwise(n)
+    # sequence(0, n-1) raises for n=0 (descending default step), so gate the
+    # explode behind n >= 1; n == 0 rows drop, which IS the semantics
+    return (
+        df.withColumn("__n_copies", guarded)
+        .where(F.col("__n_copies") >= 1)
+        .withColumn(
+            copy_col,
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("__n_copies") - 1)),
+        )
+        .drop("__n_copies")
+    )
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Fixed-size weighted sampling WITHOUT replacement (priority sampling,
+    Duffield-Lund-Thorup, JACM 2007): each row gets priority
+    ``q = w / u`` from its deterministic md5 variate ``u``; the sample is
+    the k highest priorities and every kept row carries the
+    Horvitz-Thompson estimator weight ``est_w = max(w, tau)`` where ``tau``
+    is the (k+1)-th priority — subset sums of ``est_w`` are unbiased
+    estimates of the population's weight sums, within a tight variance
+    bound of the optimal k-sample. The missing regime between
+    :func:`weighted_sample` (Bernoulli, random size) and
+    :func:`stratified_sample` (fixed size, UNweighted): a fixed-budget
+    sample where heavy rows must be favored but the budget is hard.
+
+    Deterministic by construction: u is the content-hash variate (never
+    RNG), q is one IEEE division, and the total order is (q DESC, id ASC)
+    — the same sample and the same tau in any engine with md5.
+
+    Output: (id, weight, priority, est_w), the k sampled rows.
+
+    Scale notes (100 TB): priorities are a pure codegen projection; the
+    top-(k+1) selection plans as TakeOrderedAndProject (per-partition
+    heaps, one k-sized merge — no global sort, no full shuffle); tau rides
+    back as a broadcast 1-row aggregate over those k+1 rows. k is a
+    driver-bounded sample budget by definition."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = F.col(weight_col).cast("double")
+    u = hash_uniform(id_col, seed)
+    ranked = (
+        df.select(
+            F.col(id_col),
+            w.alias("weight"),
+            (w / u).alias("priority"),
+        )
+        .where(F.col("weight") > 0)
+        .orderBy(F.col("priority").desc(), F.col(id_col).asc())
+        .limit(k + 1)
+    )
+    # rank the <= k+1 survivors with a single-partition window — bounded by
+    # the sample budget, never by the population (the unbounded-window shape
+    # plan_audit bans is the one over the INPUT; this one is post-limit).
+    # The k+1 rows are pinned via localCheckpoint so the tau aggregate and
+    # the output branch share ONE input scan instead of re-deriving the
+    # TakeOrdered twice (bounded eager action: k+1 rows).
+    wnd = Window.orderBy(F.col("priority").desc(), F.col(id_col).asc())
+    top = ranked.withColumn("__rn", F.row_number().over(wnd)).localCheckpoint()
+    # tau = the (k+1)-th priority; NULL when the population has <= k
+    # positive-weight rows (then every row keeps its true weight). A 1-row
+    # aggregate riding the plan broadcast — never a driver action.
+    tau = top.agg(
+        F.min(F.when(F.col("__rn") == k + 1, F.col("priority"))).alias("__tau")
+    )
+    return (
+        top.where(F.col("__rn") <= k)
+        .crossJoin(F.broadcast(tau))
+        .withColumn(
+            "est_w", F.greatest(F.col("weight"), F.coalesce(F.col("__tau"), F.lit(0.0)))
+        )
+        .drop("__rn", "__tau")
+    )
 
 
 def token_pack_offsets(
