@@ -2129,6 +2129,42 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, "doc_id", "w", rate=0.8).select("doc_id", "source")
 
 
+def _q_upsample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch upsampling (sampling.py:upsample_mixture): the
+    LLaMA-style data recipe — src0 runs 2.45 epochs, src1 exactly 1, every
+    other source 0.6. copies = floor(f) + one more iff the md5 variate
+    falls under frac(f), so DuckDB replays the exact copy multiset
+    (generate_series per row) including each 0-based copy index."""
+    from tstore_spark.operators.sampling import upsample_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    fac = (
+        F.when(F.col("source") == "src0", F.lit(2.45))
+        .when(F.col("source") == "src1", F.lit(1.0))
+        .otherwise(F.lit(0.6))
+    )
+    return upsample_mixture(docs, "doc_id", fac).select(
+        "doc_id", "source", F.col("copy_idx").cast("long").alias("copy_idx")
+    )
+
+
+def _q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget weighted sampling without replacement
+    (sampling.py:priority_sample, Duffield-Lund-Thorup): k=40 docs by
+    priority w/u with w = n_chars; every kept row carries the
+    Horvitz-Thompson weight max(w, tau). One IEEE division per row + a
+    (q DESC, id) total order, so sample, tau, and estimator weights are
+    bit-identical in DuckDB."""
+    from tstore_spark.operators.sampling import priority_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "w", F.col("n_chars").cast("double")
+    )
+    return priority_sample(docs, "doc_id", "w", k=40).select(
+        "doc_id", "weight", "priority", "est_w"
+    )
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set decontamination (GPT-3 app. C style): docs sharing any
     distinct 5-gram with the held-out slice (doc_id % 7 == 0 plays the eval
@@ -3416,6 +3452,96 @@ def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability_scores(docs)
 
 
+def _q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive recrawl intervals (crawl.py:recrawl_intervals, Cho &
+    Garcia-Molina refresh policy in exact integers): each document plants
+    a 9-round observation ledger whose signature flips every p = 1 +
+    doc_id%4 rounds. The oracle derives n_changes = 8 div p and the
+    clamped revisit interval CLOSED-FORM from the planted period —
+    independent of the operator's lag/window machinery."""
+    from tstore_spark.operators.crawl import recrawl_intervals
+
+    d = F.col("doc_id")
+    obs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.concat(F.lit("https://d"), d.cast("string"), F.lit(".example.com/page")).alias("url"),
+            (d % 4 + 1).alias("p"),
+            F.explode(F.sequence(F.lit(0), F.lit(8))).alias("crawl_round"),
+        )
+        .select(
+            "url",
+            "crawl_round",
+            F.concat(F.lit("v"), F.expr("crawl_round div p").cast("string")).alias("content_sig"),
+        )
+    )
+    return recrawl_intervals(obs, max_interval=16)
+
+
+def _q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (operators/sitemaps.py): each document generates
+    one sitemap XML body algebraically — a main entry written three ways
+    by doc_id%3 (CDATA-wrapped query, entity-escaped query, plain), plus a
+    cross-host entry (doc_id%4==0, must be rejected by the same-host
+    rule) and a loc-less entry (doc_id%5==0, unaddressable, dropped).
+    parse -> frontier_candidates must recover exactly the generating set
+    — the oracle reconstructs it directly from documents without ever
+    parsing XML (independent oracle, the robots-gate pattern)."""
+    from tstore_spark.operators.sitemaps import (
+        frontier_candidates,
+        parse_sitemaps,
+    )
+
+    d = F.col("doc_id")
+    m3 = d % 3
+    host = F.concat(F.lit("h"), (d % 5).cast("string"), F.lit(".example.com"))
+    base = F.concat(F.lit("https://"), host, F.lit("/doc/"), d.cast("string"))
+    lm = F.concat(
+        F.lit("2024-01-"), F.lpad((d % 28 + 1).cast("string"), 2, "0")
+    )
+    entry1 = (
+        F.when(
+            m3 == 0,
+            F.concat(
+                F.lit("<url><loc><![CDATA["), base,
+                F.lit("?a=1&b=2]]></loc><lastmod>"), lm,
+                F.lit("</lastmod></url>"),
+            ),
+        )
+        .when(
+            m3 == 1,
+            F.concat(
+                F.lit("<url><loc>"), base,
+                F.lit("?a=1&amp;b=2</loc><lastmod>"), lm,
+                F.lit("</lastmod></url>"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("<url><loc>"), base, F.lit("</loc></url>")))
+    )
+    entry2 = F.when(
+        d % 4 == 0,
+        F.concat(
+            F.lit("<url><loc>https://x.example.org/off/"), d.cast("string"),
+            F.lit("</loc></url>"),
+        ),
+    ).otherwise(F.lit(""))
+    entry3 = F.when(
+        d % 5 == 0, F.lit("<url><lastmod>2024-09-09</lastmod></url>")
+    ).otherwise(F.lit(""))
+    sm = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://"), host, F.lit("/sitemap.xml")).alias(
+            "sitemap_url"
+        ),
+        F.concat(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            entry1, entry2, entry3, F.lit("</urlset>"),
+        ).alias("body"),
+    )
+    return frontier_candidates(parse_sitemaps(sm)).select(
+        "canon_url", "loc", "lastmod", F.col("n_sitemaps").cast("long").alias("n_sitemaps")
+    )
+
+
 def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt compliance filtering (operators/robots.py): per-host
     robots files are BUILT as real text (groups, precedence, wildcard, $
@@ -4032,6 +4158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_vectors_roundtrip": _q_delete_vectors,
         "warc_ingest": _q_warc_ingest,
         "robots_filter": _q_robots_filter,
+        "sitemap_urls": _q_sitemap_urls,
+        "recrawl_schedule": _q_recrawl_schedule,
         "redirect_resolution": _q_redirect_resolution,
         "readability": _q_readability,
         "expectations_report": _q_expectations_report,
@@ -4048,6 +4176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "mixture_sample": _q_mixture_sample,
         "weighted_sample": _q_weighted_sample,
+        "upsample_mixture": _q_upsample_mixture,
+        "priority_sample": _q_priority_sample,
         "stratified_sample": _q_stratified_sample,
         "boilerplate_lines": _q_boilerplate_lines,
         "pii_redaction": _q_pii_redaction,
@@ -4971,6 +5101,37 @@ def oracle_sql() -> dict[str, str]:
                         - CAST(15.59 AS DOUBLE)
                    END AS fk_grade
             FROM c
+        """,
+        "recrawl_schedule": """
+            WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS p FROM documents),
+            c AS (SELECT doc_id, p, 8 // p AS nc FROM d),
+            i AS (SELECT doc_id, nc,
+                         GREATEST(1, LEAST(16, 8 // nc)) AS rev
+                  FROM c)
+            SELECT 'https://d' || doc_id || '.example.com/page' AS url,
+                   CAST(9 AS BIGINT) AS n_obs,
+                   CAST(nc AS BIGINT) AS n_changes,
+                   CAST(8 AS BIGINT) AS last_round,
+                   CAST(rev AS BIGINT) AS revisit_every,
+                   CAST(8 + rev AS BIGINT) AS next_round
+            FROM i
+        """,
+        "sitemap_urls": """
+            WITH d AS (
+                SELECT doc_id, doc_id % 3 AS m3,
+                       'https://h' || (doc_id % 5) || '.example.com/doc/'
+                           || doc_id AS base,
+                       '2024-01-'
+                           || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                           AS lm
+                FROM documents)
+            SELECT base || CASE WHEN m3 IN (0, 1) THEN '?a=1&b=2' ELSE '' END
+                       AS canon_url,
+                   base || CASE WHEN m3 IN (0, 1) THEN '?a=1&b=2' ELSE '' END
+                       AS loc,
+                   CASE WHEN m3 IN (0, 1) THEN lm END AS lastmod,
+                   CAST(1 AS BIGINT) AS n_sitemaps
+            FROM d
         """,
         "robots_filter": """
             WITH u AS (
@@ -5899,6 +6060,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
                   / 4294967296.0
                   < LEAST(1.0, 0.8 * LEAST(1.0, length(text) / 2000.0))
+        """,
+        "upsample_mixture": """
+            WITH f AS (
+                SELECT doc_id, source,
+                       (CASE source WHEN 'src0' THEN 2.45
+                                    WHEN 'src1' THEN 1.0 ELSE 0.6 END) AS fac,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
+                           / 4294967296.0 AS u
+                FROM documents),
+            n AS (
+                SELECT doc_id, source,
+                       CAST(FLOOR(fac) + (CASE WHEN u < fac - FLOOR(fac) THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+                FROM f)
+            SELECT doc_id, source,
+                   CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS copy_idx
+            FROM n WHERE n_copies >= 1
+        """,
+        "priority_sample": """
+            WITH p AS (
+                SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+                       CAST(n_chars AS DOUBLE)
+                       / (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
+                          / 4294967296.0) AS priority
+                FROM documents WHERE n_chars > 0),
+            r AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn FROM p),
+            t AS (SELECT COALESCE(MIN(CASE WHEN rn = 41 THEN priority END), 0.0) AS tau FROM r)
+            SELECT doc_id, weight, priority, GREATEST(weight, tau) AS est_w
+            FROM r, t WHERE rn <= 40
         """,
         "decontaminate": r"""
             WITH t AS (

@@ -103,3 +103,74 @@ def test_plan_crawl_round_no_robots(spark):
     sched = plan_crawl_round(pages, seen, delay_ms=50)
     got = sorted((r["url"], r["slot"], r["fetch_offset_ms"]) for r in sched.collect())
     assert got == [("https://c.ex/1", 0, 0), ("https://c.ex/2", 1, 50)]
+
+
+# ------------------------------------------------------------- recrawl
+
+
+def _obs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, crawl_round long, content_sig string"
+    )
+
+
+def test_recrawl_interval_matches_observed_change_rate(spark):
+    from tstore_spark.operators.crawl import recrawl_intervals
+
+    rows = []
+    # hot: changes every observation (10 obs, 9 changes) -> interval 1
+    rows += [(f"https://h/hot", r, f"v{r}") for r in range(10)]
+    # slow: changes every 3rd observation (9 obs, sig flips at 3,6)
+    rows += [("https://h/slow", r, f"v{r // 3}") for r in range(9)]
+    # static: never changes -> clamps to max_interval
+    rows += [("https://h/static", r, "same") for r in range(10)]
+    # single observation -> explore at min_interval
+    rows += [("https://h/new", 7, "x")]
+    got = {
+        r["url"]: r
+        for r in recrawl_intervals(_obs_df(spark, rows), max_interval=5).collect()
+    }
+    hot = got["https://h/hot"]
+    assert (hot["n_obs"], hot["n_changes"], hot["revisit_every"], hot["next_round"]) == (10, 9, 1, 10)
+    slow = got["https://h/slow"]
+    assert (slow["n_changes"], slow["revisit_every"]) == (2, 4)  # (9-1) div 2
+    static = got["https://h/static"]
+    assert (static["n_changes"], static["revisit_every"], static["next_round"]) == (0, 5, 14)
+    new = got["https://h/new"]
+    assert (new["n_obs"], new["revisit_every"], new["next_round"]) == (1, 1, 8)
+
+
+def test_recrawl_gap_counts_one_change(spark):
+    from tstore_spark.operators.crawl import recrawl_intervals
+
+    # rounds 0 and 5 observed with different sigs: ONE change, not five
+    rows = [("https://h/g", 0, "a"), ("https://h/g", 5, "b")]
+    [r] = recrawl_intervals(_obs_df(spark, rows)).collect()
+    assert (r["n_obs"], r["n_changes"], r["revisit_every"]) == (2, 1, 1)
+
+
+def test_recrawl_single_shuffle_and_determinism(spark):
+    from tstore_spark.operators.crawl import recrawl_intervals
+
+    rows = [
+        (f"https://h/{i % 37}", r, f"v{(i * r) % 5}")
+        for i in range(200)
+        for r in range(4)
+    ]
+    df = _obs_df(spark, rows)
+    out = recrawl_intervals(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    a = recrawl_intervals(df.repartition(1)).collect()
+    b = recrawl_intervals(df.repartition(13)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_recrawl_bad_args(spark):
+    from tstore_spark.operators.crawl import recrawl_intervals
+
+    df = _obs_df(spark, [("u", 0, "x")])
+    with pytest.raises(ValueError):
+        recrawl_intervals(df, min_interval=0)
+    with pytest.raises(ValueError):
+        recrawl_intervals(df, min_interval=5, max_interval=2)

@@ -141,3 +141,87 @@ def plan_crawl_round(
         n_fetchers=n_fetchers,
         max_per_host=max_per_host,
     )
+
+
+def recrawl_intervals(
+    observations: DataFrame,
+    url_col: str = "url",
+    round_col: str = "crawl_round",
+    sig_col: str = "content_sig",
+    min_interval: int = 1,
+    max_interval: int = 64,
+) -> DataFrame:
+    """Adaptive revisit intervals from observed change history — the
+    refresh-policy estimator of Cho & Garcia-Molina (TODS 2003) in exact
+    integer form: pages that changed on most visits get recrawled every
+    round, pages that never change back off toward ``max_interval``.
+
+    Input: one row per (url, crawl_round) observation carrying any
+    content signature (md5 of the text, a crawl_diff verdict — equality
+    is all that is used). Per URL ordered by round:
+
+    * ``n_obs`` observations, ``n_changes`` = count of consecutive
+      observation pairs whose signatures differ (a gap of several rounds
+      still counts as ONE observed change — the estimator is honest about
+      what it saw, it does not extrapolate unobserved flips),
+    * ``revisit_every = clamp((n_obs - 1) div max(n_changes, 1))`` into
+      [min_interval, max_interval] — the mean observed rounds-per-change;
+      a single observation (no pairs) is unknown-rate and gets
+      ``min_interval`` (explore before backing off),
+    * ``next_round = last_round + revisit_every``.
+
+    Priorities for :func:`crawl_schedule` fall out as staleness:
+    ``current_round - next_round``.
+
+    Scale notes (100 TB ledger): ONE shuffle on url — the lag window and
+    the per-url aggregate share the same hash partitioning, so Spark
+    plans a single Exchange; state per url is four BIGINTs. All integer
+    arithmetic — bit-identical at any parallelism and replayed verbatim
+    by the SQL oracle.
+    """
+    if min_interval < 1:
+        raise ValueError(f"min_interval must be >= 1, got {min_interval}")
+    if max_interval < min_interval:
+        raise ValueError("max_interval must be >= min_interval")
+    # total order (round, sig): a ledger normally holds one observation per
+    # (url, round), but if duplicates ever land (a crawler retry with a
+    # different snapshot), the sig tiebreak keeps lag() — and therefore
+    # n_changes — deterministic across partitioning instead of
+    # layout-dependent
+    sig = F.col(sig_col).cast("string")
+    w = Window.partitionBy(url_col).orderBy(F.col(round_col).asc(), sig.asc())
+    marked = observations.select(
+        F.col(url_col).alias("url"),
+        F.col(round_col).cast("long").alias("_round"),
+        F.when(
+            F.lag(sig).over(w).isNotNull() & (sig != F.lag(sig).over(w)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_chg"),
+    )
+    agg = marked.groupBy("url").agg(
+        F.count("*").alias("n_obs"),
+        F.sum("_chg").alias("n_changes"),
+        F.max("_round").alias("last_round"),
+    )
+    interval = F.when(
+        F.col("n_obs") <= 1, F.lit(int(min_interval)).cast("long")
+    ).otherwise(
+        F.greatest(
+            F.lit(int(min_interval)).cast("long"),
+            F.least(
+                F.lit(int(max_interval)).cast("long"),
+                # exact integer division (never a double round-trip)
+                F.expr("(n_obs - 1) div greatest(n_changes, 1)"),
+            ),
+        )
+    )
+    return agg.select(
+        "url",
+        "n_obs",
+        "n_changes",
+        "last_round",
+        interval.alias("revisit_every"),
+        (F.col("last_round") + interval).alias("next_round"),
+    )
