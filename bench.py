@@ -135,6 +135,11 @@ HEADLINE = [
     "domain_blocklist",
     "json_flatten",
     "unicode_nfc",
+    # round-3 seventh-session additions
+    "upsample_mixture",
+    "priority_sample",
+    "sitemap_urls",
+    "recrawl_schedule",
 ]
 
 

@@ -559,6 +559,55 @@ def main() -> int:
         check("crawl round: links -> unseen -> robots -> schedule",
               [r["url"] for r in cr_sched.collect()] == ["https://t.ex/ok"])
 
+        # sitemap discovery -> frontier; recrawl intervals from history
+        from tstore_spark.operators.crawl import recrawl_intervals
+        from tstore_spark.operators.sitemaps import (
+            frontier_candidates,
+            parse_sitemaps,
+        )
+
+        sm_df = spark.createDataFrame(
+            [("https://t.ex/sitemap.xml",
+              "<urlset><url><loc>https://t.ex/ok</loc>"
+              "<lastmod>2024-05-01</lastmod></url>"
+              "<url><loc><![CDATA[https://t.ex/q?a=1&b=2]]></loc></url>"
+              "<url><loc>https://evil.ex/x</loc></url></urlset>")],
+            "sitemap_url string, body string",
+        )
+        sm_front = frontier_candidates(
+            parse_sitemaps(sm_df),
+            crawl_ledger=spark.createDataFrame([("https://t.ex/ok",)], "url string"),
+        )
+        check("sitemap: parse + same-host + ledger anti-join",
+              [r["loc"] for r in sm_front.collect()] == ["https://t.ex/q?a=1&b=2"])
+
+        rc_obs = spark.createDataFrame(
+            [("https://t.ex/hot", r, f"v{r}") for r in range(6)]
+            + [("https://t.ex/cold", r, "same") for r in range(6)],
+            "url string, crawl_round long, content_sig string",
+        )
+        rc = {r["url"]: r for r in recrawl_intervals(rc_obs, max_interval=4).collect()}
+        check("recrawl intervals: hot revisits every round, cold backs off",
+              rc["https://t.ex/hot"]["revisit_every"] == 1
+              and rc["https://t.ex/cold"]["revisit_every"] == 4)
+
+        # sampling: fixed-budget priority sample + fractional upsampling
+        from tstore_spark.operators.sampling import (
+            priority_sample,
+            upsample_mixture,
+        )
+
+        sdocs = spark.range(0, 40).select(
+            F.col("id").alias("doc_id"), (F.col("id") + 1).cast("double").alias("wq")
+        )
+        psamp = priority_sample(sdocs, "doc_id", "wq", k=3)
+        check("priority sample: budget k with HT weights >= true weights",
+              psamp.count() == 3
+              and psamp.where(F.col("est_w") < F.col("weight")).count() == 0)
+        upc = upsample_mixture(cdocs, "doc_id", 2.0).count()
+        check("upsample: integer factor doubles the corpus",
+              upc == cdocs.count() * 2)
+
         epath = f"{tmp}/epoch_shards"
         write_epoch_shards(cdocs.union(cdocs.selectExpr("doc_id+10", "text")),
                            epath, "doc_id", n_shards=2, epoch=0)
