@@ -3452,6 +3452,51 @@ def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability_scores(docs)
 
 
+def _q_cdx_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index source (sources/cdx.py) + SURT keys (urls.py:surt_key):
+    each document emits TWO CDX(J) capture lines (March + April) whose
+    urlkey is derived by surt_key from a hostile mixed-case www/query-
+    reordered URL; parse_cdx_lines types the fields (revisit rows carry
+    status '-', parsed NULL for doc_id%7==0) and latest_captures keeps
+    the April capture. The oracle writes the surviving row CLOSED-FORM —
+    urlkey, NTZ timestamp, and typed fields — never touching XML/JSON."""
+    from tstore_spark.functions.urls import surt_key
+    from tstore_spark.sources.cdx import latest_captures, parse_cdx_lines
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://www.S"), (d % 20).cast("string"),
+        F.lit(".example.com/Item/"), d.cast("string"), F.lit("?b=2&a=1"),
+    )
+    status = F.when(d % 7 == 0, F.lit("-")).otherwise(F.lit("200"))
+    mk = lambda ts, sfx: F.concat_ws(
+        " ",
+        surt_key(url),
+        ts,
+        F.to_json(
+            F.struct(
+                url.alias("url"),
+                F.lit("text/html").alias("mime"),
+                status.alias("status"),
+                F.concat(F.lit("D"), d.cast("string"), F.lit(sfx)).alias("digest"),
+                (d % 1000 + 100).cast("string").alias("length"),
+                (d * 7).cast("string").alias("offset"),
+                F.lit(f"crawl-{sfx}.warc.gz").alias("filename"),
+            )
+        ),
+    )
+    ts_a = F.concat(F.lit("202403"), F.lpad((d % 28 + 1).cast("string"), 2, "0"), F.lit("120000"))
+    ts_b = F.concat(F.lit("202404"), F.lpad((d % 28 + 1).cast("string"), 2, "0"), F.lit("060000"))
+    lines = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.array(mk(ts_a, "a"), mk(ts_b, "b"))).alias("value"))
+    )
+    return latest_captures(parse_cdx_lines(lines)).select(
+        "urlkey", "fetch_ts", "url", "mime", "status", "digest",
+        "length", "offset", "filename",
+    )
+
+
 def _q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive recrawl intervals (crawl.py:recrawl_intervals, Cho &
     Garcia-Molina refresh policy in exact integers): each document plants
@@ -4160,6 +4205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": _q_robots_filter,
         "sitemap_urls": _q_sitemap_urls,
         "recrawl_schedule": _q_recrawl_schedule,
+        "cdx_latest": _q_cdx_latest,
         "redirect_resolution": _q_redirect_resolution,
         "readability": _q_readability,
         "expectations_report": _q_expectations_report,
@@ -5101,6 +5147,22 @@ def oracle_sql() -> dict[str, str]:
                         - CAST(15.59 AS DOUBLE)
                    END AS fk_grade
             FROM c
+        """,
+        "cdx_latest": """
+            SELECT 'com,example,s' || (doc_id % 20) || ')/item/' || doc_id
+                       || '?a=1&b=2' AS urlkey,
+                   strptime('202404'
+                            || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                            || '060000', '%Y%m%d%H%M%S') AS fetch_ts,
+                   'https://www.S' || (doc_id % 20) || '.example.com/Item/'
+                       || doc_id || '?b=2&a=1' AS url,
+                   'text/html' AS mime,
+                   CASE WHEN doc_id % 7 <> 0 THEN 200 END AS status,
+                   'D' || doc_id || 'b' AS digest,
+                   CAST(doc_id % 1000 + 100 AS BIGINT) AS length,
+                   CAST(doc_id * 7 AS BIGINT) AS offset,
+                   'crawl-b.warc.gz' AS filename
+            FROM documents
         """,
         "recrawl_schedule": """
             WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS p FROM documents),

@@ -140,6 +140,7 @@ HEADLINE = [
     "priority_sample",
     "sitemap_urls",
     "recrawl_schedule",
+    "cdx_latest",
 ]
 
 

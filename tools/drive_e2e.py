@@ -591,6 +591,27 @@ def main() -> int:
               rc["https://t.ex/hot"]["revisit_every"] == 1
               and rc["https://t.ex/cold"]["revisit_every"] == 4)
 
+        # CDX index: gz file -> typed captures -> latest per urlkey
+        import gzip as _gzip
+
+        from tstore_spark.sources.cdx import latest_captures, open_cdx
+
+        cdx_path = f"{tmp}/index.cdx.gz"
+        with _gzip.open(cdx_path, "wt") as fh:
+            fh.write(
+                'com,t)/p 20240301120000 {"url": "https://t.ex/p", "digest": "A",'
+                ' "status": "200", "length": "10", "offset": "0",'
+                ' "filename": "c0.warc.gz", "mime": "text/html"}\n'
+                'com,t)/p 20240401120000 {"url": "https://t.ex/p", "digest": "B",'
+                ' "status": "-", "length": "11", "offset": "9",'
+                ' "filename": "c1.warc.gz", "mime": "warc/revisit"}\n'
+            )
+        cdx_last = latest_captures(open_cdx(spark, cdx_path)).collect()
+        check("cdx: gz parse + latest capture survives with typed fields",
+              len(cdx_last) == 1 and cdx_last[0]["digest"] == "B"
+              and cdx_last[0]["status"] is None
+              and cdx_last[0]["length"] == 11)
+
         # sampling: fixed-budget priority sample + fractional upsampling
         from tstore_spark.operators.sampling import (
             priority_sample,

@@ -112,3 +112,28 @@ def domain_of(url: str | Column) -> Column:
     """
     c = F.col(url) if isinstance(url, str) else url
     return F.parse_url(c, F.lit("HOST")).alias("domain")
+
+
+def surt_key(url: str | Column) -> Column:
+    """SURT-style sort key (the Common-Crawl CDX ``urlkey`` shape):
+    ``com,example)/path?a=1&b=2`` — host labels reversed and
+    comma-joined, ``www.`` dropped, whole key lowercased, query params
+    sorted (so ``?b&a`` and ``?a&b`` collide, the point of the key).
+    Pure codegen: try_parse_url + split/reverse/array_join/array_sort —
+    NULL for unparseable URLs (try_, never the raising parse_url; the
+    Spark 4 INVALID_URL lesson).
+
+    Documented subset of full SURT: no scheme folding beyond drop, no
+    session-param stripping (compose with canonical_url for tracking
+    params), userinfo/ports handled by parse_url's HOST extraction."""
+    c = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.try_parse_url(c, F.lit("HOST")))
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.coalesce(F.lower(F.try_parse_url(c, F.lit("PATH"))), F.lit(""))
+    query = F.lower(F.try_parse_url(c, F.lit("QUERY")))
+    qpart = F.when(
+        query.isNotNull() & (query != ""),
+        F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&")),
+    ).otherwise(F.lit(""))
+    return F.when(host.isNotNull(), F.concat(rev, F.lit(")"), path, qpart))
