@@ -450,3 +450,22 @@ def test_priority_sample_deterministic_across_parallelism(spark):
     a = priority_sample(df.repartition(1), "doc_id", "w", k=50).collect()
     b = priority_sample(df.repartition(17), "doc_id", "w", k=50).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_priority_sample_selection_plans_takeordered(spark):
+    # the selection that runs inside priority_sample's checkpoint pin:
+    # orderBy + limit over the priority projection plans as a distributed
+    # TakeOrderedAndProject (per-partition heaps + one k-sized merge) —
+    # never a global Sort/Exchange of the population
+    from tstore_spark.operators.sampling import hash_uniform
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).cast("double").alias("w")
+    )
+    ranked = (
+        df.select("doc_id", (F.col("w") / hash_uniform("doc_id")).alias("priority"))
+        .orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+        .limit(41)
+    )
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan and "Exchange" not in plan, plan

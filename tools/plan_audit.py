@@ -13,6 +13,7 @@ Usage: python tools/plan_audit.py [sf_dir]   (prints PASS/FAIL per check)
 from __future__ import annotations
 
 import io
+import re
 import sys
 
 sys.path.insert(0, ".")
@@ -368,6 +369,44 @@ def main(sf_dir: str) -> int:
     p = plan_of(qs["postings_roundtrip"](spark, sf_dir))
     check("postings.no_window", "Window" not in p,
           "range blocks avoid the per-token rank window")
+
+    # 30. priority sampling: the k+1 survivors are PINNED (localCheckpoint)
+    # so tau and the output share one input scan — the final plan reads the
+    # checkpoint, never the parquet twice; the TakeOrdered heap selection
+    # ran inside the pin (asserted by its pytest plan test)
+    p = plan_of(qs["priority_sample"](spark, sf_dir))
+    check("priority_sample.checkpoint_pin",
+          "Scan ExistingRDD" in p and "InMemoryFileIndex" not in p,
+          "both branches read the pinned k+1 rows, not the input again")
+    check("priority_sample.jvm",
+          "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "md5 variate + priority are codegen expressions")
+
+    # 31. upsampling: projection + explode — zero shuffle
+    p = plan_of(qs["upsample_mixture"](spark, sf_dir))
+    check("upsample.no_shuffle", "Exchange" not in p,
+          "copy count + explode are projections over the scan")
+
+    # 32. recrawl intervals: the lag window and the per-url aggregate
+    # share ONE hash exchange
+    p = plan_of(qs["recrawl_schedule"](spark, sf_dir))
+    check("recrawl.single_exchange",
+          len(re.findall(r"\(\d+\) Exchange", p)) == 1,
+          "window and groupBy reuse the same url partitioning")
+
+    # 33. sitemap + cdx parsing: pure codegen projections (the only
+    # exchange in each gate query is the frontier/survivor groupBy)
+    p = plan_of(qs["sitemap_urls"](spark, sf_dir))
+    check("sitemap.jvm",
+          "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "XML block extraction is regexp codegen, never Python")
+    p = plan_of(qs["cdx_latest"](spark, sf_dir))
+    check("cdx.jvm",
+          "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "line grammar + JSON paths stay in codegen")
+    check("cdx.single_exchange",
+          len(re.findall(r"\(\d+\) Exchange", p)) == 1,
+          "one survivor groupBy; the parse itself never shuffles")
 
     spark.stop()
     print(f"\n{'ALL PASS' if not failures else 'FAILURES: ' + ', '.join(failures)}")
