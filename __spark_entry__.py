@@ -4070,6 +4070,33 @@ def _q_range_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize(range_aggregate(tiers, _RANGE_T0, _RANGE_T1))
 
 
+_PH_BOUNDS = [1.0, 2.0, 5.0, 10.0, 20.0, 50.0]
+_PH_QS = [0.5, 0.9, 0.99]
+
+
+def _q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus le-bucket histogram per event type
+    (operators/promhist.py): cumulative integer counters per fixed bound
+    (one map-side-combined groupBy; the mergeable monitoring-histogram
+    state) plus PromQL histogram_quantile interpolation as a literal CASE
+    chain. The oracle replays the identical counter sums and the identical
+    interpolation op order — doubles hash-match bit-for-bit (only
+    +,-,*,/ on IEEE doubles; no transcendentals)."""
+    from tstore_spark.operators.promhist import le_bucket_counts, quantile_expr
+
+    ev = _t(spark, sf_dir, "events")
+    bc = le_bucket_counts(ev, ["event_type"], "value", _PH_BOUNDS)
+    return bc.select(
+        "event_type",
+        *[f"le_{i}" for i in range(len(_PH_BOUNDS))],
+        "n_total",
+        *[
+            quantile_expr(q, _PH_BOUNDS).alias("q_" + str(q).replace(".", "_"))
+            for q in _PH_QS
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -4252,6 +4279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_roundtrip": _q_schema_evolution,
         "resample_15m": _q_resample_15m,
         "sliding_1h_15m": _q_sliding_1h_15m,
+        "histogram_quantile": _q_histogram_quantile,
     }
 
 
@@ -6536,7 +6564,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '{_RANGE_T0}' AND ts < TIMESTAMP '{_RANGE_T1}'
             GROUP BY event_type
         """,
+        "histogram_quantile": _ph_oracle_sql(),
         # remaining no-oracle entries: none — every query above carries a
         # DuckDB-checkable formulation (approx operators as invariants:
         # ANN recall floors, HLL error bound, LSH pairs vs exact pair SQL)
     }
+
+
+def _ph_oracle_sql() -> str:
+    """Counter sums + the quantile CASE chain generated by the SAME helper
+    the Spark expression uses (promhist.quantile_sql_case) — twin op order
+    by construction, so the interpolated doubles hash-match bit-for-bit."""
+    from tstore_spark.operators.promhist import quantile_sql_case
+
+    les = ", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN value <= {b!r} THEN 1 END), 0) AS BIGINT)"
+        f" AS le_{i}"
+        for i, b in enumerate(_PH_BOUNDS)
+    )
+    qcols = ", ".join(
+        f"{quantile_sql_case(q, _PH_BOUNDS)} AS q_{str(q).replace('.', '_')}"
+        for q in _PH_QS
+    )
+    le_names = ", ".join(f"le_{i}" for i in range(len(_PH_BOUNDS)))
+    return f"""
+        WITH bc AS (
+            SELECT event_type, {les},
+                   CAST(COUNT(value) AS BIGINT) AS n_total
+            FROM events GROUP BY 1)
+        SELECT event_type, {le_names}, n_total, {qcols}
+        FROM bc
+    """
