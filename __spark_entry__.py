@@ -4070,6 +4070,55 @@ def _q_range_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize(range_aggregate(tiers, _RANGE_T0, _RANGE_T1))
 
 
+def _iv_frames(spark: SparkSession, sf_dir: str):
+    """Deterministic interval tables derived from events: every event opens
+    an interval of (event_id % 900) + 60 seconds (errors: % 300 + 30),
+    keyed by user. timestampadd on NTZ is wall-clock-safe (CLAUDE.md)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.where(F.col("event_type") != "error").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("s"),
+        F.expr(
+            "timestampadd(SECOND, CAST(event_id % 900 + 60 AS INT), ts)"
+        ).alias("e"),
+    )
+    sub = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("s"),
+        F.expr(
+            "timestampadd(SECOND, CAST(event_id % 300 + 30 AS INT), ts)"
+        ).alias("e"),
+    )
+    return base, sub
+
+
+def _q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged maximal islands of per-user activity intervals
+    (operators/coverage.py interval_union): gaps-and-islands on exact
+    integer epoch micros, island bounds as original NTZ timestamps (no
+    epoch->timestamp reconstruction). Oracle replays the identical
+    running-max island flagging in SQL."""
+    from tstore_spark.operators.coverage import interval_union
+
+    base, _ = _iv_frames(spark, sf_dir)
+    return interval_union(base, "k", "s", "e").withColumnRenamed("key", "user_id")
+
+
+def _q_interval_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity minus error-cover (operators/coverage.py
+    interval_difference): ONE two-counter boundary sweep — linear in
+    boundaries, never the quadratic overlap join — with [start, end)
+    touch-exact semantics and maximal merged parts. Oracle replays the
+    identical sweep (collapse deltas per position, two running sums,
+    keep, merge)."""
+    from tstore_spark.operators.coverage import interval_difference
+
+    base, sub = _iv_frames(spark, sf_dir)
+    return interval_difference(base, sub, "k", "s", "e").withColumnRenamed(
+        "key", "user_id"
+    )
+
+
 _PH_BOUNDS = [1.0, 2.0, 5.0, 10.0, 20.0, 50.0]
 _PH_QS = [0.5, 0.9, 0.99]
 
@@ -4280,6 +4329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_15m": _q_resample_15m,
         "sliding_1h_15m": _q_sliding_1h_15m,
         "histogram_quantile": _q_histogram_quantile,
+        "interval_union": _q_interval_union,
+        "interval_difference": _q_interval_difference,
     }
 
 
@@ -6565,10 +6616,77 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type
         """,
         "histogram_quantile": _ph_oracle_sql(),
+        "interval_union": f"""
+            WITH iv AS ({_IV_BASE_SQL}),
+            b AS (SELECT k, s, e, epoch_us(s) AS su, epoch_us(e) AS eu FROM iv),
+            f AS (
+                SELECT *, CASE WHEN max(eu) OVER wp IS NULL
+                                 OR su > max(eu) OVER wp
+                               THEN 1 ELSE 0 END AS neu
+                FROM b
+                WINDOW wp AS (PARTITION BY k ORDER BY su, eu
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+            g AS (
+                SELECT *, SUM(neu) OVER (PARTITION BY k ORDER BY su, eu
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+                FROM f)
+            SELECT k AS user_id, MIN(s) AS island_start, MAX(e) AS island_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_intervals,
+                   CAST(MAX(eu) - MIN(su) AS BIGINT) AS duration_micros
+            FROM g GROUP BY k, isl
+        """,
+        "interval_difference": f"""
+            WITH bs AS (
+                SELECT k, s, e, epoch_us(s) AS su, epoch_us(e) AS eu
+                FROM ({_IV_BASE_SQL})),
+            sb AS (
+                SELECT k, s, e, epoch_us(s) AS su, epoch_us(e) AS eu
+                FROM ({_IV_SUB_SQL})),
+            ev AS (
+                SELECT k, su AS p, s AS t, 1 AS db, 0 AS ds FROM bs
+                UNION ALL SELECT k, eu, e, -1, 0 FROM bs
+                UNION ALL SELECT k, su, s, 0, 1 FROM sb
+                UNION ALL SELECT k, eu, e, 0, -1 FROM sb),
+            a AS (
+                SELECT k, p, SUM(db) AS db, SUM(ds) AS ds, MIN(t) AS ts
+                FROM ev GROUP BY 1, 2),
+            c AS (
+                SELECT *, SUM(db) OVER wr AS b, SUM(ds) OVER wr AS sc,
+                       LEAD(p) OVER wo AS np, LEAD(ts) OVER wo AS nt
+                FROM a
+                WINDOW wr AS (PARTITION BY k ORDER BY p
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       wo AS (PARTITION BY k ORDER BY p)),
+            seg AS (SELECT * FROM c WHERE b > 0 AND sc = 0 AND np IS NOT NULL),
+            m AS (
+                SELECT *, CASE WHEN lag(np) OVER wo IS NULL
+                                 OR lag(np) OVER wo < p
+                               THEN 1 ELSE 0 END AS neu
+                FROM seg WINDOW wo AS (PARTITION BY k ORDER BY p)),
+            g AS (
+                SELECT *, SUM(neu) OVER (PARTITION BY k ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+                FROM m)
+            SELECT k AS user_id, MIN(ts) AS part_start, MAX(nt) AS part_end,
+                   CAST(MAX(np) - MIN(p) AS BIGINT) AS duration_micros
+            FROM g GROUP BY k, isl
+        """,
         # remaining no-oracle entries: none — every query above carries a
         # DuckDB-checkable formulation (approx operators as invariants:
         # ANN recall floors, HLL error bound, LSH pairs vs exact pair SQL)
     }
+
+
+_IV_BASE_SQL = """
+    SELECT user_id AS k, ts AS s,
+           ts + to_seconds(event_id % 900 + 60) AS e
+    FROM events WHERE event_type <> 'error'
+"""
+_IV_SUB_SQL = """
+    SELECT user_id AS k, ts AS s,
+           ts + to_seconds(event_id % 300 + 30) AS e
+    FROM events WHERE event_type = 'error'
+"""
 
 
 def _ph_oracle_sql() -> str:

@@ -88,6 +88,177 @@ def interval_coverage(
     )
 
 
+def interval_union(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-key merged maximal islands of [start, end) intervals —
+    :func:`interval_coverage`'s islands, RETURNED instead of summed:
+    ``(key, island_start, island_end, n_intervals, duration_micros)``.
+    Overlapping or touching intervals merge; distinct islands stay apart.
+
+    Exactness: island detection runs on integer epoch MICROseconds from
+    wall-clock field extraction (TZ-proof on NTZ); island bounds are the
+    original timestamp columns' min/max (timestamp order == epoch order),
+    so no epoch->timestamp reconstruction ever transits the session zone.
+    Scale: one shuffle on the key + one ordered window pass, the repo's
+    standard per-key ordered-window bound.
+    """
+    s = df.select(
+        F.col(key_col).alias("key"),
+        ntz_epoch_micros(start_col).alias("_s"),
+        ntz_epoch_micros(end_col).alias("_e"),
+        F.col(start_col).alias("_ts"),
+        F.col(end_col).alias("_te"),
+    )
+    # in-plan validity guard riding a returned column (end > start per row)
+    s = s.withColumn(
+        "_s",
+        F.when(
+            F.col("_e") <= F.col("_s"),
+            F.raise_error(
+                F.format_string(
+                    "interval_union requires end > start for every row "
+                    "(key=%s start_us=%d end_us=%d)",
+                    F.col("key").cast("string"), F.col("_s"), F.col("_e"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("_s")),
+    )
+    w = Window.partitionBy("key").orderBy("_s", "_e")
+    prior_max_end = F.max("_e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = s.withColumn(
+        "_new",
+        F.when(
+            prior_max_end.isNull() | (F.col("_s") > prior_max_end), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("key", "_island")
+        .agg(
+            F.min("_ts").alias("island_start"),
+            F.max("_te").alias("island_end"),
+            F.count(F.lit(1)).alias("n_intervals"),
+            (F.max("_e") - F.min("_s")).alias("duration_micros"),
+        )
+        .drop("_island")
+    )
+
+
+def _boundary_events(
+    df: DataFrame, key_col: str, start_col: str, end_col: str, side: str
+) -> DataFrame:
+    """+1/-1 boundary deltas of one interval table for the two-counter
+    sweep. ``side`` routes the deltas into the base (_db) or subtrahend
+    (_ds) counter; the original timestamp rides each boundary so the
+    output never reconstructs wall clocks from epochs."""
+    db, ds = ("_db", "_ds") if side == "base" else ("_ds", "_db")
+    s = df.select(
+        F.col(key_col).alias("key"),
+        ntz_epoch_micros(start_col).alias("_s"),
+        ntz_epoch_micros(end_col).alias("_e"),
+        F.col(start_col).alias("_tsx"),
+        F.col(end_col).alias("_tex"),
+    )
+    s = s.withColumn(
+        "_s",
+        F.when(
+            F.col("_e") <= F.col("_s"),
+            F.raise_error(
+                F.format_string(
+                    "interval algebra requires end > start for every row "
+                    "(key=%s start_us=%d end_us=%d)",
+                    F.col("key").cast("string"), F.col("_s"), F.col("_e"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("_s")),
+    )
+    starts = s.select(
+        "key", F.col("_s").alias("_p"), F.col("_tsx").alias("_t"),
+        F.lit(1).alias(db), F.lit(0).alias(ds),
+    )
+    ends = s.select(
+        "key", F.col("_e").alias("_p"), F.col("_tex").alias("_t"),
+        F.lit(-1).alias(db), F.lit(0).alias(ds),
+    )
+    return starts.unionByName(ends)
+
+
+def interval_difference(
+    base: DataFrame,
+    sub: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    mode: str = "difference",
+) -> DataFrame:
+    """Per-key interval-set algebra via ONE boundary sweep:
+    ``difference`` = parts of base's union NOT covered by sub's union (the
+    downtime/SLA question: scheduled minus observed); ``intersection`` =
+    parts covered by BOTH unions. Returns ``(key, part_start, part_end,
+    duration_micros)`` with maximal (merged) parts.
+
+    The sweep: every interval contributes +1/-1 boundary deltas to its
+    side's counter; deltas collapse per distinct position (one groupBy),
+    two running sums give each inter-boundary segment's base/sub coverage
+    with exact [start, end) semantics, the mode predicate keeps segments,
+    and touching kept segments merge into maximal parts (gaps-and-islands
+    over the segment list). All integer epoch-micros arithmetic; part
+    bounds are the ORIGINAL timestamps carried on the boundaries.
+
+    Scale: one shuffle keys both inputs together, then two ordered window
+    passes per key — per-key cost is the boundary count, never the
+    pairwise interval product (an interval-overlap join would be
+    quadratic in per-key density; the sweep is linear).
+    """
+    if mode not in ("difference", "intersection"):
+        raise ValueError(f"mode must be 'difference' or 'intersection', got {mode!r}")
+    ev = _boundary_events(base, key_col, start_col, end_col, "base").unionByName(
+        _boundary_events(sub, key_col, start_col, end_col, "sub")
+    )
+    # collapse deltas per distinct position: the running sums then carry
+    # exact [p, next_p) coverage — an end and a start at the same instant
+    # cancel (touching = covered for base, uncovered only beyond)
+    agg = ev.groupBy("key", "_p").agg(
+        F.sum("_db").alias("_db"),
+        F.sum("_ds").alias("_ds"),
+        F.min("_t").alias("_ts"),
+    )
+    w = Window.partitionBy("key").orderBy("_p")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    c = (
+        agg.withColumn("_b", F.sum("_db").over(run))
+        .withColumn("_sc", F.sum("_ds").over(run))
+        .withColumn("_np", F.lead("_p").over(w))
+        .withColumn("_nt", F.lead("_ts").over(w))
+    )
+    keep = (F.col("_b") > 0) & (
+        (F.col("_sc") == 0) if mode == "difference" else (F.col("_sc") > 0)
+    )
+    seg = c.where(keep & F.col("_np").isNotNull())
+    prev_end = F.lag("_np").over(w)
+    merged = seg.withColumn(
+        "_new",
+        F.when(prev_end.isNull() | (prev_end < F.col("_p")), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn("_isl", F.sum("_new").over(run))
+    return (
+        merged.groupBy("key", "_isl")
+        .agg(
+            F.min("_ts").alias("part_start"),
+            F.max("_nt").alias("part_end"),
+            (F.max("_np") - F.min("_p")).alias("duration_micros"),
+        )
+        .drop("_isl")
+    )
+
+
 def gap_profile(
     df: DataFrame,
     key_col: str,
