@@ -4070,6 +4070,44 @@ def _q_range_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize(range_aggregate(tiers, _RANGE_T0, _RANGE_T1))
 
 
+def _q_dsir_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling feature algebra (operators/dsir.py):
+    per-doc unigram+bigram counts joined against the target (doc_id % 7
+    = 0) and raw feature distributions — the exact-INTEGER core the log
+    weight folds over (ln() is engine-defined; the double weight is
+    pytest-gated vs a straight-line reference, the lm.py discipline).
+    Oracle rebuilds features and both distributions in SQL."""
+    from tstore_spark.operators.dsir import dsir_features, feature_distribution
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    fd = dsir_features(docs)
+    ft = feature_distribution(target, count_col="ct")
+    fr = feature_distribution(docs, count_col="cr")
+    per_doc = (
+        fd.join(ft, "feat", "left")
+        .join(fr, "feat")  # raw covers every doc feature: inner is exact
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("f").alias("n_grams"),
+            F.sum(F.col("f") * F.coalesce("ct", F.lit(0))).alias("dot_target"),
+            F.sum(F.col("f") * F.col("cr")).alias("dot_raw"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("dot_target", F.lit(0)).alias("dot_target"),
+            F.coalesce("dot_raw", F.lit(0)).alias("dot_raw"),
+        )
+    )
+
+
 def _iv_frames(spark: SparkSession, sf_dir: str):
     """Deterministic interval tables derived from events: every event opens
     an interval of (event_id % 900) + 60 seconds (errors: % 300 + 30),
@@ -4331,6 +4369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantile": _q_histogram_quantile,
         "interval_union": _q_interval_union,
         "interval_difference": _q_interval_difference,
+        "dsir_features": _q_dsir_features,
     }
 
 
@@ -6634,6 +6673,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_intervals,
                    CAST(MAX(eu) - MIN(su) AS BIGINT) AS duration_micros
             FROM g GROUP BY k, isl
+        """,
+        "dsir_features": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> len(x) > 0) AS w
+                FROM documents),
+            u AS (SELECT doc_id, unnest(w) AS feat FROM t),
+            x AS (SELECT doc_id, unnest(w) AS tok,
+                         generate_subscripts(w, 1) AS i FROM t),
+            b AS (SELECT a.doc_id, a.tok || ' ' || c.tok AS feat
+                  FROM x a JOIN x c
+                    ON c.doc_id = a.doc_id AND c.i = a.i + 1),
+            fe AS (SELECT * FROM u UNION ALL SELECT * FROM b),
+            fd AS (SELECT doc_id, feat, CAST(count(*) AS BIGINT) AS f
+                   FROM fe GROUP BY 1, 2),
+            ct AS (SELECT feat, CAST(count(*) AS BIGINT) AS ct
+                   FROM fe WHERE doc_id % 7 = 0 GROUP BY 1),
+            cr AS (SELECT feat, CAST(count(*) AS BIGINT) AS cr
+                   FROM fe GROUP BY 1),
+            p AS (SELECT fd.doc_id,
+                         CAST(COUNT(*) AS BIGINT) AS n_feats,
+                         CAST(SUM(fd.f) AS BIGINT) AS n_grams,
+                         CAST(SUM(fd.f * COALESCE(ct.ct, 0)) AS BIGINT)
+                             AS dot_target,
+                         CAST(SUM(fd.f * cr.cr) AS BIGINT) AS dot_raw
+                  FROM fd LEFT JOIN ct USING (feat) JOIN cr USING (feat)
+                  GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_feats, 0) AS BIGINT) AS n_feats,
+                   CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(p.dot_target, 0) AS BIGINT) AS dot_target,
+                   CAST(COALESCE(p.dot_raw, 0) AS BIGINT) AS dot_raw
+            FROM documents d LEFT JOIN p USING (doc_id)
         """,
         "interval_difference": f"""
             WITH bs AS (
