@@ -719,6 +719,62 @@ def main() -> int:
         check("stream CDC apply: last micro-batch wins",
               final.count() == 20 and updated == 5)
 
+        # -- eighth session: prometheus histograms, interval algebra, DSIR --
+        from tstore_spark.operators.promhist import (
+            histogram_quantile, le_bucket_counts, merge_bucket_counts,
+        )
+
+        lat = spark.createDataFrame(
+            pd.DataFrame({
+                "svc": ["api"] * 80 + ["db"] * 20,
+                "shard": [i % 4 for i in range(100)],
+                "ms": [float(1 + (i * 7) % 90) for i in range(100)],
+            })
+        )
+        bounds = [5.0, 10.0, 25.0, 50.0, 75.0]
+        per_shard = le_bucket_counts(lat, ["svc", "shard"], "ms", bounds)
+        rolled = merge_bucket_counts(per_shard, ["svc"], len(bounds))
+        qv = {r["svc"]: r["q_0_5"]
+              for r in histogram_quantile(rolled, [0.5], bounds, ["svc"]).collect()}
+        direct = {r["svc"]: r["q_0_5"]
+                  for r in histogram_quantile(
+                      le_bucket_counts(lat, ["svc"], "ms", bounds),
+                      [0.5], bounds, ["svc"]).collect()}
+        check("promhist: shard-merged quantile == direct quantile",
+              qv == direct and all(0 < v <= 75.0 for v in qv.values()))
+
+        from tstore_spark.operators.coverage import (
+            interval_difference, interval_union,
+        )
+
+        sched = spark.createDataFrame(pd.DataFrame({
+            "k": ["w"] * 2,
+            "s": pd.to_datetime(["2024-03-01 00:00", "2024-03-01 02:00"]),
+            "e": pd.to_datetime(["2024-03-01 01:00", "2024-03-01 03:00"]),
+        }))
+        seen = spark.createDataFrame(pd.DataFrame({
+            "k": ["w"],
+            "s": pd.to_datetime(["2024-03-01 00:30"]),
+            "e": pd.to_datetime(["2024-03-01 02:30"]),
+        }))
+        uni = interval_union(sched, "k", "s", "e").collect()
+        down = interval_difference(sched, seen, "k", "s", "e").collect()
+        check("interval algebra: 2 scheduled islands, 2 uncovered half-hours",
+              len(uni) == 2
+              and sorted(r["duration_micros"] for r in down) == [1800000000] * 2)
+
+        from tstore_spark.operators.dsir import dsir_log_weights, dsir_resample
+
+        pool = pages.select(
+            F.col("url").alias("doc_id"), F.col("text")
+        ).limit(300)
+        tgt = pool.where(F.length("text") > 0).limit(30)
+        w = dsir_log_weights(pool, tgt, num_buckets=256)
+        sel = dsir_resample(w, 20, id_col="doc_id")
+        check("dsir: hashed-bucket weights finite, resample draws exactly k",
+              sel.count() == 20
+              and w.where(F.col("log_weight").isNull()).count() == 0)
+
         print(f"\nALL {n_checks} CHECKS PASS")
         return 0
     finally:

@@ -408,6 +408,36 @@ def main(sf_dir: str) -> int:
           len(re.findall(r"\(\d+\) Exchange", p)) == 1,
           "one survivor groupBy; the parse itself never shuffles")
 
+    # 34. prometheus histogram: ONE aggregation carries every bucket
+    # counter (map-side combined); quantiles are projections over it
+    p = plan_of(qs["histogram_quantile"](spark, sf_dir))
+    check("promhist.single_exchange",
+          len(re.findall(r"\(\d+\) Exchange", p)) == 1,
+          "all le_* counters + n_total ride one groupBy")
+    check("promhist.jvm",
+          "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "counter sums + CASE-chain interpolation are codegen")
+
+    # 35. interval algebra: the sweep is windows over ONE keyed exchange
+    # per input union — never a pairwise interval-overlap join
+    p = plan_of(qs["interval_difference"](spark, sf_dir))
+    check("interval_diff.no_join",
+          "Join" not in p or "SortMergeJoin" not in p and "BroadcastHashJoin" not in p,
+          "two-counter sweep replaces the quadratic overlap join")
+    check("interval_diff.jvm",
+          "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "boundary deltas + running sums are codegen windows")
+
+    # 36. dsir features: equi-joins on the feature key only — no cartesian,
+    # no Python; the explode runs over the hoisted token projection
+    p = plan_of(qs["dsir_features"](spark, sf_dir))
+    check("dsir.no_cartesian",
+          "Cartesian" not in p and "BroadcastNestedLoop" not in p,
+          "distribution joins are feature equi-joins")
+    check("dsir.jvm",
+          "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "tokenize + bigram zip + counts stay in codegen")
+
     spark.stop()
     print(f"\n{'ALL PASS' if not failures else 'FAILURES: ' + ', '.join(failures)}")
     return 1 if failures else 0
