@@ -4070,6 +4070,61 @@ def _q_range_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize(range_aggregate(tiers, _RANGE_T0, _RANGE_T1))
 
 
+def _q_stream_histogram_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus le-bucket counters through the fully-streaming 1m->1h
+    cascade (streaming/stream_rollup.py stream_rollup_cascade_lebuckets):
+    cumulative bucket counters are plain integer sums, so they chain
+    through the stateful stages like doc_count — one state row per
+    (key, window). Closed hours match the batch counters exactly and the
+    PromQL quantile CASE over them hash-matches bit-for-bit (same
+    integers, same op order). Same replay harness as stream_cascade_1h."""
+    import re as _re
+    import shutil as _sh
+
+    from tstore_spark.functions.timeparts import ntz_epoch_seconds
+    from tstore_spark.operators.promhist import quantile_expr
+    from tstore_spark.streaming.stream_rollup import (
+        read_pages_stream,
+        stream_rollup_cascade_lebuckets,
+        write_stream_tier,
+    )
+
+    base = "/tmp/tstore_spark_sh_" + _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    _sh.rmtree(base, ignore_errors=True)
+    src = _t(spark, sf_dir, "events").select(
+        F.timestamp_seconds(ntz_epoch_seconds("ts")).alias("ts"),
+        F.col("event_type").alias("etype"),
+        F.encode(F.col("event_id").cast("string"), "utf-8").alias("html"),
+        F.col("value"),
+    )
+    src.repartition(4).write.parquet(f"{base}/src")
+    stream = read_pages_stream(spark, f"{base}/src", src.schema)
+    tier = stream_rollup_cascade_lebuckets(
+        stream, _PH_BOUNDS, ("1m", "1h"), watermark="0 seconds",
+        key_col=F.col("etype"), time_col="ts", value_col="value",
+    )
+    q = write_stream_tier(tier, f"{base}/tier1h", f"{base}/ckpt")
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(f"{base}/tier1h")
+        .select(
+            F.col("domain").alias("event_type"),
+            F.expr(
+                "timestampadd(SECOND, unix_seconds(window_start),"
+                " to_timestamp_ntz('1970-01-01'))"
+            ).alias("window_start"),
+            "doc_count",
+            "bytes_total",
+            *[f"le_{i}" for i in range(len(_PH_BOUNDS))],
+            "n_total",
+            *[
+                quantile_expr(qq, _PH_BOUNDS).alias("q_" + str(qq).replace(".", "_"))
+                for qq in _PH_QS
+            ],
+        )
+    )
+
+
 def _q_dsir_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance-resampling feature algebra (operators/dsir.py):
     per-doc unigram+bigram counts joined against the target (doc_id % 7
@@ -4370,6 +4425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_union": _q_interval_union,
         "interval_difference": _q_interval_difference,
         "dsir_features": _q_dsir_features,
+        "stream_histogram_1h": _q_stream_histogram_1h,
     }
 
 
@@ -6655,6 +6711,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type
         """,
         "histogram_quantile": _ph_oracle_sql(),
+        "stream_histogram_1h": _ph_stream_oracle_sql(),
         "interval_union": f"""
             WITH iv AS ({_IV_BASE_SQL}),
             b AS (SELECT k, s, e, epoch_us(s) AS su, epoch_us(e) AS eu FROM iv),
@@ -6749,6 +6806,41 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB-checkable formulation (approx operators as invariants:
         # ANN recall floors, HLL error bound, LSH pairs vs exact pair SQL)
     }
+
+
+def _ph_stream_oracle_sql() -> str:
+    """Closed-hour le-bucket counters + the SAME generated quantile CASE as
+    the batch row — the streaming cascade must land on identical integers,
+    hence identical interpolated bits."""
+    from tstore_spark.operators.promhist import quantile_sql_case
+
+    les = ", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN value <= {b!r} THEN 1 END), 0) AS BIGINT)"
+        f" AS le_{i}"
+        for i, b in enumerate(_PH_BOUNDS)
+    )
+    qcols = ", ".join(
+        f"{quantile_sql_case(q, _PH_BOUNDS)} AS q_{str(q).replace('.', '_')}"
+        for q in _PH_QS
+    )
+    le_names = ", ".join(f"le_{i}" for i in range(len(_PH_BOUNDS)))
+    return f"""
+        WITH closed AS (
+            SELECT * FROM events
+            WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+                  <= (SELECT max(ts) FROM events)),
+        bc AS (
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   CAST(COUNT(*) AS BIGINT) AS doc_count,
+                   CAST(SUM(length(CAST(event_id AS VARCHAR))) AS BIGINT)
+                       AS bytes_total,
+                   {les},
+                   CAST(COUNT(value) AS BIGINT) AS n_total
+            FROM closed GROUP BY 1, 2)
+        SELECT event_type, window_start, doc_count, bytes_total,
+               {le_names}, n_total, {qcols}
+        FROM bc
+    """
 
 
 _IV_BASE_SQL = """

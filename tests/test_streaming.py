@@ -292,6 +292,63 @@ def test_stream_cascade_cms_cells_match_batch_sketch(spark, stream_dirs):
         assert r["cms_est"] >= r["true_cnt"]
 
 
+def test_stream_cascade_lebuckets_match_batch_counters(spark, stream_dirs):
+    """Prometheus le-bucket counters through the chained cascade: plain
+    integer sums chain like doc_count, so each CLOSED hour's counters equal
+    the batch le_bucket_counts exactly, and quantile_expr over them is
+    bit-identical to the batch evaluation (same integers, same CASE)."""
+    import datetime
+
+    from tstore_spark.functions.urls import domain_of
+    from tstore_spark.operators.promhist import le_bucket_counts, quantile_expr
+    from tstore_spark.streaming.stream_rollup import stream_rollup_cascade_lebuckets
+
+    bounds = [50.0, 100.0, 200.0, 400.0]
+    base, src, sdf = stream_dirs
+    stream = read_pages_stream(spark, src, sdf.schema, max_files_per_trigger=2)
+    tier = stream_rollup_cascade_lebuckets(
+        stream, bounds, ("1m", "1h"), watermark="0 seconds")
+    q = write_stream_tier(
+        tier, f"{base}/tier1h_le", f"{base}/ckpt1h_le", trigger_available_now=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{base}/tier1h_le")
+    le_cols = [f"le_{i}" for i in range(len(bounds))]
+    assert set(got.columns) == {
+        "domain", "window_start", "doc_count", "bytes_total", "n_total", *le_cols}
+
+    keyed = sdf.select(
+        domain_of("url").alias("domain"),
+        F.date_trunc("hour", F.col("warc_ts")).alias("window_start"),
+        F.length("text").alias("tlen"),
+    )
+    batch = le_bucket_counts(keyed, ["domain", "window_start"], "tlen", bounds)
+    b = {(r["domain"], r["window_start"]): tuple(r[c] for c in le_cols + ["n_total"])
+         for r in batch.collect()}
+    max_ts = sdf.agg(F.max("warc_ts")).head()[0]
+    closed = {k for k in b if k[1] + datetime.timedelta(hours=1) <= max_ts}
+    g = {(r["domain"], r["window_start"]): tuple(r[c] for c in le_cols + ["n_total"])
+         for r in got.collect()}
+    assert set(g) == closed
+    for k in closed:
+        assert g[k] == b[k], f"counter drift at {k}"
+
+    q_stream = {
+        (r["domain"], r["window_start"]): r["q"]
+        for r in got.select(
+            "domain", "window_start", quantile_expr(0.9, bounds).alias("q")
+        ).collect()
+    }
+    q_batch = {
+        (r["domain"], r["window_start"]): r["q"]
+        for r in batch.select(
+            "domain", "window_start", quantile_expr(0.9, bounds).alias("q")
+        ).collect()
+    }
+    for k in closed:
+        assert q_stream[k] == q_batch[k], k  # exact double bits
+
+
 def test_stream_cascade_kmins_cells_match_batch_sketch(spark, stream_dirs):
     """k-mins (one-permutation MinHash) sketches through the chained
     cascade: per-bucket hash minima merge through every stateful stage, so

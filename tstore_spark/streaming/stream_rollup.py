@@ -372,6 +372,70 @@ def stream_rollup_cascade_kmins(
     )
 
 
+def stream_rollup_cascade_lebuckets(
+    pages_stream: DataFrame,
+    bounds,
+    tiers: tuple[str, ...] = ("1m", "1h"),
+    watermark: str = "10 minutes",
+    key_col: Column | None = None,
+    time_col: str = "warc_ts",
+    value_col: str | Column | None = None,
+) -> DataFrame:
+    """Prometheus le-bucket counters THROUGH the streaming tier cascade —
+    the sixth sketch family to stream (counts, HLL, DDSketch, CMS, k-mins
+    already do) and the simplest: cumulative bucket counters are plain
+    integer sums per FIXED bound, so they chain through every stateful
+    stage exactly like ``doc_count`` — no register/bucket grouping rows at
+    all, just ``len(bounds) + 1`` extra sum columns riding the same state
+    row. A closed window's counters equal the batch
+    ``promhist.le_bucket_counts`` over the same rows EXACTLY (integer sums
+    commute); evaluate quantiles downstream with
+    ``promhist.quantile_expr`` (PromQL interpolation semantics).
+
+    Returns (domain, window_start, doc_count, bytes_total, le_0..le_{k-1},
+    n_total). State per (domain, window) is ONE row regardless of bounds
+    count — the cheapest streaming-percentile carrier; trade fixed bounds
+    (chosen up front) for DDSketch's relative-error adaptivity.
+    """
+    from tstore_spark.operators.promhist import _check_bounds, bucket_count_columns
+
+    if list(tiers) != ["1m", "1h", "1d"][: len(tiers)] or not tiers:
+        raise ValueError(f"tiers must be a prefix of ('1m','1h','1d'), got {tiers}")
+    bs = _check_bounds(bounds)
+    key = key_col if key_col is not None else domain_of("url")
+    val = (
+        F.length("text")
+        if value_col is None
+        else (F.col(value_col) if isinstance(value_col, str) else value_col)
+    )
+    src = pages_stream.withWatermark(time_col, watermark)
+    agg = src.groupBy(
+        F.window(F.col(time_col), _TIER_WIDTH[tiers[0]]), key.alias("domain")
+    ).agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum(F.octet_length("html")).alias("bytes_total"),
+        *bucket_count_columns(val, bs),
+        F.count(val).alias("n_total"),
+    )
+    for tier in tiers[1:]:
+        agg = agg.groupBy(
+            F.window(F.window_time("window"), _TIER_WIDTH[tier]), "domain"
+        ).agg(
+            F.sum("doc_count").alias("doc_count"),
+            F.sum("bytes_total").alias("bytes_total"),
+            *[F.sum(f"le_{i}").alias(f"le_{i}") for i in range(len(bs))],
+            F.sum("n_total").alias("n_total"),
+        )
+    return agg.select(
+        "domain",
+        F.col("window.start").alias("window_start"),
+        "doc_count",
+        "bytes_total",
+        *[f"le_{i}" for i in range(len(bs))],
+        "n_total",
+    )
+
+
 def stream_rollup_cascade_1h(
     pages_stream: DataFrame,
     watermark: str = "10 minutes",
