@@ -4070,6 +4070,52 @@ def _q_range_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize(range_aggregate(tiers, _RANGE_T0, _RANGE_T1))
 
 
+def _md5_h32(col, seed: int):
+    """First 32 bits of md5(id || ':' || seed) as a long — the engine-
+    portable digest idiom (sampling.hash_uniform's numerator)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(f":{seed}"))), 1, 8),
+        16, 10,
+    ).cast("long")
+
+
+def _q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier reliability diagram (operators/classify.py
+    calibration_report): equal-width probability buckets with EXACT integer
+    n / n_pos / conf_micros per bucket; accuracy/confidence/gap are single
+    fixed divisions over them. Probabilities are exact 6-decimal md5
+    rationals (h % 1e6 / 1e6 — never round() on a near-tie double) and
+    labels are drawn with an independent variate below the probability, so
+    the curve is calibrated by construction. Oracle replays the identical
+    md5 arithmetic and bucket algebra."""
+    from tstore_spark.operators.classify import calibration_report
+
+    docs = _t(spark, sf_dir, "documents")
+    h1 = _md5_h32(F.col("doc_id"), 42) % 1_000_000
+    h2 = _md5_h32(F.col("doc_id"), 43) % 1_000_000
+    scored = docs.select(
+        (h1 / F.lit(1_000_000.0)).alias("prob"),
+        (h2 < h1).cast("int").alias("label"),
+    )
+    return calibration_report(scored, "prob", "label")
+
+
+def _q_priority_sample_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Duffield-Lund-Thorup priority sampling
+    (sampling.priority_sample_per_group): budget of 20 events per event
+    type, md5 variate priorities, per-group tau, Horvitz-Thompson est_w.
+    The rank filter plans as WindowGroupLimit (per-partition heaps before
+    the one group Exchange; plan-audited). Oracle replays the identical
+    priorities and tau in SQL — doubles match bit-for-bit (one division,
+    one GREATEST, same op order)."""
+    from tstore_spark.operators.sampling import priority_sample_per_group
+
+    ev = _t(spark, sf_dir, "events")
+    return priority_sample_per_group(
+        ev, "event_type", "event_id", "value", k=20
+    )
+
+
 def _q_stream_histogram_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prometheus le-bucket counters through the fully-streaming 1m->1h
     cascade (streaming/stream_rollup.py stream_rollup_cascade_lebuckets):
@@ -4426,6 +4472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_difference": _q_interval_difference,
         "dsir_features": _q_dsir_features,
         "stream_histogram_1h": _q_stream_histogram_1h,
+        "priority_sample_groups": _q_priority_sample_groups,
+        "calibration_report": _q_calibration_report,
     }
 
 
@@ -6730,6 +6778,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_intervals,
                    CAST(MAX(eu) - MIN(su) AS BIGINT) AS duration_micros
             FROM g GROUP BY k, isl
+        """,
+        "calibration_report": """
+            WITH s AS (
+                SELECT
+                    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
+                     % 1000000) / 1000000.0 AS prob,
+                    CASE WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':43'), 1, 8)) AS BIGINT)
+                               % 1000000)
+                             < (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
+                                % 1000000)
+                         THEN 1 ELSE 0 END AS label
+                FROM documents),
+            b AS (
+                SELECT LEAST(CAST(FLOOR(prob * 10) AS INT), 9) AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(label) AS BIGINT) AS n_pos,
+                       CAST(SUM(CAST(round(prob * 1000000) AS BIGINT)) AS BIGINT)
+                           AS conf_micros
+                FROM s GROUP BY 1)
+            SELECT bucket,
+                   bucket * CAST(0.1 AS DOUBLE) AS lo,
+                   (bucket + 1) * CAST(0.1 AS DOUBLE) AS hi,
+                   n, n_pos, conf_micros,
+                   n_pos / n AS accuracy,
+                   conf_micros / 1000000.0 / n AS confidence,
+                   ABS(n_pos / n - conf_micros / 1000000.0 / n) AS gap
+            FROM b
+        """,
+        "priority_sample_groups": """
+            WITH p AS (
+                SELECT event_type, event_id, CAST(value AS DOUBLE) AS weight,
+                       CAST(value AS DOUBLE)
+                       / (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
+                          / 4294967296.0) AS priority
+                FROM events WHERE value > 0),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY event_type
+                      ORDER BY priority DESC, event_id) AS rn FROM p),
+            t AS (SELECT event_type,
+                         MAX(CASE WHEN rn = 21 THEN priority END) AS tau
+                  FROM r WHERE rn <= 21 GROUP BY 1)
+            SELECT r.event_type, r.event_id, r.weight, r.priority,
+                   GREATEST(r.weight, COALESCE(t.tau, 0.0)) AS est_w
+            FROM r JOIN t USING (event_type) WHERE rn <= 20
         """,
         "dsir_features": """
             WITH t AS (

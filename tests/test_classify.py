@@ -58,3 +58,61 @@ def test_float_weights_truncate_not_crash(spark):
     w = spark.createDataFrame([("tok", 2.9)], "token string, weight double")
     (row,) = classifier_score(docs, w).collect()
     assert row["score"] == 2
+
+
+def test_calibration_report_matches_brute_force(spark):
+    import math
+
+    from tstore_spark.operators.classify import (
+        calibration_report, expected_calibration_error)
+
+    rows = [(i, (i % 100) / 100.0, 1 if (i * 7) % 100 < i % 100 else 0)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, prob double, label int")
+    rep = {r["bucket"]: r for r in calibration_report(df, "prob", "label").collect()}
+
+    want = {}
+    for _, p, y in rows:
+        b = min(int(p * 10), 9)
+        n, np_, pm = want.get(b, (0, 0, 0))
+        want[b] = (n + 1, np_ + y, pm + round(p * 1_000_000))
+    assert set(rep) == set(want)
+    for b, (n, np_, pm) in want.items():
+        r = rep[b]
+        assert (r["n"], r["n_pos"], r["conf_micros"]) == (n, np_, pm), b
+        assert r["accuracy"] == np_ / n
+        assert r["confidence"] == pm / 1_000_000.0 / n
+        assert math.isclose(r["gap"], abs(np_ / n - pm / 1e6 / n), rel_tol=1e-12)
+        assert r["lo"] == b * 0.1 and r["hi"] == (b + 1) * 0.1
+
+    ece = expected_calibration_error(calibration_report(df, "prob", "label"))
+    num = sum(n * abs(np_ / n - pm / 1e6 / n) for n, np_, pm in want.values())
+    assert math.isclose(ece, num / 1000, rel_tol=1e-9)
+
+
+def test_calibration_top_bucket_and_guards(spark):
+    import pytest as _pt
+
+    from tstore_spark.operators.classify import calibration_report
+
+    df = spark.createDataFrame(
+        [(0, 1.0, 1), (1, 0.999999, 0)], "id long, prob double, label int")
+    rep = {r["bucket"]: r["n"] for r in
+           calibration_report(df, "prob", "label").collect()}
+    assert rep == {9: 2}  # prob == 1.0 folds into the top bucket
+
+    bad = spark.createDataFrame([(0, 1.5, 1)], "id long, prob double, label int")
+    with _pt.raises(Exception, match="prob in"):
+        calibration_report(bad, "prob", "label").collect()
+    with _pt.raises(ValueError, match="n_buckets"):
+        calibration_report(df, "prob", "label", n_buckets=1)
+
+
+def test_calibration_deterministic_across_parallelism(spark):
+    from tstore_spark.operators.classify import calibration_report
+
+    rows = [(i, ((i * 37) % 1000) / 1000.0, i % 2) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, prob double, label int")
+    a = sorted(map(tuple, calibration_report(df.repartition(1), "prob", "label").collect()))
+    b = sorted(map(tuple, calibration_report(df.repartition(17), "prob", "label").collect()))
+    assert a == b

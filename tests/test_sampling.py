@@ -469,3 +469,78 @@ def test_priority_sample_selection_plans_takeordered(spark):
     )
     plan = ranked._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan and "Exchange" not in plan, plan
+
+
+def _priority_group_reference(rows, k, seed=42):
+    """Straight-line per-group DLT: rows = [(g, i, w)]."""
+    out = {}
+    for g in {r[0] for r in rows}:
+        weights = {i: w for gg, i, w in rows if gg == g}
+        out[g] = _priority_reference(weights, k, seed)
+    return out
+
+
+def test_priority_sample_per_group_matches_reference(spark):
+    from tstore_spark.operators.sampling import priority_sample_per_group
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (f"g{i % 5}", i, float(w))
+        for i, w in enumerate(rng.randint(1, 500, size=600))
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "doc_id", "w"]))
+    got = {}
+    for r in priority_sample_per_group(df, "g", "doc_id", "w", k=15).collect():
+        got.setdefault(r["g"], {})[r["doc_id"]] = (
+            r["weight"], r["priority"], r["est_w"])
+    want = _priority_group_reference(rows, 15)
+    assert {g: set(v) for g, v in got.items()} == {
+        g: set(v) for g, v in want.items()}
+    for g in want:
+        for i in want[g]:
+            assert got[g][i] == want[g][i], (g, i)
+
+
+def test_priority_sample_per_group_small_groups_keep_all(spark):
+    from tstore_spark.operators.sampling import priority_sample_per_group
+
+    rows = [("a", 0, 2.0), ("a", 1, 3.0), ("b", 2, 0.0), ("b", 3, 4.0)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "doc_id", "w"]))
+    out = priority_sample_per_group(df, "g", "doc_id", "w", k=10).collect()
+    got = {(r["g"], r["doc_id"]): r["est_w"] for r in out}
+    # under-budget groups keep every positive row at its true weight
+    assert got == {("a", 0): 2.0, ("a", 1): 3.0, ("b", 3): 4.0}
+    with pytest.raises(ValueError):
+        priority_sample_per_group(df, "g", "doc_id", "w", k=0)
+
+
+def test_priority_sample_per_group_plans_group_limit(spark):
+    from tstore_spark.operators.sampling import priority_sample_per_group
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "g": [f"g{i % 4}" for i in range(400)],
+        "doc_id": range(400),
+        "w": [float(1 + i % 9) for i in range(400)],
+    }))
+    out = priority_sample_per_group(df, "g", "doc_id", "w", k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # rank-limit pushdown: per-partition heaps bound the exchange payload
+    assert "WindowGroupLimit" in plan
+    # both windows (row_number + tau) share ONE group-hash Exchange
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_priority_sample_per_group_deterministic_across_parallelism(spark):
+    from tstore_spark.operators.sampling import priority_sample_per_group
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "g": [f"g{i % 3}" for i in range(900)],
+        "doc_id": range(900),
+        "w": [float(1 + i % 11) for i in range(900)],
+    }))
+    a = priority_sample_per_group(df.repartition(1), "g", "doc_id", "w", k=25).collect()
+    b = priority_sample_per_group(df.repartition(13), "g", "doc_id", "w", k=25).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -97,3 +97,91 @@ def classifier_filter(
         docs, weights, bias, text_col, id_col, token_col, weight_col
     ).where(F.col("score") >= F.lit(int(min_score)))
     return docs.join(kept.select(id_col), id_col, "left_semi")
+
+
+def calibration_report(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Reliability diagram of a probabilistic classifier — is a "0.9" from
+    the quality model actually right 90% of the time? Equal-width score
+    buckets over [0, 1]; per bucket the row count, positive count, and
+    the micro-scaled probability sum, all EXACT integers (the repo's
+    oracle discipline — accuracy/confidence are single fixed divisions
+    over them): ``(bucket, lo, hi, n, n_pos, conf_micros, accuracy,
+    confidence, gap)``.
+
+    Probabilities outside [0, 1] raise in-plan (the guard rides the
+    returned bucket column); prob = 1.0 folds into the top bucket.
+    Scale: ONE map-side-combined groupBy into at most ``n_buckets``
+    rows — calibration of a 10^12-doc corpus is a metadata-sized result.
+    Scalar ECE: :func:`expected_calibration_error` (fixed-order fold over
+    the bucket rows; cross-engine double equality is not claimed for it,
+    the lm.py/BM25 precedent — the INTEGER bucket stats are the
+    gate-checkable core)."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    p = F.col(prob_col).cast("double")
+    b = F.least(
+        F.floor(p * F.lit(int(n_buckets))).cast("int"), F.lit(n_buckets - 1)
+    )
+    b = F.when(
+        (p < 0) | (p > 1) | p.isNull(),
+        F.raise_error(
+            F.format_string(
+                "calibration_report requires prob in [0, 1], got %s",
+                p.cast("string"),
+            )
+        ).cast("int"),
+    ).otherwise(b)
+    agg = (
+        df.select(
+            b.alias("bucket"),
+            F.col(label_col).cast("long").alias("_y"),
+            F.round(p * F.lit(1_000_000.0)).cast("long").alias("_pm"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").alias("n_pos"),
+            F.sum("_pm").alias("conf_micros"),
+        )
+    )
+    w = 1.0 / n_buckets
+    acc = F.col("n_pos") / F.col("n")
+    conf = F.col("conf_micros") / F.lit(1_000_000.0) / F.col("n")
+    return agg.select(
+        "bucket",
+        (F.col("bucket") * F.lit(w)).alias("lo"),
+        ((F.col("bucket") + 1) * F.lit(w)).alias("hi"),
+        "n",
+        "n_pos",
+        "conf_micros",
+        acc.alias("accuracy"),
+        conf.alias("confidence"),
+        F.abs(acc - conf).alias("gap"),
+    )
+
+
+def expected_calibration_error(report: DataFrame) -> float:
+    """ECE = Σ_b (n_b / N) · |acc_b − conf_b| over a
+    :func:`calibration_report` — ONE bounded driver row (≤ n_buckets
+    summands, folded in bucket order so the double is reproducible)."""
+    row = report.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("bucket"),
+                        (F.col("n") * F.col("gap")).alias("w"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc_, x: acc_ + x["w"],
+        ).alias("_num"),
+        F.sum("n").alias("_den"),
+    ).first()
+    return float(row["_num"]) / float(row["_den"]) if row["_den"] else 0.0

@@ -273,6 +273,64 @@ def priority_sample(
     )
 
 
+def priority_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """:func:`priority_sample` with a fixed budget of ``k`` rows PER GROUP
+    — the "best k documents from every source/domain" regime of a training
+    data recipe (a global budget lets one hot source starve the rest).
+
+    Same Duffield-Lund-Thorup estimator per group: priority ``w/u`` from
+    the deterministic md5 variate, top-k per group kept, per-group tau =
+    the (k+1)-th priority, ``est_w = max(w, tau)`` makes per-group subset
+    weight sums unbiased. Output: (group, id, weight, priority, est_w).
+
+    Scale notes (100 TB): the rank filter directly above the row_number
+    window plans as WindowGroupLimit (Spark >= 3.5) — per-partition
+    top-(k+1) heaps BEFORE the shuffle, so the exchange carries at most
+    (k+1) rows per group per map partition, never the population. Both
+    windows (rank + tau) share the one group-hash Exchange; tau needs no
+    join-back. Group count is unbounded — this is the per-key variant the
+    global TakeOrdered cannot express."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = F.col(weight_col).cast("double")
+    u = hash_uniform(id_col, seed)
+    wnd = Window.partitionBy(group_col).orderBy(
+        F.col("priority").desc(), F.col(id_col).asc()
+    )
+    ranked = (
+        df.select(
+            F.col(group_col),
+            F.col(id_col),
+            w.alias("weight"),
+            (w / u).alias("priority"),
+        )
+        .where(F.col("weight") > 0)
+        .withColumn("__rn", F.row_number().over(wnd))
+        .where(F.col("__rn") <= k + 1)
+    )
+    # tau via a second window over the SAME partitioning (no new Exchange,
+    # no join-back): evaluated over the <= k+1 surviving rows per group
+    tau = F.max(
+        F.when(F.col("__rn") == k + 1, F.col("priority"))
+    ).over(Window.partitionBy(group_col))
+    return (
+        ranked.withColumn("__tau", tau)
+        .where(F.col("__rn") <= k)
+        .withColumn(
+            "est_w",
+            F.greatest(F.col("weight"), F.coalesce(F.col("__tau"), F.lit(0.0))),
+        )
+        .drop("__rn", "__tau")
+    )
+
+
 def token_pack_offsets(
     df: DataFrame,
     budget: int,
