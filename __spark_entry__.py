@@ -37,6 +37,7 @@ from tstore_spark.operators.graph import (
     label_propagation_oracle_sql,
     resolve_redirects_oracle_sql,
     hits_oracle_sql,
+    hyperball_oracle_sql,
     k_core_oracle_sql,
     pagerank_oracle_sql,
     personalized_pagerank_oracle_sql,
@@ -4079,6 +4080,48 @@ def _md5_h32(col, seed: int):
     ).cast("long")
 
 
+def _q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood function + harmonic centrality
+    (operators/graph.py hyperball): HLL counters max-merged along edges,
+    constant state per node — the billion-node path the exact pair table
+    cannot walk. Gate emits the EXACT t-ball sizes (neighborhood_exact,
+    hash-checked vs a recursive reachability CTE) with the HLL estimates
+    asserted inside a 25%+0.5 relative bound per node (deterministic
+    registers: the bound is stable, the hll_distinct_users pattern)."""
+    from tstore_spark.operators.graph import hyperball, neighborhood_exact
+
+    edges = _planted_graph(_t(spark, sf_dir, "documents"))
+    exact = neighborhood_exact(edges, 3)
+    hb = hyperball(edges, t_max=3, p=12)
+    j = exact.join(
+        hb.select(
+            "id",
+            *[F.col(f"ball_{t}").alias(f"est_{t}") for t in range(1, 4)],
+            "harmonic_est",
+        ),
+        "id",
+    )
+    harm = (
+        (F.col("ball_1") - F.col("ball_0")) / F.lit(1.0)
+        + (F.col("ball_2") - F.col("ball_1")) / F.lit(2.0)
+        + (F.col("ball_3") - F.col("ball_2")) / F.lit(3.0)
+    )
+    within = F.lit(True)
+    for t in range(1, 4):
+        within = within & (
+            F.abs(F.col(f"est_{t}") - F.col(f"ball_{t}"))
+            <= F.lit(0.25) * F.col(f"ball_{t}") + F.lit(0.5)
+        )
+    within = within & (
+        F.abs(F.col("harmonic_est") - harm) <= F.lit(0.15) * harm + F.lit(1e-9)
+    )
+    return j.select(
+        "id", "ball_1", "ball_2", "ball_3",
+        harm.alias("harmonic_exact"),
+        within.alias("est_within"),
+    )
+
+
 def _q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier reliability diagram (operators/classify.py
     calibration_report): equal-width probability buckets with EXACT integer
@@ -4474,6 +4517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_histogram_1h": _q_stream_histogram_1h,
         "priority_sample_groups": _q_priority_sample_groups,
         "calibration_report": _q_calibration_report,
+        "hyperball_centrality": _q_hyperball,
     }
 
 
@@ -4725,6 +4769,7 @@ def oracle_sql() -> dict[str, str]:
             directed=False,
         ),
         "scc_hosts": scc_oracle_sql(_PLANTED_GRAPH_SQL, doubling_rounds=7),
+        "hyperball_centrality": hyperball_oracle_sql(_PLANTED_GRAPH_SQL, t_max=3),
         "cocitation_pairs": cocitation_oracle_sql(
             _LINK_EDGES_SQL, max_out_degree=100
         ),

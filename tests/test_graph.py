@@ -856,3 +856,99 @@ def test_personalized_pagerank_seed_not_in_graph(spark):
     # isolated seed keeps only its teleport base; graph nodes get nothing
     assert set(got) == {"a", "b", "zz"}
     assert got["zz"] > 0 and got["a"] == 0 and got["b"] == 0
+
+
+# ---------------------------------------------------------------------------
+# HyperBall neighborhood function + harmonic centrality
+# ---------------------------------------------------------------------------
+
+
+def _hb_edges(spark):
+    # path a->b->c->d, a cycle x->y->z->x, and a hub h -> a,x
+    rows = [("a", "b"), ("b", "c"), ("c", "d"),
+            ("x", "y"), ("y", "z"), ("z", "x"),
+            ("h", "a"), ("h", "x")]
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def _exact_balls(rows, t_max, direction="out"):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    nodes = set()
+    for s, d in rows:
+        nodes |= {s, d}
+        if direction == "out":
+            adj[s].add(d)
+        else:
+            adj[d].add(s)
+    out = {}
+    for v in nodes:
+        ball = {v}
+        balls = [1]
+        for _ in range(t_max):
+            ball = ball | {w for u in ball for w in adj[u]}
+            balls.append(len(ball))
+        out[v] = balls
+    return out
+
+
+def test_neighborhood_exact_matches_brute_force(spark):
+    from tstore_spark.operators.graph import neighborhood_exact
+
+    e = _hb_edges(spark)
+    rows = [tuple(r) for r in e.collect()]
+    for direction in ("out", "in"):
+        got = {r["id"]: [r[f"ball_{t}"] for t in range(4)]
+               for r in neighborhood_exact(e, 3, direction=direction).collect()}
+        assert got == _exact_balls(rows, 3, direction)
+
+
+def test_hyperball_tracks_exact_balls(spark):
+    from tstore_spark.operators.graph import hyperball
+
+    e = _hb_edges(spark)
+    rows = [tuple(r) for r in e.collect()]
+    want = _exact_balls(rows, 3, "out")
+    got = {r["id"]: r for r in hyperball(e, t_max=3, p=10).collect()}
+    assert set(got) == set(want)
+    for v, balls in want.items():
+        for t in range(4):
+            est = got[v][f"ball_{t}"]
+            assert abs(est - balls[t]) <= 0.1 * balls[t] + 0.1, (v, t)
+    # harmonic estimate folds the increments
+    for v in want:
+        harm = sum((want[v][t] - want[v][t - 1]) / t for t in range(1, 4))
+        assert abs(got[v]["harmonic_est"] - harm) <= 0.15 * harm + 0.15, v
+
+
+def test_hyperball_in_direction_is_reverse_reachability(spark):
+    from tstore_spark.operators.graph import hyperball
+
+    e = _hb_edges(spark)
+    got = {r["id"]: r["ball_3"] for r in hyperball(e, 3, direction="in").collect()}
+    # d is reached by a,b,c,h within 3 (plus itself-ish); h is reached by none
+    assert got["h"] < got["d"]
+
+
+def test_hyperball_deterministic_across_parallelism(spark):
+    from tstore_spark.operators.graph import hyperball
+
+    e = _hb_edges(spark)
+    a = sorted(map(tuple, hyperball(e.repartition(1), 2, p=8).collect()))
+    b = sorted(map(tuple, hyperball(e.repartition(7), 2, p=8).collect()))
+    assert a == b  # exact double bits: deterministic registers + estimator
+
+
+def test_hyperball_guards(spark):
+    import pytest as _pt
+
+    from tstore_spark.operators.graph import hyperball, neighborhood_exact
+
+    e = _hb_edges(spark)
+    with _pt.raises(ValueError, match="t_max"):
+        hyperball(e, t_max=0)
+    with _pt.raises(ValueError, match="direction"):
+        hyperball(e, direction="both")
+    with _pt.raises(ValueError, match="t_max"):
+        neighborhood_exact(e, 0)

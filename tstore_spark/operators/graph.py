@@ -1202,3 +1202,166 @@ def label_propagation_oracle_sql(
         )
         prev = f"l{i}"
     return "WITH " + ", ".join(parts) + f" SELECT node, community FROM {prev}"
+
+
+def neighborhood_exact(
+    edges: DataFrame,
+    t_max: int,
+    direction: str = "out",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """EXACT t-neighborhood sizes per node: ``(id, ball_0..ball_{t_max})``
+    where ``ball_t = |{u : d(id -> u) <= t}|`` (``direction="in"`` reverses
+    edges: who reaches me). One reachable-PAIR table iterated t rounds —
+    O(Σ|B(v,t)|) state, the verification path for :func:`hyperball` at
+    test/gate scale (at corpus scale the pair table is exactly what
+    HyperBall's sketches exist to avoid)."""
+    if t_max < 1:
+        raise ValueError(f"t_max must be >= 1, got {t_max}")
+    if direction not in ("out", "in"):
+        raise ValueError(f"direction must be 'out' or 'in', got {direction!r}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if direction == "in":
+        e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    e = e.dropDuplicates(["src", "dst"]).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    pairs = nodes.select(F.col("id").alias("o"), F.col("id").alias("n"))
+    pairs = pairs.localCheckpoint(eager=False)
+    wide = nodes.select("id", F.lit(1).cast("long").alias("ball_0"))
+    for t in range(1, t_max + 1):
+        step = pairs.join(e, pairs["n"] == e["src"]).select(
+            F.col("o"), F.col("dst").alias("n")
+        )
+        pairs = (
+            pairs.unionByName(step)
+            .dropDuplicates(["o", "n"])
+            .localCheckpoint(eager=False)
+        )
+        cnt = pairs.groupBy("o").agg(F.count(F.lit(1)).alias(f"ball_{t}"))
+        wide = wide.join(cnt.withColumnRenamed("o", "id"), "id")
+    return wide
+
+
+def hyperball(
+    edges: DataFrame,
+    t_max: int = 3,
+    p: int = 10,
+    direction: str = "out",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna, 2013): the neighborhood function and
+    harmonic centrality of EVERY node via HLL counters propagated along
+    edges — ``(id, ball_0..ball_{t_max}, harmonic_est)``.
+
+    Each node starts with the sketch of {itself}; round t replaces every
+    node's counter with the register-max merge of its own and its
+    successors' counters, so after t rounds the counter sketches
+    ``B(v, t) = {u : d(v,u) <= t}`` exactly (sketch of a union IS the
+    max-merge — the deterministic-HLL property operators/sketches.py
+    proves). ``harmonic_est`` folds the ball increments:
+    ``sum_t (|B(v,t)| - |B(v,t-1)|) / t`` — with ``direction="in"`` this
+    estimates harmonic centrality (sum of 1/d over nodes that REACH v),
+    the centrality Boldi-Vigna recommend for web graphs.
+
+    Exactness/determinism: registers are xxhash64-derived and merge by
+    max, so every round's state — and hence every estimate — is
+    bit-identical at any parallelism; the only Python is the vectorized
+    Arrow estimator over node rows.
+
+    Scale shape (the reason this operator exists): state is at most
+    ``min(|B(v,t)|, 2^p)`` register rows per node — the exact pair table
+    :func:`neighborhood_exact` carries is replaced by a CONSTANT-size
+    counter, which is what makes neighborhood functions computable on
+    billion-node graphs. Each round is one edge join + one register
+    groupBy (uniform keys, map-side combined), lineage cut per round with
+    localCheckpoint — the module's standing Pregel-on-DataFrames shape.
+    """
+    from tstore_spark.operators.sketches import (
+        hll_register_columns,
+        with_hll_estimate,
+    )
+
+    if t_max < 1:
+        raise ValueError(f"t_max must be >= 1, got {t_max}")
+    if direction not in ("out", "in"):
+        raise ValueError(f"direction must be 'out' or 'in', got {direction!r}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if direction == "in":
+        e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    e = e.dropDuplicates(["src", "dst"]).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    reg, rank = hll_register_columns(F.col("id"), p)
+    state = nodes.select(
+        "id", reg.alias("reg"), rank.alias("rank")
+    ).localCheckpoint(eager=False)
+
+    def _est(st: DataFrame, t: int) -> DataFrame:
+        arr = st.groupBy("id").agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("reg"), F.col("rank")))
+            ).alias("hll")
+        )
+        return with_hll_estimate(arr, p=p).select(
+            "id", F.col("distinct_est").alias(f"ball_{t}")
+        )
+
+    wide = _est(state, 0)
+    for t in range(1, t_max + 1):
+        prop = e.join(state.withColumnRenamed("id", "dst"), "dst").select(
+            F.col("src").alias("id"), "reg", "rank"
+        )
+        state = (
+            state.unionByName(prop)
+            .groupBy("id", "reg")
+            .agg(F.max("rank").alias("rank"))
+            .localCheckpoint(eager=False)
+        )
+        wide = wide.join(_est(state, t), "id")
+    harmonic = F.lit(0.0)
+    for t in range(1, t_max + 1):
+        harmonic = harmonic + (
+            F.col(f"ball_{t}") - F.col(f"ball_{t-1}")
+        ) / F.lit(float(t))
+    return wide.withColumn("harmonic_est", harmonic)
+
+
+def hyperball_oracle_sql(edges_sql: str, t_max: int = 3) -> str:
+    """DuckDB twin of the :func:`hyperball` gate row: EXACT t-ball sizes
+    via one distance-bounded recursive reachability CTE (UNION dedups
+    (origin, node, depth) triples; ball_t = distinct nodes within t), the
+    identical harmonic fold, and TRUE for the estimator-invariant column
+    (the Spark side computes the actual HLL-vs-exact bound — the
+    hll_distinct_users gate pattern)."""
+    balls = ", ".join(
+        f"CAST(COUNT(DISTINCT CASE WHEN d <= {t} THEN n END) AS BIGINT) AS ball_{t}"
+        for t in range(1, t_max + 1)
+    )
+    harm = " + ".join(
+        f"(ball_{t} - {'1' if t == 1 else f'ball_{t-1}'}) / {float(t)!r}"
+        for t in range(1, t_max + 1)
+    )
+    return f"""
+        WITH RECURSIVE raw AS MATERIALIZED ({edges_sql}),
+        e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+        r AS (
+            SELECT id AS o, id AS n, 0 AS d FROM nodes
+            UNION
+            SELECT r.o, e.dst AS n, r.d + 1 AS d
+            FROM r JOIN e ON e.src = r.n WHERE r.d < {t_max}),
+        b AS (SELECT o AS id, {balls} FROM r GROUP BY o)
+        SELECT id, ball_1{"".join(f", ball_{t}" for t in range(2, t_max + 1))},
+               {harm} AS harmonic_exact,
+               TRUE AS est_within
+        FROM b
+    """
