@@ -775,6 +775,48 @@ def main() -> int:
               sel.count() == 20
               and w.where(F.col("log_weight").isNull()).count() == 0)
 
+        from tstore_spark.operators.classify import (
+            calibration_report, expected_calibration_error,
+        )
+
+        probs = spark.createDataFrame(
+            pd.DataFrame({
+                "id": range(500),
+                "prob": [((i * 37) % 1000) / 1000.0 for i in range(500)],
+                "label": [1 if (i * 17) % 1000 < (i * 37) % 1000 else 0
+                          for i in range(500)],
+            })
+        )
+        rep = calibration_report(probs, "prob", "label")
+        ece = expected_calibration_error(rep)
+        check("calibration: 10 buckets, ECE finite and bounded",
+              rep.count() == 10 and 0.0 <= ece <= 1.0)
+
+        from tstore_spark.functions.urls import domain_of
+        from tstore_spark.operators.sampling import priority_sample_per_group
+
+        pg = priority_sample_per_group(
+            pages.select(domain_of("url").alias("dom"), "url",
+                         F.length("text").alias("w")),
+            "dom", "url", "w", k=5)
+        per = {r["dom"]: r["cnt"] for r in
+               pg.groupBy("dom").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        check("per-group priority sample: budget respected in every group",
+              per and all(v <= 5 for v in per.values()))
+
+        from tstore_spark.operators.graph import hyperball, neighborhood_exact
+
+        hb_edges = spark.createDataFrame(
+            [(f"h{i}", f"h{(i + 1) % 12}") for i in range(12)]
+            + [("hub", f"h{i}") for i in range(0, 12, 3)],
+            "src string, dst string")
+        nx = {r["id"]: r["ball_3"]
+              for r in neighborhood_exact(hb_edges, 3).collect()}
+        hbal = {r["id"]: r["ball_3"] for r in hyperball(hb_edges, 3, p=12).collect()}
+        check("hyperball: estimates track exact 3-balls on the ring+hub",
+              set(nx) == set(hbal)
+              and all(abs(hbal[v] - nx[v]) <= 0.25 * nx[v] + 0.5 for v in nx))
+
         print(f"\nALL {n_checks} CHECKS PASS")
         return 0
     finally:

@@ -438,6 +438,26 @@ def main(sf_dir: str) -> int:
           "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
           "tokenize + bigram zip + counts stay in codegen")
 
+    # 37. calibration: every bucket counter rides ONE map-side-combined
+    # groupBy into <= n_buckets rows; ratios are projections
+    p = plan_of(qs["calibration_report"](spark, sf_dir))
+    check("calibration.single_exchange",
+          len(re.findall(r"\(\d+\) Exchange", p)) == 1,
+          "n/n_pos/conf_micros share one bucket groupBy")
+    check("calibration.jvm",
+          "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "md5 variates + bucket algebra are codegen")
+
+    # 38. per-group priority sampling: rank-limit pushdown bounds the
+    # exchange payload to (k+1) rows per group per map partition
+    p = plan_of(qs["priority_sample_groups"](spark, sf_dir))
+    check("priority_groups.window_group_limit",
+          "WindowGroupLimit" in p,
+          "per-partition top-(k+1) heaps before the shuffle")
+    check("priority_groups.single_exchange",
+          len(re.findall(r"\(\d+\) Exchange", p)) == 1,
+          "rank + tau windows share one group Exchange")
+
     spark.stop()
     print(f"\n{'ALL PASS' if not failures else 'FAILURES: ' + ', '.join(failures)}")
     return 1 if failures else 0
