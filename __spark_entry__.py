@@ -4080,6 +4080,20 @@ def _md5_h32(col, seed: int):
     ).cast("long")
 
 
+def _q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen per event type (operators/profile.py
+    benford_profile): digit from the cents-integer's decimal STRING (never
+    log10 — engine-defined at power-of-ten boundaries), exact digit
+    counts, chi2 as one fixed fold over shared double literals. Oracle
+    replays the identical string digits and the generated chi2 twin."""
+    from tstore_spark.operators.profile import benford_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return benford_profile(
+        ev, ["event_type"], F.round(F.col("value") * 100).cast("long")
+    )
+
+
 def _q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperBall neighborhood function + harmonic centrality
     (operators/graph.py hyperball): HLL counters max-merged along edges,
@@ -4518,6 +4532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample_groups": _q_priority_sample_groups,
         "calibration_report": _q_calibration_report,
         "hyperball_centrality": _q_hyperball,
+        "benford_profile": _q_benford_profile,
     }
 
 
@@ -6824,6 +6839,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(eu) - MIN(su) AS BIGINT) AS duration_micros
             FROM g GROUP BY k, isl
         """,
+        "benford_profile": _benford_oracle_sql(),
         "calibration_report": """
             WITH s AS (
                 SELECT
@@ -6943,6 +6959,33 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB-checkable formulation (approx operators as invariants:
         # ANN recall floors, HLL error bound, LSH pairs vs exact pair SQL)
     }
+
+
+def _benford_oracle_sql() -> str:
+    """Digit counts from the cents string + the chi2 twin generated from
+    the SAME constants and fold order (profile.benford_sql_chi2)."""
+    from tstore_spark.operators.profile import benford_sql_chi2
+
+    cases = ", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN dg = '{d}' THEN 1 END), 0) AS BIGINT)"
+        f" AS c_{d}"
+        for d in range(1, 10)
+    )
+    return f"""
+        WITH s AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events),
+        d AS (
+            SELECT event_type, substr(CAST(cents AS VARCHAR), 1, 1) AS dg
+            FROM s WHERE cents > 0),
+        a AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total, {cases}
+            FROM d GROUP BY 1)
+        SELECT event_type, n_total,
+               {", ".join(f"c_{d}" for d in range(1, 10))},
+               {benford_sql_chi2()} AS chi2
+        FROM a
+    """
 
 
 def _ph_stream_oracle_sql() -> str:

@@ -94,3 +94,67 @@ def numeric_histogram(
         grid.join(got, "bucket", "left")
         .select("bucket", F.coalesce("n", F.lit(0)).alias("n"))
     )
+
+
+#: Benford's-law expected share of first significant digit d: log10(1 + 1/d)
+BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    cents_col,
+) -> DataFrame:
+    """First-significant-digit profile vs Benford's law — the classic
+    fabricated-/synthetic-numbers screen, run per key over a SCALED-INTEGER
+    amount column (the repo's cents discipline; pass e.g.
+    ``F.round(F.col("value") * 100).cast("long")``).
+
+    The first digit comes from the integer's decimal STRING (substring of
+    ``cast(cents as string)``) — never ``floor(v / 10^floor(log10 v))``,
+    because log10 is engine-defined near powers of ten and the digit would
+    flip between engines exactly at the boundaries that matter.
+    Non-positive amounts are excluded (Benford applies to positive
+    magnitudes).
+
+    Output per key: ``(keys..., n_total, c_1..c_9, chi2)`` — digit counts
+    are exact integers (order-independent), ``chi2 =
+    Σ_d (c_d − N·p_d)² / (N·p_d)`` is ONE fixed left-to-right expression
+    over them (engine-reproducible: the p_d are double literals, no
+    transcendentals at query time). Scale: one map-side-combined groupBy,
+    nine integer counters per key."""
+    c = F.col(cents_col) if isinstance(cents_col, str) else cents_col
+    pos = df.where(c > 0).select(
+        *key_cols, F.substring(c.cast("string"), 1, 1).alias("_d")
+    )
+    agg = pos.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        *[
+            F.coalesce(
+                F.sum((F.col("_d") == str(d)).cast("long")), F.lit(0)
+            ).alias(f"c_{d}")
+            for d in range(1, 10)
+        ],
+    )
+    chi2 = None
+    for d in range(1, 10):
+        exp = F.col("n_total") * F.lit(BENFORD_P[d])
+        term = (F.col(f"c_{d}") - exp) * (F.col(f"c_{d}") - exp) / exp
+        chi2 = term if chi2 is None else chi2 + term
+    return agg.select(
+        *key_cols, "n_total", *[f"c_{d}" for d in range(1, 10)],
+        chi2.alias("chi2"),
+    )
+
+
+def benford_sql_chi2(total_col: str = "n_total") -> str:
+    """The ANSI twin of the chi2 expression — generated from the same
+    constants and the same fold order, so the doubles cannot drift."""
+    parts = []
+    for d in range(1, 10):
+        p = repr(BENFORD_P[d])
+        parts.append(
+            f"(c_{d} - {total_col} * {p}) * (c_{d} - {total_col} * {p})"
+            f" / ({total_col} * {p})"
+        )
+    return " + ".join(parts)
