@@ -141,6 +141,15 @@ HEADLINE = [
     "sitemap_urls",
     "recrawl_schedule",
     "cdx_latest",
+    # round-3 eighth-session additions (stream_histogram_1h stays out for
+    # the same reason as stream_click_attribution: replay-harness cost)
+    "histogram_quantile",
+    "interval_difference",
+    "dsir_features",
+    "priority_sample_groups",
+    "calibration_report",
+    "hyperball_centrality",
+    "benford_profile",
 ]
 
 

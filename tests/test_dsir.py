@@ -148,3 +148,10 @@ def test_deterministic_across_parallelism(spark, frames):
         w = dsir_log_weights(d.repartition(n), t.repartition(n))
         outs.append(sorted(map(tuple, w.collect())))
     assert outs[0] == outs[1]  # exact double bits: fixed-order fold
+
+
+def test_resample_plans_takeordered(spark, frames):
+    d, t = frames
+    w = dsir_log_weights(d, t)
+    plan = dsir_resample(w, 3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, no global sort
