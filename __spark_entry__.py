@@ -4080,6 +4080,28 @@ def _md5_h32(col, seed: int):
     ).cast("long")
 
 
+def _q_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (operators/behavior.py
+    attribute_conversions): click/view touches credited for each purchase
+    within a 3-day lookback, exact integer cents via largest-remainder —
+    credits sum to the conversion value per conversion at any
+    parallelism. One user-key equi-join + two windows per conversion.
+    Oracle replays the identical join, total order, and integer split."""
+    from tstore_spark.operators.behavior import attribute_conversions
+
+    ev = _t(spark, sf_dir, "events")
+    touches = ev.where(F.col("event_type").isin("click", "view"))
+    convs = ev.where(F.col("event_type") == "purchase").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    out = attribute_conversions(
+        touches, convs, "linear",
+        lookback_us=3 * 86_400 * 1_000_000,
+        value_cents_col="cents",
+    )
+    return out.withColumnRenamed("id", "user_id")
+
+
 def _q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit screen per event type (operators/profile.py
     benford_profile): digit from the cents-integer's decimal STRING (never
@@ -4533,6 +4555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_report": _q_calibration_report,
         "hyperball_centrality": _q_hyperball,
         "benford_profile": _q_benford_profile,
+        "attribution_credits": _q_attribution_credits,
     }
 
 
@@ -6838,6 +6861,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_intervals,
                    CAST(MAX(eu) - MIN(su) AS BIGINT) AS duration_micros
             FROM g GROUP BY k, isl
+        """,
+        "attribution_credits": """
+            WITH t AS (
+                SELECT user_id, event_id AS touch_id, epoch_us(ts) AS touch_t_us
+                FROM events WHERE event_type IN ('click', 'view')),
+            c AS (
+                SELECT user_id, event_id AS conv_id, epoch_us(ts) AS conv_t_us,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events WHERE event_type = 'purchase'),
+            j AS (
+                SELECT t.user_id, t.touch_id, t.touch_t_us,
+                       c.conv_id, c.conv_t_us, c.v
+                FROM t JOIN c USING (user_id)
+                WHERE t.touch_t_us > c.conv_t_us - 259200000000
+                  AND t.touch_t_us <= c.conv_t_us),
+            w AS (
+                SELECT *,
+                       CAST(COUNT(*) OVER (PARTITION BY user_id, conv_id)
+                            AS BIGINT) AS n,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, conv_id
+                           ORDER BY touch_t_us, touch_id) AS rn
+                FROM j)
+            SELECT user_id, conv_id, conv_t_us, touch_id, touch_t_us,
+                   n AS n_touches,
+                   CAST((v - v % n) // n
+                        + CASE WHEN rn <= v % n THEN 1 ELSE 0 END
+                        AS BIGINT) AS credit_cents
+            FROM w
         """,
         "benford_profile": _benford_oracle_sql(),
         "calibration_report": """

@@ -250,3 +250,90 @@ def test_transitions_deterministic_across_parallelism(spark, evid_sdf):
         )
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# multi-touch attribution
+# ---------------------------------------------------------------------------
+
+
+def _att_frames(spark):
+    t0 = pd.Timestamp("2024-01-01")
+    touches = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "event_id": [10, 11, 12, 20, 21, 30],
+        "ts": [t0, t0 + pd.Timedelta(minutes=5), t0 + pd.Timedelta(minutes=90),
+               t0, t0 + pd.Timedelta(minutes=1), t0 - pd.Timedelta(days=8)],
+    })
+    convs = pd.DataFrame({
+        "user_id": [1, 2, 3],
+        "event_id": [100, 200, 300],
+        "ts": [t0 + pd.Timedelta(minutes=10), t0 + pd.Timedelta(minutes=1), t0],
+        "cents": [1001, 500, 300],
+    })
+    return (spark.createDataFrame(touches.astype({"ts": "datetime64[us]"})),
+            spark.createDataFrame(convs.astype({"ts": "datetime64[us]"})))
+
+
+def test_attribution_linear_largest_remainder(spark):
+    from tstore_spark.operators.behavior import attribute_conversions
+
+    t, c = _att_frames(spark)
+    out = attribute_conversions(t, c, "linear", value_cents_col="cents").collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r["conv_id"], {})[r["touch_id"]] = (
+            r["credit_cents"], r["n_touches"])
+    # user 1: touches 10, 11 in window (12 is after conv): 1001 = 501 + 500
+    assert by_conv[100] == {10: (501, 2), 11: (500, 2)}
+    # user 2: both touches eligible (one AT the conversion instant): 250 each
+    assert by_conv[200] == {20: (250, 2), 21: (250, 2)}
+    # user 3: touch 8 days old — outside the 7-day lookback: no rows
+    assert 300 not in by_conv
+    # credits sum exactly to conversion value
+    sums = {cid: sum(v for v, _ in m.values()) for cid, m in by_conv.items()}
+    assert sums == {100: 1001, 200: 500}
+
+
+def test_attribution_first_and_last(spark):
+    from tstore_spark.operators.behavior import attribute_conversions
+
+    t, c = _att_frames(spark)
+    first = {(r["conv_id"], r["touch_id"]): r["credit_cents"]
+             for r in attribute_conversions(t, c, "first",
+                                            value_cents_col="cents").collect()}
+    last = {(r["conv_id"], r["touch_id"]): r["credit_cents"]
+            for r in attribute_conversions(t, c, "last",
+                                           value_cents_col="cents").collect()}
+    assert first[(100, 10)] == 1001 and first[(100, 11)] == 0
+    assert last[(100, 10)] == 0 and last[(100, 11)] == 1001
+
+
+def test_attribution_guards_and_default_value(spark):
+    import pytest as _pt
+
+    from tstore_spark.operators.behavior import attribute_conversions
+
+    t, c = _att_frames(spark)
+    with _pt.raises(ValueError, match="model"):
+        attribute_conversions(t, c, "u_shape")
+    with _pt.raises(ValueError, match="lookback"):
+        attribute_conversions(t, c, lookback_us=0)
+    out = attribute_conversions(t, c).collect()  # default: 100 cents each
+    per_conv = {}
+    for r in out:
+        per_conv[r["conv_id"]] = per_conv.get(r["conv_id"], 0) + r["credit_cents"]
+    assert all(v == 100 for v in per_conv.values())
+
+
+def test_attribution_deterministic_across_parallelism(spark):
+    from tstore_spark.operators.behavior import attribute_conversions
+
+    t, c = _att_frames(spark)
+    a = sorted(map(tuple, attribute_conversions(
+        t.repartition(1), c.repartition(1), "linear",
+        value_cents_col="cents").collect()))
+    b = sorted(map(tuple, attribute_conversions(
+        t.repartition(7), c.repartition(5), "linear",
+        value_cents_col="cents").collect()))
+    assert a == b

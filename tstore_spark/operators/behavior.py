@@ -181,3 +181,91 @@ def funnel_counts(funnel_df: DataFrame, k: int) -> DataFrame:
         .groupBy("step")
         .agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("users_reached"))
     )
+
+
+def attribute_conversions(
+    touches: DataFrame,
+    conversions: DataFrame,
+    model: str = "linear",
+    lookback_us: int = 7 * 86_400 * 1_000_000,
+    id_col: str = "user_id",
+    touch_id_col: str = "event_id",
+    conv_id_col: str = "event_id",
+    time_col: str = "ts",
+    value_cents_col=None,
+) -> DataFrame:
+    """Multi-touch attribution — split each conversion's value across the
+    user's touchpoints in the lookback window, in EXACT integer cents.
+
+    ``model``: ``last`` / ``first`` give the whole value to the latest /
+    earliest eligible touch; ``linear`` splits by largest-remainder — each
+    of n touches gets ``v div n`` and the FIRST ``v mod n`` touches (touch
+    order = (ts, touch_id), a total order) get one extra cent, so credits
+    sum to the conversion value exactly, per conversion, at any
+    parallelism. A touch at the conversion instant is eligible; one
+    ``lookback_us`` earlier is not ((conv − L, conv] — half-open like
+    every window in the repo).
+
+    Output: one row per (conversion, eligible touch):
+    ``(id, conv_id, conv_t_us, touch_id, touch_t_us, n_touches,
+    credit_cents)``. Conversions with NO eligible touch are absent (join
+    them back for an "unattributed" report). Channel/report rollups are
+    one integer groupBy over the output.
+
+    Scale shape: ONE equi-join on the user key (both sides shuffle once)
+    with the window predicate applied in the join filter, then two
+    windows per (user, conversion) over the eligible rows — per-pair cost
+    is the user's touch count in the window, the standard per-key
+    ordered bound (sessions/asof). NTZ-safe epochs; value defaults to the
+    touch-side-free constant 100 cents when ``value_cents_col`` is None.
+    """
+    from pyspark.sql import Window
+
+    if model not in ("last", "first", "linear"):
+        raise ValueError(f"model must be last/first/linear, got {model!r}")
+    if lookback_us <= 0:
+        raise ValueError(f"lookback_us must be positive, got {lookback_us}")
+    t = touches.select(
+        F.col(id_col).alias("id"),
+        F.col(touch_id_col).alias("touch_id"),
+        ntz_epoch_micros(time_col).alias("touch_t_us"),
+    )
+    v = (
+        F.lit(100).cast("long")
+        if value_cents_col is None
+        else (
+            F.col(value_cents_col)
+            if isinstance(value_cents_col, str)
+            else value_cents_col
+        ).cast("long")
+    )
+    c = conversions.select(
+        F.col(id_col).alias("id"),
+        F.col(conv_id_col).alias("conv_id"),
+        ntz_epoch_micros(time_col).alias("conv_t_us"),
+        v.alias("_v"),
+    )
+    j = t.join(c, "id").where(
+        (F.col("touch_t_us") > F.col("conv_t_us") - F.lit(int(lookback_us)))
+        & (F.col("touch_t_us") <= F.col("conv_t_us"))
+    )
+    w = Window.partitionBy("id", "conv_id")
+    asc = w.orderBy("touch_t_us", "touch_id")
+    n = F.count(F.lit(1)).over(w)
+    rn = F.row_number().over(asc)
+    if model == "linear":
+        # exact integer division: (v - v mod n) / n is integral, so the
+        # double division is exact below 2^53 and the cast is lossless
+        q = ((F.col("_v") - F.pmod(F.col("_v"), n)) / n).cast("long")
+        credit = q + F.when(
+            rn <= F.pmod(F.col("_v"), n), F.lit(1)
+        ).otherwise(F.lit(0))
+    elif model == "first":
+        credit = F.when(rn == 1, F.col("_v")).otherwise(F.lit(0))
+    else:  # last
+        credit = F.when(rn == n, F.col("_v")).otherwise(F.lit(0))
+    return j.select(
+        "id", "conv_id", "conv_t_us", "touch_id", "touch_t_us",
+        n.alias("n_touches"),
+        credit.cast("long").alias("credit_cents"),
+    )
