@@ -1178,6 +1178,41 @@ def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+def _q_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients (operators/graph.py
+    clustering_coefficient) over the same deterministic non-bipartite host
+    graph as triangle_counts: exact integer degree + triangle counts, the
+    coefficient ONE fixed division 2T/(d(d-1)). Oracle extends the
+    canonical a<b<c triangle SQL with the degree CTE and the identical
+    division."""
+    from tstore_spark.operators.graph import clustering_coefficient
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _h(expr):
+        return F.concat(F.lit("h"), (expr % 25).cast("string"))
+
+    edges = (
+        docs.select(
+            _h(F.col("doc_id")).alias("src"),
+            _h(F.col("doc_id") + 1).alias("dst"),
+        )
+        .unionAll(
+            docs.select(
+                _h(F.col("doc_id")).alias("src"),
+                _h(F.col("doc_id") + 2).alias("dst"),
+            )
+        )
+        .unionAll(
+            docs.select(
+                _h(F.col("doc_id")).alias("src"),
+                _h(F.col("doc_id") * 7 + 3).alias("dst"),
+            )
+        )
+    )
+    return clustering_coefficient(edges)
+
+
 def _q_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg-style burst episodes (operators/burst.py:burst_label) over
     per-type hourly event counts with a deterministic planted elevation
@@ -4556,6 +4591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_centrality": _q_hyperball,
         "benford_profile": _q_benford_profile,
         "attribution_credits": _q_attribution_credits,
+        "clustering_coefficients": _q_clustering_coefficients,
     }
 
 
@@ -4885,6 +4921,46 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT z FROM t)
             SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
             FROM n GROUP BY node
+        """,
+        "clustering_coefficients": """
+            WITH e AS (
+                SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src,
+                       'h' || CAST((doc_id + 1) % 25 AS VARCHAR) AS dst
+                FROM documents
+                UNION ALL
+                SELECT 'h' || CAST(doc_id % 25 AS VARCHAR),
+                       'h' || CAST((doc_id + 2) % 25 AS VARCHAR)
+                FROM documents
+                UNION ALL
+                SELECT 'h' || CAST(doc_id % 25 AS VARCHAR),
+                       'h' || CAST((doc_id * 7 + 3) % 25 AS VARCHAR)
+                FROM documents),
+            und AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM e WHERE src <> dst),
+            deg AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+                    SELECT a AS node FROM und
+                    UNION ALL SELECT b FROM und)
+                GROUP BY node),
+            t AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+            tc AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+                    SELECT x AS node FROM t
+                    UNION ALL SELECT y FROM t
+                    UNION ALL SELECT z FROM t)
+                GROUP BY node)
+            SELECT deg.node, deg.degree,
+                   CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+                   CASE WHEN deg.degree >= 2
+                        THEN (CAST(2.0 AS DOUBLE) * COALESCE(tc.n_triangles, 0))
+                             / (deg.degree * (deg.degree - 1))
+                        ELSE CAST(0.0 AS DOUBLE) END AS clustering
+            FROM deg LEFT JOIN tc USING (node)
         """,
         "kmv_returning_users": """
             WITH d AS (

@@ -952,3 +952,41 @@ def test_hyperball_guards(spark):
         hyperball(e, direction="both")
     with _pt.raises(ValueError, match="t_max"):
         neighborhood_exact(e, 0)
+
+
+def test_clustering_coefficient_matches_brute_force(spark):
+    from itertools import combinations
+
+    from tstore_spark.operators.graph import clustering_coefficient
+
+    # triangle abc + pendant d on a + square wxyz (no triangles)
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"),
+            ("w", "x"), ("x", "y"), ("y", "z"), ("z", "w"),
+            ("b", "a")]  # duplicate reversed edge: simple-graph dedup
+    e = spark.createDataFrame(rows, "src string, dst string")
+    got = {r["node"]: (r["degree"], r["n_triangles"], r["clustering"])
+           for r in clustering_coefficient(e).collect()}
+
+    adj = {}
+    for s, d in rows:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    for v, nb in adj.items():
+        t = sum(1 for x, y in combinations(sorted(nb), 2) if y in adj[x])
+        deg = len(nb)
+        coef = (2.0 * t) / (deg * (deg - 1)) if deg >= 2 else 0.0
+        assert got[v] == (deg, t, coef), v
+    assert got["a"][2] == pytest.approx(1 / 3)  # 1 triangle of 3 wedge pairs
+    assert got["d"] == (1, 0, 0.0)
+    assert got["w"][1] == 0
+
+
+def test_clustering_deterministic_across_parallelism(spark):
+    from tstore_spark.operators.graph import clustering_coefficient
+
+    rows = [(f"n{i % 20}", f"n{(i * 7 + 3) % 20}") for i in range(500)]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    a = sorted(map(tuple, clustering_coefficient(e.repartition(1)).collect()))
+    b = sorted(map(tuple, clustering_coefficient(e.repartition(13)).collect()))
+    assert a == b
