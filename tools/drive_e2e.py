@@ -817,6 +817,34 @@ def main() -> int:
               set(nx) == set(hbal)
               and all(abs(hbal[v] - nx[v]) <= 0.25 * nx[v] + 0.5 for v in nx))
 
+        from tstore_spark.operators.behavior import attribute_conversions
+
+        t0 = pd.Timestamp("2024-05-01")
+        touches = spark.createDataFrame(pd.DataFrame({
+            "user_id": [1, 1, 2], "event_id": [10, 11, 20],
+            "ts": [t0, t0 + pd.Timedelta(hours=1), t0],
+        }).astype({"ts": "datetime64[us]"}))
+        convs = spark.createDataFrame(pd.DataFrame({
+            "user_id": [1, 2], "event_id": [100, 200],
+            "ts": [t0 + pd.Timedelta(hours=2), t0 + pd.Timedelta(minutes=5)],
+            "cents": [301, 500],
+        }).astype({"ts": "datetime64[us]"}))
+        att = attribute_conversions(touches, convs, "linear",
+                                    value_cents_col="cents")
+        per_conv = {r["conv_id"]: r["total"] for r in att.groupBy("conv_id")
+                    .agg(F.sum("credit_cents").alias("total")).collect()}
+        check("attribution: credits sum exactly to conversion cents",
+              per_conv == {100: 301, 200: 500})
+
+        from tstore_spark.operators.graph import clustering_coefficient
+
+        cc = {r["node"]: r["clustering"] for r in clustering_coefficient(
+            spark.createDataFrame(
+                [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")],
+                "src string, dst string")).collect()}
+        check("clustering coefficient: triangle node 1/3, pendant 0",
+              abs(cc["a"] - 1 / 3) < 1e-12 and cc["d"] == 0.0)
+
         print(f"\nALL {n_checks} CHECKS PASS")
         return 0
     finally:
