@@ -4137,6 +4137,22 @@ def _q_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("id", "user_id")
 
 
+def _q_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top paths to conversion (operators/behavior.py conversion_paths):
+    each purchase's last 3 click/view touch types within 1 day, folded
+    oldest→newest over the (ts, event_id) total order; conversions with
+    no eligible touch count under the '' direct bucket. Oracle replays
+    the identical window + ordered string_agg."""
+    from tstore_spark.operators.behavior import conversion_paths
+
+    ev = _t(spark, sf_dir, "events")
+    touches = ev.where(F.col("event_type").isin("click", "view"))
+    convs = ev.where(F.col("event_type") == "purchase")
+    return conversion_paths(
+        touches, convs, steps=3, lookback_us=86_400 * 1_000_000
+    )
+
+
 def _q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit screen per event type (operators/profile.py
     benford_profile): digit from the cents-integer's decimal STRING (never
@@ -4592,6 +4608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_profile": _q_benford_profile,
         "attribution_credits": _q_attribution_credits,
         "clustering_coefficients": _q_clustering_coefficients,
+        "conversion_paths": _q_conversion_paths,
     }
 
 
@@ -6965,6 +6982,35 @@ def oracle_sql() -> dict[str, str]:
                         + CASE WHEN rn <= v % n THEN 1 ELSE 0 END
                         AS BIGINT) AS credit_cents
             FROM w
+        """,
+        "conversion_paths": """
+            WITH t AS (
+                SELECT user_id, event_id AS touch_id, event_type AS ttype,
+                       epoch_us(ts) AS touch_t_us
+                FROM events WHERE event_type IN ('click', 'view')),
+            c AS (
+                SELECT user_id, event_id AS conv_id, epoch_us(ts) AS conv_t_us
+                FROM events WHERE event_type = 'purchase'),
+            j AS (
+                SELECT t.user_id, t.touch_id, t.ttype, t.touch_t_us,
+                       c.conv_id
+                FROM t JOIN c USING (user_id)
+                WHERE t.touch_t_us > c.conv_t_us - 86400000000
+                  AND t.touch_t_us < c.conv_t_us),
+            r AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, conv_id
+                    ORDER BY touch_t_us DESC, touch_id DESC) AS rn
+                FROM j),
+            p AS (
+                SELECT user_id, conv_id,
+                       string_agg(ttype, '>' ORDER BY touch_t_us, touch_id)
+                           AS path
+                FROM r WHERE rn <= 3 GROUP BY 1, 2),
+            a AS (
+                SELECT COALESCE(p.path, '') AS path
+                FROM c LEFT JOIN p USING (user_id, conv_id))
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_conversions
+            FROM a GROUP BY 1
         """,
         "benford_profile": _benford_oracle_sql(),
         "calibration_report": """

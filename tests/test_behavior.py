@@ -337,3 +337,62 @@ def test_attribution_deterministic_across_parallelism(spark):
         t.repartition(7), c.repartition(5), "linear",
         value_cents_col="cents").collect()))
     assert a == b
+
+
+def test_conversion_paths_matches_brute_force(spark):
+    from tstore_spark.operators.behavior import conversion_paths
+
+    t0 = pd.Timestamp("2024-01-01")
+    touches = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 3],
+        "event_id": [10, 11, 12, 13, 20, 30],
+        "event_type": ["view", "click", "view", "click", "view", "click"],
+        "ts": [t0, t0 + pd.Timedelta(minutes=1), t0 + pd.Timedelta(minutes=2),
+               t0 + pd.Timedelta(minutes=3), t0, t0 - pd.Timedelta(days=9)],
+    })
+    convs = pd.DataFrame({
+        "user_id": [1, 2, 3, 4],
+        "event_id": [100, 200, 300, 400],
+        "event_type": ["purchase"] * 4,
+        "ts": [t0 + pd.Timedelta(minutes=10), t0 + pd.Timedelta(minutes=1),
+               t0, t0],
+    })
+    tdf = spark.createDataFrame(touches.astype({"ts": "datetime64[us]"}))
+    cdf = spark.createDataFrame(convs.astype({"ts": "datetime64[us]"}))
+    got = {r["path"]: r["n_conversions"]
+           for r in conversion_paths(tdf, cdf, steps=3).collect()}
+    # user 1: last 3 of view,click,view,click -> click>view>click
+    # user 2: single view; user 3: touch expired (9d); user 4: no touches
+    assert got == {"click>view>click": 1, "view": 1, "": 2}
+
+    got2 = {r["path"]: r["n_conversions"]
+            for r in conversion_paths(tdf, cdf, steps=2).collect()}
+    assert got2 == {"view>click": 1, "view": 1, "": 2}
+
+
+def test_conversion_paths_guards_and_determinism(spark):
+    import pytest as _pt
+
+    from tstore_spark.operators.behavior import conversion_paths
+
+    t0 = pd.Timestamp("2024-01-01")
+    t = spark.createDataFrame(pd.DataFrame({
+        "user_id": [i % 7 for i in range(300)],
+        "event_id": range(300),
+        "event_type": [["view", "click", "signup"][i % 3] for i in range(300)],
+        "ts": [t0 + pd.Timedelta(minutes=i) for i in range(300)],
+    }).astype({"ts": "datetime64[us]"}))
+    c = spark.createDataFrame(pd.DataFrame({
+        "user_id": [i % 7 for i in range(40)],
+        "event_id": [1000 + i for i in range(40)],
+        "event_type": ["purchase"] * 40,
+        "ts": [t0 + pd.Timedelta(minutes=7 * i + 3) for i in range(40)],
+    }).astype({"ts": "datetime64[us]"}))
+    with _pt.raises(ValueError, match="steps"):
+        conversion_paths(t, c, steps=0)
+    a = sorted(map(tuple, conversion_paths(
+        t.repartition(1), c.repartition(1)).collect()))
+    b = sorted(map(tuple, conversion_paths(
+        t.repartition(13), c.repartition(5)).collect()))
+    assert a == b
+    assert sum(n for _, n in a) == 40  # every conversion lands in a bucket

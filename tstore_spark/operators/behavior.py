@@ -269,3 +269,81 @@ def attribute_conversions(
         n.alias("n_touches"),
         credit.cast("long").alias("credit_cents"),
     )
+
+
+def conversion_paths(
+    touches: DataFrame,
+    conversions: DataFrame,
+    steps: int = 3,
+    lookback_us: int = 7 * 86_400 * 1_000_000,
+    id_col: str = "user_id",
+    type_col: str = "event_type",
+    touch_id_col: str = "event_id",
+    conv_id_col: str = "event_id",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Top paths to conversion — "which touch sequences precede a
+    purchase": for every conversion, the user's last ``steps`` touch
+    TYPES inside the lookback window (strictly before the conversion,
+    oldest→newest, joined with ``>``), counted globally:
+    ``(path, n_conversions)``.
+
+    The path is a pure function of the (ts, touch_id) total order, so
+    counts are exact integers at any parallelism. Conversions with no
+    eligible touch count under the empty path ``''`` (the
+    "direct conversion" bucket — never silently dropped).
+
+    Scale shape: the same one user-key equi-join as
+    :func:`attribute_conversions` (lookback predicate in the join
+    filter), one descending row_number window per (user, conversion) that
+    caps the kept rows at ``steps`` (rank-limit pushes to
+    WindowGroupLimit heaps), one per-conversion sorted fold into the path
+    string, one global path groupBy — all map-side combined."""
+    from pyspark.sql import Window
+
+    if steps < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
+    if lookback_us <= 0:
+        raise ValueError(f"lookback_us must be positive, got {lookback_us}")
+    t = touches.select(
+        F.col(id_col).alias("id"),
+        F.col(touch_id_col).alias("touch_id"),
+        F.col(type_col).alias("ttype"),
+        ntz_epoch_micros(time_col).alias("touch_t_us"),
+    )
+    c = conversions.select(
+        F.col(id_col).alias("id"),
+        F.col(conv_id_col).alias("conv_id"),
+        ntz_epoch_micros(time_col).alias("conv_t_us"),
+    )
+    j = t.join(c, "id").where(
+        (F.col("touch_t_us") > F.col("conv_t_us") - F.lit(int(lookback_us)))
+        & (F.col("touch_t_us") < F.col("conv_t_us"))
+    )
+    recent = Window.partitionBy("id", "conv_id").orderBy(
+        F.col("touch_t_us").desc(), F.col("touch_id").desc()
+    )
+    kept = j.withColumn("_rn", F.row_number().over(recent)).where(
+        F.col("_rn") <= steps
+    )
+    # oldest -> newest within the kept tail: fold over the ascending
+    # (ts, touch_id) sort — deterministic path string
+    per_conv = kept.groupBy("id", "conv_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("touch_t_us"), F.col("touch_id"), F.col("ttype")
+                        )
+                    )
+                ),
+                lambda s: s["ttype"],
+            ),
+        ).alias("path")
+    )
+    paths = c.join(per_conv, ["id", "conv_id"], "left").select(
+        F.coalesce("path", F.lit("")).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_conversions"))
