@@ -4137,6 +4137,27 @@ def _q_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("id", "user_id")
 
 
+def _q_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization + integer-dot candidate search
+    (operators/similarity.py sq8_*): exact per-dim min/max bounds, floor
+    codes (floor is cross-engine exact where round's half-tie rule is
+    not), CENTERED integer dot top-10 for 5 probes — every emitted value
+    is an exact integer, so the whole approximate-ANN candidate stage is
+    hash-checked against plain SQL (rare for an ANN path; the float
+    arithmetic lives only inside the code derivation, with identical op
+    order and double casts both sides)."""
+    from tstore_spark.operators.similarity import (
+        sq8_bounds,
+        sq8_quantize,
+        sq8_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = sq8_quantize(emb, sq8_bounds(emb))
+    probes = codes.where(F.col("vec_id") < 5)
+    return sq8_topk(codes, probes, k=10)
+
+
 def _q_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top paths to conversion (operators/behavior.py conversion_paths):
     each purchase's last 3 click/view touch types within 1 day, folded
@@ -4609,6 +4630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_credits": _q_attribution_credits,
         "clustering_coefficients": _q_clustering_coefficients,
         "conversion_paths": _q_conversion_paths,
+        "sq8_ann": _q_sq8_ann,
     }
 
 
@@ -6982,6 +7004,32 @@ def oracle_sql() -> dict[str, str]:
                         + CASE WHEN rn <= v % n THEN 1 ELSE 0 END
                         AS BIGINT) AS credit_cents
             FROM w
+        """,
+        "sq8_ann": """
+            WITH x AS (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                       generate_subscripts(embedding, 1) - 1 AS dim
+                FROM embeddings),
+            b AS (SELECT dim, MIN(v) AS lo, MAX(v) AS hi FROM x GROUP BY 1),
+            c AS (
+                SELECT vec_id, x.dim,
+                       CASE WHEN hi = lo THEN 0
+                            ELSE LEAST(CAST(FLOOR((v - lo) / (hi - lo) * 256.0)
+                                            AS INT), 255) END AS code
+                FROM x JOIN b USING (dim)),
+            d AS (
+                SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+                       CAST(SUM((a.code - 128) * (q.code - 128)) AS BIGINT)
+                           AS code_dot
+                FROM c a JOIN c q
+                  ON q.dim = a.dim AND q.vec_id < 5 AND a.vec_id <> q.vec_id
+                GROUP BY 1, 2),
+            r AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY code_dot DESC, neighbor_id) AS rnk
+                FROM d)
+            SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, code_dot
+            FROM r WHERE rnk <= 10
         """,
         "conversion_paths": """
             WITH t AS (

@@ -301,3 +301,93 @@ def test_semantic_decontaminate_tie_breaks_to_larger_eval_id(spark):
     )
     (row,) = semantic_decontaminate(corpus, eval_set, threshold=0.5).collect()
     assert row["max_eval_sim"] == 1.0 and row["matched_eval_id"] == 20
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization
+# ---------------------------------------------------------------------------
+
+
+def _sq_vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(40, 8).astype(float)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    return vecs, spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_sq8_codes_match_brute_force(spark):
+    import math
+
+    from tstore_spark.operators.similarity import sq8_bounds, sq8_quantize
+
+    vecs, df = _sq_vectors(spark)
+    b = sq8_bounds(df)
+    got = {r["vec_id"]: r["codes"] for r in sq8_quantize(df, b).collect()}
+    lo, hi = vecs.min(axis=0), vecs.max(axis=0)
+    for i in range(40):
+        want = [
+            0 if hi[d] == lo[d]
+            else min(math.floor((vecs[i, d] - lo[d]) / (hi[d] - lo[d]) * 256.0), 255)
+            for d in range(8)
+        ]
+        assert got[i] == want, i
+    # extremes hit the code range ends
+    flat = [c for cs in got.values() for c in cs]
+    assert min(flat) == 0 and max(flat) == 255
+
+
+def test_sq8_constant_dimension_codes_zero(spark):
+    from tstore_spark.operators.similarity import sq8_bounds, sq8_quantize
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [1.0, 7.0])], "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["codes"]
+           for r in sq8_quantize(df, sq8_bounds(df)).collect()}
+    assert got[0][0] == 0 and got[1][0] == 0  # constant dim -> 0, no div-by-zero
+
+
+def test_sq8_topk_recall_vs_exact(spark):
+    from pyspark.sql import functions as F
+
+    from tstore_spark.operators.similarity import (
+        cosine_topk, sq8_bounds, sq8_quantize, sq8_topk)
+
+    _, df = _sq_vectors(spark)
+    codes = sq8_quantize(df, sq8_bounds(df))
+    probes = df.where(F.col("vec_id") < 3)
+    approx = sq8_topk(codes, codes.where(F.col("vec_id") < 3), k=10)
+    exact = cosine_topk(df, probes, k=5)
+    a = {q: {r["neighbor_id"] for r in rows} for q, rows in
+         __import__("itertools").groupby(
+             sorted(approx.collect(), key=lambda r: r["query_id"]),
+             key=lambda r: r["query_id"])}
+    e = {q: {r["neighbor_id"] for r in rows} for q, rows in
+         __import__("itertools").groupby(
+             sorted(exact.collect(), key=lambda r: r["query_id"]),
+             key=lambda r: r["query_id"])}
+    # raw code-dot ranking is a coarse proxy (codes are unsigned, vectors
+    # aren't normalized) — require the candidate stage to catch >= 2 of the
+    # exact top-5 in its top-10 for every probe (rescoring recovers order)
+    for q in e:
+        assert len(a[q] & e[q]) >= 2, q
+
+
+def test_sq8_guards_and_determinism(spark):
+    import pytest as _pt
+
+    from pyspark.sql import functions as F  # noqa: F401 (repartition paths)
+
+    from tstore_spark.operators.similarity import (
+        sq8_bounds, sq8_quantize, sq8_topk)
+
+    _, df = _sq_vectors(spark)
+    with _pt.raises(ValueError, match="k must be"):
+        sq8_topk(df, df, k=0)
+    b = sq8_bounds(df)
+    a1 = sorted((r["vec_id"], tuple(r["codes"]))
+                for r in sq8_quantize(df.repartition(1), b).collect())
+    a2 = sorted((r["vec_id"], tuple(r["codes"]))
+                for r in sq8_quantize(df.repartition(13), b).collect())
+    assert a1 == a2

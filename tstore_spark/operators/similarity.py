@@ -633,3 +633,114 @@ def semantic_decontaminate(
             ).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (the ANN memory-reduction path)
+# ---------------------------------------------------------------------------
+
+
+def sq8_bounds(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension exact [lo, hi] training bounds: ``(dim, lo, hi)`` —
+    one posexplode + one map-side-combined groupBy. Exact min/max are
+    order-independent, so the codebook is deterministic (no sampling)."""
+    ex = vectors.select(F.posexplode(vec_col).alias("dim", "_v"))
+    return ex.groupBy("dim").agg(
+        F.min(F.col("_v").cast("double")).alias("lo"),
+        F.max(F.col("_v").cast("double")).alias("hi"),
+    )
+
+
+def sq8_code_expr(value, lo, hi):
+    """uint8 code for one component: ``least(floor((v−lo)/(hi−lo)·256),
+    255)``, constant dimensions (hi==lo) code 0. floor — NEVER round:
+    floor of a double is identical in every engine, while round's
+    half-tie rule differs (the repo's oracle discipline), so the entire
+    code table is cross-engine EXACT."""
+    scaled = (value.cast("double") - lo) / (hi - lo) * F.lit(256.0)
+    return F.when(hi == lo, F.lit(0)).otherwise(
+        F.least(F.floor(scaled), F.lit(255)).cast("int")
+    )
+
+
+def sq8_quantize(
+    vectors: DataFrame,
+    bounds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, codes array<int>)`` — 4× (vs float32; 8× vs float64) smaller
+    vectors for the ANN candidate stage. The bounds table is tiny (one
+    row per dimension): broadcast-joined to the exploded components, then
+    the codes re-assemble in dimension order (array_sort on (dim, code)
+    structs — exact integers, deterministic).
+
+    Scale shape: explode + broadcast join + one groupBy keyed by id; no
+    driver work, no sampling. At 10^12 docs the code table is the thing
+    that FITS in cluster memory where the float vectors do not — scan the
+    codes for candidates, then rescore survivors on the full vectors
+    (:func:`sq8_topk`)."""
+    ex = vectors.select(F.col(id_col), F.posexplode(vec_col).alias("dim", "_v"))
+    coded = ex.join(F.broadcast(bounds), "dim").select(
+        id_col,
+        F.struct(
+            F.col("dim"),
+            sq8_code_expr(F.col("_v"), F.col("lo"), F.col("hi")).alias("code"),
+        ).alias("_dc"),
+    )
+    return coded.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list("_dc")), lambda s: s["code"]
+        ).alias("codes")
+    )
+
+
+def sq8_topk(
+    codes: DataFrame,
+    probe_codes: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Approximate top-k by INTEGER dot product over the uint8 codes —
+    ``(query_id, neighbor_id, rank, code_dot)``. Codes are CENTERED
+    (``code − 128``) before the multiply: for roughly zero-centered
+    training data the centered code is the component up to a per-dim
+    affine scale, so the integer dot tracks the true inner product where
+    the raw unsigned dot would be swamped by the +128 offsets. The
+    candidate scan touches only the quantized table (the memory win);
+    rescore the survivors on the original vectors with
+    :func:`cosine_topk` semantics when exact ordering matters. code_dot
+    is an exact bigint (zip_with multiply + integer fold), so ranking is
+    deterministic at any parallelism with NO float wobble — and the whole
+    operator is replicable in ANSI SQL (the gate hashes it exactly)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    p = probe_codes.select(
+        F.col(id_col).alias("query_id"), F.col(codes_col).alias("_q")
+    )
+    joined = codes.crossJoin(F.broadcast(p)).where(
+        F.col(id_col) != F.col("query_id")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(codes_col), F.col("_q"),
+            lambda x, y: (x.cast("long") - F.lit(128))
+            * (y.cast("long") - F.lit(128)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ranked = joined.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), dot.alias("code_dot")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("code_dot"), F.asc("neighbor_id")
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", "rank", "code_dot"
+    )
