@@ -7014,7 +7014,7 @@ def oracle_sql() -> dict[str, str]:
             c AS (
                 SELECT vec_id, x.dim,
                        CASE WHEN hi = lo THEN 0
-                            ELSE LEAST(CAST(FLOOR((v - lo) / (hi - lo) * 256.0)
+                            ELSE LEAST(CAST(FLOOR((v - lo) / (hi - lo) * CAST(256.0 AS DOUBLE))
                                             AS INT), 255) END AS code
                 FROM x JOIN b USING (dim)),
             d AS (
@@ -7065,7 +7065,7 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS (
                 SELECT
                     (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
-                     % 1000000) / 1000000.0 AS prob,
+                     % 1000000) / CAST(1000000.0 AS DOUBLE) AS prob,
                     CASE WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':43'), 1, 8)) AS BIGINT)
                                % 1000000)
                              < (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
@@ -7084,8 +7084,8 @@ def oracle_sql() -> dict[str, str]:
                    (bucket + 1) * CAST(0.1 AS DOUBLE) AS hi,
                    n, n_pos, conf_micros,
                    n_pos / n AS accuracy,
-                   conf_micros / 1000000.0 / n AS confidence,
-                   ABS(n_pos / n - conf_micros / 1000000.0 / n) AS gap
+                   conf_micros / CAST(1000000.0 AS DOUBLE) / n AS confidence,
+                   ABS(n_pos / n - conf_micros / CAST(1000000.0 AS DOUBLE) / n) AS gap
             FROM b
         """,
         "priority_sample_groups": """

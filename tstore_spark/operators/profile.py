@@ -152,7 +152,11 @@ def benford_sql_chi2(total_col: str = "n_total") -> str:
     constants and the same fold order, so the doubles cannot drift."""
     parts = []
     for d in range(1, 10):
-        p = repr(BENFORD_P[d])
+        # CAST: a bare decimal literal parses as DECIMAL in DuckDB — the
+        # subtraction then squares a DECIMAL(38) and overflows at scale
+        # (caught by the sf0.1 gate); the cast keeps everything double,
+        # matching the Spark expression bit-for-bit
+        p = f"CAST({BENFORD_P[d]!r} AS DOUBLE)"
         parts.append(
             f"(c_{d} - {total_col} * {p}) * (c_{d} - {total_col} * {p})"
             f" / ({total_col} * {p})"
