@@ -4137,6 +4137,31 @@ def _q_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("id", "user_id")
 
 
+def _q_swinging_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-bounded lossy compression (operators/downsample.py
+    swinging_door + sdt_bound_check): per-type minute-cents series
+    compressed under a hard ±2000-cent reconstruction bound, verified by
+    the EXACT integer cross-multiplication audit (no float interpolation
+    at the boundary). n_raw is SQL-exact; the greedy keep-set itself is
+    sequential per key (not SQL-expressible), so the oracle asserts the
+    bound/compression invariants TRUE — the ann_lsh pattern."""
+    from tstore_spark.operators.downsample import sdt_bound_check, swinging_door
+
+    ev = _t(spark, sf_dir, "events")
+    ser = ev.groupBy(
+        F.col("event_type").alias("key"),
+        F.date_trunc("minute", "ts").cast("timestamp_ntz").alias("ts"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    kept = swinging_door(ser, "key", "ts", "cents", epsilon_cents=2000)
+    chk = sdt_bound_check(ser, kept, epsilon_cents=2000)
+    return chk.select(
+        F.col("key").alias("event_type"),
+        "n_raw",
+        "within_bound",
+        (F.col("n_kept") < F.col("n_raw")).alias("compressed"),
+    )
+
+
 def _q_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scalar quantization + integer-dot candidate search
     (operators/similarity.py sq8_*): exact per-dim min/max bounds, floor
@@ -4631,6 +4656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficients": _q_clustering_coefficients,
         "conversion_paths": _q_conversion_paths,
         "sq8_ann": _q_sq8_ann,
+        "swinging_door": _q_swinging_door,
     }
 
 
@@ -7004,6 +7030,16 @@ def oracle_sql() -> dict[str, str]:
                         + CASE WHEN rn <= v % n THEN 1 ELSE 0 END
                         AS BIGINT) AS credit_cents
             FROM w
+        """,
+        "swinging_door": """
+            WITH m AS (
+                SELECT event_type, date_trunc('minute', ts) AS mt,
+                       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                           AS cents
+                FROM events GROUP BY 1, 2)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_raw,
+                   TRUE AS within_bound, TRUE AS compressed
+            FROM m GROUP BY 1
         """,
         "sq8_ann": """
             WITH x AS (

@@ -241,3 +241,82 @@ def test_heatmap_matches_reference_and_is_deterministic(spark):
 
     with pytest.raises(ValueError, match="t_buckets"):
         heatmap_downsample(spark.createDataFrame(pdf), "key", "time", "value", 0, 8)
+
+
+# ---------------------------------------------------------------------------
+# swinging-door (error-bounded PLA)
+# ---------------------------------------------------------------------------
+
+
+def _sdt_frame(spark, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["key", "ts", "cents"]).astype(
+        {"ts": "datetime64[us]"})
+    return spark.createDataFrame(pdf)
+
+
+def test_swinging_door_line_collapses_to_endpoints(spark):
+    import pandas as pd
+
+    from tstore_spark.operators.downsample import swinging_door
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [("a", t0 + pd.Timedelta(minutes=i), 100 + 10 * i) for i in range(50)]
+    out = swinging_door(_sdt_frame(spark, rows), "key", "ts", "cents",
+                        epsilon_cents=5).collect()
+    assert len(out) == 2
+    assert sorted(r["pt_index"] for r in out) == [0, 49]
+
+
+def test_swinging_door_bound_holds_exactly(spark):
+    import pandas as pd
+
+    from tstore_spark.operators.downsample import sdt_bound_check, swinging_door
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(400):
+        v = 1000 + ((i * 37) % 97) - ((i * 13) % 53) + (50 if 100 <= i < 110 else 0)
+        rows.append(("a", t0 + pd.Timedelta(minutes=i), v))
+        rows.append(("b", t0 + pd.Timedelta(minutes=i), 500 + (i % 7) * 30))
+    raw = _sdt_frame(spark, rows)
+    for eps in (0, 10, 80):
+        kept = swinging_door(raw, "key", "ts", "cents", epsilon_cents=eps)
+        chk = {r["key"]: r for r in sdt_bound_check(
+            raw.withColumnRenamed("key", "key"), kept, eps).collect()}
+        for k in ("a", "b"):
+            assert chk[k]["within_bound"], (k, eps)
+            assert chk[k]["n_kept"] <= chk[k]["n_raw"]
+        if eps == 80:
+            assert chk["b"]["n_kept"] < chk["b"]["n_raw"] / 2  # real compression
+
+
+def test_swinging_door_eps_zero_keeps_noncollinear(spark):
+    import pandas as pd
+
+    from tstore_spark.operators.downsample import swinging_door
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [("a", t0 + pd.Timedelta(minutes=i), [0, 5, 0, 5][i]) for i in range(4)]
+    out = swinging_door(_sdt_frame(spark, rows), "key", "ts", "cents", 0).collect()
+    assert len(out) == 4  # zigzag at eps=0: every point is a corner
+
+
+def test_swinging_door_guards_and_determinism(spark):
+    import pandas as pd
+    import pytest as _pt
+
+    from tstore_spark.operators.downsample import swinging_door
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [(f"k{i % 3}", t0 + pd.Timedelta(minutes=i), (i * 31) % 211)
+            for i in range(900)]
+    raw = _sdt_frame(spark, rows)
+    with _pt.raises(ValueError, match="epsilon"):
+        swinging_door(raw, "key", "ts", "cents", -1)
+    a = sorted(map(tuple, swinging_door(
+        raw.repartition(1), "key", "ts", "cents", 20).collect()))
+    b = sorted(map(tuple, swinging_door(
+        raw.repartition(13), "key", "ts", "cents", 20).collect()))
+    assert a == b

@@ -271,3 +271,161 @@ def m4_downsample(
         F.col("_l.v").alias("v_last"),
         "n_points",
     )
+
+
+def swinging_door(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    cents_col,
+    epsilon_cents: int,
+) -> DataFrame:
+    """Error-bounded lossy compression (swinging-door-trending family,
+    the PI-historian algorithm; greedy corridor PLA variant): per key,
+    keep the minimal greedy subset of ORIGINAL points such that linear
+    interpolation between consecutive kept points deviates from every
+    dropped point by at most ``epsilon_cents`` — guaranteed by
+    construction, because a segment is only extended while the line to
+    its candidate endpoint stays inside the intersection of every
+    intermediate point's ±ε slope corridor.
+
+    This completes the repo's tiering menu: Gorilla (lossless bits), SDT
+    (lossy with a hard error bound), LTTB (visual shape), M4 (pixel
+    min/max), SAX (symbolic). Values are integer cents (the oracle
+    discipline; pass e.g. ``F.round(F.col("v")*100).cast("long")``) and
+    corridor comparisons run in EXACT rational arithmetic (Python-int
+    cross-multiplication — no float slope can mis-accept a borderline
+    segment), so output is bit-identical at any parallelism.
+
+    Output: the kept rows ``(key, ts, cents, pt_index)`` (pt_index =
+    0-based rank of the point in its key's series; first and last always
+    kept). Scale: one shuffle on the key + a sequential per-key kernel
+    (``applyInPandas``), the gorilla codec's documented shape — a key's
+    series must fit a task.
+    """
+    import pandas as pd
+
+    from tstore_spark.functions.timeparts import ntz_epoch_micros
+
+    if epsilon_cents < 0:
+        raise ValueError(f"epsilon_cents must be >= 0, got {epsilon_cents}")
+    eps = int(epsilon_cents)
+    c = cents_col if not isinstance(cents_col, str) else F.col(cents_col)
+    prepped = df.select(
+        F.col(key_col).alias("key"),
+        F.col(time_col).alias("ts"),
+        ntz_epoch_micros(time_col).alias("_t"),
+        c.cast("long").alias("cents"),
+    )
+
+    def _compress(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_t", "cents"]).reset_index(drop=True)
+        t = [int(x) for x in pdf["_t"]]
+        v = [int(x) for x in pdf["cents"]]
+        n = len(t)
+        if n <= 2:
+            keep = list(range(n))
+        else:
+            keep = [0]
+            a = 0
+            # corridor = intersection of ±eps slope constraints, kept as
+            # exact rationals (num, den), den > 0
+            up_n, up_d = None, None  # min upper slope
+            dn_n, dn_d = None, None  # max lower slope
+            for i in range(1, n):
+                dt = t[i] - t[a]
+                if dt == 0:
+                    # duplicate timestamp on the anchor: must keep (no
+                    # line can represent two values at one instant)
+                    keep.append(i)
+                    a = i
+                    up_n = dn_n = None
+                    continue
+                sn, sd = v[i] - v[a], dt  # candidate line slope
+                ok = True
+                if up_n is not None and sn * up_d > up_n * sd:
+                    ok = False
+                if ok and dn_n is not None and sn * dn_d < dn_n * sd:
+                    ok = False
+                if not ok:
+                    # close the segment at the previous point, restart
+                    keep.append(i - 1)
+                    a = i - 1
+                    dt = t[i] - t[a]
+                    if dt == 0:
+                        keep.append(i)
+                        a = i
+                        up_n = dn_n = None
+                        continue
+                    up_n, up_d = v[i] + eps - v[a], dt
+                    dn_n, dn_d = v[i] - eps - v[a], dt
+                    continue
+                # accept i; tighten the corridor with i's own constraint
+                cu_n, cu_d = v[i] + eps - v[a], dt
+                cd_n, cd_d = v[i] - eps - v[a], dt
+                if up_n is None or cu_n * up_d < up_n * cu_d:
+                    up_n, up_d = cu_n, cu_d
+                if dn_n is None or cd_n * dn_d > dn_n * cd_d:
+                    dn_n, dn_d = cd_n, cd_d
+            if keep[-1] != n - 1:
+                keep.append(n - 1)
+        out = pdf.iloc[sorted(set(keep))][["key", "ts", "cents"]].copy()
+        out["pt_index"] = sorted(set(keep))
+        return out
+
+    schema = "key string, ts timestamp_ntz, cents long, pt_index long"
+    kt = dict(prepped.dtypes)
+    schema = schema.replace("key string", f"key {kt['key']}").replace(
+        "ts timestamp_ntz", f"ts {kt['ts']}"
+    )
+    return prepped.groupBy("key").applyInPandas(_compress, schema=schema)
+
+
+def sdt_bound_check(
+    raw: DataFrame,
+    kept: DataFrame,
+    epsilon_cents: int,
+) -> DataFrame:
+    """EXACT reconstruction-error audit of a :func:`swinging_door` result:
+    per key, ``(key, n_raw, n_kept, within_bound)`` where within_bound
+    verifies ``|interp(t) − v(t)| <= ε`` for every raw point via integer
+    cross-multiplication (cents × micros — no float interpolation can
+    blur the boundary). ``raw`` must carry (key, ts, _t, cents)-shaped
+    columns as produced by the swinging_door prep; pass the same inputs.
+    One segment range-join per key — the verification path (test/gate
+    scale; at corpus scale audit a sampled key subset)."""
+    from pyspark.sql import Window
+
+    from tstore_spark.functions.timeparts import ntz_epoch_micros
+
+    w = Window.partitionBy("key").orderBy("pt_index")
+    seg = kept.select(
+        "key",
+        ntz_epoch_micros("ts").alias("t1"),
+        F.col("cents").alias("v1"),
+        "pt_index",
+    ).withColumn("t2", F.lead("t1").over(w)).withColumn(
+        "v2", F.lead("v1").over(w)
+    ).where(F.col("t2").isNotNull())
+    r = raw.select(
+        F.col("key"), ntz_epoch_micros("ts").alias("t"), F.col("cents").alias("v")
+    )
+    j = r.join(seg, "key").where(
+        (F.col("t") >= F.col("t1")) & (F.col("t") <= F.col("t2"))
+    )
+    # |(v - v1)(t2 - t1) - (v2 - v1)(t - t1)| <= eps (t2 - t1), all longs
+    lhs = F.abs(
+        (F.col("v") - F.col("v1")) * (F.col("t2") - F.col("t1"))
+        - (F.col("v2") - F.col("v1")) * (F.col("t") - F.col("t1"))
+    )
+    ok = lhs <= F.lit(int(epsilon_cents)) * (F.col("t2") - F.col("t1"))
+    per_key = j.groupBy("key").agg(
+        F.min(ok.cast("int")).alias("_allok")
+    )
+    counts = r.groupBy("key").agg(F.count(F.lit(1)).alias("n_raw")).join(
+        kept.groupBy("key").agg(F.count(F.lit(1)).alias("n_kept")), "key"
+    )
+    return counts.join(per_key, "key", "left").select(
+        "key", "n_raw", "n_kept",
+        F.coalesce(F.col("_allok") == 1, F.lit(True)).alias("within_bound"),
+    )
