@@ -150,6 +150,11 @@ HEADLINE = [
     "calibration_report",
     "hyperball_centrality",
     "benford_profile",
+    "attribution_credits",
+    "conversion_paths",
+    "clustering_coefficients",
+    "sq8_ann",
+    "swinging_door",
 ]
 
 

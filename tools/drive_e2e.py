@@ -845,6 +845,41 @@ def main() -> int:
         check("clustering coefficient: triangle node 1/3, pendant 0",
               abs(cc["a"] - 1 / 3) < 1e-12 and cc["d"] == 0.0)
 
+        from tstore_spark.operators.behavior import conversion_paths
+
+        paths = {r["path"]: r["n_conversions"] for r in conversion_paths(
+            touches, convs, steps=2).collect()}
+        check("conversion paths: every conversion in a bucket",
+              sum(paths.values()) == 2)
+
+        from tstore_spark.operators.downsample import (
+            sdt_bound_check, swinging_door,
+        )
+
+        ramp = spark.createDataFrame(pd.DataFrame({
+            "key": ["r"] * 60,
+            "ts": pd.date_range("2024-04-01", periods=60, freq="min"),
+            "cents": [100 + 7 * i + (40 if i == 30 else 0) for i in range(60)],
+        }).astype({"ts": "datetime64[us]"}))
+        kept = swinging_door(ramp, "key", "ts", "cents", epsilon_cents=10)
+        chk = sdt_bound_check(ramp, kept, 10).collect()[0]
+        check("swinging door: bound holds, ramp compresses hard",
+              chk["within_bound"] and chk["n_kept"] <= 6)
+
+        from tstore_spark.operators.similarity import (
+            sq8_bounds, sq8_quantize, sq8_topk,
+        )
+
+        evecs = spark.createDataFrame(
+            [(i, [float((i * 13 + d * 7) % 29) - 14.0 for d in range(8)])
+             for i in range(50)],
+            "vec_id long, embedding array<double>")
+        sqc = sq8_quantize(evecs, sq8_bounds(evecs))
+        topk = sq8_topk(sqc, sqc.where(F.col("vec_id") < 2), k=5)
+        check("sq8: codes bounded, candidate top-5 per probe",
+              sqc.count() == 50 and topk.groupBy("query_id").count()
+              .agg(F.min("count")).first()[0] == 5)
+
         print(f"\nALL {n_checks} CHECKS PASS")
         return 0
     finally:

@@ -458,6 +458,26 @@ def main(sf_dir: str) -> int:
           len(re.findall(r"\(\d+\) Exchange", p)) == 1,
           "rank + tau windows share one group Exchange")
 
+    # 39. attribution + path mining: one user-key equi-join each (lookback
+    # predicate rides the join filter) — never a cartesian; the path rank
+    # cap pushes to WindowGroupLimit
+    p = plan_of(qs["attribution_credits"](spark, sf_dir))
+    check("attribution.no_cartesian",
+          "Cartesian" not in p and "BroadcastNestedLoop" not in p,
+          "touch-conversion pairing is a user equi-join")
+    p = plan_of(qs["conversion_paths"](spark, sf_dir))
+    check("paths.window_group_limit", "WindowGroupLimit" in p,
+          "last-k cap bounds the per-conversion rows before the fold")
+
+    # 40. sq8: codes assemble via one id groupBy over the broadcast-joined
+    # bounds; the candidate stage is a broadcast probe join, all JVM
+    p = plan_of(qs["sq8_ann"](spark, sf_dir))
+    check("sq8.broadcast_probes", "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p,
+          "probes broadcast to the code scan")
+    check("sq8.jvm",
+          "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "codes + integer dots are codegen expressions")
+
     spark.stop()
     print(f"\n{'ALL PASS' if not failures else 'FAILURES: ' + ', '.join(failures)}")
     return 1 if failures else 0
