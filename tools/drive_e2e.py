@@ -847,8 +847,12 @@ def main() -> int:
 
         from tstore_spark.operators.behavior import conversion_paths
 
+        typed_touches = touches.withColumn(
+            "event_type",
+            F.when(F.col("event_id") % 2 == 0, "view").otherwise("click"),
+        )
         paths = {r["path"]: r["n_conversions"] for r in conversion_paths(
-            touches, convs, steps=2).collect()}
+            typed_touches, convs, steps=2).collect()}
         check("conversion paths: every conversion in a bucket",
               sum(paths.values()) == 2)
 
