@@ -4137,6 +4137,20 @@ def _q_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("id", "user_id")
 
 
+def _q_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder profile (operators/coverage.py
+    out_of_order_profile): replaying events in event_id (arrival) order,
+    how late does event time arrive per type — max_lateness_us IS the
+    minimal lossless watermark. Exact integer lateness via one ordered
+    window; oracle replays the identical running-max arithmetic."""
+    from tstore_spark.operators.coverage import out_of_order_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return out_of_order_profile(ev, "event_type", "event_id", "ts").withColumnRenamed(
+        "key", "event_type"
+    )
+
+
 def _q_swinging_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-bounded lossy compression (operators/downsample.py
     swinging_door + sdt_bound_check): per-type minute-cents series
@@ -4657,6 +4671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_paths": _q_conversion_paths,
         "sq8_ann": _q_sq8_ann,
         "swinging_door": _q_swinging_door,
+        "out_of_order_profile": _q_out_of_order,
     }
 
 
@@ -7030,6 +7045,26 @@ def oracle_sql() -> dict[str, str]:
                         + CASE WHEN rn <= v % n THEN 1 ELSE 0 END
                         AS BIGINT) AS credit_cents
             FROM w
+        """,
+        "out_of_order_profile": """
+            WITH s AS (
+                SELECT event_type AS key, event_id AS o, epoch_us(ts) AS t
+                FROM events),
+            w AS (
+                SELECT key, t,
+                       MAX(t) OVER (PARTITION BY key ORDER BY o
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS pm
+                FROM s)
+            SELECT key AS event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN pm - t > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_late,
+                   CAST(COALESCE(MAX(GREATEST(pm - t, 0)), 0) AS BIGINT)
+                       AS max_lateness_us,
+                   CAST(COALESCE(SUM(GREATEST(pm - t, 0)), 0) AS BIGINT)
+                       AS sum_lateness_us
+            FROM w GROUP BY 1
         """,
         "swinging_door": """
             WITH m AS (

@@ -158,3 +158,45 @@ def test_gap_profile_guards_and_determinism(spark):
             df.repartition(parts), "key", "ts", 60).collect())
 
     assert run(1) == run(16)
+
+
+def test_out_of_order_profile_matches_brute_force(spark):
+    from tstore_spark.operators.coverage import out_of_order_profile
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # key a: arrival order 0..5, event times with two regressions
+    times_a = [0, 10, 5, 20, 3, 25]  # minutes
+    for i, m in enumerate(times_a):
+        rows.append(("a", i, t0 + pd.Timedelta(minutes=m)))
+    # key b: perfectly ordered
+    for i in range(4):
+        rows.append(("b", i, t0 + pd.Timedelta(minutes=i)))
+    sdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "seq", "ts"]).astype(
+            {"ts": "datetime64[us]"})
+    )
+    got = {r["key"]: (r["n_rows"], r["n_late"], r["max_lateness_us"],
+                      r["sum_lateness_us"])
+           for r in out_of_order_profile(sdf, "k", "seq", "ts").collect()}
+    M = 60 * 1_000_000
+    # a: row2 late by 5m (max prior 10), row4 late by 17m (max prior 20)
+    assert got["a"] == (6, 2, 17 * M, (5 + 17) * M)
+    assert got["b"] == (4, 0, 0, 0)
+
+
+def test_out_of_order_deterministic_across_parallelism(spark):
+    from tstore_spark.operators.coverage import out_of_order_profile
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [(f"k{i % 5}", i, t0 + pd.Timedelta(seconds=(i * 7919) % 1000))
+            for i in range(2000)]
+    sdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "seq", "ts"]).astype(
+            {"ts": "datetime64[us]"})
+    )
+    a = sorted(map(tuple, out_of_order_profile(
+        sdf.repartition(1), "k", "seq", "ts").collect()))
+    b = sorted(map(tuple, out_of_order_profile(
+        sdf.repartition(17), "k", "seq", "ts").collect()))
+    assert a == b

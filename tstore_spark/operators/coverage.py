@@ -358,3 +358,44 @@ def gap_profile(
         age,
         (F.col("_last_e") + F.lit(bar) < as_of_e).alias("stale"),
     )
+
+
+def out_of_order_profile(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    time_col: str,
+) -> DataFrame:
+    """Event-time disorder profile — THE question a streaming pipeline must
+    answer before choosing a watermark: when rows are replayed in
+    ``order_col`` order (arrival/ingestion sequence), how late does event
+    time arrive? Per key: ``(key, n_rows, n_late, max_lateness_us,
+    sum_lateness_us)`` where a row's lateness is ``running_max(event
+    time over all PRIOR arrivals) − its own event time`` (0 when time
+    moved forward). ``max_lateness_us`` IS the minimal watermark that
+    would have dropped nothing; ``n_late / n_rows`` is the disorder rate.
+
+    Exact: integer epoch-micros arithmetic over one ordered window per
+    key (NTZ-safe), order-independent totals — reproducible by any SQL
+    engine. Callers needing a global answer re-aggregate the per-key
+    integers (they sum exactly).
+
+    Scale: one shuffle on the key + one ordered window pass — the
+    standard per-key bound; at corpus scale run it on a sampled key
+    subset or a bounded time slice (the answer is a tuning constant, not
+    a per-row product)."""
+    w = Window.partitionBy("key").orderBy("_o")
+    prior_max = F.max("_t").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    s = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).alias("_o"),
+        ntz_epoch_micros(time_col).alias("_t"),
+    ).withColumn(
+        "_late", F.greatest(prior_max - F.col("_t"), F.lit(0))
+    )
+    return s.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("_late") > 0).cast("long")).alias("n_late"),
+        F.max("_late").alias("max_lateness_us"),
+        F.sum("_late").alias("sum_lateness_us"),
+    )
