@@ -4137,6 +4137,26 @@ def _q_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("id", "user_id")
 
 
+def _q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter linkage scoring (operators/dedup.py fellegi_sunter)
+    over deterministic candidate pairs (each doc vs +1 and +97): null-safe
+    per-field agreement on (lang, source, n_chars-band), integer
+    milli-log-odds fold, three-way decision. Oracle replays the identical
+    joins and CASE fold — all integers and booleans."""
+    from tstore_spark.operators.dedup import fellegi_sunter
+
+    docs = _t(spark, sf_dir, "documents")
+    recs = docs.select(
+        "doc_id", "lang", "source", F.expr("n_chars div 100").alias("band")
+    )
+    base = docs.select(F.col("doc_id").alias("id_a"))
+    pairs = base.select("id_a", (F.col("id_a") + 1).alias("id_b")).unionByName(
+        base.select("id_a", (F.col("id_a") + 97).alias("id_b"))
+    )
+    fw = {"lang": (1500, -800), "source": (700, -400), "band": (900, -300)}
+    return fellegi_sunter(pairs, recs, fw, upper_milli=2000, lower_milli=-900)
+
+
 def _q_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time disorder profile (operators/coverage.py
     out_of_order_profile): replaying events in event_id (arrival) order,
@@ -4672,6 +4692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_ann": _q_sq8_ann,
         "swinging_door": _q_swinging_door,
         "out_of_order_profile": _q_out_of_order,
+        "record_linkage": _q_record_linkage,
     }
 
 
@@ -7045,6 +7066,36 @@ def oracle_sql() -> dict[str, str]:
                         + CASE WHEN rn <= v % n THEN 1 ELSE 0 END
                         AS BIGINT) AS credit_cents
             FROM w
+        """,
+        "record_linkage": """
+            WITH r AS (
+                SELECT doc_id, lang, source, n_chars // 100 AS band
+                FROM documents),
+            p AS (
+                SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+                UNION ALL
+                SELECT doc_id, doc_id + 97 FROM documents),
+            j AS (
+                SELECT p.id_a, p.id_b,
+                       a.lang IS NOT DISTINCT FROM b.lang AS agree_lang,
+                       a.source IS NOT DISTINCT FROM b.source AS agree_source,
+                       a.band IS NOT DISTINCT FROM b.band AS agree_band
+                FROM p
+                JOIN r a ON a.doc_id = p.id_a
+                JOIN r b ON b.doc_id = p.id_b),
+            s AS (
+                SELECT *,
+                       CAST((CASE WHEN agree_lang THEN 1500 ELSE -800 END)
+                          + (CASE WHEN agree_source THEN 700 ELSE -400 END)
+                          + (CASE WHEN agree_band THEN 900 ELSE -300 END)
+                          AS BIGINT) AS score_milli
+                FROM j)
+            SELECT id_a, id_b, agree_lang, agree_source, agree_band,
+                   score_milli,
+                   CASE WHEN score_milli >= 2000 THEN 'match'
+                        WHEN score_milli <= -900 THEN 'non_match'
+                        ELSE 'possible' END AS decision
+            FROM s
         """,
         "out_of_order_profile": """
             WITH s AS (

@@ -395,3 +395,49 @@ def test_remove_duplicate_spans_precomputed_and_columns(spark):
     got = {r["doc_id"]: (r["text"], r["lang"]) for r in out}
     assert got[1] == ("a b c d e f g h i j k", "en")
     assert got[2] == ("z", "de")    # surviving token, lang passes through
+
+
+def test_fellegi_sunter_scoring(spark):
+    from tstore_spark.operators.dedup import fellegi_sunter
+
+    recs = spark.createDataFrame(
+        [(1, "en", "src0"), (2, "en", "src0"), (3, "de", "src0"),
+         (4, None, "src1"), (5, None, "src1")],
+        "doc_id long, lang string, source string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5), (2, 4)], "id_a long, id_b long")
+    fw = {"lang": (1500, -800), "source": (700, -400)}
+    out = {(r["id_a"], r["id_b"]): r for r in fellegi_sunter(
+        pairs, recs, fw, upper_milli=2000, lower_milli=-500).collect()}
+    # (1,2): both agree -> 2200 match; (1,3): lang differs -> -100 possible
+    assert out[(1, 2)]["score_milli"] == 2200
+    assert out[(1, 2)]["decision"] == "match"
+    assert out[(1, 3)]["score_milli"] == -800 + 700
+    assert out[(1, 3)]["decision"] == "possible"
+    # (4,5): NULL langs agree (null-safe) -> 2200 match
+    assert out[(4, 5)]["agree_lang"] and out[(4, 5)]["decision"] == "match"
+    # (2,4): en vs NULL disagree, src0 vs src1 disagree -> -1200 non_match
+    assert out[(2, 4)]["score_milli"] == -1200
+    assert out[(2, 4)]["decision"] == "non_match"
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="must not be empty"):
+        fellegi_sunter(pairs, recs, {})
+    with _pt.raises(ValueError, match="lower"):
+        fellegi_sunter(pairs, recs, fw, upper_milli=0, lower_milli=1)
+
+
+def test_fellegi_sunter_deterministic_across_parallelism(spark):
+    from tstore_spark.operators.dedup import fellegi_sunter
+
+    recs = spark.createDataFrame(
+        [(i, f"l{i % 5}", f"s{i % 3}") for i in range(500)],
+        "doc_id long, lang string, source string")
+    pairs = spark.createDataFrame(
+        [(i, (i + 7) % 500) for i in range(500)], "id_a long, id_b long")
+    fw = {"lang": (1000, -500), "source": (600, -300)}
+    a = sorted(map(tuple, fellegi_sunter(
+        pairs.repartition(1), recs.repartition(1), fw).collect()))
+    b = sorted(map(tuple, fellegi_sunter(
+        pairs.repartition(13), recs.repartition(7), fw).collect()))
+    assert a == b

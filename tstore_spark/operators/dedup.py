@@ -1458,3 +1458,64 @@ def remove_duplicate_spans(
         .otherwise(F.col(text_col))
         .alias(text_col),
     )
+
+
+def fellegi_sunter(
+    pairs: DataFrame,
+    records: DataFrame,
+    field_weights: dict,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    upper_milli: int = 2000,
+    lower_milli: int = -2000,
+) -> DataFrame:
+    """Fellegi-Sunter record-linkage scoring (JASA 1969) — the decision
+    model that sits on top of the repo's blocking stack
+    (:func:`sorted_neighborhood_pairs` / hash blocks / LSH): each
+    candidate pair's per-field agreement pattern folds into a log-odds
+    score, thresholded into match / possible / non_match.
+
+    ``field_weights``: ``{field: (w_agree_milli, w_disagree_milli)}`` —
+    the INTEGER milli-scaled log-odds ``ln(m/u)`` and ``ln((1−m)/(1−u))``
+    from offline EM or labeled data (integer weights keep the fold exact
+    and order-independent, the classifier_score convention). Agreement is
+    null-safe equality (two NULLs agree — the conservative convention;
+    tune per field by pre-imputing). Output: ``(id_a, id_b,
+    agree_<field> booleans, score_milli, decision)``.
+
+    Scale: two broadcast-or-hash equi-joins on the record id (each side
+    of every pair fetches its field vector once) and a pure-codegen CASE
+    fold — no Python, no per-field shuffles."""
+    if not field_weights:
+        raise ValueError("field_weights must not be empty")
+    if lower_milli > upper_milli:
+        raise ValueError(f"lower {lower_milli} > upper {upper_milli}")
+    fields = list(field_weights)
+    a = records.select(
+        F.col(id_col).alias(id_a), *[F.col(f).alias(f"_a_{f}") for f in fields]
+    )
+    b = records.select(
+        F.col(id_col).alias(id_b), *[F.col(f).alias(f"_b_{f}") for f in fields]
+    )
+    j = pairs.select(id_a, id_b).join(a, id_a).join(b, id_b)
+    agrees = {
+        f: F.col(f"_a_{f}").eqNullSafe(F.col(f"_b_{f}")) for f in fields
+    }
+    score = None
+    for f in fields:
+        wm, wu = (int(x) for x in field_weights[f])
+        term = F.when(agrees[f], F.lit(wm)).otherwise(F.lit(wu))
+        score = term if score is None else score + term
+    decision = (
+        F.when(score >= F.lit(int(upper_milli)), F.lit("match"))
+        .when(score <= F.lit(int(lower_milli)), F.lit("non_match"))
+        .otherwise(F.lit("possible"))
+    )
+    return j.select(
+        id_a,
+        id_b,
+        *[agrees[f].alias(f"agree_{f}") for f in fields],
+        score.cast("long").alias("score_milli"),
+        decision.alias("decision"),
+    )
