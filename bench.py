@@ -155,6 +155,8 @@ HEADLINE = [
     "clustering_coefficients",
     "sq8_ann",
     "swinging_door",
+    "out_of_order_profile",
+    "record_linkage",
 ]
 
 

@@ -884,6 +884,31 @@ def main() -> int:
               sqc.count() == 50 and topk.groupBy("query_id").count()
               .agg(F.min("count")).first()[0] == 5)
 
+        from tstore_spark.operators.coverage import out_of_order_profile
+
+        disorder = spark.createDataFrame(pd.DataFrame({
+            "k": ["s"] * 5, "seq": range(5),
+            "ts": pd.to_datetime(["2024-06-01 00:00", "2024-06-01 00:10",
+                                  "2024-06-01 00:05", "2024-06-01 00:20",
+                                  "2024-06-01 00:19"]),
+        }).astype({"ts": "datetime64[us]"}))
+        oo = out_of_order_profile(disorder, "k", "seq", "ts").collect()[0]
+        check("disorder profile: watermark = worst regression",
+              oo["n_late"] == 2 and oo["max_lateness_us"] == 5 * 60 * 1_000_000)
+
+        from tstore_spark.operators.dedup import fellegi_sunter
+
+        fs_recs = spark.createDataFrame(
+            [(1, "en", "a"), (2, "en", "a"), (3, "fr", "b")],
+            "doc_id long, lang string, source string")
+        fs = fellegi_sunter(
+            spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long"),
+            fs_recs, {"lang": (1000, -500), "source": (500, -250)},
+            upper_milli=1200, lower_milli=-600)
+        dec = {(r["id_a"], r["id_b"]): r["decision"] for r in fs.collect()}
+        check("record linkage: agree pair matches, disagree pair rejected",
+              dec == {(1, 2): "match", (1, 3): "non_match"})
+
         print(f"\nALL {n_checks} CHECKS PASS")
         return 0
     finally:
