@@ -909,6 +909,35 @@ def main() -> int:
         check("record linkage: agree pair matches, disagree pair rejected",
               dec == {(1, 2): "match", (1, 3): "non_match"})
 
+        from tstore_spark.streaming.monitor import (
+            assert_watermark_monotone, observe_event_time, progress_report,
+        )
+
+        msrc = f"{tmp}/monitor_src"
+        mdf = spark.createDataFrame(pd.DataFrame({
+            "ts": pd.date_range("2024-07-01", periods=120, freq="min"),
+            "v": [float(i) for i in range(120)],
+        }).astype({"ts": "datetime64[us]"}))
+        mdf.repartition(3).write.parquet(msrc)
+        mstream = (spark.readStream.schema(mdf.schema)
+                   .option("maxFilesPerTrigger", 1).parquet(msrc))
+        mstream = mstream.withColumn(
+            "ts_z", F.timestamp_seconds(
+                F.col("ts").cast("string").cast("timestamp").cast("long")))
+        magg = (observe_event_time(mstream, "ts")
+                .withWatermark("ts_z", "5 minutes")
+                .groupBy(F.window("ts_z", "30 minutes"))
+                .agg(F.count(F.lit(1)).alias("n")))
+        mq = (magg.writeStream.format("parquet")
+              .option("path", f"{tmp}/monitor_out")
+              .option("checkpointLocation", f"{tmp}/monitor_ckpt")
+              .outputMode("append").trigger(availableNow=True).start())
+        mq.awaitTermination(120)
+        mrep = progress_report(mq)
+        assert_watermark_monotone(mrep)
+        check("stream monitor: observed rows == input, watermark monotone",
+              sum(r.get("obs_rows") or 0 for r in mrep) == 120)
+
         print(f"\nALL {n_checks} CHECKS PASS")
         return 0
     finally:
