@@ -390,38 +390,54 @@ def sdt_bound_check(
     per key, ``(key, n_raw, n_kept, within_bound)`` where within_bound
     verifies ``|interp(t) − v(t)| <= ε`` for every raw point via integer
     cross-multiplication (cents × micros — no float interpolation can
-    blur the boundary). ``raw`` must carry (key, ts, _t, cents)-shaped
-    columns as produced by the swinging_door prep; pass the same inputs.
-    One segment range-join per key — the verification path (test/gate
-    scale; at corpus scale audit a sampled key subset)."""
+    blur the boundary). ``raw``/``kept`` carry (key, ts, cents) columns.
+
+    Linear, never the per-key raw×segments join (measured 59 s at sf0.1
+    minute grain — quadratic in series length): kept and raw rows UNION
+    into one key-ordered stream, a forward running ``last`` brackets each
+    raw point with its preceding kept point and a reverse pass with its
+    following one — two window passes over n_raw + n_kept rows, one
+    shuffle. Assumes strictly increasing timestamps per key (aggregated
+    series; duplicate-timestamp behavior is covered at the operator
+    level, where both duplicates are always kept)."""
     from pyspark.sql import Window
 
     from tstore_spark.functions.timeparts import ntz_epoch_micros
 
-    w = Window.partitionBy("key").orderBy("pt_index")
-    seg = kept.select(
+    k = kept.select(
         "key",
-        ntz_epoch_micros("ts").alias("t1"),
-        F.col("cents").alias("v1"),
-        "pt_index",
-    ).withColumn("t2", F.lead("t1").over(w)).withColumn(
-        "v2", F.lead("v1").over(w)
-    ).where(F.col("t2").isNotNull())
+        ntz_epoch_micros("ts").alias("t"),
+        F.col("cents").alias("v"),
+        F.lit(1).alias("is_k"),
+    )
     r = raw.select(
-        F.col("key"), ntz_epoch_micros("ts").alias("t"), F.col("cents").alias("v")
+        "key",
+        ntz_epoch_micros("ts").alias("t"),
+        F.col("cents").alias("v"),
+        F.lit(0).alias("is_k"),
     )
-    j = r.join(seg, "key").where(
-        (F.col("t") >= F.col("t1")) & (F.col("t") <= F.col("t2"))
+    u = r.unionByName(k)
+    kt = F.when(F.col("is_k") == 1, F.col("t"))
+    kv = F.when(F.col("is_k") == 1, F.col("v"))
+    asc = Window.partitionBy("key").orderBy("t", F.col("is_k").desc())
+    dsc = Window.partitionBy("key").orderBy(F.col("t").desc(), F.col("is_k").desc())
+    run_a = asc.rowsBetween(Window.unboundedPreceding, 0)
+    run_d = dsc.rowsBetween(Window.unboundedPreceding, 0)
+    b = (
+        u.withColumn("t1", F.last(kt, ignorenulls=True).over(run_a))
+        .withColumn("v1", F.last(kv, ignorenulls=True).over(run_a))
+        .withColumn("t2", F.last(kt, ignorenulls=True).over(run_d))
+        .withColumn("v2", F.last(kv, ignorenulls=True).over(run_d))
     )
-    # |(v - v1)(t2 - t1) - (v2 - v1)(t - t1)| <= eps (t2 - t1), all longs
+    checks = b.where(F.col("is_k") == 0)
+    # |(v - v1)(t2 - t1) - (v2 - v1)(t - t1)| <= eps (t2 - t1), all longs;
+    # a raw point that coincides with a kept point yields lhs = 0
     lhs = F.abs(
         (F.col("v") - F.col("v1")) * (F.col("t2") - F.col("t1"))
         - (F.col("v2") - F.col("v1")) * (F.col("t") - F.col("t1"))
     )
     ok = lhs <= F.lit(int(epsilon_cents)) * (F.col("t2") - F.col("t1"))
-    per_key = j.groupBy("key").agg(
-        F.min(ok.cast("int")).alias("_allok")
-    )
+    per_key = checks.groupBy("key").agg(F.min(ok.cast("int")).alias("_allok"))
     counts = r.groupBy("key").agg(F.count(F.lit(1)).alias("n_raw")).join(
         kept.groupBy("key").agg(F.count(F.lit(1)).alias("n_kept")), "key"
     )
