@@ -4137,6 +4137,21 @@ def _q_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("id", "user_id")
 
 
+def _q_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour top-3 event types by exact cents (operators/olap.py
+    windowed_topk): map-side-combined (window, key) partials, then the
+    rank cut plans as WindowGroupLimit so the second exchange carries at
+    most k rows per window per map partition. Oracle replays the
+    identical total order."""
+    from tstore_spark.operators.olap import windowed_topk
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_topk(
+        ev, "ts", "event_type", k=3, width="1 hour",
+        weight_cents=F.round(F.col("value") * 100).cast("long"),
+    )
+
+
 def _q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter linkage scoring (operators/dedup.py fellegi_sunter)
     over deterministic candidate pairs (each doc vs +1 and +97): null-safe
@@ -4693,6 +4708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "swinging_door": _q_swinging_door,
         "out_of_order_profile": _q_out_of_order,
         "record_linkage": _q_record_linkage,
+        "windowed_topk": _q_windowed_topk,
     }
 
 
@@ -7066,6 +7082,21 @@ def oracle_sql() -> dict[str, str]:
                         + CASE WHEN rn <= v % n THEN 1 ELSE 0 END
                         AS BIGINT) AS credit_cents
             FROM w
+        """,
+        "windowed_topk": """
+            WITH a AS (
+                SELECT date_trunc('hour', ts) AS window_start,
+                       event_type AS key,
+                       CAST(COUNT(*) AS BIGINT) AS cnt,
+                       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                           AS cents
+                FROM events GROUP BY 1, 2),
+            r AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                    ORDER BY cents DESC, cnt DESC, key) AS rnk
+                FROM a)
+            SELECT window_start, key, cnt, cents, CAST(rnk AS INT) AS rnk
+            FROM r WHERE rnk <= 3
         """,
         "record_linkage": """
             WITH r AS (

@@ -143,3 +143,59 @@ def test_deterministic_across_parallelism(spark):
         return _collect(cube_rollup(sdf.repartition(parts), ["lang", "source"], MEASURES()))
 
     assert run(1) == run(16)
+
+
+def test_windowed_topk_matches_brute_force(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tstore_spark.operators.olap import windowed_topk
+
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+    for i in range(600):
+        rows.append((t0 + pd.Timedelta(minutes=i % 300),
+                     f"d{i % 7}", 100 + (i * 13) % 500))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["ts", "dom", "cents"]).astype(
+            {"ts": "datetime64[us]"}))
+    out = windowed_topk(df, "ts", "dom", k=3, width="1 hour",
+                        weight_cents="cents").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["window_start"], []).append(
+            (r["rnk"], r["key"], r["cnt"], r["cents"]))
+    want = {}
+    for ts, dom, cents in rows:
+        h = ts.floor("h")
+        c = want.setdefault(h, {}).setdefault(dom, [0, 0])
+        c[0] += 1
+        c[1] += cents
+    for h, per in want.items():
+        ranked = sorted(per.items(), key=lambda kv: (-kv[1][1], -kv[1][0], kv[0]))[:3]
+        exp = [(i + 1, d, n, c) for i, (d, (n, c)) in enumerate(ranked)]
+        assert sorted(got[pd.Timestamp(h)]) == exp, h
+
+
+def test_windowed_topk_plans_group_limit_and_guards(spark):
+    import pandas as pd
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from tstore_spark.operators.olap import windowed_topk
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "ts": pd.date_range("2024-01-01", periods=400, freq="min"),
+            "dom": [f"d{i % 9}" for i in range(400)],
+        }).astype({"ts": "datetime64[us]"}))
+    out = windowed_topk(df, "ts", "dom", k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    with _pt.raises(ValueError, match="width"):
+        windowed_topk(df, "ts", "dom", 2, width="2 hours")
+    with _pt.raises(ValueError, match="k must"):
+        windowed_topk(df, "ts", "dom", 0)
+    a = sorted(map(tuple, windowed_topk(df.repartition(1), "ts", "dom", 2).collect()))
+    b = sorted(map(tuple, windowed_topk(df.repartition(13), "ts", "dom", 2).collect()))
+    assert a == b

@@ -145,3 +145,52 @@ def cube_oracle_sql(
         FROM ({src_sql})
         GROUP BY {by}
     """
+
+
+def windowed_topk(
+    df: DataFrame,
+    time_col: str,
+    key_col: str,
+    k: int,
+    width: str = "1 hour",
+    weight_cents=None,
+) -> DataFrame:
+    """Exact per-window leaders — "top k domains per hour by traffic", the
+    dashboard companion to the rollup tiers (tiers aggregate; this
+    ranks): ``(window_start, key, cnt, cents, rnk)`` for the k heaviest
+    keys of every tumbling window, ranked by integer cents (ties: count
+    desc, then key asc — a total order, so the cut is deterministic).
+
+    ``width``: '1 hour', '1 day', or '1 minute' (wall-clock NTZ-safe
+    date_trunc, cast back — the CLAUDE.md rule). ``weight_cents``
+    defaults to row count ranking.
+
+    Scale shape: one map-side-combined groupBy to (window, key) partials,
+    then the rank filter directly above row_number plans as
+    WindowGroupLimit — per-partition top-k heaps BEFORE the second
+    shuffle, so the exchange carries at most k rows per window per map
+    partition (the priority_sample_per_group mechanics, applied to the
+    aggregate table)."""
+    unit = {"1 minute": "minute", "1 hour": "hour", "1 day": "day"}.get(width)
+    if unit is None:
+        raise ValueError(f"width must be 1 minute/1 hour/1 day, got {width!r}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.date_trunc(unit, F.col(time_col)).cast("timestamp_ntz")
+    cents = (
+        F.lit(1).cast("long")
+        if weight_cents is None
+        else (F.col(weight_cents) if isinstance(weight_cents, str) else weight_cents)
+        .cast("long")
+    )
+    agg = df.groupBy(w.alias("window_start"), F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(cents).alias("cents")
+    )
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(
+            F.desc("cents"), F.desc("cnt"), F.asc("key")
+        )
+    )
+    return agg.withColumn("rnk", rnk).where(F.col("rnk") <= k)
