@@ -157,6 +157,7 @@ HEADLINE = [
     "swinging_door",
     "out_of_order_profile",
     "record_linkage",
+    "windowed_topk",
 ]
 
 
