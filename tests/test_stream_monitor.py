@@ -16,17 +16,21 @@ from tstore_spark.streaming.monitor import (
 
 
 def test_observe_on_batch_matches_truth(spark):
+    from pyspark.sql import Observation
+
     pdf = pd.DataFrame({
         "ts": pd.date_range("2024-02-01", periods=100, freq="min"),
         "v": range(100),
     }).astype({"ts": "datetime64[us]"})
-    df = observe_event_time(spark.createDataFrame(pdf), "ts")
-    df.collect()  # observation fires with the action
-    # batch DataFrames expose the observation through the Observation API
-    # only when built that way; on plain observe() the metrics ride
-    # QueryExecution — assert via a streaming run below instead. Here we
-    # only assert the plan built and returned the data unchanged.
-    assert df.count() == 100
+    obs = Observation("batch_truth")
+    df = observe_event_time(spark.createDataFrame(pdf), "ts", name=obs)
+    assert df.count() == 100  # the action that fires the observation
+    got = obs.get
+    t0 = pd.Timestamp("2024-02-01")
+    us = lambda t: (t - pd.Timestamp("1970-01-01")) // pd.Timedelta(microseconds=1)
+    assert got["rows"] == 100
+    assert got["et_min_us"] == us(t0)
+    assert got["et_max_us"] == us(t0 + pd.Timedelta(minutes=99))
 
 
 def test_progress_report_and_watermark(spark):

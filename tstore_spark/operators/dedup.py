@@ -624,10 +624,17 @@ def minhash_near_dup_pairs(
 
     banded = _minhash_band_table(sigs, id_col, bands, rows)
 
+    # shuffle_hash hint: the band table is DATA-PROPORTIONAL (rows = docs x
+    # bands), but AQE's per-join size estimate can still pick a broadcast
+    # for one side (the 64 MiB adaptive threshold, session.py) — at cluster
+    # scale a broadcast of a corpus-sized table is a driver OOM (measured:
+    # the 1M-doc dedup_stress OOMed an 8 GiB driver). The hint pins a
+    # shuffled hash join; equi-keys (band, bh) are uniform xxhash64 output,
+    # so the shuffle is skew-free.
     cand = (
         banded.alias("x")
         .join(
-            banded.alias("y"),
+            banded.alias("y").hint("shuffle_hash"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bh") == F.col("y.bh"))
             & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
@@ -650,18 +657,22 @@ def _verify_pairs(cand: DataFrame, sh: DataFrame, id_col: str, threshold: float)
     materialized (scoped cache, 4 ints per candidate) so the threshold
     filter cannot be substituted back into the lookup joins and re-run the
     intersect per pre-filter row (the token_jaccard_pairs plan cliff)."""
+    # shuffle_hash on the lookup side: the shingle table carries a
+    # corpus-proportional array<long> per row — the single heaviest thing
+    # AQE could mistakenly broadcast (driver materializes the whole build
+    # side). Candidates shuffle by id; lookups hash-join per partition.
     look = sh.select(F.col(id_col), F.col("shingles"), F.size("shingles").alias("_n"))
     pared = _cache_scoped(
         cand.join(
             look.select(
                 F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"), F.col("_n").alias("_na")
-            ),
+            ).hint("shuffle_hash"),
             "id_a",
         )
         .join(
             look.select(
                 F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"), F.col("_n").alias("_nb")
-            ),
+            ).hint("shuffle_hash"),
             "id_b",
         )
         .select(
@@ -745,11 +756,14 @@ def incremental_minhash_near_dup(
     nb = _cache_scoped(_minhash_band_table(new_idx, id_col, bands, rows))
     cb = _minhash_band_table(corpus_index, id_col, bands, rows)
 
-    # cross pairs: corpus doc x new doc sharing a band bucket
+    # cross pairs: corpus doc x new doc sharing a band bucket. Both band
+    # tables are data-proportional (corpus- and batch-sized) — pin a
+    # shuffled hash join so AQE can never broadcast either side (see
+    # minhash_near_dup_pairs; the keys are uniform hashes, skew-free).
     cross = (
         cb.alias("x")
         .join(
-            nb.alias("y"),
+            nb.alias("y").hint("shuffle_hash"),
             (F.col("x.band") == F.col("y.band")) & (F.col("x.bh") == F.col("y.bh")),
         )
         .select(F.col(f"x.{id_col}").alias("_u"), F.col(f"y.{id_col}").alias("_v"))
@@ -759,7 +773,7 @@ def incremental_minhash_near_dup(
         cands.append(
             nb.alias("x")
             .join(
-                nb.alias("y"),
+                nb.alias("y").hint("shuffle_hash"),
                 (F.col("x.band") == F.col("y.band"))
                 & (F.col("x.bh") == F.col("y.bh"))
                 & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
@@ -957,10 +971,13 @@ def simhash_near_dup_pairs(
     # candidate stream would shuffle every collision pair; filtering first
     # shrinks the distinct to actual near-dup survivors
     hamming = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+    # shuffle_hash: banded is data-proportional — never let AQE broadcast a
+    # side of the self-join (see minhash_near_dup_pairs for the measured
+    # driver-OOM hazard)
     pairs = (
         banded.alias("x")
         .join(
-            banded.alias("y"),
+            banded.alias("y").hint("shuffle_hash"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bits") == F.col("y.bits"))
             & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),

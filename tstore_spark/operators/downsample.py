@@ -436,12 +436,27 @@ def sdt_bound_check(
         (F.col("v") - F.col("v1")) * (F.col("t2") - F.col("t1"))
         - (F.col("v2") - F.col("v1")) * (F.col("t") - F.col("t1"))
     )
-    ok = lhs <= F.lit(int(epsilon_cents)) * (F.col("t2") - F.col("t1"))
+    # A safety audit must fail LOUDLY on malformed input: a raw point with a
+    # missing bracket endpoint (NULL t1/t2 — no kept point on that side)
+    # verdicts FALSE, never NULL-skipped; a key with zero kept rows stays in
+    # the output with n_kept=0 / within_bound=FALSE instead of vanishing
+    # through an inner join.
+    ok = F.coalesce(
+        lhs <= F.lit(int(epsilon_cents)) * (F.col("t2") - F.col("t1")),
+        F.lit(False),
+    )
     per_key = checks.groupBy("key").agg(F.min(ok.cast("int")).alias("_allok"))
     counts = r.groupBy("key").agg(F.count(F.lit(1)).alias("n_raw")).join(
-        kept.groupBy("key").agg(F.count(F.lit(1)).alias("n_kept")), "key"
+        kept.groupBy("key").agg(F.count(F.lit(1)).alias("n_kept")),
+        "key",
+        "left",
     )
     return counts.join(per_key, "key", "left").select(
-        "key", "n_raw", "n_kept",
-        F.coalesce(F.col("_allok") == 1, F.lit(True)).alias("within_bound"),
+        "key",
+        "n_raw",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        (
+            (F.coalesce(F.col("n_kept"), F.lit(0)) > 0)
+            & F.coalesce(F.col("_allok") == 1, F.lit(False))
+        ).alias("within_bound"),
     )

@@ -152,8 +152,17 @@ def quantile_sql_case(
     and identical arithmetic op order, so a DuckDB oracle hash-matches the
     Spark doubles. Kept next to the expression so the two can never drift."""
     bs = _check_bounds(bounds)
-    r = f"({q!r} * {total_col})"
-    first = f"({bs[0]!r} * {r} / le_0)" if bs[0] > 0 else repr(bs[0])
+
+    # Every numeric literal participating in arithmetic MUST be CAST(x AS
+    # DOUBLE): DuckDB parses bare float literals as DECIMAL and evaluates
+    # rank = q * n_total exactly, while Spark computes the inexact double —
+    # branch selection and interpolation bits then diverge (e.g. n_total=3,
+    # q=0.9: 1.7000000000000002 vs 1.7).  Same hardening as benford_sql_chi2.
+    def d(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    r = f"({d(q)} * {total_col})"
+    first = f"({d(bs[0])} * {r} / le_0)" if bs[0] > 0 else d(bs[0])
     parts = [
         f"WHEN {total_col} = 0 THEN NULL",
         f"WHEN le_0 >= {r} THEN {first}",
@@ -161,7 +170,7 @@ def quantile_sql_case(
     for i in range(1, len(bs)):
         lo, hi = bs[i - 1], bs[i]
         parts.append(
-            f"WHEN le_{i} >= {r} THEN ({lo!r} + ({hi!r} - {lo!r}) * "
+            f"WHEN le_{i} >= {r} THEN ({d(lo)} + ({d(hi)} - {d(lo)}) * "
             f"({r} - le_{i-1}) / (le_{i} - le_{i-1}))"
         )
-    return "CASE " + " ".join(parts) + f" ELSE {bs[-1]!r} END"
+    return "CASE " + " ".join(parts) + f" ELSE {d(bs[-1])} END"

@@ -37,11 +37,13 @@ OBSERVATION_NAME = "tstore_event_time"
 
 
 def observe_event_time(
-    df: DataFrame, time_col: str, name: str = OBSERVATION_NAME
+    df: DataFrame, time_col: str, name=OBSERVATION_NAME
 ) -> DataFrame:
     """Attach in-plan observed metrics ``rows / et_min_us / et_max_us``
     to a (streaming or batch) DataFrame — evaluated by the SAME tasks
-    that compute the query, never a second scan."""
+    that compute the query, never a second scan.  ``name`` is the metric
+    name on a streaming query, or a ``pyspark.sql.Observation`` instance
+    on a batch DataFrame (read the metrics via ``observation.get``)."""
     t = ntz_epoch_micros(time_col)
     return df.observe(
         name,
