@@ -1783,12 +1783,19 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     data) and catches >= 90% of it (recall floor; measured 97.6% at sf0.1,
     100% at sf0.01). Oracle: the same exact pairs + TRUE, TRUE."""
     docs = _t(spark, sf_dir, "documents")
-    found = DD.simhash_near_dup_pairs(docs, max_hamming=8, verify_jaccard=0.9).select(
-        "id_a", "id_b"
+    # scoped caches on the two pair SETS (a few hundred rows each): the plan
+    # consumes found 2x and exact 3x, and without the cache each consumer
+    # re-walks the whole tokenize -> band-join / shingle-join pipeline
+    found = DD._cache_scoped(
+        DD.simhash_near_dup_pairs(docs, max_hamming=8, verify_jaccard=0.9).select(
+            "id_a", "id_b"
+        )
     )
     # evict=False: simhash's scoped caches must stay warm for the same
     # downstream action that consumes both branches
-    exact = DD.shingle_jaccard_pairs_exact(docs, threshold=0.9, evict=False)
+    exact = DD._cache_scoped(
+        DD.shingle_jaccard_pairs_exact(docs, threshold=0.9, evict=False)
+    )
     nf = found.agg(F.count(F.lit(1)).alias("_nf"))
     ne = exact.agg(F.count(F.lit(1)).alias("_ne"))
     bad = found.join(exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti").agg(

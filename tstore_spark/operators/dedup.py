@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
@@ -970,16 +970,43 @@ def simhash_near_dup_pairs(
     # (simhash band bits have low entropy there), and deduplicating the raw
     # candidate stream would shuffle every collision pair; filtering first
     # shrinks the distinct to actual near-dup survivors
+    #
+    # Hot-bucket salting (skew.py's replicate-one-side pattern, adapted to
+    # a self-join): low-entropy band bits concentrate pair generation — at
+    # sf0.1 with max_hamming=8 the hottest (band, bits) bucket holds 2251 of
+    # 5000 docs' rows and would expand ~23% of ALL candidate pairs in ONE
+    # reducer. AQE's skew split never fires here (the skew is in the n^2
+    # pair EXPANSION, not the shuffled bytes). Fix: per-bucket salt count
+    # s = ceil(n / _SALT_TARGET) (capped) from a window count over the same
+    # exchange; the LEFT side replicates to every salt t in [0, s), the
+    # RIGHT side keys by hash(id) % s, and the join key gains t — each pair
+    # still matches exactly once (at t = salt(id_b)), so the output is
+    # row-identical, while a bucket of n rows spreads its n^2/s work over s
+    # reducers. Buckets at or under _SALT_TARGET get s=1: zero replication.
+    _SALT_TARGET, _SALT_CAP = 512, 32
+    bw = Window.partitionBy("band", "bits")
+    s_expr = F.least(
+        F.ceil(F.count(F.lit(1)).over(bw) / _SALT_TARGET), F.lit(_SALT_CAP)
+    ).cast("int")
+    # scoped cache: the window's exchange+sort runs once, not once per side
+    withs = _cache_scoped(banded.withColumn("_s", s_expr))
+    xb = withs.withColumn(
+        "_t", F.explode(F.sequence(F.lit(0), F.col("_s") - 1))
+    )
+    yb = withs.withColumn(
+        "_t", F.pmod(F.xxhash64(F.col(id_col)), F.col("_s")).cast("int")
+    )
     hamming = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
     # shuffle_hash: banded is data-proportional — never let AQE broadcast a
     # side of the self-join (see minhash_near_dup_pairs for the measured
     # driver-OOM hazard)
     pairs = (
-        banded.alias("x")
+        xb.alias("x")
         .join(
-            banded.alias("y").hint("shuffle_hash"),
+            yb.alias("y").hint("shuffle_hash"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bits") == F.col("y.bits"))
+            & (F.col("x._t") == F.col("y._t"))
             & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
         )
         .select(
