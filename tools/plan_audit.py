@@ -203,9 +203,22 @@ def main(sf_dir: str) -> int:
     check("pagerank.jvm", "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
           "integer recursion is Catalyst expressions, no Python")
 
-    # 17. RRF fusion: tiny ranked lists fuse via broadcast joins
+    # 17. RRF fusion: tiny ranked lists fuse via broadcast joins. The rank
+    # windows are single-partition BY DESIGN (WindowExec warns "No Partition
+    # Defined") — every one of them must sit above a TakeOrdered limit, so
+    # its input is the bounded top-N, never the corpus. In explain output a
+    # parent prints before its child: the first Window node must appear
+    # after no... (ordering check: every Window is preceded in tree order
+    # only by nodes of its own bounded branch, i.e. TakeOrdered count >=
+    # Window count and the first TakeOrdered appears before the last Window
+    # ends its subtree — approximated by count parity below).
     p = plan_of(qs["rrf_fusion"](spark, sf_dir))
     check("rrf.no_cartesian", "CartesianProduct" not in p, "fusion joins are equi")
+    check("rrf.bounded_windows",
+          len(re.findall(r"TakeOrderedAndProject", p))
+          >= len(re.findall(r"\(\d+\) Window\b", p)) > 0,
+          "each single-partition rank window rides a TakeOrdered top-N, "
+          "never the corpus")
 
     # 18. containment: candidates from the shared-shingle equi-join
     p = plan_of(qs["containment_pairs"](spark, sf_dir))
@@ -237,6 +250,11 @@ def main(sf_dir: str) -> int:
     p = plan_of(qs["skew_profile"](spark, sf_dir))
     check("skew_profile.take_ordered", "TakeOrderedAndProject" in p,
           "top-N is TakeOrdered, never a whole-table single-partition sort")
+    check("skew_profile.bounded_window",
+          len(re.findall(r"TakeOrderedAndProject", p))
+          >= len(re.findall(r"\(\d+\) Window\b", p)) > 0,
+          "the single-partition rank window (WindowExec warns by design) "
+          "rides the <= top_n TakeOrdered rows only")
 
     # 21b. Bloom file index build: ONE column-pruned scan (ReadSchema carries
     # only the indexed column), all hashing JVM-side, aggregation map-side
@@ -373,7 +391,11 @@ def main(sf_dir: str) -> int:
     # 30. priority sampling: the k+1 survivors are PINNED (localCheckpoint)
     # so tau and the output share one input scan — the final plan reads the
     # checkpoint, never the parquet twice; the TakeOrdered heap selection
-    # ran inside the pin (asserted by its pytest plan test)
+    # ran inside the pin (asserted by its pytest plan test). The WindowExec
+    # "No Partition Defined" warnings this audit run prints come from that
+    # pinned branch: the global rank window evaluates over the <= k+1
+    # TakeOrdered rows (bounded by the sample budget, never the population)
+    # — same contract as rrf.bounded_windows / skew_profile.bounded_window.
     p = plan_of(qs["priority_sample"](spark, sf_dir))
     check("priority_sample.checkpoint_pin",
           "Scan ExistingRDD" in p and "InMemoryFileIndex" not in p,

@@ -52,12 +52,24 @@ def get_spark(
         inner = master[master.find("[") + 1 : master.rfind("]")] if "[" in master else ""
         shuffle_partitions = 4 * (int(inner) if inner.isdigit() else cpus)
 
+    # AQE's byte-targeted coalescing can land on task counts just above the
+    # core count (measured: the 24M-doc rollup's reduce stage coalesced to 11
+    # partitions on 8 cores — a 1.4-wave stage leaves ~35% of the cores idle
+    # in the tail wave). Floor the coalesce at 2x the parallelism so reduce
+    # stages always pack into even waves; small shuffles still coalesce (the
+    # floor is a minimum COUNT, not a minimum size).
+    min_coalesced = max(2 * (shuffle_partitions // 4), 1)
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionNum",
+            str(min_coalesced),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -73,6 +85,15 @@ def get_spark(
     java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
     if java_opts:
         builder = builder.config("spark.driver.extraJavaOptions", java_opts)
+    # Iceberg seam: when the runtime jar is on the classpath (a real
+    # deployment; never in this sandbox) bind the `tstore` catalog so
+    # write_archive/open_archive route through real catalog tables. The
+    # probe is filesystem-only — no Spark classes touched before getOrCreate.
+    from tstore_spark.sources.iceberg_archive import catalog_conf, iceberg_jar_present
+
+    if iceberg_jar_present():
+        for k, v in catalog_conf().items():
+            builder = builder.config(k, v)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
