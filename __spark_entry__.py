@@ -2532,6 +2532,87 @@ def _q_stream_cascade_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_gap_fill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-fill THROUGH the chained 1m->1h cascade: events
+    (deterministically thinned — every hour with index % 4 == 2 dropped, so
+    interior gaps exist for every type) replayed as TIME-ORDERED files (a 0s
+    watermark drops windows whose rows arrive after it passed; ordered
+    slices keep the replay lossless) -> stream_rollup_cascade ->
+    foreachBatch incremental grid completion (streaming/stream_gapfill).
+    Gap hours emit zero counts plus ``bytes_interp`` linearly interpolated
+    between the bracketing closed hours with the batch gapfill formula
+    (mult-before-divide, epoch-second ratio) — DuckDB reproduces the
+    doubles bit-for-bit. Oracle: closed hours + generate_series grid + the
+    same interpolation via IGNORE NULLS window carries."""
+    import glob as _glob
+    import os as _os
+    import re as _re
+    import shutil as _sh
+
+    from tstore_spark.functions.timeparts import ntz_epoch_seconds
+    from tstore_spark.streaming.stream_gapfill import read_filled, stream_gap_fill
+    from tstore_spark.streaming.stream_rollup import (
+        read_pages_stream,
+        stream_rollup_cascade,
+    )
+
+    base = "/tmp/tstore_spark_sgf_" + _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    _sh.rmtree(base, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events")
+    hidx = F.floor(ntz_epoch_seconds("ts") / 3600)
+    # TZ-proof NTZ->instant bridge, as in _q_stream_cascade_1h
+    src = ev.where(F.pmod(hidx, F.lit(4)) != 2).select(
+        F.timestamp_seconds(ntz_epoch_seconds("ts")).alias("ts"),
+        F.col("event_type").alias("etype"),
+        F.encode(F.col("event_id").cast("string"), "utf-8").alias("html"),
+    )
+    b = src.agg(
+        F.min(F.unix_seconds("ts")).alias("lo"), F.max(F.unix_seconds("ts")).alias("hi")
+    ).head()
+    lo, hi = int(b["lo"]), int(b["hi"])
+    cuts = [lo + (hi - lo + 1) * i // 4 for i in range(5)]
+    _os.makedirs(f"{base}/src")
+    for i in range(4):
+        sl = src.where(
+            (F.unix_seconds("ts") >= cuts[i]) & (F.unix_seconds("ts") < cuts[i + 1])
+            if i < 3
+            else (F.unix_seconds("ts") >= cuts[i])
+        ).coalesce(1)
+        sl.write.mode("overwrite").parquet(f"{base}/slice_{i}")
+        part = _glob.glob(f"{base}/slice_{i}/part-*.parquet")
+        if part:
+            dst = f"{base}/src/slice_{i}.parquet"
+            _os.rename(part[0], dst)
+            _os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = read_pages_stream(spark, f"{base}/src", src.schema, max_files_per_trigger=1)
+    tier = stream_rollup_cascade(
+        stream, ("1m", "1h"), watermark="0 seconds",
+        key_col=F.col("etype"), time_col="ts",
+    ).withColumn("bytes_interp", F.col("bytes_total").cast("double"))
+    q = stream_gap_fill(
+        tier,
+        out_dir=f"{base}/out",
+        checkpoint=f"{base}/ckpt",
+        state_dir=f"{base}/state",
+        tier="1h",
+        key="domain",
+        zero_fill=["doc_count", "bytes_total"],
+        interp_cols=["bytes_interp"],
+    )
+    q.awaitTermination(300)
+    return read_filled(spark, f"{base}/out").select(
+        F.col("domain").alias("event_type"),
+        F.expr(
+            "timestampadd(SECOND, unix_seconds(window_start),"
+            " to_timestamp_ntz('1970-01-01'))"
+        ).alias("window_start"),
+        "doc_count",
+        "bytes_total",
+        "bytes_interp",
+        "gap_filled",
+    )
+
+
 def _q_stream_cascade_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-user sketches THROUGH the streaming cascade (round-3 close of
     the lambda split): the HLL register index joins the chained window aggs'
@@ -4522,6 +4603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Ordered so the driver's first-50 correctness sample lands on
         # entries no CORRECTNESS_r*.json has oracle-checked yet (the r1-r3
         # union covered 86 of 197); previously-green entries follow.
+        "stream_gap_fill_1h": _q_stream_gap_fill_1h,
         "span_scrub": _q_span_scrub,
         "skew_profile": _q_skew_profile,
         "m4_downsample": _q_m4_downsample,
@@ -5822,6 +5904,60 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_id >= 0
               AND event_id <= (SELECT CAST(floor(max(event_id) / 4.0) AS BIGINT)
                                FROM events)
+        """,
+        "stream_gap_fill_1h": """
+            WITH src AS (
+                SELECT event_type, ts,
+                       CAST(length(CAST(event_id AS VARCHAR)) AS BIGINT) AS b
+                FROM events
+                WHERE CAST(floor(floor(epoch(ts)) / CAST(3600 AS DOUBLE))
+                           AS BIGINT) % 4 != 2),
+            real AS (
+                SELECT event_type, date_trunc('hour', ts) AS ws,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(b) AS BIGINT) AS bt
+                FROM src GROUP BY 1, 2),
+            closed AS (
+                SELECT * FROM real
+                WHERE ws + INTERVAL 1 HOUR <= (SELECT max(ts) FROM src)),
+            bounds AS (
+                SELECT event_type, min(ws) AS lo, max(ws) AS hi
+                FROM closed GROUP BY 1),
+            grid AS (
+                SELECT event_type,
+                       unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS ws
+                FROM bounds),
+            j AS (
+                SELECT g.event_type, g.ws, c.n, c.bt
+                FROM grid g LEFT JOIN closed c
+                  ON g.event_type = c.event_type AND g.ws = c.ws),
+            carry AS (
+                SELECT event_type, ws, n, bt,
+                       CAST(epoch(ws) AS BIGINT) AS t,
+                       last_value(CASE WHEN n IS NOT NULL
+                                       THEN CAST(epoch(ws) AS BIGINT) END IGNORE NULLS)
+                         OVER (PARTITION BY event_type ORDER BY ws
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+                       last_value(CASE WHEN n IS NOT NULL
+                                       THEN CAST(bt AS DOUBLE) END IGNORE NULLS)
+                         OVER (PARTITION BY event_type ORDER BY ws
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                       first_value(CASE WHEN n IS NOT NULL
+                                        THEN CAST(epoch(ws) AS BIGINT) END IGNORE NULLS)
+                         OVER (PARTITION BY event_type ORDER BY ws
+                               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+                       first_value(CASE WHEN n IS NOT NULL
+                                        THEN CAST(bt AS DOUBLE) END IGNORE NULLS)
+                         OVER (PARTITION BY event_type ORDER BY ws
+                               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+                FROM j)
+            SELECT event_type, ws AS window_start,
+                   CAST(coalesce(n, 0) AS BIGINT) AS doc_count,
+                   CAST(coalesce(bt, 0) AS BIGINT) AS bytes_total,
+                   CASE WHEN n IS NOT NULL THEN CAST(bt AS DOUBLE)
+                        ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END AS bytes_interp,
+                   (n IS NULL) AS gap_filled
+            FROM carry
         """,
         "stream_cascade_1h": """
             SELECT event_type,
