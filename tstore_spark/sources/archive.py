@@ -197,7 +197,19 @@ def write_archive(
     materialized alongside the payloads. Downstream rollups then scan the
     narrow stat columns and Parquet prunes the payloads entirely — the
     difference between a payload-bandwidth scan and a metadata scan at 100 TB.
+
+    Backend seam: when the session carries a real Iceberg catalog
+    (sources/iceberg_archive — runtime jar detected at session build), the
+    fact table lands in a catalog table with NATIVE hidden partitioning;
+    otherwise this emulated parquet layout (the sandbox default).
     """
+    from tstore_spark.sources import iceberg_archive as _ice
+
+    if _ice.iceberg_enabled(tslong.df.sparkSession):
+        return _ice.write_archive_iceberg(
+            tslong, base_dir, attrs, num_buckets, mode,
+            check_static_uniqueness, stats_columns,
+        )
     d = tslong.descriptor
     df = tslong.df
 
@@ -354,8 +366,24 @@ def open_archive(
     with_attributes: bool = True,
 ) -> TSLong:
     """Open the archive as a TSLong; one Catalyst plan does scan + prune +
-    filter + broadcast-join (the reference's steps 2-4 collapsed)."""
+    filter + broadcast-join (the reference's steps 2-4 collapsed).
+
+    Backend seam: an archive whose metadata says ``backend: iceberg`` (and a
+    session with the catalog bound) reads the real catalog table; everything
+    else reads the emulated parquet layout."""
     d, num_buckets, meta = read_metadata_all(base_dir)
+    if meta.get("backend") == "iceberg":
+        from tstore_spark.sources import iceberg_archive as _ice
+
+        if _ice.iceberg_enabled(spark):
+            return _ice.open_archive_iceberg(
+                spark, base_dir, ts_variables, start_time, end_time,
+                inclusive, ids, columns, with_attributes,
+            )
+        raise ValueError(
+            f"archive at {base_dir!r} was written to an Iceberg catalog but "
+            "this session has no Iceberg runtime/catalog configured"
+        )
     # schema-on-read from metadata (Iceberg pattern): after evolution, files
     # written before a column existed null-fill it at scan time — no
     # mergeSchema footer sweep over the whole archive.
