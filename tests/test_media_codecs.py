@@ -147,7 +147,7 @@ def test_best_image_decoder_guard():
 
         assert impl == "pillow"
     except ImportError:
-        assert impl == "stdlib-png"
+        assert impl == "stdlib-png-jpeg"
     arr = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
     feats = dec(encode_png(arr))
     assert feats.shape == (8,)
@@ -220,3 +220,126 @@ def test_wav_feature_decoder_pipeline(spark):
     rows = {r["media_id"]: [r[f"f{i}"] for i in range(8)] for r in out.collect()}
     for k, blob in clips.items():
         assert np.allclose(rows[k], wav_feature_decoder(8)(blob)), k
+
+
+# ------------------------------------------------------------------- JPEG
+_REAL_BASELINE_JPEG = (
+    "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/requests/ext/"
+    "flower-of-life.jpg"
+)
+_REAL_PROGRESSIVE_JPEG = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+
+
+def _gradient(h, w):
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    arr = np.zeros((h, w, 3), np.uint8)
+    arr[..., 0] = (xx * 6) % 256
+    arr[..., 1] = (yy * 10) % 256
+    arr[..., 2] = ((xx + yy) * 4) % 256
+    return arr
+
+
+def test_jpeg_roundtrip_close():
+    from tstore_spark.functions.media_codecs import decode_jpeg, encode_jpeg
+
+    for shape in [(8, 8), (24, 40), (17, 13)]:  # incl. non-multiple-of-8
+        arr = _gradient(*shape)
+        dec = decode_jpeg(encode_jpeg(arr))
+        assert dec.shape == (*shape, 3)
+        err = np.abs(dec.astype(int) - arr.astype(int)).mean()
+        assert err < 6.0, (shape, err)  # lossy, but quantization-level only
+
+
+def test_jpeg_grayscale_input_roundtrip():
+    from tstore_spark.functions.media_codecs import decode_jpeg, encode_jpeg
+
+    arr2d = (np.arange(16 * 16).reshape(16, 16) % 256).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(arr2d))
+    assert dec.shape == (16, 16, 3)
+
+
+def test_jpeg_encoder_is_deterministic():
+    from tstore_spark.functions.media_codecs import encode_jpeg
+
+    arr = _gradient(12, 20)
+    assert encode_jpeg(arr) == encode_jpeg(arr)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_REAL_BASELINE_JPEG),
+    reason="no real baseline JPEG on this host",
+)
+def test_jpeg_decodes_real_world_file_with_restarts():
+    """A REAL externally-produced baseline JPEG (with DRI/RSTn restart
+    markers) decodes to plausible pixels — the 'pixels are real' check."""
+    from tstore_spark.functions.media_codecs import decode_jpeg
+
+    blob = open(_REAL_BASELINE_JPEG, "rb").read()
+    img = decode_jpeg(blob)
+    assert img.shape == (161, 161, 3) and img.dtype == np.uint8
+    # flower-of-life is a dark pattern on white: bright mean, real variance
+    assert 180 < img.mean() < 250
+    assert img.std() > 10
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_REAL_PROGRESSIVE_JPEG),
+    reason="no progressive JPEG on this host",
+)
+def test_jpeg_progressive_raises_not_implemented():
+    from tstore_spark.functions.media_codecs import decode_jpeg
+
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(open(_REAL_PROGRESSIVE_JPEG, "rb").read())
+
+
+def test_strict_decode_and_featurize_uses_real_codecs(spark):
+    """strict=True now decodes PNG/JPEG/WAV for real and raises only for
+    formats with no codec — the round-2..3 'loudly stubbed surface' closed."""
+    import pandas as pd
+
+    from tstore_spark.functions.media_codecs import encode_jpeg, image_features
+    from tstore_spark.operators.multimodal import decode_and_featurize
+
+    arrs = {i: _gradient(8 + i, 10) for i in range(4)}
+    df = spark.createDataFrame(pd.DataFrame({
+        "media_id": list(arrs),
+        "blob": [bytearray(encode_jpeg(a)) for a in arrs.values()],
+    }))
+    out = decode_and_featurize(df, "media_id", "blob", feature_dim=8, strict=True)
+    rows = {r["media_id"]: [r[f"f{i}"] for i in range(8)] for r in out.collect()}
+    from tstore_spark.functions.media_codecs import decode_jpeg
+
+    for k, a in arrs.items():
+        want = image_features(decode_jpeg(encode_jpeg(a)), 8)
+        assert np.allclose(rows[k], want), k
+
+
+def test_strict_unknown_format_raises(spark):
+    import pandas as pd
+
+    from tstore_spark.operators.multimodal import decode_and_featurize
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "media_id": [0], "blob": [bytearray(b"GIF89a not a real codec here")],
+    }))
+    out = decode_and_featurize(df, "media_id", "blob", feature_dim=8, strict=True)
+    with pytest.raises(Exception, match="image/gif"):
+        out.collect()
+
+
+def test_strict_resize_jpeg_roundtrip(spark):
+    import pandas as pd
+
+    from tstore_spark.functions.media_codecs import decode_jpeg, encode_jpeg
+    from tstore_spark.operators.multimodal import resize_images
+
+    arrs = {i: _gradient(16, 12) for i in range(3)}
+    df = spark.createDataFrame(pd.DataFrame({
+        "media_id": list(arrs),
+        "blob": [bytearray(encode_jpeg(a)) for a in arrs.values()],
+    }))
+    out = resize_images(df, "media_id", "blob", width=6, height=8, strict=True)
+    for r in out.collect():
+        got = decode_jpeg(bytes(r["resized"]))
+        assert got.shape == (8, 6, 3)

@@ -1,8 +1,7 @@
 """Real media codecs with zero third-party dependencies.
 
 Round 2 left the media decode step stubbed ("the pixels are not real").
-This module closes that for the two formats the Python stdlib can genuinely
-decode end-to-end:
+This module closes that for the three formats decodable here end-to-end:
 
 - **PNG** (via ``zlib`` + the public PNG spec): chunk parse, IDAT inflate,
   scanline unfilter (all five filter types, numpy-vectorized where the
@@ -10,6 +9,11 @@ decode end-to-end:
   spec-compliant PNGs (filter 0 + zlib + CRC32 chunks) any external viewer
   opens.
 - **WAV** (via ``wave`` + numpy): PCM samples + rate, both directions.
+- **JPEG** (pure numpy, ITU-T T.81 baseline): Huffman + dequant + IDCT +
+  chroma upsample + YCbCr->RGB, DRI/RSTn restarts, any h/v subsampling;
+  progressive/arithmetic raise. Encoder writes baseline 4:4:4 with the
+  Annex K tables — real web JPEGs (Common Crawl media is overwhelmingly
+  baseline JPEG) decode to real pixels with no PIL in the container.
 
 Plus real numpy transforms over the decoded data: nearest-neighbor resize,
 image/audio feature vectors (moments, band energies via rfft). PIL/ffmpeg,
@@ -150,6 +154,472 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     return buf.getvalue()
 
 
+# ------------------------------------------------------------- JPEG (baseline)
+# Pure-numpy baseline JPEG (ITU-T T.81): sequential DCT, Huffman coding,
+# greyscale or YCbCr with any h/v subsampling, DRI/RSTn restart markers.
+# Progressive (SOF2), arithmetic coding and 12-bit precision raise
+# NotImplementedError — honestly scoped: baseline covers the overwhelming
+# majority of web JPEGs (Common Crawl media is baseline-heavy), and the
+# decoder rejects what it cannot decode instead of guessing.
+
+#: zigzag scan order: index z -> (row, col) flattened position
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+#: orthonormal 8-point DCT-II basis: row k = c(k) * cos((2n+1) k pi / 16)
+def _dct_basis() -> np.ndarray:
+    n = np.arange(8)
+    k = n[:, None]
+    c = np.full(8, np.sqrt(2.0 / 8.0)); c[0] = np.sqrt(1.0 / 8.0)
+    return c[:, None] * np.cos((2 * n[None, :] + 1) * k * np.pi / 16.0)
+
+_DCT = _dct_basis()
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment with 0xFF00
+    de-stuffing; stops (returns -1 bits) at any non-stuffed marker."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.acc, self.nbits = data, pos, 0, 0
+
+    def _fill(self) -> bool:
+        d = self.data
+        p = self.pos
+        if p >= len(d):
+            return False
+        b = d[p]
+        if b == 0xFF:
+            nxt = d[p + 1] if p + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos = p + 2
+            else:  # a real marker terminates the segment
+                return False
+        else:
+            self.pos = p + 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if not self._fill():  # pad with zero bits at segment end (spec)
+                self.acc <<= 8
+                self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def align_to_marker(self) -> int:
+        """Drop partial byte, consume an RSTn marker, return its index."""
+        self.acc, self.nbits = 0, 0
+        d, p = self.data, self.pos
+        while p + 1 < len(d) and not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
+            p += 1
+        self.pos = p + 2
+        return d[p + 1] - 0xD0 if p + 1 < len(d) else -1
+
+
+def _build_huff(counts: list[int], symbols: bytes):
+    """Canonical Huffman -> (maxcode, valptr, mincode) per T.81 F.2.2.3."""
+    code, k = 0, 0
+    mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+    for ln in range(1, 17):
+        valptr[ln] = k
+        mincode[ln] = code
+        code += counts[ln - 1]
+        k += counts[ln - 1]
+        maxcode[ln] = code - 1 if counts[ln - 1] else -1
+        code <<= 1
+    return mincode, maxcode, valptr, symbols
+
+
+def _huff_decode(br: _BitReader, tbl) -> int:
+    mincode, maxcode, valptr, symbols = tbl
+    code = br.read(1)
+    for ln in range(1, 17):
+        if maxcode[ln] >= code >= mincode[ln]:
+            return symbols[valptr[ln] + code - mincode[ln]]
+        code = (code << 1) | br.read(1)
+    raise ValueError("invalid JPEG: huffman code overruns 16 bits")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Baseline JPEG -> ``uint8 (h, w, 3)`` RGB (greyscale replicated).
+
+    Raises ``NotImplementedError`` for progressive/arithmetic/12-bit
+    streams and ``ValueError`` for malformed data.
+    """
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huffs: dict[tuple[int, int], tuple] = {}
+    frame = None
+    dri = 0
+    i = 2
+    scan = None
+    while i + 1 < len(blob):
+        if blob[i] != 0xFF:
+            i += 1
+            continue
+        m = blob[i + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m == 0xD9:
+            break
+        ln = struct.unpack(">H", blob[i + 2:i + 4])[0]
+        seg = blob[i + 4:i + 2 + ln]
+        if m == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:
+                    qt[tq] = np.frombuffer(seg[p:p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+                else:
+                    qt[tq] = np.frombuffer(seg[p:p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = list(seg[p + 1:p + 17])
+                nsym = sum(counts)
+                syms = seg[p + 17:p + 17 + nsym]
+                huffs[(tc, th)] = _build_huff(counts, syms)
+                p += 17 + nsym
+        elif m == 0xC0 or m == 0xC1:  # SOF0/1: baseline & extended sequential
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} unsupported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline/extended-sequential huffman JPEG is supported "
+                f"(SOF marker FF{m:02X})"
+            )
+        elif m == 0xDD:  # DRI
+            dri = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            scomps = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scomps.append({"id": cs, "dc": tt >> 4, "ac": tt & 15})
+            scan = (scomps, i + 2 + ln)
+            break
+        i += 2 + ln
+    if frame is None or scan is None:
+        raise ValueError("invalid JPEG: missing SOF/SOS")
+
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcx = -(-frame["w"] // mcu_w)
+    mcy = -(-frame["h"] // mcu_h)
+    scomps, pos = scan
+    by_id = {c["id"]: c for c in comps}
+    order = [by_id[s["id"]] | {"dc_t": s["dc"], "ac_t": s["ac"]} for s in scomps]
+
+    # entropy decode: per component, (n_blocks, 64) zigzag coefficient rows
+    coefs = {c["id"]: [] for c in comps}
+    br = _BitReader(blob, pos)
+    pred = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    for _my in range(mcy):
+        for _mx in range(mcx):
+            if dri and mcu_count and mcu_count % dri == 0:
+                br.align_to_marker()
+                pred = {c["id"]: 0 for c in comps}
+            for c in order:
+                dc_tbl = huffs[(0, c["dc_t"])]
+                ac_tbl = huffs[(1, c["ac_t"])]
+                for _b in range(c["h"] * c["v"]):
+                    blk = np.zeros(64, dtype=np.int64)
+                    t = _huff_decode(br, dc_tbl)
+                    diff = _extend(br.read(t), t) if t else 0
+                    pred[c["id"]] += diff
+                    blk[0] = pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(br, ac_tbl)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("invalid JPEG: AC index overrun")
+                        blk[k] = _extend(br.read(s), s)
+                        k += 1
+                    coefs[c["id"]].append(blk)
+            mcu_count += 1
+
+    # dequantize + batch IDCT + assemble per-component planes
+    planes = {}
+    for c in comps:
+        arr = np.stack(coefs[c["id"]]) * qt[c["tq"]][None, :]
+        blocks = np.zeros((len(arr), 64), dtype=np.float64)
+        blocks[:, _ZIGZAG] = arr
+        blocks = blocks.reshape(-1, 8, 8)
+        # IDCT: X = C^T @ coef @ C with the orthonormal basis
+        spatial = np.einsum("ij,njk,kl->nil", _DCT.T, blocks, _DCT) + 128.0
+        bw, bh = c["h"], c["v"]  # blocks per MCU, horizontal/vertical
+        pw, ph = mcx * bw * 8, mcy * bh * 8
+        plane = np.zeros((ph, pw), dtype=np.float64)
+        bi = 0
+        for my in range(mcy):
+            for mx in range(mcx):
+                for byy in range(bh):
+                    for bxx in range(bw):
+                        y0 = (my * bh + byy) * 8
+                        x0 = (mx * bw + bxx) * 8
+                        plane[y0:y0 + 8, x0:x0 + 8] = spatial[bi]
+                        bi += 1
+        # upsample to full resolution (nearest — the common fancy-less path)
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes[c["id"]] = plane[: frame["h"], : frame["w"]]
+
+    if len(comps) == 1:
+        y = np.clip(planes[comps[0]["id"]], 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=2)
+    y, cb, cr = (planes[c["id"]] for c in comps[:3])
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=2).round(), 0, 255).astype(np.uint8)
+
+
+#: Annex K quantization tables (luminance, chrominance) in zigzag order
+_QT_LUMA = np.array([
+    16, 11, 12, 14, 12, 10, 16, 14, 13, 14, 18, 17, 16, 19, 24, 40,
+    26, 24, 22, 22, 24, 49, 35, 37, 29, 40, 58, 51, 61, 60, 57, 51,
+    56, 55, 64, 72, 92, 78, 64, 68, 87, 69, 55, 56, 80, 109, 81, 87,
+    95, 98, 103, 104, 103, 62, 77, 113, 121, 112, 100, 120, 92, 101,
+    103, 99,
+], dtype=np.int64)
+_QT_CHROMA = np.array([
+    17, 18, 18, 24, 21, 24, 47, 26, 26, 47, 99, 66, 56, 66, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+#: Annex K Huffman specs: (bits[16], values) for (class, id)
+_HUFF_SPECS = {
+    (0, 0): ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+             list(range(12))),
+    (0, 1): ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+             list(range(12))),
+    (1, 0): ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125], [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]),
+    (1, 1): ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119], [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]),
+}
+
+
+def _encode_tables():
+    """symbol -> (code, length) dicts for the Annex K specs."""
+    out = {}
+    for key, (bits, vals) in _HUFF_SPECS.items():
+        codes = {}
+        code, vi = 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                codes[vals[vi]] = (code, ln)
+                code += 1
+                vi += 1
+            code <<= 1
+        out[key] = codes
+    return out
+
+
+_ENC_TABLES = _encode_tables()
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out, self.acc, self.nbits = bytearray(), 0, 0
+
+    def write(self, code: int, n: int) -> None:
+        self.acc = (self.acc << n) | code
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill (spec convention)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(size category, appended bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    t = a.bit_length()
+    return t, v if v > 0 else v + (1 << t) - 1
+
+
+def encode_jpeg(arr: np.ndarray) -> bytes:
+    """Baseline 4:4:4 JPEG encoder (Annex K tables, no subsampling) —
+    spec-compliant output any decoder opens; pairs with :func:`decode_jpeg`
+    for dependency-free roundtrip tests."""
+    if arr.ndim == 2:
+        arr = np.stack([arr, arr, arr], axis=2)
+    h, w = arr.shape[:2]
+    px = arr.astype(np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    qts = (_QT_LUMA, _QT_CHROMA, _QT_CHROMA)
+    tbls = ((0, 0), (1, 1), (1, 1))  # (dc id, ac id) per component
+
+    planes = []
+    for plane in (y, cb, cr):
+        p = np.empty((ph, pw))
+        p[:h, :w] = plane
+        p[h:, :w] = plane[-1:, :]
+        p[:, w:] = p[:, w - 1:w]
+        planes.append(p - 128.0)
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    qdeq = [np.zeros(64, dtype=np.int64) for _ in range(3)]
+    for ci, plane in enumerate(planes):
+        q = qts[ci]
+        blocks = plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        co = np.einsum("ij,njk,kl->nil", _DCT, blocks, _DCT.T).reshape(-1, 64)
+        qdeq[ci] = np.round(co[:, _ZIGZAG] / q[None, :]).astype(np.int64)
+    nbx, nby = pw // 8, ph // 8
+    dc_codes = [_ENC_TABLES[(0, t[0])] for t in tbls]
+    ac_codes = [_ENC_TABLES[(1, t[1])] for t in tbls]
+    for bi in range(nbx * nby):  # interleave 1x1 sampling: one block each
+        for ci in range(3):
+            zz = qdeq[ci][bi]
+            t, bits = _mag_bits(int(zz[0]) - pred[ci])
+            pred[ci] = int(zz[0])
+            code, ln = dc_codes[ci][t]
+            bw.write(code, ln)
+            if t:
+                bw.write(bits, t)
+            run = 0
+            nz = np.flatnonzero(zz[1:])
+            last = nz[-1] + 1 if len(nz) else 0
+            k = 1
+            while k <= last:
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    k += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[ci][0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                t, bits = _mag_bits(v)
+                code, ln = ac_codes[ci][(run << 4) | t]
+                bw.write(code, ln)
+                bw.write(bits, t)
+                run = 0
+                k += 1
+            if last < 63:
+                code, ln = ac_codes[ci][0x00]  # EOB
+                bw.write(code, ln)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(_QT_LUMA.tolist()))
+    out += seg(0xDB, bytes([1]) + bytes(_QT_CHROMA.tolist()))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])
+    out += seg(0xC0, sof)
+    for (tc, th), (bits, vals) in _HUFF_SPECS.items():
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    sos = bytes([3])
+    for cid, (dc, ac) in ((1, (0, 0)), (2, (1, 1)), (3, (1, 1))):
+        sos += bytes([cid, (dc << 4) | ac])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_feature_decoder(feature_dim: int = 8):
+    """``bytes -> np.ndarray(feature_dim,)`` over REAL decoded JPEG pixels."""
+    return lambda blob: image_features(decode_jpeg(blob), feature_dim)
+
+
+def jpeg_resizer(blob: bytes, width: int, height: int) -> bytes:
+    """Real JPEG resize: decode -> nearest resample -> re-encode (4:4:4)."""
+    return encode_jpeg(resize_nearest(decode_jpeg(blob), width, height))
+
+
 # ---------------------------------------------------------------- transforms
 def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resample of ``(h, w, ch)`` to ``(height, width, ch)``
@@ -221,7 +691,8 @@ def png_resizer(blob: bytes, width: int, height: int) -> bytes:
 
 def best_image_decoder(feature_dim: int = 8):
     """Import-guarded decoder choice: PIL when installed (any format it
-    reads), else the stdlib PNG path. Returns (decoder, impl_name)."""
+    reads), else the dependency-free magic dispatch (PNG + baseline JPEG).
+    Returns (decoder, impl_name)."""
     try:  # pragma: no cover - PIL absent in this container
         from PIL import Image
 
@@ -231,4 +702,9 @@ def best_image_decoder(feature_dim: int = 8):
 
         return pil_decode, "pillow"
     except ImportError:
-        return png_feature_decoder(feature_dim), "stdlib-png"
+        def magic_decode(blob: bytes) -> np.ndarray:
+            if blob[:3] == b"\xff\xd8\xff":
+                return image_features(decode_jpeg(blob), feature_dim)
+            return image_features(decode_png(blob), feature_dim)
+
+        return magic_decode, "stdlib-png-jpeg"

@@ -7,15 +7,17 @@ signatures — and takes the codec through a ``decoder=`` hook:
 - :func:`extract_media_meta` computes *real* byte-level metadata (length,
   content hash, magic-byte sniff) — production-grade and codec-free.
 - :func:`decode_and_featurize` runs a decoder over ``mapInPandas``. REAL
-  decoders live in :mod:`tstore_spark.functions.media_codecs` — stdlib-only
-  PNG (pixels) and WAV (PCM samples) codecs plus an import-guarded PIL path
-  (``best_image_decoder``); ``png_resizer`` gives :func:`resize_images` a
-  real decode->resample->re-encode loop. ``decoder=None`` selects
+  decoders live in :mod:`tstore_spark.functions.media_codecs` —
+  dependency-free PNG (pixels), baseline JPEG (pixels) and WAV (PCM
+  samples) codecs plus an import-guarded PIL path (``best_image_decoder``);
+  ``png_resizer``/``jpeg_resizer`` give :func:`resize_images` real
+  decode->resample->re-encode loops. ``decoder=None`` selects
   :func:`fake_decoder` — a deterministic stand-in whose output any engine
   can recompute, which keeps the driver gate rows format-agnostic and
-  hash-checkable — or raises ``NotImplementedError`` when ``strict=True``.
-  Only video frame EXTRACTION remains stub-only (ffmpeg is not in this
-  container and no stdlib codec exists).
+  hash-checkable — while ``strict=True`` selects the real magic-dispatch
+  codecs and raises ``NotImplementedError`` per blob only for formats with
+  no codec here (GIF, MP4). Only video frame EXTRACTION remains stub-only
+  (ffmpeg is not in this container and no stdlib codec exists).
 
 Scale notes: media blobs dominate row size — ``spark.sql.files.maxPartitionBytes``
 and per-batch ``maxRecordsPerBatch`` keep Arrow transfers bounded; the
@@ -72,6 +74,36 @@ def fake_decoder(blob: bytes, feature_dim: int = 8) -> np.ndarray:
     return np.array([float(ord(h[i % 32])) for i in range(feature_dim)], dtype=np.float64)
 
 
+def real_media_decoder(feature_dim: int = 8):
+    """``bytes -> np.ndarray(feature_dim,)`` dispatching on magic bytes to
+    the REAL dependency-free codecs (functions/media_codecs): PNG pixels,
+    baseline-JPEG pixels, WAV PCM. Unknown/unsupported formats raise
+    ``NotImplementedError`` naming the sniffed type — fail loud, never a
+    silent stub."""
+    from tstore_spark.functions.media_codecs import (
+        audio_features,
+        decode_jpeg,
+        decode_png,
+        decode_wav,
+        image_features,
+    )
+
+    def decode(blob: bytes) -> np.ndarray:
+        if blob[:4] == b"\x89PNG":
+            return image_features(decode_png(blob), feature_dim)
+        if blob[:3] == b"\xff\xd8\xff":
+            return image_features(decode_jpeg(blob), feature_dim)
+        if blob[:4] == b"RIFF":
+            return audio_features(*decode_wav(blob), feature_dim=feature_dim)
+        sniffed = next((t for p, t in _MAGIC if blob[: len(p)] == p), "unknown")
+        raise NotImplementedError(
+            f"no codec for media type {sniffed!r} in this environment; "
+            "pass decoder= (bytes -> np.ndarray) or use strict=False"
+        )
+
+    return decode
+
+
 def decode_and_featurize(
     df: DataFrame,
     id_col: str,
@@ -90,16 +122,16 @@ def decode_and_featurize(
     ``array<float>`` alongside; the projection is the comparison surface.
 
     ``decoder`` is ``bytes -> np.ndarray(feature_dim,)``; None selects the
-    deterministic stub (or raises under ``strict=True`` — the honest
-    production posture when no codec library is installed).
+    deterministic stub, or under ``strict=True`` the REAL magic-dispatch
+    decoder (:func:`real_media_decoder` — dependency-free PNG/baseline-JPEG
+    pixels and WAV PCM; raises ``NotImplementedError`` per blob for formats
+    with no codec here, e.g. GIF/MP4 — the honest production posture).
     """
     if decoder is None:
         if strict:
-            raise NotImplementedError(
-                "no media decoder installed in this environment; pass decoder= "
-                "(bytes -> np.ndarray) or use strict=False for the deterministic stub"
-            )
-        decoder = lambda b: fake_decoder(b, feature_dim)  # noqa: E731
+            decoder = real_media_decoder(feature_dim)
+        else:
+            decoder = lambda b: fake_decoder(b, feature_dim)  # noqa: E731
 
     feat_cols = [f"f{i}" for i in range(feature_dim)]
     schema = f"{id_col} long, byte_len long, " + ", ".join(f"{c} double" for c in feat_cols)
@@ -134,6 +166,25 @@ def fake_resizer(blob: bytes, width: int, height: int) -> bytes:
     )
 
 
+def real_image_resizer():
+    """``(bytes, w, h) -> bytes`` magic-dispatch resize over the real
+    codecs: PNG in -> PNG out, baseline JPEG in -> JPEG out (4:4:4);
+    anything else raises ``NotImplementedError`` naming the sniffed type."""
+    from tstore_spark.functions.media_codecs import jpeg_resizer, png_resizer
+
+    def resize(blob: bytes, width: int, height: int) -> bytes:
+        if blob[:4] == b"\x89PNG":
+            return png_resizer(blob, width, height)
+        if blob[:3] == b"\xff\xd8\xff":
+            return jpeg_resizer(blob, width, height)
+        sniffed = next((t for p, t in _MAGIC if blob[: len(p)] == p), "unknown")
+        raise NotImplementedError(
+            f"no image codec for {sniffed!r}; pass resizer=(bytes, w, h) -> bytes"
+        )
+
+    return resize
+
+
 def resize_images(
     df: DataFrame,
     id_col: str,
@@ -146,14 +197,15 @@ def resize_images(
     """Arrow-batched image resize over ``mapInPandas``: (id, resized binary,
     out_w, out_h). Narrow map — pipelines with the scan, no shuffle; blob
     memory per task is bounded by the Arrow batch size. ``resizer`` is
-    ``(bytes, w, h) -> bytes``; None selects the deterministic stub (or
-    raises under ``strict=True`` — no codec libs in this container)."""
+    ``(bytes, w, h) -> bytes``; None selects the deterministic stub, or
+    under ``strict=True`` the REAL magic-dispatch resizer (PNG and
+    baseline-JPEG decode -> nearest resample -> re-encode; other formats
+    raise per blob)."""
     if resizer is None:
         if strict:
-            raise NotImplementedError(
-                "no image library installed; pass resizer=(bytes, w, h) -> bytes"
-            )
-        resizer = fake_resizer
+            resizer = real_image_resizer()
+        else:
+            resizer = fake_resizer
 
     schema = f"{id_col} long, resized binary, out_w int, out_h int"
 
