@@ -225,9 +225,13 @@ def embedding_near_dup_pairs(
             F.col(id_col), F.posexplode("lsh_buckets").alias("_t", "_bkt")
         )
         ea, eb = e.alias("ea"), e.alias("eb")
+        # shuffle_hash: the bucket table and the vector lookups are all
+        # DATA-PROPORTIONAL — AQE must never plan a broadcast for either
+        # side (a corpus-sized broadcast is a driver OOM; same hazard class
+        # dedup's band joins carried, fixed round 4)
         pair_ids = (
             ea.join(
-                eb,
+                eb.hint("shuffle_hash"),
                 (F.col("ea._t") == F.col("eb._t"))
                 & (F.col("ea._bkt") == F.col("eb._bkt"))
                 & (F.col(f"ea.{id_col}") < F.col(f"eb.{id_col}")),
@@ -238,8 +242,12 @@ def embedding_near_dup_pairs(
             .dropDuplicates()
         )
         cand = (
-            pair_ids.join(v.alias("a"), F.col("_ida") == F.col(f"a.{id_col}"))
-            .join(v.alias("b"), F.col("_idb") == F.col(f"b.{id_col}"))
+            pair_ids.join(
+                v.alias("a").hint("shuffle_hash"), F.col("_ida") == F.col(f"a.{id_col}")
+            )
+            .join(
+                v.alias("b").hint("shuffle_hash"), F.col("_idb") == F.col(f"b.{id_col}")
+            )
         )
     else:
         raise ValueError(f"unknown method {method!r}")
@@ -562,7 +570,12 @@ def lsh_ann_topk(
         .distinct()
     )
     p = probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q"))
-    scored = cand.join(vectors.select(id_col, vec_col), id_col).join(F.broadcast(p), "query_id")
+    # corpus vector lookup pinned to shuffle_hash: the (id, vec) side is
+    # data-proportional and must never be AQE-broadcast (probes stay an
+    # explicit broadcast — they are the small side by contract)
+    scored = cand.join(
+        vectors.select(id_col, vec_col).hint("shuffle_hash"), id_col
+    ).join(F.broadcast(p), "query_id")
     sim = F.round(cosine(F.col(vec_col), F.col("_q")), round_digits)
     ranked = scored.select(
         "query_id", F.col(id_col).alias("neighbor_id"), sim.alias("cos_sim")
