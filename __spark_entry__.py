@@ -2417,11 +2417,18 @@ def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).head()
-    idx = build_inverted_index(docs)
+    # scoped cache on the index: the operator consumes it on THREE paths
+    # (query-doc postings, the query-term semi-join, df counts) and without
+    # the cache each re-runs the corpus tokenize+explode+groupBy; evict
+    # here, evict=False inside so the operator keeps this cache warm
+    DD._evict_prior_caches()
+    idx = DD._cache_scoped(build_inverted_index(docs))
     # the synthetic corpus has a ~30-word vocab where every term is in
     # >50% of docs, so the gate runs the df guard wide open (the guard
     # itself is pytest-covered); ranking is still a full tf*idf ordering
-    out = more_like_this(idx, [int(lo), int(hi)], k=10, max_terms=10, max_df_ratio=1.0)
+    out = more_like_this(
+        idx, [int(lo), int(hi)], k=10, max_terms=10, max_df_ratio=1.0, evict=False
+    )
     return out.select(
         "query_id", "doc_id", "score", F.col("rank").cast("int").alias("rank")
     )

@@ -292,6 +292,7 @@ def more_like_this(
     id_col: str = "doc_id",
     n_docs: int | None = None,
     idf_scale: int = 1_000_000,
+    evict: bool = True,
 ) -> DataFrame:
     """Top-k similar documents per query document — Lucene's MoreLikeThis,
     through the posting table.
@@ -340,8 +341,12 @@ def more_like_this(
         F.col(id_col).alias("query_id"), "token", F.col("tf").alias("_tf_q")
     )
     # one semi-join bounds everything downstream to postings of query terms;
-    # cached so the df pass and the scoring pass share the scan
-    _evict_prior_caches()
+    # cached so the df pass and the scoring pass share the scan.
+    # evict=False when the CALLER holds its own scoped cache (e.g. a cached
+    # index consumed by several passes) that must stay warm — the module's
+    # standing composition contract (shingle_jaccard_pairs_exact pattern).
+    if evict:
+        _evict_prior_caches()
     qterm_post = _cache_scoped(
         index.join(F.broadcast(qpost.select("token").distinct()), "token")
     )
