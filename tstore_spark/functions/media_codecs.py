@@ -305,6 +305,11 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} unsupported")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"JPEG with {nc} components (CMYK/YCCK) unsupported — "
+                    "only greyscale and YCbCr decode here"
+                )
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
