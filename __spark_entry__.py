@@ -2522,7 +2522,9 @@ def _q_stream_cascade_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col=F.col("etype"), time_col="ts",
     )
     q = write_stream_tier(tier, f"{base}/tier1h", f"{base}/ckpt")
-    q.awaitTermination(300)
+    if not q.awaitTermination(900):  # partial-sink guard (see stream_gap_fill)
+        q.stop()
+        raise RuntimeError("streaming gate: query still active after 900s")
     return (
         spark.read.parquet(f"{base}/tier1h")
         .select(
@@ -2606,7 +2608,12 @@ def _q_stream_gap_fill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         zero_fill=["doc_count", "bytes_total"],
         interp_cols=["bytes_interp"],
     )
-    q.awaitTermination(300)
+    # a timed-out await would silently read a PARTIAL sink (measured: a
+    # contended box pushed the 4-batch replay past 300 s and the gate
+    # returned half the closed windows) — wait generously, then fail LOUD
+    if not q.awaitTermination(900):
+        q.stop()
+        raise RuntimeError("stream_gap_fill_1h: streaming query still active after 900s")
     return read_filled(spark, f"{base}/out").select(
         F.col("domain").alias("event_type"),
         F.expr(
@@ -2656,7 +2663,9 @@ def _q_stream_cascade_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col=F.col("etype"), time_col="ts", distinct_col="user_id",
     )
     q = write_stream_tier(tier, f"{base}/tier1h", f"{base}/ckpt")
-    q.awaitTermination(300)
+    if not q.awaitTermination(900):  # partial-sink guard (see stream_gap_fill)
+        q.stop()
+        raise RuntimeError("streaming gate: query still active after 900s")
     got = with_hll_estimate(spark.read.parquet(f"{base}/tier1h"))
     got = got.select(
         F.col("domain").alias("event_type"),
@@ -2728,7 +2737,9 @@ def _q_stream_cascade_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col=F.col("etype"), time_col="ts", value_col="vc",
     )
     q = write_stream_tier(tier, f"{base}/tier1h", f"{base}/ckpt")
-    q.awaitTermination(300)
+    if not q.awaitTermination(900):  # partial-sink guard (see stream_gap_fill)
+        q.stop()
+        raise RuntimeError("streaming gate: query still active after 900s")
     got = with_dd_quantiles(spark.read.parquet(f"{base}/tier1h"), qs=(0.5, 0.99))
     got = got.select(
         F.col("domain").alias("event_type"),
@@ -2818,7 +2829,9 @@ def _q_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="31 days",
     )
     q = write_stream_tier(joined, f"{base}/out", f"{base}/ck")
-    q.awaitTermination(300)
+    if not q.awaitTermination(900):  # partial-sink guard (see stream_gap_fill)
+        q.stop()
+        raise RuntimeError("streaming gate: query still active after 900s")
     out = spark.read.parquet(f"{base}/out")
     return out.select(
         "user_id",
@@ -3425,7 +3438,9 @@ def _q_stream_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src + "/f*")
     )
     q = apply_stream_upserts(stream, base, order_col="seq")
-    q.awaitTermination(300)
+    if not q.awaitTermination(900):  # partial-sink guard (see stream_gap_fill)
+        q.stop()
+        raise RuntimeError("streaming gate: query still active after 900s")
     back = open_archive(spark, base, with_attributes=False)
     return back.df.select(
         F.col("event_id").cast("long").alias("event_id"), "ts", "value"
@@ -4470,7 +4485,9 @@ def _q_stream_histogram_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col=F.col("etype"), time_col="ts", value_col="value",
     )
     q = write_stream_tier(tier, f"{base}/tier1h", f"{base}/ckpt")
-    q.awaitTermination(300)
+    if not q.awaitTermination(900):  # partial-sink guard (see stream_gap_fill)
+        q.stop()
+        raise RuntimeError("streaming gate: query still active after 900s")
     return (
         spark.read.parquet(f"{base}/tier1h")
         .select(

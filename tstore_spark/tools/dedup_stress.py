@@ -21,6 +21,13 @@ which are also Jaccard-1 near-dup pairs. The run asserts:
 - exact_dedup survivor count == n_docs - n_docs/100
 - minhash near-dup pair count == 2 * (n_docs/100) + n_docs/100
   (pairs (k0,k2) J=1, (k0,k1) and (k1,k2) J~0.97 within each block)
+- simhash(max_hamming=3, verify_jaccard=0.99) pair count == n_docs/100
+  exactly: the identical-text pairs are hamming-0 candidates and J=1
+  survivors; the one-extra-token pairs sit at J~0.97 and are filtered by
+  the exact verify whether or not their signatures band-collide; random
+  cross-doc pairs can never reach J >= 0.99. This leg drives the
+  round-4 salted band self-join (adaptive per-bucket salt counts) at
+  corpus scale.
 
 and prints one JSON line with docs/sec per stage.
 """
@@ -55,7 +62,11 @@ def synth_documents(spark, n_docs: int, vocab_size: int = 10_000, doc_tokens: in
 
 
 def main(master: str = "local[16]", n_docs: int = 1_000_000) -> dict:
-    from tstore_spark.operators.dedup import exact_dedup, minhash_near_dup_pairs
+    from tstore_spark.operators.dedup import (
+        exact_dedup,
+        minhash_near_dup_pairs,
+        simhash_near_dup_pairs,
+    )
     from tstore_spark.operators.sampling import deterministic_split
     from tstore_spark.session import get_spark
 
@@ -75,6 +86,13 @@ def main(master: str = "local[16]", n_docs: int = 1_000_000) -> dict:
     assert pairs == expect_pairs, (pairs, expect_pairs)
 
     t0 = time.time()
+    sim_pairs = simhash_near_dup_pairs(
+        docs, max_hamming=3, verify_jaccard=0.99
+    ).count()
+    t_simhash = time.time() - t0
+    assert sim_pairs == n_docs // 100, (sim_pairs, n_docs // 100)
+
+    t0 = time.time()
     split_counts = dict(
         deterministic_split(docs, "doc_id", {"train": 0.95, "eval": 0.05})
         .groupBy("split")
@@ -90,6 +108,9 @@ def main(master: str = "local[16]", n_docs: int = 1_000_000) -> dict:
         "minhash_s": round(t_minhash, 1),
         "minhash_docs_per_sec": round(n_docs / t_minhash),
         "minhash_pairs": pairs,
+        "simhash_s": round(t_simhash, 1),
+        "simhash_docs_per_sec": round(n_docs / t_simhash),
+        "simhash_pairs": sim_pairs,
         "split_s": round(t_split, 1),
         "split_counts": {k: int(v) for k, v in split_counts.items()},
         "all_expected_counts_exact": True,
