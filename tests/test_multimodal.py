@@ -47,9 +47,14 @@ def test_decode_and_featurize_stub(blobs_sdf):
         assert rows[i]["byte_len"] == len(blob)
 
 
-def test_strict_raises(blobs_sdf):
-    with pytest.raises(NotImplementedError):
-        MM.decode_and_featurize(blobs_sdf, "doc_id", "blob", strict=True)
+def test_strict_decodes_real_and_raises_per_blob(blobs_sdf):
+    """Round 4: strict=True selects the REAL magic-dispatch codecs — plan
+    construction succeeds, and collection raises per blob only for formats
+    with no codec here (html/plain in the fixture; the truncated fake
+    PNG/JPEG/WAV payloads fail inside their codecs, which is also loud)."""
+    out = MM.decode_and_featurize(blobs_sdf, "doc_id", "blob", strict=True)
+    with pytest.raises(Exception, match="text/html|no codec|JPEG|signature|RIFF|struct"):
+        out.collect()
 
 
 def test_resize_images_stub(blobs_sdf):
@@ -75,7 +80,11 @@ def test_sample_frames_fanout(blobs_sdf):
 
 
 def test_resize_and_frames_strict_raise(blobs_sdf):
-    with pytest.raises(NotImplementedError):
-        MM.resize_images(blobs_sdf, "doc_id", "blob", 1, 1, strict=True)
+    # resize: real codecs now back strict=True — the plan builds, and the
+    # fixture's non-image blobs raise per blob at collection
+    out = MM.resize_images(blobs_sdf, "doc_id", "blob", 1, 1, strict=True)
+    with pytest.raises(Exception, match="no image codec|text/html|JPEG|signature"):
+        out.collect()
+    # video frames: still honestly stub-only — strict raises at plan time
     with pytest.raises(NotImplementedError):
         MM.sample_frames(blobs_sdf, "doc_id", "blob", strict=True)
