@@ -343,3 +343,19 @@ def test_strict_resize_jpeg_roundtrip(spark):
     for r in out.collect():
         got = decode_jpeg(bytes(r["resized"]))
         assert got.shape == (8, 6, 3)
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 chroma subsampling — the dominant web-JPEG shape — exercises
+    the decoder's multi-block MCU interleave and chroma upsample, which a
+    4:4:4-only roundtrip never touches (the real on-host fixture is 4:4:4)."""
+    from tstore_spark.functions.media_codecs import decode_jpeg, encode_jpeg
+
+    for shape in [(16, 16), (17, 23), (5, 9), (1, 1)]:
+        arr = _gradient(*shape)
+        dec = decode_jpeg(encode_jpeg(arr, subsampling="420"))
+        assert dec.shape == (*shape, 3)
+        err = np.abs(dec.astype(int) - arr.astype(int)).mean()
+        assert err < 12, (shape, err)
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(_gradient(8, 8), subsampling="422")

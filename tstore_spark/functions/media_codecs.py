@@ -524,10 +524,57 @@ def _mag_bits(v: int) -> tuple[int, int]:
     return t, v if v > 0 else v + (1 << t) - 1
 
 
-def encode_jpeg(arr: np.ndarray) -> bytes:
-    """Baseline 4:4:4 JPEG encoder (Annex K tables, no subsampling) —
-    spec-compliant output any decoder opens; pairs with :func:`decode_jpeg`
-    for dependency-free roundtrip tests."""
+def _encode_blocks(bw: "_BitWriter", zz: np.ndarray, pred: int, ci_dc, ci_ac) -> int:
+    """Huffman-encode one zigzag block; returns the new DC predictor."""
+    t, bits = _mag_bits(int(zz[0]) - pred)
+    pred = int(zz[0])
+    code, ln = ci_dc[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(bits, t)
+    run = 0
+    nz = np.flatnonzero(zz[1:])
+    last = nz[-1] + 1 if len(nz) else 0
+    k = 1
+    while k <= last:
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            k += 1
+            continue
+        while run > 15:
+            code, ln = ci_ac[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        t, bits = _mag_bits(v)
+        code, ln = ci_ac[(run << 4) | t]
+        bw.write(code, ln)
+        bw.write(bits, t)
+        run = 0
+        k += 1
+    if last < 63:
+        code, ln = ci_ac[0x00]  # EOB
+        bw.write(code, ln)
+    return pred
+
+
+def _pad_plane(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    h, w = plane.shape
+    p = np.empty((ph, pw))
+    p[:h, :w] = plane
+    p[h:, :w] = plane[h - 1:h, :]
+    p[:, w:] = p[:, w - 1:w]
+    return p
+
+
+def encode_jpeg(arr: np.ndarray, subsampling: str = "444") -> bytes:
+    """Baseline JPEG encoder (Annex K tables): ``subsampling='444'`` (no
+    chroma subsampling) or ``'420'`` (2x2 chroma subsampling — the shape
+    most web/camera JPEGs use, and the coverage the decoder's MCU
+    interleave + upsample path needs). Spec-compliant output any decoder
+    opens; pairs with :func:`decode_jpeg` for dependency-free roundtrips."""
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
     if arr.ndim == 2:
         arr = np.stack([arr, arr, arr], axis=2)
     h, w = arr.shape[:2]
@@ -536,61 +583,47 @@ def encode_jpeg(arr: np.ndarray) -> bytes:
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+
+    if subsampling == "444":
+        hv = [(1, 1), (1, 1), (1, 1)]
+        mcu = 8
+        ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+        planes = [_pad_plane(p, ph, pw) - 128.0 for p in (y, cb, cr)]
+    else:  # 4:2:0 — Y at 2x2 blocks per MCU, chroma 2x2-mean downsampled
+        hv = [(2, 2), (1, 1), (1, 1)]
+        mcu = 16
+        ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+        yp = _pad_plane(y, ph, pw)
+        sub = []
+        for p in (cb, cr):
+            full = _pad_plane(p, ph, pw)
+            sub.append(full.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)))
+        planes = [yp - 128.0, sub[0] - 128.0, sub[1] - 128.0]
+
     qts = (_QT_LUMA, _QT_CHROMA, _QT_CHROMA)
     tbls = ((0, 0), (1, 1), (1, 1))  # (dc id, ac id) per component
-
-    planes = []
-    for plane in (y, cb, cr):
-        p = np.empty((ph, pw))
-        p[:h, :w] = plane
-        p[h:, :w] = plane[-1:, :]
-        p[:, w:] = p[:, w - 1:w]
-        planes.append(p - 128.0)
+    qdeq, grid_w = [], []
+    for ci, plane in enumerate(planes):
+        cph, cpw = plane.shape
+        blocks = plane.reshape(cph // 8, 8, cpw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        co = np.einsum("ij,njk,kl->nil", _DCT, blocks, _DCT.T).reshape(-1, 64)
+        qdeq.append(np.round(co[:, _ZIGZAG] / qts[ci][None, :]).astype(np.int64))
+        grid_w.append(cpw // 8)
+    dc_codes = [_ENC_TABLES[(0, t[0])] for t in tbls]
+    ac_codes = [_ENC_TABLES[(1, t[1])] for t in tbls]
 
     bw = _BitWriter()
     pred = [0, 0, 0]
-    qdeq = [np.zeros(64, dtype=np.int64) for _ in range(3)]
-    for ci, plane in enumerate(planes):
-        q = qts[ci]
-        blocks = plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-        co = np.einsum("ij,njk,kl->nil", _DCT, blocks, _DCT.T).reshape(-1, 64)
-        qdeq[ci] = np.round(co[:, _ZIGZAG] / q[None, :]).astype(np.int64)
-    nbx, nby = pw // 8, ph // 8
-    dc_codes = [_ENC_TABLES[(0, t[0])] for t in tbls]
-    ac_codes = [_ENC_TABLES[(1, t[1])] for t in tbls]
-    for bi in range(nbx * nby):  # interleave 1x1 sampling: one block each
-        for ci in range(3):
-            zz = qdeq[ci][bi]
-            t, bits = _mag_bits(int(zz[0]) - pred[ci])
-            pred[ci] = int(zz[0])
-            code, ln = dc_codes[ci][t]
-            bw.write(code, ln)
-            if t:
-                bw.write(bits, t)
-            run = 0
-            nz = np.flatnonzero(zz[1:])
-            last = nz[-1] + 1 if len(nz) else 0
-            k = 1
-            while k <= last:
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    k += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[ci][0xF0]
-                    bw.write(code, ln)
-                    run -= 16
-                t, bits = _mag_bits(v)
-                code, ln = ac_codes[ci][(run << 4) | t]
-                bw.write(code, ln)
-                bw.write(bits, t)
-                run = 0
-                k += 1
-            if last < 63:
-                code, ln = ac_codes[ci][0x00]  # EOB
-                bw.write(code, ln)
+    for my in range(ph // mcu):
+        for mx in range(pw // mcu):
+            for ci in range(3):
+                chh, cvv = hv[ci]
+                for by in range(cvv):
+                    for bx in range(chh):
+                        bi = (my * cvv + by) * grid_w[ci] + (mx * chh + bx)
+                        pred[ci] = _encode_blocks(
+                            bw, qdeq[ci][bi], pred[ci], dc_codes[ci], ac_codes[ci]
+                        )
     bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -600,8 +633,8 @@ def encode_jpeg(arr: np.ndarray) -> bytes:
     out += seg(0xDB, bytes([0]) + bytes(_QT_LUMA.tolist()))
     out += seg(0xDB, bytes([1]) + bytes(_QT_CHROMA.tolist()))
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, tq])
+    for ci, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
+        sof += bytes([cid, (hv[ci][0] << 4) | hv[ci][1], tq])
     out += seg(0xC0, sof)
     for (tc, th), (bits, vals) in _HUFF_SPECS.items():
         out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
