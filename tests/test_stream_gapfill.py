@@ -186,3 +186,26 @@ def test_stream_gap_fill_end_to_end(spark):
         assert any(r[4] for r in act), "no gap rows emitted"
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_late_or_replayed_rows_are_ignored(spark):
+    """A closed row at or before the key's state window must not re-emit
+    gaps over already-processed ranges (the incremental contract)."""
+    tier = _hour_tier(_sparse_events(spark))
+    rows = sorted(tier.collect(), key=lambda r: (r["window_start"], r["key"]))
+    first = spark.createDataFrame(rows, tier.schema)
+    gaps1, state = incremental_gap_rows(
+        first, None, "1h", key="key",
+        zero_fill=["doc_count"], interp_cols=["metric"],
+    )
+    n1 = gaps1.count()
+    # replay the ENTIRE first batch against the final state: everything is
+    # at-or-before the state window -> zero new gap rows, state unchanged
+    gaps2, state2 = incremental_gap_rows(
+        first, state, "1h", key="key",
+        zero_fill=["doc_count"], interp_cols=["metric"],
+    )
+    assert n1 == 7 and gaps2.count() == 0
+    s1 = {(r["key"], r["window_start"]) for r in state.collect()}
+    s2 = {(r["key"], r["window_start"]) for r in state2.collect()}
+    assert s1 == s2

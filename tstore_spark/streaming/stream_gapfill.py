@@ -78,6 +78,18 @@ def incremental_gap_rows(
     slim = [key, time_col, *interp_cols]
     pool = closed.select(*slim)
     if state is not None:
+        # drop rows at or before the key's state window (the docstring
+        # contract): tumbling windows close in per-key time order under a
+        # monotone watermark, but a defensive filter keeps a replayed or
+        # out-of-contract row from re-emitting gaps over processed ranges
+        st = state.select(
+            F.col(key).alias("__sk"), F.col(time_col).alias("__st")
+        )
+        pool = (
+            pool.join(st, pool[key] == st["__sk"], "left")
+            .where(F.col("__st").isNull() | (F.col(time_col) > F.col("__st")))
+            .select(*slim)
+        )
         pool = state.select(*slim).unionByName(pool)
 
     t_type = dict(closed.dtypes).get(time_col, "timestamp")
