@@ -149,3 +149,47 @@ def test_deterministic_across_parallelism(spark, samples):
         out = histogram_quantile(bc, [0.5, 0.99], BOUNDS, ["k"])
         outs.append(sorted(map(tuple, out.collect())))
     assert outs[0] == outs[1]
+
+
+def test_quantile_twins_bit_identical_adversarial(spark):
+    """The generated SQL twin must match the Spark expression BIT-FOR-BIT
+    on counts engineered to hit divergent branches — including the round-3
+    advice counterexample shape (n_total=3, q=0.9: a DECIMAL rank in
+    DuckDB gave 1.7 vs Spark's 1.7000000000000002 before every literal
+    was CAST AS DOUBLE)."""
+    import duckdb
+    import pandas as pd
+
+    from tstore_spark.operators.promhist import quantile_expr, quantile_sql_case
+
+    bounds = [5.0, 10.0, 25.0, 50.0, 100.0]
+    cases = []
+    for n_total in [1, 2, 3, 5, 7, 9, 10, 33, 100]:
+        for cum in (
+            [0, 1, 2, 2, n_total],
+            [1, 1, 2, 3, n_total],
+            [0, 0, 0, 0, n_total],
+            [n_total] * 5,
+            [0, 2, 3, 3, n_total],
+        ):
+            if any(cum[i] > cum[i + 1] for i in range(4)) or cum[-1] != n_total:
+                continue
+            cases.append(cum + [n_total])
+    pdf = pd.DataFrame(
+        cases, columns=["le_0", "le_1", "le_2", "le_3", "le_4", "n_total"]
+    )
+    qs = [0.5, 0.9, 0.99, 0.3333333]
+    got = spark.createDataFrame(pdf).select(
+        *[quantile_expr(q, bounds).alias(f"q{i}") for i, q in enumerate(qs)]
+    ).collect()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exprs = ", ".join(
+        f"{quantile_sql_case(q, bounds)} AS q{i}" for i, q in enumerate(qs)
+    )
+    want = con.execute(f"SELECT {exprs} FROM t").fetchall()
+    for srow, drow in zip(got, want):
+        for i in range(len(qs)):
+            assert srow[f"q{i}"] == drow[i] or (
+                srow[f"q{i}"] is None and drow[i] is None
+            ), (srow, drow, i)
