@@ -1567,6 +1567,36 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_t(spark, sf_dir, "documents"), merges=8)
 
 
+def _q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless detokenization (round 4): train WITH Sennrich's </w>
+    word-end marker, encode every document, decode the flat token stream
+    back (pure Catalyst concat/split) — the decoded text must equal the
+    normalized word sequence EXACTLY, per document. Output
+    (doc_id, n_tokens, roundtrip_ok); the invariant column is computed
+    from data (string equality), the oracle recomputes n_tokens and
+    asserts TRUE — the ann_lsh invariant-gate pattern."""
+    from tstore_spark.operators.bpe import bpe_decode_tokens, bpe_encode, bpe_train
+    from tstore_spark.operators.search import _tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    merges = bpe_train(docs, merges=8, mark_word_end=True)
+    rows = [(r["lhs"], r["rhs"]) for r in merges.orderBy("rank").collect()]
+    enc = bpe_encode(docs, rows, mark_word_end=True)
+    dec = bpe_decode_tokens(enc, out_col="_dec")
+    norm = docs.select(
+        "doc_id",
+        F.array_join(_tokens("text"), " ").alias("_norm"),
+        F.size(_tokens("text")).cast("long").alias("n_tokens"),
+    )
+    return dec.join(norm, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        (F.col("_dec") == F.col("_norm")).alias("roundtrip_ok"),
+    )
+
+
 def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle containment |S(a)∩S(b)|/|S(a)| over documents —
     the quote/aggregator relation Jaccard LSH can't see. Candidates =
@@ -4802,6 +4832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_returning_users": _q_kmv_returning_users,
         "lm_bigram_counts": _q_lm_bigram_counts,
         "bpe_merges": _q_bpe_merges,
+        "bpe_roundtrip": _q_bpe_roundtrip,
         "unicode_nfc": _q_unicode_nfc,
         "json_flatten": _q_json_flatten,
         "blocklist_hits": _q_blocklist_hits,
@@ -6059,6 +6090,14 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = v.user_id
              AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
             WHERE v.event_type = 'view' AND c.event_type = 'click'
+        """,
+        "bpe_roundtrip": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(list_filter(
+                        string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                        t -> t != '')) AS BIGINT) AS n_tokens,
+                   TRUE AS roundtrip_ok
+            FROM documents
         """,
         "text_search": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents

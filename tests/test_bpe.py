@@ -149,3 +149,55 @@ def test_deterministic_across_parallelism(spark):
     a = [tuple(r) for r in bpe_train(df.repartition(1), merges=4).collect()]
     b = [tuple(r) for r in bpe_train(df.repartition(7), merges=4).collect()]
     assert a == b
+
+
+def test_marker_roundtrip_exact(spark):
+    """mark_word_end: train + encode with the </w> marker, decode back —
+    the token stream is losslessly invertible to the normalized words."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tstore_spark.operators.bpe import (
+        bpe_decode_tokens,
+        bpe_encode,
+        bpe_train,
+    )
+    from tstore_spark.operators.search import _tokens
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(6),
+        "text": [
+            "the lower newer lowest low low low",
+            "newer newest new news",
+            "The LOWER, newer... lowest!",
+            "",
+            "xyz",
+            "wide wider widest low lower",
+        ],
+    }))
+    merges = bpe_train(docs, merges=6, mark_word_end=True)
+    rows = [(r["lhs"], r["rhs"]) for r in merges.orderBy("rank").collect()]
+    # marker must actually participate in training (word-final merges exist)
+    assert any("</w>" in l + r for l, r in rows)
+    enc = bpe_encode(docs, rows, mark_word_end=True)
+    dec = bpe_decode_tokens(enc)
+    want = {r["doc_id"]: r["w"] for r in docs.select(
+        "doc_id", F.array_join(_tokens("text"), " ").alias("w")).collect()}
+    got = {r["doc_id"]: r["text"] for r in dec.collect()}
+    assert got == want
+    # every word's token run ends with the marker exactly once
+    one = enc.where("doc_id = 0").head()["bpe_tokens"]
+    assert "".join(one).count("</w>") == 7
+
+
+def test_marker_off_unchanged(spark):
+    """Default (marker off) training is byte-identical to before the flag."""
+    import pandas as pd
+
+    from tstore_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0], "text": ["aa ab aa ab aa"]}))
+    m = bpe_train(docs, merges=1)
+    r = m.head()
+    assert (r["lhs"], r["rhs"]) == ("a", "a") or "</w>" not in r["token"]

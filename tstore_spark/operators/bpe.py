@@ -88,11 +88,19 @@ def _merge_fold(syms, left: str, right: str) -> "F.Column":
     )
 
 
+#: Sennrich et al.'s end-of-word marker — appended to each word's final
+#: character symbol so the flat token stream keeps word boundaries and
+#: encoding becomes INVERTIBLE (bpe_decode_tokens); '</w>' never appears in
+#: the alphanumeric token alphabet, so the marker is unambiguous
+WORD_END = "</w>"
+
+
 def bpe_train(
     corpus: DataFrame,
     text_col: str = "text",
     merges: int = 8,
     max_word_len: int = DEFAULT_MAX_WORD_LEN,
+    mark_word_end: bool = False,
 ) -> DataFrame:
     """Learn ``merges`` BPE merge rules; returns the merge table
     ``(rank int, lhs string, rhs string, token string, pair_count bigint)``
@@ -104,6 +112,11 @@ def bpe_train(
     localCheckpoint so round t never replays rounds 0..t-1. Raises if the
     corpus runs out of adjacent pairs before ``merges`` rounds (a corpus
     too small to train on should fail loudly, not pad the table).
+
+    ``mark_word_end=True`` trains with Sennrich's ``</w>`` marker on each
+    word's last character symbol — learned merges then distinguish
+    word-final positions and the matching :func:`bpe_encode` output is
+    losslessly invertible via :func:`bpe_decode_tokens`.
     """
     if merges < 1:
         raise ValueError(f"merges must be >= 1, got {merges}")
@@ -111,9 +124,16 @@ def bpe_train(
 
     _evict_prior_caches()
     spark = corpus.sparkSession
+    syms = F.split("word", "")
+    if mark_word_end:
+        n = F.size(syms)
+        syms = F.transform(
+            syms,
+            lambda s, i: F.when(i == n - 1, F.concat(s, F.lit(WORD_END))).otherwise(s),
+        )
     words = _cache_scoped(
         word_counts(corpus, text_col, max_word_len).select(
-            "freq", F.split("word", "").alias("syms")
+            "freq", syms.alias("syms")
         )
     )
     rows: list[tuple] = []
@@ -159,6 +179,7 @@ def bpe_encode(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_word_len: int = DEFAULT_MAX_WORD_LEN,
+    mark_word_end: bool = False,
 ) -> DataFrame:
     """Tokenize ``docs`` with a trained merge list (``(lhs, rhs)`` in rank
     order — e.g. ``[(r['lhs'], r['rhs']) for r in merge_table.collect()]``):
@@ -170,6 +191,11 @@ def bpe_encode(
     kernel cost proportional to DISTINCT words per batch (Zipf makes that
     small), not token count. Words beyond ``max_word_len`` pass through
     unmerged — same rule as training, where they never contributed pairs.
+
+    ``mark_word_end=True`` (with merges trained the same way) appends
+    ``</w>`` to each word's final symbol BEFORE merging — the token stream
+    then carries word boundaries and :func:`bpe_decode_tokens` inverts it
+    exactly back to the normalized word sequence.
     """
     pairs = [(str(l), str(r)) for l, r in merge_rows]
     import pandas as pd
@@ -183,6 +209,8 @@ def bpe_encode(
             got = memo.get(word)
             if got is None:
                 syms = list(word)
+                if mark_word_end:
+                    syms[-1] += WORD_END
                 if len(word) <= max_word_len:
                     for l, r in pairs:
                         out: list[str] = []
@@ -216,6 +244,29 @@ def bpe_encode(
         "bpe_tokens",
         F.col("n").alias("bpe_token_count"),
     )
+
+
+def bpe_decode_tokens(
+    encoded: DataFrame,
+    tokens_col: str = "bpe_tokens",
+    out_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Invert :func:`bpe_encode(mark_word_end=True)`: concatenate the token
+    stream, split on the ``</w>`` word marker, rejoin with single spaces —
+    exactly the normalized word sequence the tokenizer saw (lowercased
+    alphanumeric words; the pipeline's detokenization contract, asserted by
+    the roundtrip tests/gate). Pure Catalyst string expressions, zero
+    shuffle, zero Python — the decode side costs a projection.
+
+    Tokens produced WITHOUT the marker cannot be decoded (no boundary
+    information survives); the output would be one concatenated run, so
+    callers must pair this with marker-trained merges.
+    """
+    flat = F.array_join(F.col(tokens_col), "")
+    # words = split on the marker; the final marker yields one trailing ''
+    words = F.filter(F.split(flat, WORD_END, -1), lambda w: w != F.lit(""))
+    return encoded.select(F.col(id_col), F.array_join(words, " ").alias(out_col))
 
 
 def bpe_oracle_sql(
