@@ -161,6 +161,9 @@ HEADLINE = [
     "out_of_order_profile",
     "record_linkage",
     "windowed_topk",
+    # round-4 additions (stream_gap_fill_1h stays out: its cost is the
+    # streaming replay harness, the stream_click_attribution rule)
+    "bpe_roundtrip",
 ]
 
 
