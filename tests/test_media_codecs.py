@@ -359,3 +359,24 @@ def test_jpeg_420_subsampled_roundtrip():
         assert err < 12, (shape, err)
     with pytest.raises(ValueError, match="subsampling"):
         encode_jpeg(_gradient(8, 8), subsampling="422")
+
+
+def test_jpeg_multi_scan_sos_subset_raises():
+    """Round 5 (ADVICE): an SOS covering fewer components than the frame is
+    a non-interleaved/multi-scan layout — decoding it with full-frame MCU
+    geometry would be silently wrong, so the decoder must refuse."""
+    from tstore_spark.functions.media_codecs import decode_jpeg, encode_jpeg
+
+    blob = encode_jpeg(_gradient(16, 16))
+    i = blob.find(b"\xff\xda")
+    assert i > 0
+    ln = int.from_bytes(blob[i + 2:i + 4], "big")
+    seg = blob[i + 4:i + 2 + ln]
+    ns = seg[0]
+    assert ns == 3
+    # rewrite SOS to cover only the first component (len 8: ns=1, one
+    # (cs,tt) pair, 3 spectral bytes)
+    new_seg = bytes([1]) + seg[1:3] + seg[1 + 2 * ns:]
+    patched = blob[:i + 2] + (2 + len(new_seg)).to_bytes(2, "big") + new_seg + blob[i + 2 + ln:]
+    with pytest.raises(NotImplementedError, match="non-interleaved|multi-scan"):
+        decode_jpeg(patched)

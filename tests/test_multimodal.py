@@ -53,7 +53,7 @@ def test_strict_decodes_real_and_raises_per_blob(blobs_sdf):
     with no codec here (html/plain in the fixture; the truncated fake
     PNG/JPEG/WAV payloads fail inside their codecs, which is also loud)."""
     out = MM.decode_and_featurize(blobs_sdf, "doc_id", "blob", strict=True)
-    with pytest.raises(Exception, match="text/html|no codec|JPEG|signature|RIFF|struct"):
+    with pytest.raises(Exception, match="text/html|no codec|JPEG|signature|RIFF|struct|PNG|IHDR"):
         out.collect()
 
 
@@ -83,7 +83,7 @@ def test_resize_and_frames_strict_raise(blobs_sdf):
     # resize: real codecs now back strict=True — the plan builds, and the
     # fixture's non-image blobs raise per blob at collection
     out = MM.resize_images(blobs_sdf, "doc_id", "blob", 1, 1, strict=True)
-    with pytest.raises(Exception, match="no image codec|text/html|JPEG|signature"):
+    with pytest.raises(Exception, match="no image codec|text/html|JPEG|signature|PNG|IHDR"):
         out.collect()
     # video frames: still honestly stub-only — strict raises at plan time
     with pytest.raises(NotImplementedError):

@@ -209,3 +209,21 @@ def test_late_or_replayed_rows_are_ignored(spark):
     s1 = {(r["key"], r["window_start"]) for r in state.collect()}
     s2 = {(r["key"], r["window_start"]) for r in state2.collect()}
     assert s1 == s2
+
+
+def test_incremental_gap_rows_unknown_columns_raise(spark):
+    """Round 5 (ADVICE): a typo'd zero_fill/interp_cols name must raise, not
+    silently degrade to NULL-fill."""
+    import pytest
+    from datetime import datetime
+
+    batch = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 0), 1, 1.0)],
+        "key string, window_start timestamp, doc_count long, metric double",
+    )
+    with pytest.raises(ValueError, match="metricc"):
+        incremental_gap_rows(batch, None, "1h", key="key",
+                             interp_cols=["metricc"])
+    with pytest.raises(ValueError, match="doc_cnt"):
+        incremental_gap_rows(batch, None, "1h", key="key",
+                             zero_fill=["doc_cnt"])

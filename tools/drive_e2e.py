@@ -971,7 +971,9 @@ def main() -> int:
         gq = stream_gap_fill(gtier, f"{tmp}/gf_out", f"{tmp}/gf_ckpt",
                              f"{tmp}/gf_state", tier="1h", key="key",
                              zero_fill=["doc_count"], interp_cols=["metric"])
-        gq.awaitTermination(120)
+        if not gq.awaitTermination(120):
+            gq.stop()
+            raise RuntimeError("stream gap-fill did not finish in 120s")
         gf = read_filled(spark, f"{tmp}/gf_out")
         n_gap = gf.where("gap_filled").count()
         interp_ok = gf.where("gap_filled").where(

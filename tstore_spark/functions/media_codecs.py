@@ -324,6 +324,14 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             dri = struct.unpack(">H", seg[:2])[0]
         elif m == 0xDA:  # SOS
             ns = seg[0]
+            if frame is not None and ns != len(frame["comps"]):
+                # a scan covering a component subset means non-interleaved /
+                # multi-scan layout; decoding it with full-frame MCU geometry
+                # would return silently wrong pixels — refuse instead
+                raise NotImplementedError(
+                    f"non-interleaved/multi-scan JPEG unsupported (SOS covers "
+                    f"{ns} of {len(frame['comps'])} components)"
+                )
             scomps = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]

@@ -72,8 +72,15 @@ def incremental_gap_rows(
     other metric column NULL. Rows at or before the key's state window are
     ignored (a replayed/late window was already processed).
     """
-    zero_fill = [] if zero_fill is None else [c for c in zero_fill if c in closed.columns]
-    interp_cols = [] if interp_cols is None else [c for c in interp_cols if c in closed.columns]
+    zero_fill = list(zero_fill or [])
+    interp_cols = list(interp_cols or [])
+    unknown = [c for c in (*zero_fill, *interp_cols) if c not in closed.columns]
+    if unknown:
+        # a typo'd metric name must not silently degrade to NULL-fill
+        raise ValueError(
+            f"zero_fill/interp_cols name columns absent from the batch "
+            f"schema: {unknown} (have: {closed.columns})"
+        )
 
     slim = [key, time_col, *interp_cols]
     pool = closed.select(*slim)
@@ -186,17 +193,18 @@ def stream_gap_fill(
         state = None
         if batch_id > 0:
             if not os.path.exists(os.path.join(prev, "_SUCCESS")):
-                # replay after a retention prune: fall back to the newest
-                # surviving version older than this batch
-                cands = sorted(
-                    (int(d[1:]) for d in os.listdir(state_dir)
-                     if d.startswith("v") and d[1:].isdigit()
-                     and int(d[1:]) < batch_id),
-                    reverse=True,
-                ) if os.path.isdir(state_dir) else []
-                prev = os.path.join(state_dir, f"v{cands[0]}") if cands else None
-            if prev and os.path.exists(os.path.join(prev, "_SUCCESS")):
-                state = spark.read.parquet(prev)
+                # The contract only ever needs v<N-1>: batch N's own prune
+                # keeps versions >= N-1, so a crash-replay of N always finds
+                # it. Falling back to an OLDER version would pair stale state
+                # with batch-N rows and synthesize gap rows over windows that
+                # earlier batches already wrote as REAL rows — fail loudly
+                # instead of emitting silent duplicates.
+                raise RuntimeError(
+                    f"stream_gap_fill state v{batch_id - 1} missing under "
+                    f"{state_dir}; refusing to replay batch {batch_id} with "
+                    "stale state (would duplicate already-emitted windows)"
+                )
+            state = spark.read.parquet(prev)
 
         gap_rows, new_state = incremental_gap_rows(
             batch_df, state, tier, key, time_col, zero_fill, interp_cols
