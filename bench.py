@@ -234,6 +234,61 @@ def cpu_substrate(n: int, n4: int, units: int = 64) -> dict:
     }
 
 
+def _stage_inflation(st_n: list[dict], st_4n: list[dict]) -> dict:
+    """Per-stage CPU-inflation table between the two parallelism levels.
+
+    Round-4's event-log analysis located the residual scaling gap in
+    per-CPU work inflation under thread parallelism (memory-path contention
+    on one socket); this table puts that evidence IN the artifact so
+    host-vs-engine attribution is checkable from BENCH_r{N}.json alone.
+    Stages pair by sequence (both levels run the identical deterministic
+    job chain); if AQE gives the levels different stage counts the table
+    falls back to totals-only."""
+    total_n = round(sum(s["cpu_s"] for s in st_n), 1)
+    total_4n = round(sum(s["cpu_s"] for s in st_4n), 1)
+    out: dict = {
+        "what": (
+            "total executor CPU per stage, timed samples only; inflation = "
+            "cpu_4n/cpu_n (1.0 = same work per doc at both parallelism "
+            "levels; >1 on a single shared socket = memory-path contention "
+            "— on separate executors this term does not scale with cluster "
+            "size). Read against cpu_substrate/scan_substrate: those carry "
+            "the same window's host-attributable inflation."
+        ),
+        "total_cpu_s_n": total_n,
+        "total_cpu_s_4n": total_4n,
+        "total_cpu_inflation": round(total_4n / total_n, 3) if total_n else None,
+    }
+    if len(st_n) == len(st_4n) and st_n:
+        rows = []
+        for a, b in zip(st_n, st_4n):
+            if b["cpu_s"] < 0.5 and a["cpu_s"] < 0.5:
+                continue
+            rows.append(
+                {
+                    "tasks_n": a["tasks"],
+                    "tasks_4n": b["tasks"],
+                    "cpu_s_n": a["cpu_s"],
+                    "cpu_s_4n": b["cpu_s"],
+                    "inflation": round(b["cpu_s"] / a["cpu_s"], 2)
+                    if a["cpu_s"]
+                    else None,
+                    "sh_write_mb_4n": b["sh_write_mb"],
+                    "sh_read_mb_4n": b["sh_read_mb"],
+                    "input_mb_4n": b["input_mb"],
+                    "spill_mb_4n": b["spill_mb"],
+                }
+            )
+        out["paired_stages"] = rows
+        out["pairing"] = "by stage sequence across all timed samples (sub-0.5s-CPU stages omitted)"
+    else:
+        out["pairing"] = (
+            f"stage counts differ across levels ({len(st_n)} vs {len(st_4n)}) "
+            "— totals only"
+        )
+    return out
+
+
 def run_scaling() -> dict:
     import shutil
     import tempfile
@@ -341,7 +396,7 @@ def run_scaling() -> dict:
     # never silent.
     attempts = []
     for _attempt in range(2):
-        level = {m: one(m, ["all", "--narrow", f"--repeat={SCALE_ROUNDS}"]) for m in masters}
+        level = {m: one(m, ["all", "--narrow", f"--repeat={SCALE_ROUNDS}", "--stages"]) for m in masters}
         runs = {m: level[m]["samples_sec"] for m in masters}
         effs = [
             round((a / b) / 4, 3)
@@ -406,6 +461,11 @@ def run_scaling() -> dict:
         else None,
         "deterministic_across_parallelism": len(digests) == 1,
         "rollup_points": windows,
+        # per-stage CPU at both levels from the Spark event log (timed
+        # samples only) — the host-vs-engine attribution evidence
+        "stage_inflation": _stage_inflation(
+            level[masters[0]].get("stages", []), level[masters[1]].get("stages", [])
+        ),
         # context: measured efficiency is bounded by what this shared host
         # itself can scale — read the whole-job number against these
         "cpu_substrate": cpu,

@@ -17,6 +17,74 @@ import sys
 import time
 
 
+def _stage_metrics(log_dir: str, t0_ms: float) -> list[dict]:
+    """Per-stage task-metric totals from the Spark event log, stages submitted
+    at/after t0_ms only (the timed window — warmup stages excluded).
+
+    Reads SparkListenerStageCompleted accumulables (driver-side totals across
+    the stage's tasks), so no per-task summation is needed. Used by bench.py
+    to build the N-vs-4N per-stage CPU-inflation table that rides the
+    artifact: whether the residual scaling gap is engine overhead or
+    memory-path inflation must be checkable from the JSON alone."""
+    import glob
+
+    rows: list[dict] = []
+    # Spark 4 rolling event log v2: <dir>/eventlog_v2_<appid>/events_*_<appid>
+    paths = [
+        p
+        for p in glob.glob(os.path.join(log_dir, "**", "*"), recursive=True)
+        if os.path.isfile(p) and os.path.basename(p).split("_")[0] in ("events", "eventlog", "local", "app")
+    ]
+    for path in paths:
+        with open(path, encoding="utf-8", errors="replace") as fh:
+            for line in fh:
+                if '"SparkListenerStageCompleted"' not in line:
+                    continue
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                si = ev.get("Stage Info", {})
+                sub = si.get("Submission Time")
+                if sub is None or sub < t0_ms:
+                    continue
+                acc = {
+                    a.get("Name"): a.get("Value")
+                    for a in si.get("Accumulables", [])
+                }
+
+                def g(name: str) -> int:
+                    v = acc.get("internal.metrics." + name, 0)
+                    return int(v) if isinstance(v, (int, float)) else 0
+
+                rows.append(
+                    {
+                        "stage_id": si.get("Stage ID"),
+                        "attempt": si.get("Stage Attempt ID", 0),
+                        "name": (si.get("Stage Name") or "")[:72],
+                        "tasks": si.get("Number of Tasks"),
+                        "wall_s": round(
+                            (si.get("Completion Time", sub) - sub) / 1e3, 3
+                        ),
+                        "cpu_s": round(g("executorCpuTime") / 1e9, 3),
+                        "run_s": round(g("executorRunTime") / 1e3, 3),
+                        "input_mb": round(g("input.bytesRead") / 1e6, 1),
+                        "sh_read_mb": round(
+                            (
+                                g("shuffle.read.localBytesRead")
+                                + g("shuffle.read.remoteBytesRead")
+                            )
+                            / 1e6,
+                            1,
+                        ),
+                        "sh_write_mb": round(g("shuffle.write.bytesWritten") / 1e6, 1),
+                        "spill_mb": round(g("memoryBytesSpilled") / 1e6, 1),
+                    }
+                )
+    rows.sort(key=lambda r: (r["stage_id"], r["attempt"]))
+    return rows
+
+
 def _row_hash():
     from pyspark.sql import functions as F
 
@@ -55,6 +123,7 @@ def run(
     narrow: bool = False,
     fused_digest: bool = True,
     repeat: int = 1,
+    stages: bool = False,
 ) -> dict:
     """Times the rollup cascade + digest at the given parallelism.
 
@@ -70,7 +139,20 @@ def run(
     from tstore_spark.operators.rollup import rollup_all_tiers, rollup_from_raw
     from tstore_spark.session import get_spark
 
-    spark = get_spark(app_name=f"parcheck-{master}", master=master)
+    log_dir = None
+    extra_conf = None
+    if stages:
+        import tempfile
+
+        log_dir = tempfile.mkdtemp(prefix="parcheck_evlog_")
+        extra_conf = {
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file:{log_dir}",
+            "spark.eventLog.compress": "false",
+        }
+    spark = get_spark(
+        app_name=f"parcheck-{master}", master=master, extra_conf=extra_conf
+    )
 
     if tier == "substrate":
         # Scaling SUBSTRATE: a bare payload scan+sum (decompress html+text,
@@ -148,6 +230,7 @@ def run(
     samples: list[float] = []
     digests: dict = {}
     windows: dict = {}
+    t_timed0_ms = time.time() * 1000  # stage filter: timed window only
     for _i in range(max(1, repeat)):
         t0 = time.time()
         if tier == "all":
@@ -191,10 +274,16 @@ def run(
 
     digest = hashlib.sha256(json.dumps(digests, sort_keys=True).encode()).hexdigest()
     spark.stop()
-    return {
+    out = {
         "digest": digest, "rows": n, "windows": windows,
         "seconds": min(samples), "samples_sec": samples,
     }
+    if stages and log_dir:
+        import shutil
+
+        out["stages"] = _stage_metrics(log_dir, t_timed0_ms)
+        shutil.rmtree(log_dir, ignore_errors=True)
+    return out
 
 
 if __name__ == "__main__":
@@ -205,6 +294,7 @@ if __name__ == "__main__":
     gen_in_window = "--gen-in-window" in sys.argv
     narrow = "--narrow" in sys.argv
     fused = "--sequential-digest" not in sys.argv
+    stages = "--stages" in sys.argv
     input_path = None
     repeat = 1
     for a in sys.argv[1:]:
@@ -212,4 +302,4 @@ if __name__ == "__main__":
             input_path = a.split("=", 1)[1]
         elif a.startswith("--repeat="):
             repeat = int(a.split("=", 1)[1])
-    print(json.dumps(run(master, rows, tier, gen_in_window, input_path, narrow, fused, repeat)))
+    print(json.dumps(run(master, rows, tier, gen_in_window, input_path, narrow, fused, repeat, stages)))
