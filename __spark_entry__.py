@@ -1813,18 +1813,27 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     data) and catches >= 90% of it (recall floor; measured 97.6% at sf0.1,
     100% at sf0.01). Oracle: the same exact pairs + TRUE, TRUE."""
     docs = _t(spark, sf_dir, "documents")
+    # ONE tokenize+hash pass for the whole gate (round 5): the sketch branch
+    # and the exact branch both consume the same cached staged_token_hashes
+    # frame — previously each ran its own doc-proportional pass (the
+    # two-tokenize-pass floor BENCH.md:619 named).
+    DD._evict_prior_caches()
+    staged = DD._cache_scoped(DD.staged_token_hashes(docs))
     # scoped caches on the two pair SETS (a few hundred rows each): the plan
     # consumes found 2x and exact 3x, and without the cache each consumer
-    # re-walks the whole tokenize -> band-join / shingle-join pipeline
+    # re-walks the whole band-join / shingle-join pipeline
     found = DD._cache_scoped(
-        DD.simhash_near_dup_pairs(docs, max_hamming=8, verify_jaccard=0.9).select(
-            "id_a", "id_b"
-        )
+        DD.simhash_near_dup_pairs(
+            docs, max_hamming=8, verify_jaccard=0.9,
+            token_hashes=staged, evict=False,
+        ).select("id_a", "id_b")
     )
-    # evict=False: simhash's scoped caches must stay warm for the same
-    # downstream action that consumes both branches
+    # evict=False: the staged + simhash scoped caches must stay warm for the
+    # same downstream action that consumes both branches
     exact = DD._cache_scoped(
-        DD.shingle_jaccard_pairs_exact(docs, threshold=0.9, evict=False)
+        DD.shingle_jaccard_pairs_exact(
+            docs, threshold=0.9, evict=False, token_hashes=staged
+        )
     )
     nf = found.agg(F.count(F.lit(1)).alias("_nf"))
     ne = exact.agg(F.count(F.lit(1)).alias("_ne"))

@@ -137,6 +137,27 @@ def _staged_token_hashes(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
 
 
+def staged_token_hashes(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The shared tokenize+hash pass: ``(id, _th, _tl)``.
+
+    ``_th`` = per-token xxhash64 array (NULL text coalesced to ''), ``_tl`` =
+    trimmed text length (0 marks the empty/NULL doc — ``split`` returns
+    ``[""]`` there, so array emptiness cannot distinguish it). Tokenizing +
+    hashing is the dominant doc-proportional cost of every pair operator;
+    when a caller composes several of them over the SAME corpus (the
+    sketch-plus-exact invariant gates), build this frame once, cache it, and
+    pass it as ``token_hashes=`` to each — the pass then runs once total
+    instead of once per operator."""
+    c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col, F.lit(""))
+    return df.select(
+        F.col(id_col),
+        F.transform(tokens(c), lambda t: F.xxhash64(t)).alias("_th"),
+        F.length(F.trim(c)).alias("_tl"),
+    )
+
+
 def _hashed_shingle_expr(th: Column, n: int) -> Column:
     return F.array_distinct(
         F.transform(
@@ -284,6 +305,7 @@ def shingle_jaccard_pairs_exact(
     n: int = 3,
     threshold: float = 0.8,
     evict: bool = True,
+    token_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT shingle-Jaccard pairs via the shared-shingle equi-join — the
     SQL oracle's semantics, distributed: any J>0 pair shares >= 1 shingle,
@@ -294,6 +316,13 @@ def shingle_jaccard_pairs_exact(
     verification path (gate scale), not the corpus-scale sketch path
     (:func:`minhash_near_dup_pairs`); at scale apply the same rare-shingle
     restriction as :func:`containment_pairs` ``max_gram_df``.
+
+    The join carries each side's shingle-set size and prunes on the
+    length-ratio bound implied by the threshold (J >= t forces
+    t*|larger| <= |smaller| — the :func:`token_jaccard_pairs` prefilter), so
+    results are unchanged while mismatched-size candidates never reach the
+    intersection count; the slack (t - 1e-4) keeps the emitted
+    ``round(J, 4) >= t`` filter from dropping a boundary pair.
     """
     # the exploded table is consumed 3x (sizes + both join sides): cache it
     # per the module's discipline or the doc-proportional tokenize+hash work
@@ -303,20 +332,46 @@ def shingle_jaccard_pairs_exact(
     # the same downstream action (the _q_simhash pattern).
     if evict:
         _evict_prior_caches()
-    ex = _cache_scoped(exploded_hashed_shingles(df, id_col, text_col, n))
-    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    staged = (
+        token_hashes
+        if token_hashes is not None
+        else _staged_token_hashes(df, id_col, text_col)
+    )
+    # The shingle ARRAY is built exactly once into a scoped cache; size and
+    # explode then read the cached column. Exploding a column is the
+    # InferFiltersFromGenerate hazard (see exploded_hashed_shingles) ONLY
+    # when the array construction sits in the same optimizable plan — here
+    # the cache boundary (InMemoryRelation) stops the pushdown, so the
+    # inferred size>0 filter lands on the cache scan, never re-inlines the
+    # gram hashing. The size rides every gram row so the length-ratio prune
+    # happens IN the join condition and the old two sizes-lookup joins
+    # disappear.
+    arr = _cache_scoped(
+        staged.select(F.col(id_col), _hashed_shingle_expr(F.col("_th"), n).alias("_sh"))
+    )
+    ex = arr.select(
+        F.col(id_col), F.size("_sh").alias("_n"), F.explode("_sh").alias("gram")
+    )
+    t_eff = max(float(threshold) - 1e-4, 1e-12)
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("a._n") * F.lit(t_eff) <= F.col("b._n"))
+            & (F.col("b._n") * F.lit(t_eff) <= F.col("a._n")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._n").alias("_na"),
+            F.col("b._n").alias("_nb"),
+        )
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    sized = (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")), "id_b")
-    )
     j = F.round(F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")), 4)
-    return sized.select("id_a", "id_b", j.alias("jaccard")).where(
+    return inter.select("id_a", "id_b", j.alias("jaccard")).where(
         F.col("jaccard") >= F.lit(float(threshold))
     )
 
@@ -878,6 +933,8 @@ def simhash_near_dup_pairs(
     verify_jaccard: float | None = None,
     shingle_n: int = 3,
     max_candidates: int | None = 200_000_000,
+    token_hashes: DataFrame | None = None,
+    evict: bool = True,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) <= max_hamming via band self-join.
 
@@ -900,10 +957,16 @@ def simhash_near_dup_pairs(
     the hamming cutoff: a J >= t pair whose signatures differ in more than
     ``max_hamming`` bits is missed (simhash is a near-EXACT-dup sketch;
     heavily perturbed dups belong to :func:`minhash_near_dup_pairs`).
+
+    ``token_hashes``: a precomputed (ideally cached)
+    :func:`staged_token_hashes` frame — pass it (with ``evict=False``) when
+    composing with another pair operator over the same corpus so the
+    doc-proportional tokenize+hash pass runs once total.
     """
     nb = max_hamming + 1
     width = 64 // nb
-    _evict_prior_caches()
+    if evict:
+        _evict_prior_caches()
 
     def band_bits(bi: int) -> F.Column:
         shifted = F.shiftrightunsigned(F.col("simhash"), bi * width)
@@ -915,13 +978,10 @@ def simhash_near_dup_pairs(
     # verifying) the shingle sets — the per-doc token work is the dominant
     # doc-proportional cost and used to run twice. The staged cache holds
     # (id, token-hash array, trimmed length): a few longs per token.
-    c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col, F.lit(""))
-    staged = _cache_scoped(
-        df.select(
-            F.col(id_col),
-            F.transform(tokens(c), lambda t: F.xxhash64(t)).alias("_th"),
-            F.length(F.trim(c)).alias("_tl"),
-        )
+    staged = (
+        token_hashes
+        if token_hashes is not None
+        else _cache_scoped(staged_token_hashes(df, id_col, text_col))
     )
     # empty/NULL docs vote with an empty arena -> signature 0 (same contract
     # as simhash()); shingles still use the single-truncated-shingle form
@@ -930,40 +990,18 @@ def simhash_near_dup_pairs(
     )
     sigs = staged.select(F.col(id_col), _simhash64_from_hashes(sig_input).alias("simhash"))
 
-    # cache: banded is consumed three times (bucket-size guard + both sides
-    # of the self-join) and its lineage carries the doc-proportional work
-    # (tokenize -> xxhash64 -> Arrow bit-vote); without the cache that work
-    # runs 3x. Same pattern as minhash's sigs cache; the cached rows are
-    # (id, sig, band, bits) — a few longs per doc, nowhere near payload size.
-    banded = _cache_scoped(
-        sigs.select(
-            F.col(id_col),
-            "simhash",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(bi).alias("band"), band_bits(bi).alias("bits"))
-                        for bi in range(nb)
-                    ]
-                )
-            ).alias("b"),
-        )
-        .select(id_col, "simhash", "b.band", "b.bits")
-    )
-
-    if max_candidates is not None:
-        est = (
-            banded.groupBy("band", "bits")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .agg(F.sum(F.col("_n") * (F.col("_n") - 1) / 2).alias("_pairs"))
-            .head()["_pairs"]
-        )
-        if est is not None and est > max_candidates:
-            raise ValueError(
-                f"simhash band buckets would generate ~{int(est)} candidate "
-                f"pairs (> {max_candidates}): the corpus is too homogeneous "
-                "for simhash banding — use minhash_near_dup_pairs instead"
+    banded = sigs.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bi).alias("band"), band_bits(bi).alias("bits"))
+                    for bi in range(nb)
+                ]
             )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.band", "b.bits")
 
     # hamming filter runs INSIDE the band join's projection, BEFORE the
     # distinct: a band bucket on a topically homogeneous corpus can be hot
@@ -983,13 +1021,31 @@ def simhash_near_dup_pairs(
     # still matches exactly once (at t = salt(id_b)), so the output is
     # row-identical, while a bucket of n rows spreads its n^2/s work over s
     # reducers. Buckets at or under _SALT_TARGET get s=1: zero replication.
+    #
+    # ONE cached pass carries everything (round 5): the window's bucket
+    # count rides along as _n, so the bucket-size guard is a row-wise
+    # aggregate over this cache — the previous shape materialized a separate
+    # banded cache plus a second groupBy exchange just for the guard.
     _SALT_TARGET, _SALT_CAP = 512, 32
     bw = Window.partitionBy("band", "bits")
-    s_expr = F.least(
-        F.ceil(F.count(F.lit(1)).over(bw) / _SALT_TARGET), F.lit(_SALT_CAP)
-    ).cast("int")
-    # scoped cache: the window's exchange+sort runs once, not once per side
-    withs = _cache_scoped(banded.withColumn("_s", s_expr))
+    withs = _cache_scoped(
+        banded.withColumn("_n", F.count(F.lit(1)).over(bw)).withColumn(
+            "_s",
+            F.least(F.ceil(F.col("_n") / _SALT_TARGET), F.lit(_SALT_CAP)).cast("int"),
+        )
+    )
+
+    if max_candidates is not None:
+        # sum over rows of (n-1)/2 == sum over buckets of n(n-1)/2
+        est = withs.agg(
+            F.sum((F.col("_n") - 1) / 2).alias("_pairs")
+        ).head()["_pairs"]
+        if est is not None and est > max_candidates:
+            raise ValueError(
+                f"simhash band buckets would generate ~{int(est)} candidate "
+                f"pairs (> {max_candidates}): the corpus is too homogeneous "
+                "for simhash banding — use minhash_near_dup_pairs instead"
+            )
     xb = withs.withColumn(
         "_t", F.explode(F.sequence(F.lit(0), F.col("_s") - 1))
     )
