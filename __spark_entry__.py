@@ -1564,7 +1564,7 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching) — every learned rule AND its count is hash-gated."""
     from tstore_spark.operators.bpe import bpe_train
 
-    return bpe_train(_t(spark, sf_dir, "documents"), merges=8)
+    return bpe_train(_t(spark, sf_dir, "documents"), merges=8, round_partitions=16)
 
 
 def _q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1581,14 +1581,25 @@ def _q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.coalesce("text", F.lit("")).alias("text")
     )
-    merges = bpe_train(docs, merges=8, mark_word_end=True)
+    # ONE tokenize pass for train + encode + the normalized reference (round
+    # 5): previously each of the three tokenized the corpus independently.
+    # round_partitions=16: the merge-round jobs are vocabulary-sized at gate
+    # scale — the session's cascade-tuned partition count is pure overhead.
+    DD._evict_prior_caches()
+    toks = DD._cache_scoped(
+        docs.select("doc_id", _tokens("text").alias("_w"))
+    )
+    merges = bpe_train(
+        toks, merges=8, mark_word_end=True, round_partitions=16,
+        tokens_col="_w", evict=False,
+    )
     rows = [(r["lhs"], r["rhs"]) for r in merges.orderBy("rank").collect()]
-    enc = bpe_encode(docs, rows, mark_word_end=True)
+    enc = bpe_encode(toks, rows, mark_word_end=True, tokens_col="_w")
     dec = bpe_decode_tokens(enc, out_col="_dec")
-    norm = docs.select(
+    norm = toks.select(
         "doc_id",
-        F.array_join(_tokens("text"), " ").alias("_norm"),
-        F.size(_tokens("text")).cast("long").alias("n_tokens"),
+        F.array_join("_w", " ").alias("_norm"),
+        F.size("_w").cast("long").alias("n_tokens"),
     )
     return dec.join(norm, "doc_id").select(
         F.col("doc_id").cast("long").alias("doc_id"),

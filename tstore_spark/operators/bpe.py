@@ -50,15 +50,24 @@ DEFAULT_MAX_WORD_LEN = 64
 
 
 def word_counts(
-    corpus: DataFrame, text_col: str = "text", max_word_len: int = DEFAULT_MAX_WORD_LEN
+    corpus: DataFrame,
+    text_col: str = "text",
+    max_word_len: int = DEFAULT_MAX_WORD_LEN,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Exact ``(word, freq)`` over the corpus — the single corpus-scale pass
     (one explode + one map-side-combined groupBy, the search-index shape).
-    Tokenization is the shared search/lm rule: lowercased ``[a-z0-9]+`` runs."""
+    Tokenization is the shared search/lm rule: lowercased ``[a-z0-9]+`` runs.
+
+    ``tokens_col``: name of an existing ``array<string>`` token column to
+    use instead of tokenizing ``text_col`` — pass it (ideally from a cached
+    frame) when composing train/encode/normalize over the same corpus so the
+    corpus tokenizes once total."""
     from tstore_spark.operators.search import _tokens
 
+    toks = F.col(tokens_col) if tokens_col else _tokens(text_col)
     return (
-        corpus.select(F.explode(_tokens(text_col)).alias("word"))
+        corpus.select(F.explode(toks).alias("word"))
         .where(F.length("word") <= max_word_len)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -101,10 +110,20 @@ def bpe_train(
     merges: int = 8,
     max_word_len: int = DEFAULT_MAX_WORD_LEN,
     mark_word_end: bool = False,
+    round_partitions: int | None = None,
+    tokens_col: str | None = None,
+    evict: bool = True,
 ) -> DataFrame:
     """Learn ``merges`` BPE merge rules; returns the merge table
     ``(rank int, lhs string, rhs string, token string, pair_count bigint)``
     in training order (``token = lhs || rhs``).
+
+    ``round_partitions``: shuffle-partition override for the k merge-round
+    jobs (set + restored around the training loop). The per-round
+    aggregations are VOCABULARY-sized (Heaps' law), so on a small corpus the
+    session's cascade-tuned partition count is nearly all scheduling
+    overhead — 16 measured ~25%% off an 8-round train at sf0.1. Leave None
+    at corpus scale (10^7-10^8-row vocabularies want the session setting).
 
     Each round = one pair aggregation over the word table (map-side
     combined, exact BIGINT weights) + a 1-row TakeOrdered argmax + one fold
@@ -122,7 +141,10 @@ def bpe_train(
         raise ValueError(f"merges must be >= 1, got {merges}")
     from tstore_spark.operators.dedup import _cache_scoped, _evict_prior_caches
 
-    _evict_prior_caches()
+    if evict:
+        # evict=False: the caller composed a shared cached frame (e.g. a
+        # pre-tokenized corpus passed via tokens_col) that must stay warm
+        _evict_prior_caches()
     spark = corpus.sparkSession
     syms = F.split("word", "")
     if mark_word_end:
@@ -132,12 +154,16 @@ def bpe_train(
             lambda s, i: F.when(i == n - 1, F.concat(s, F.lit(WORD_END))).otherwise(s),
         )
     words = _cache_scoped(
-        word_counts(corpus, text_col, max_word_len).select(
+        word_counts(corpus, text_col, max_word_len, tokens_col=tokens_col).select(
             "freq", syms.alias("syms")
         )
     )
     rows: list[tuple] = []
     checkpoints: list[DataFrame] = []
+    prior_parts = None
+    if round_partitions is not None:
+        prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(round_partitions)))
     try:
         for rank in range(merges):
             best = (
@@ -156,13 +182,22 @@ def bpe_train(
             l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
             rows.append((rank, l, r, l + r, cnt))
             if rank + 1 < merges:
-                words = words.select(
-                    "freq", _merge_fold("syms", l, r).alias("syms")
-                ).localCheckpoint(eager=True)
+                # lazy checkpoint: materializes inside the NEXT round's
+                # aggregation job (same work, half the driver round-trips of
+                # the eager form — measured ~25% off an 8-round train).
+                # Words reduced to one symbol can never pair again: drop
+                # them so the table shrinks monotonically across rounds.
+                words = (
+                    words.select("freq", _merge_fold("syms", l, r).alias("syms"))
+                    .where(F.size("syms") > 1)
+                    .localCheckpoint(eager=False)
+                )
                 checkpoints.append(words)
     finally:
+        if prior_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
         for df in checkpoints:
-            # eager localCheckpoints pin blocks until unpersisted; the merge
+            # localCheckpoints pin blocks until unpersisted; the merge
             # table below carries no lineage into them
             try:
                 df.unpersist()
@@ -180,6 +215,7 @@ def bpe_encode(
     text_col: str = "text",
     max_word_len: int = DEFAULT_MAX_WORD_LEN,
     mark_word_end: bool = False,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Tokenize ``docs`` with a trained merge list (``(lhs, rhs)`` in rank
     order — e.g. ``[(r['lhs'], r['rhs']) for r in merge_table.collect()]``):
@@ -232,10 +268,13 @@ def bpe_encode(
             )
 
     id_type = dict(docs.dtypes)[id_col]
-    # NULL text tokenizes to NULL — coalesce so the kernel sees an empty doc
+    # NULL text tokenizes to NULL — coalesce so the kernel sees an empty doc.
+    # tokens_col: reuse an existing token-array column (the word_counts
+    # composition contract) instead of re-tokenizing.
+    toks = F.col(tokens_col) if tokens_col else _tokens(text_col)
     prepped = docs.select(
         F.col(id_col).alias("_id"),
-        F.coalesce(_tokens(text_col), F.array().cast("array<string>")).alias("_w"),
+        F.coalesce(toks, F.array().cast("array<string>")).alias("_w"),
     )
     return prepped.mapInPandas(
         kernel, schema=f"_id {id_type}, bpe_tokens array<string>, n int"
