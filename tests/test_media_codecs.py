@@ -320,12 +320,20 @@ def test_strict_unknown_format_raises(spark):
 
     from tstore_spark.operators.multimodal import decode_and_featurize
 
+    # mp3 has no codec here -> sniffed-type NotImplementedError; a malformed
+    # GIF now reaches the REAL GIF decoder (round 5) and fails loudly there
     df = spark.createDataFrame(pd.DataFrame({
-        "media_id": [0], "blob": [bytearray(b"GIF89a not a real codec here")],
+        "media_id": [0], "blob": [bytearray(b"ID3 not a real codec here")],
     }))
     out = decode_and_featurize(df, "media_id", "blob", feature_dim=8, strict=True)
-    with pytest.raises(Exception, match="image/gif"):
+    with pytest.raises(Exception, match="audio/mp3"):
         out.collect()
+    df2 = spark.createDataFrame(pd.DataFrame({
+        "media_id": [0], "blob": [bytearray(b"GIF89a not a real gif body")],
+    }))
+    out2 = decode_and_featurize(df2, "media_id", "blob", feature_dim=8, strict=True)
+    with pytest.raises(Exception, match="GIF"):
+        out2.collect()
 
 
 def test_strict_resize_jpeg_roundtrip(spark):
@@ -380,3 +388,65 @@ def test_jpeg_multi_scan_sos_subset_raises():
     patched = blob[:i + 2] + (2 + len(new_seg)).to_bytes(2, "big") + new_seg + blob[i + 2 + ln:]
     with pytest.raises(NotImplementedError, match="non-interleaved|multi-scan"):
         decode_jpeg(patched)
+
+
+def test_gif_roundtrip_multi_frame():
+    """Round 5: GIF87a/89a decoder — LZW, palette, multi-frame composition.
+    The encoder writes the clear-per-symbol LZW form; pixel identity holds."""
+    from tstore_spark.functions.media_codecs import decode_gif, encode_gif
+
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0]], np.uint8
+    )
+    f0 = (np.arange(8 * 12).reshape(8, 12) % 5).astype(np.uint8)
+    f1 = ((np.arange(8 * 12).reshape(8, 12) + 2) % 5).astype(np.uint8)
+    frames = decode_gif(encode_gif([f0, f1], pal))
+    assert len(frames) == 2
+    assert (frames[0] == pal[f0]).all() and (frames[1] == pal[f1]).all()
+    with pytest.raises(ValueError, match="GIF"):
+        decode_gif(b"NOTAGIF0")
+
+
+def test_gif_lzw_real_compression_codes():
+    """The decoder handles REAL growing-table LZW (not just the encoder's
+    clear-per-symbol form): a hand-packed stream using table-growth codes."""
+    from tstore_spark.functions.media_codecs import _gif_lzw
+
+    # min_code_size=2: clear=4, end=5; stream: clear, 1, 1 -> with the
+    # growing table, code 6 = b'\x01\x01' after the second 1; use it
+    codes = [4, 1, 6, 0, 5]  # clear, '1', '11', '0', end
+    acc = nbits = 0
+    packed = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += 3
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+    assert _gif_lzw(bytes(packed), 2, 4) == b"\x01\x01\x01\x00"
+
+
+def test_avi_mjpeg_roundtrip_and_refusals():
+    from tstore_spark.functions.media_codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        extract_avi_mjpeg_frames,
+        mjpeg_avi_bytes,
+    )
+
+    jf = [encode_jpeg(np.full((16, 16, 3), c, np.uint8)) for c in (10, 120, 240)]
+    avi = mjpeg_avi_bytes(jf, 16, 16)
+    got = extract_avi_mjpeg_frames(avi)
+    assert got == jf
+    assert decode_jpeg(got[2]).shape == (16, 16, 3)
+    with pytest.raises(ValueError, match="AVI"):
+        extract_avi_mjpeg_frames(b"RIFF\x04\x00\x00\x00WAVE")
+    # an AVI whose streams are not MJPEG refuses instead of guessing
+    with pytest.raises(ValueError, match="no MJPEG"):
+        extract_avi_mjpeg_frames(
+            b"RIFF" + (len(b"AVI ") + 8).to_bytes(4, "little") + b"AVI "
+            + b"00dc\x02\x00\x00\x00XX"
+        )

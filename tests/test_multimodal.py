@@ -85,6 +85,46 @@ def test_resize_and_frames_strict_raise(blobs_sdf):
     out = MM.resize_images(blobs_sdf, "doc_id", "blob", 1, 1, strict=True)
     with pytest.raises(Exception, match="no image codec|text/html|JPEG|signature|PNG|IHDR"):
         out.collect()
-    # video frames: still honestly stub-only — strict raises at plan time
-    with pytest.raises(NotImplementedError):
-        MM.sample_frames(blobs_sdf, "doc_id", "blob", strict=True)
+    # video frames: strict now dispatches real GIF/MJPEG-AVI codecs (round
+    # 5); the fixture's non-video blobs raise per blob at collection
+    with pytest.raises(Exception, match="no frame extractor|PNG|JPEG|signature|IHDR"):
+        MM.sample_frames(blobs_sdf, "doc_id", "blob", strict=True).collect()
+
+
+def test_sample_frames_strict_real_gif_and_mjpeg_avi(spark):
+    """Round 5: strict=True returns REAL frames — a planted animated GIF
+    decodes via the LZW decoder (frames come back PNG-encoded) and a planted
+    MJPEG-AVI yields its own baseline JPEGs, pixel-checked both ways."""
+    import numpy as np
+    import pandas as pd
+
+    from tstore_spark.functions.media_codecs import (
+        decode_jpeg,
+        decode_png,
+        encode_gif,
+        encode_jpeg,
+        mjpeg_avi_bytes,
+    )
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    gif_frames = [
+        ((np.arange(6 * 9).reshape(6, 9) + k) % 4).astype(np.uint8) for k in range(3)
+    ]
+    gif = encode_gif(gif_frames, pal)
+    jpegs = [encode_jpeg(np.full((16, 16, 3), c, np.uint8)) for c in (20, 130, 235)]
+    avi = mjpeg_avi_bytes(jpegs, 16, 16)
+
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "blob": [bytearray(gif), bytearray(avi)]})
+    )
+    rows = MM.sample_frames(sdf, "doc_id", "blob", n_frames=3, strict=True).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["frame_idx"], bytes(r["frame"])))
+    got_gif = [f for _, f in sorted(by_doc[1])]
+    for k, f in enumerate(got_gif):
+        assert (decode_png(f) == pal[gif_frames[k]]).all()
+    got_avi = [f for _, f in sorted(by_doc[2])]
+    assert got_avi == jpegs  # the container's own JPEG bytes, order preserved
+    for want, f in zip((20, 130, 235), got_avi):
+        assert abs(decode_jpeg(f).mean() - want) < 3

@@ -754,3 +754,262 @@ def best_image_decoder(feature_dim: int = 8):
             return image_features(decode_png(blob), feature_dim)
 
         return magic_decode, "stdlib-png-jpeg"
+
+
+# ---------------------------------------------------------------- GIF
+# GIF87a/89a decoder (pure numpy + the public GIF spec, round 5): LZW
+# decompression with variable-width codes, global/local color tables,
+# interlace reordering, frame composition over the logical screen with
+# transparency + disposal methods 0-3. The encoder writes spec-compliant
+# GIF89a using the classic clear-code-per-symbol LZW form (table never
+# grows, so no compression — fixtures, not bandwidth). Invalid streams
+# raise; nothing is guessed.
+
+def _gif_lzw(data: bytes, min_code_size: int, npix: int) -> bytes:
+    """LZW-decode a GIF image data stream (sub-blocks already concatenated)
+    to exactly ``npix`` palette indices; raises on malformed streams."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while len(out) < npix:
+        while nbits < code_size and pos < len(data):
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        if nbits < code_size:
+            raise ValueError("invalid GIF: LZW stream ended early")
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("invalid GIF: first LZW code out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("invalid GIF: LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    if len(out) < npix:
+        raise ValueError("invalid GIF: LZW pixel data truncated")
+    return bytes(out[:npix])
+
+
+def decode_gif(blob: bytes) -> list[np.ndarray]:
+    """Decode every frame of a GIF87a/89a to ``uint8 (h, w, 3)`` canvases
+    (each frame composited over the logical screen, honoring transparency
+    and disposal 0-3)."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (missing GIF87a/GIF89a signature)")
+    w, h = struct.unpack("<HH", blob[6:10])
+    flags, bg = blob[10], blob[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 ** ((flags & 7) + 1)
+        gct = np.frombuffer(blob[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w, 3), np.uint8)
+    if gct is not None:
+        canvas[:] = gct[min(bg, len(gct) - 1)]
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    disposal = 0
+    prev_canvas: np.ndarray | None = None
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            label = blob[pos + 1]
+            pos += 2
+            blocks = []
+            while blob[pos] != 0:
+                sz = blob[pos]
+                blocks.append(blob[pos + 1 : pos + 1 + sz])
+                pos += 1 + sz
+            pos += 1
+            if label == 0xF9 and blocks:  # graphic control extension
+                gflags = blocks[0][0]
+                disposal = (gflags >> 2) & 7
+                transparent = blocks[0][3] if gflags & 1 else None
+        elif b0 == 0x2C:  # image descriptor
+            x, y, iw, ih = struct.unpack("<HHHH", blob[pos + 1 : pos + 9])
+            iflags = blob[pos + 9]
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 ** ((iflags & 7) + 1)
+                ct = np.frombuffer(blob[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("invalid GIF: image with no color table")
+            min_code = blob[pos]
+            pos += 1
+            data = bytearray()
+            while blob[pos] != 0:
+                sz = blob[pos]
+                data += blob[pos + 1 : pos + 1 + sz]
+                pos += 1 + sz
+            pos += 1
+            idx = np.frombuffer(_gif_lzw(bytes(data), min_code, iw * ih), np.uint8)
+            if int(idx.max(initial=0)) >= len(ct):
+                raise ValueError("invalid GIF: palette index out of range")
+            grid = idx.reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: pass order 8/0, 8/4, 4/2, 2/1
+                order = np.concatenate(
+                    [
+                        np.arange(0, ih, 8),
+                        np.arange(4, ih, 8),
+                        np.arange(2, ih, 4),
+                        np.arange(1, ih, 2),
+                    ]
+                )
+                de = np.empty_like(grid)
+                de[order] = grid
+                grid = de
+            if disposal == 3:
+                prev_canvas = canvas.copy()
+            region = canvas[y : y + ih, x : x + iw]
+            rgb = ct[grid]
+            if transparent is not None:
+                mask = grid != transparent
+                region[mask] = rgb[mask]
+            else:
+                region[:] = rgb
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore to background
+                canvas[y : y + ih, x : x + iw] = (
+                    gct[min(bg, len(gct) - 1)] if gct is not None else 0
+                )
+            elif disposal == 3 and prev_canvas is not None:
+                canvas = prev_canvas
+            transparent, disposal = None, 0
+        else:
+            raise ValueError(f"invalid GIF block 0x{b0:02x}")
+    if not frames:
+        raise ValueError("invalid GIF: no image frames")
+    return frames
+
+
+def encode_gif(index_frames: list[np.ndarray], palette: np.ndarray) -> bytes:
+    """Encode palette-index frames (``uint8 (h, w)``, all same shape) over a
+    shared palette (``uint8 (n, 3)``) as an animated GIF89a. LZW uses the
+    clear-before-every-symbol form (valid, uncompressed) — a fixture writer
+    that external viewers open, not a bandwidth codec."""
+    if not index_frames:
+        raise ValueError("encode_gif needs at least one frame")
+    h, w = index_frames[0].shape
+    n = len(palette)
+    bits = max(2, int(n - 1).bit_length())
+    size = 1 << bits
+    pal = np.zeros((size, 3), np.uint8)
+    pal[:n] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT flag+size, bg=0, aspect=0
+    out += pal.tobytes()
+    clear, end = 1 << bits, (1 << bits) + 1
+    code_size = bits + 1
+    for frame in index_frames:
+        if frame.shape != (h, w):
+            raise ValueError("all frames must share the logical screen size")
+        if int(frame.max(initial=0)) >= n:
+            raise ValueError("frame index outside the palette")
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([bits])
+        codes: list[int] = []
+        for v in frame.reshape(-1).tolist():
+            codes.append(clear)
+            codes.append(int(v))
+        codes.append(end)
+        acc = nbits = 0
+        packed = bytearray()
+        for c in codes:
+            acc |= c << nbits
+            nbits += code_size
+            while nbits >= 8:
+                packed.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            packed.append(acc & 0xFF)
+        for i in range(0, len(packed), 255):
+            chunk = packed[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- AVI (MJPEG)
+def extract_avi_mjpeg_frames(blob: bytes) -> list[bytes]:
+    """Walk a RIFF-AVI container and return its MJPEG frame payloads (the
+    ``NNdc``/``NNdb`` chunks whose bodies start with the JPEG SOI marker) —
+    each returned element is a standalone baseline JPEG :func:`decode_jpeg`
+    decodes. Raises on non-AVI input or an AVI with no MJPEG frames (e.g.
+    other codecs) — nothing is guessed."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF/AVI signature missing)")
+    frames: list[bytes] = []
+
+    def walk(pos: int, limit: int) -> None:
+        while pos + 8 <= limit:
+            cid = blob[pos : pos + 4]
+            sz = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+            body, bend = pos + 8, pos + 8 + sz
+            if bend > len(blob):
+                raise ValueError("invalid AVI: chunk overruns the container")
+            if cid == b"LIST":
+                walk(body + 4, bend)
+            elif cid[2:4] in (b"dc", b"db") and blob[body : body + 2] == b"\xff\xd8":
+                frames.append(bytes(blob[body:bend]))
+            pos = bend + (sz & 1)
+
+    walk(12, len(blob))
+    if not frames:
+        raise ValueError("AVI contains no MJPEG frames (unsupported codec)")
+    return frames
+
+
+def mjpeg_avi_bytes(jpeg_frames: list[bytes], width: int, height: int, fps: int = 10) -> bytes:
+    """Write a minimal, structurally valid MJPEG AVI (RIFF + hdrl/avih +
+    strl/strh/strf + movi of ``00dc`` chunks) around pre-encoded JPEG
+    frames — the fixture-side sibling of :func:`extract_avi_mjpeg_frames`."""
+    if not jpeg_frames:
+        raise ValueError("mjpeg_avi_bytes needs at least one frame")
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    n = len(jpeg_frames)
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0, width, height, 0, 0, 0, 0
+    )
+    strh = b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, fps, 0, n, 0, 0, 0, 0, 0, width, height)
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
