@@ -56,8 +56,13 @@ def _evict_prior_caches() -> None:
             pass
 
 
-def _cache_scoped(df: DataFrame) -> DataFrame:
-    df = df.cache()
+def _cache_scoped(df: DataFrame, storage_level=None) -> DataFrame:
+    """Register df in the module cache registry. ``storage_level=None`` uses
+    ``cache()`` (MEMORY_AND_DISK deserialized); pass
+    ``StorageLevel.DISK_ONLY`` for corpus-proportional intermediates —
+    memory-safe at any scale, still computed once (the duplicate_spans
+    posting table OOMed an 8 GiB heap at 10^6 docs under the default level)."""
+    df = df.cache() if storage_level is None else df.persist(storage_level)
     _LIVE_CACHES.append(df)
     return df
 
@@ -1360,7 +1365,14 @@ def duplicate_spans(
     )
     guard = None
     if max_gram_df is not None:
-        posts = _cache_scoped(posts)
+        from pyspark import StorageLevel
+
+        # DISK_ONLY: the posting table is corpus-TOKEN-proportional — the
+        # one intermediate in this module that must never sit in executor
+        # memory (measured: MEMORY_AND_DISK OOMs an 8 GiB heap at 10^6 docs
+        # x 100 tokens). Disk blocks stream back for the guard count and
+        # both join sides; the n-fold gram build still runs exactly once.
+        posts = _cache_scoped(posts, storage_level=StorageLevel.DISK_ONLY)
         # the guard counts by the gram's 64-bit HASH, not the gram string:
         # an 8-byte map-side-combined shuffle instead of re-shuffling the
         # full posting strings and joining them back (measured 4-5x the
@@ -1388,7 +1400,16 @@ def duplicate_spans(
                 ).otherwise(F.lit(0))
             ).alias("_guard")
         )
-    a, b = posts.alias("a"), posts.alias("b")
+    # merge-join pin (round 5; this join was missed in the round-4 pin
+    # sweep): both sides are the corpus-token-proportional posting table. A
+    # planner size UNDER-estimate (e.g. a synthetic range source, where
+    # posexplode's stats stay at the 8-bytes-per-row input guess) otherwise
+    # lets it plan a broadcast hash join and collect gigabytes to the
+    # driver; shuffle_hash is no better here — with BOTH sides giant, the
+    # per-partition build map itself OOMs (measured at 10^6 docs x 91
+    # grams). Sort-merge spills both sorted sides and holds nothing
+    # data-proportional in memory.
+    a, b = posts.alias("a"), posts.alias("b").hint("merge")
     cand = a.join(
         b, (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id"))
     ).select(

@@ -30,6 +30,18 @@ which are also Jaccard-1 near-dup pairs. The run asserts:
   corpus scale.
 
 and prints one JSON line with docs/sec per stage.
+
+Round 5 adds the SUBSTRING-dedup leg (duplicate_spans / remove_duplicate_
+spans — the one dedup family previously without a corpus-scale planted-truth
+probe): a second synthetic corpus where every token is structurally unique
+("d<doc>x<i>") EXCEPT a 20-token quote ("q<block>x<j>") planted verbatim in
+docs block+10 (token offset 30) and block+11 (offset 50) of each 100-doc
+block. Uniqueness-by-construction makes the expectation exact, not
+probabilistic: duplicate_spans(n=10) must return EXACTLY one span per block
+with coordinates (start_a=30, start_b=50, span_tokens=20), and
+remove_duplicate_spans must rewrite EXACTLY the block+11 docs to their
+quote-free token sequence (byte-checked) while every other document passes
+through byte-identical (the archive invariant).
 """
 
 from __future__ import annotations
@@ -59,6 +71,103 @@ def synth_documents(spark, n_docs: int, vocab_size: int = 10_000, doc_tokens: in
     )
     text = F.when(F.col("doc_id") % 100 == 1, F.concat(body, F.lit(" extratoken"))).otherwise(body)
     return df.select("doc_id", text.alias("text"))
+
+
+def synth_span_documents(spark, n_docs: int, doc_tokens: int = 100, quote_tokens: int = 20):
+    """Planted-quote corpus for the substring-dedup leg: every token unique
+    by construction except the per-block quote — exact ground truth."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    blk = (F.col("doc_id") / 100).cast("long")
+    r = F.col("doc_id") % 100
+    is_q = (r == 10) | (r == 11)
+    off = F.when(r == 10, F.lit(30)).otherwise(F.lit(50))
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(doc_tokens - 1)),
+        lambda i: F.when(
+            is_q & (i >= off) & (i < off + quote_tokens),
+            F.concat(F.lit("q"), blk.cast("string"), F.lit("x"), (i - off).cast("string")),
+        ).otherwise(
+            F.concat(F.lit("d"), F.col("doc_id").cast("string"), F.lit("x"), i.cast("string"))
+        ),
+    )
+    return df.select("doc_id", F.concat_ws(" ", toks).alias("text"))
+
+
+def run_span_leg(spark, n_docs: int) -> dict:
+    """duplicate_spans + remove_duplicate_spans over the planted-quote corpus
+    with exact coordinate and byte-identity assertions."""
+    from pyspark.sql import functions as F
+
+    from tstore_spark.operators.dedup import duplicate_spans, remove_duplicate_spans
+
+    docs = synth_span_documents(spark, n_docs)
+    n_blocks = n_docs // 100  # full blocks only; callers pass multiples of 100
+
+    t0 = time.time()
+    spans_df = duplicate_spans(docs, n=10)
+    # the span set is block-bounded (one per 100-doc block) — collect it and
+    # re-create, so the scrub pass cannot replay the posting join lineage
+    got = spans_df.collect()
+    t_spans = time.time() - t0
+    n_exact = sum(
+        1
+        for r in got
+        if r["doc_a"] % 100 == 10
+        and r["doc_b"] == r["doc_a"] + 1
+        and r["start_a"] == 30
+        and r["start_b"] == 50
+        and r["span_tokens"] == 20
+    )
+    assert len(got) == n_blocks and n_exact == n_blocks, (
+        len(got), n_exact, n_blocks,
+    )
+    spans = spark.createDataFrame(got, spans_df.schema)
+
+    t0 = time.time()
+    scrubbed = remove_duplicate_spans(docs, spans=spans)
+    # expected text per doc, built by the same structural rule: block+11 docs
+    # lose tokens [50, 70); everyone else is byte-identical
+    blk = (F.col("doc_id") / 100).cast("long")
+    r = F.col("doc_id") % 100
+    keep = F.filter(
+        F.sequence(F.lit(0), F.lit(99)),
+        lambda i: (r != 11) | (i < 50) | (i >= 70),
+    )
+    expect_tok = F.transform(
+        keep,
+        lambda i: F.when(
+            (r == 10) & (i >= 30) & (i < 50),
+            F.concat(F.lit("q"), blk.cast("string"), F.lit("x"), (i - 30).cast("string")),
+        ).otherwise(
+            F.concat(F.lit("d"), F.col("doc_id").cast("string"), F.lit("x"), i.cast("string"))
+        ),
+    )
+    expected = docs.select("doc_id", F.col("text").alias("_orig")).select(
+        "doc_id", "_orig", F.concat_ws(" ", expect_tok).alias("_want")
+    )
+    chk = (
+        scrubbed.join(expected, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("text") == F.col("_want"), 1).otherwise(0)).alias("n_ok"),
+            F.sum(F.when(F.col("text") != F.col("_orig"), 1).otherwise(0)).alias("n_rewritten"),
+        )
+        .head()
+    )
+    t_scrub = time.time() - t0
+    assert chk["n"] == n_docs and chk["n_ok"] == n_docs, (chk["n"], chk["n_ok"], n_docs)
+    assert chk["n_rewritten"] == n_blocks, (chk["n_rewritten"], n_blocks)
+    return {
+        "spans_s": round(t_spans, 1),
+        "spans_docs_per_sec": round(n_docs / t_spans),
+        "spans_found": len(got),
+        "span_scrub_s": round(t_scrub, 1),
+        "span_scrub_docs_per_sec": round(n_docs / t_scrub),
+        "span_rewritten_docs": int(chk["n_rewritten"]),
+        "span_bytes_identical_elsewhere": True,
+    }
 
 
 def main(master: str = "local[16]", n_docs: int = 1_000_000) -> dict:
@@ -101,6 +210,8 @@ def main(master: str = "local[16]", n_docs: int = 1_000_000) -> dict:
     )
     t_split = time.time() - t0
 
+    span_stats = run_span_leg(spark, n_docs)
+
     out = {
         "n_docs": n_docs,
         "exact_dedup_s": round(t_exact, 1),
@@ -113,6 +224,7 @@ def main(master: str = "local[16]", n_docs: int = 1_000_000) -> dict:
         "simhash_pairs": sim_pairs,
         "split_s": round(t_split, 1),
         "split_counts": {k: int(v) for k, v in split_counts.items()},
+        **span_stats,
         "all_expected_counts_exact": True,
     }
     spark.stop()
