@@ -128,3 +128,111 @@ def test_real_iceberg_roundtrip(tmp_path):  # pragma: no cover - jar-present env
     assert meta["backend"] == "iceberg"
     out = A.open_archive(spark, base, ids=["a"])
     assert out.df.count() == 2
+
+
+def test_golden_writeto_statement_chain(spark, tmp_path, monkeypatch):
+    """Round 5 GOLDEN CONTRACT: record the exact writeTo call sequence the
+    seam emits through a fake writer, so a future environment with the real
+    runtime jar can diff actual behavior against this recorded chain (the
+    sandbox has no jar; routing alone proved selection, not the statements).
+    """
+    from pyspark.sql import DataFrame
+
+    calls = {}
+
+    class FakeWriter:
+        def __init__(self, df, ident):
+            calls["identifier"] = ident
+            calls["fact_columns"] = list(df.columns)
+
+        def partitionedBy(self, *cols):
+            # Column reprs like Column<'days(warc_ts)'> -> days(warc_ts)
+            calls["partitioned_by"] = [
+                str(c).split("'")[1] if "'" in str(c) else str(c) for c in cols
+            ]
+            return self
+
+        def createOrReplace(self):
+            calls["terminal"] = "createOrReplace"
+
+        def append(self):
+            calls["terminal"] = "append"
+
+    # patch the CONCRETE class (pyspark.sql.classic overrides writeTo)
+    monkeypatch.setattr(
+        type(_tiny_tslong(spark).df), "writeTo",
+        lambda self, ident: FakeWriter(self, ident),
+    )
+
+    base = str(tmp_path / "golden_arch")
+    tl = _tiny_tslong(spark)
+    IA.write_archive_iceberg(
+        tl, base, num_buckets=2, stats_columns={"text_len": __import__("pyspark.sql.functions", fromlist=["length"]).length("text")}
+    )
+
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(base).encode()).hexdigest()[:12]
+    # --- the recorded golden chain ---
+    assert calls["identifier"] == f"tstore.archive_{tag}.pages"
+    assert calls["fact_columns"] == ["url", "warc_ts", "text", "text_len"]
+    assert calls["partitioned_by"] == ["days(warc_ts)", "bucket(2, url)"]
+    assert calls["terminal"] == "createOrReplace"
+
+    # append mode terminates with append() on the same chain
+    IA.write_archive_iceberg(tl, base, num_buckets=2, mode="append")
+    assert calls["terminal"] == "append"
+    assert calls["partitioned_by"] == ["days(warc_ts)", "bucket(2, url)"]
+
+    # descriptor metadata rides NEXT TO the warehouse path with the backend
+    # marker + table identity (read_metadata_all keeps working identically)
+    d, nb, meta = A.read_metadata_all(base)
+    assert meta["backend"] == "iceberg"
+    assert meta["iceberg_table"] == f"tstore.archive_{tag}.pages"
+    assert nb == 2 and d.time_var == "warc_ts" and d.id_var == "url"
+
+
+def test_golden_open_reads_recorded_table_identity(spark, tmp_path, monkeypatch):
+    """The read side resolves the SAME identifier the write recorded into
+    metadata (spark.table faked to return a real frame so the time/id
+    filters run for real downstream)."""
+    from pyspark.sql import DataFrame, functions as F
+
+    base = str(tmp_path / "golden_arch2")
+    tl = _tiny_tslong(spark)
+
+    class FakeWriter:
+        def __init__(self, df, ident):
+            pass
+
+        def partitionedBy(self, *cols):
+            return self
+
+        def createOrReplace(self):
+            pass
+
+        def append(self):
+            pass
+
+    monkeypatch.setattr(
+        type(tl.df), "writeTo", lambda self, ident: FakeWriter(self, ident)
+    )
+    IA.write_archive_iceberg(tl, base, num_buckets=2)
+
+    seen = {}
+    real_frame = tl.df
+
+    def fake_table(ident):
+        seen["identifier"] = ident
+        return real_frame
+
+    monkeypatch.setattr(spark, "table", fake_table)
+    out = IA.open_archive_iceberg(
+        spark, base, start_time="2024-02-01 01:00:00", end_time="2024-02-01 02:00:00"
+    )
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(base).encode()).hexdigest()[:12]
+    assert seen["identifier"] == f"tstore.archive_{tag}.pages"
+    # the time filter really applied over the faked table
+    assert out.df.count() == 2
