@@ -321,8 +321,10 @@ def test_duplicate_spans_gram_df_guard(spark):
 
     boiler = " ".join(f"w{i}" for i in range(12))
     docs = [(i, boiler) for i in range(5)]
-    with pytest.raises(pyspark.errors.PySparkException, match="max_gram_df"):
-        DD.duplicate_spans(_spans_df(spark, docs), n=10, max_gram_df=3).collect()
+    # round 5: the guard is an eager action — it raises at CALL time (and
+    # materializes the posting cache so the join plans on measured sizes)
+    with pytest.raises(ValueError, match="max_gram_df"):
+        DD.duplicate_spans(_spans_df(spark, docs), n=10, max_gram_df=3)
     # cap not exceeded -> all 10 pairs, full-doc span
     ok = DD.duplicate_spans(_spans_df(spark, docs), n=10, max_gram_df=5).collect()
     assert len(ok) == 10 and all(r["span_tokens"] == 12 for r in ok)

@@ -1325,9 +1325,14 @@ def duplicate_spans(
     grain), never over the corpus.
 
     Scale shape: the posting table is one row per (doc, position) — ~token
-    count of the corpus — and the candidate join is a string equi-join on
-    the n-gram, uniform by construction except for boilerplate grams, which
-    is why ``max_gram_df`` raises in-plan when any gram's document-position
+    count of the corpus — carrying the n-gram as an INT64 hash (each token
+    xxhash64-ed once, the gram one more xxhash64 over the n token hashes —
+    the module's standard identity, equal to string-gram identity up to
+    ~1e-14 collisions per pair; round 5 switched from string postings:
+    24-byte rows make the sort-merge candidate join and the disk-persisted
+    posting cache ~5x lighter at every scale). Candidate volume is uniform
+    by construction except for boilerplate grams, which is why
+    ``max_gram_df`` raises in-plan when any gram's document-position
     frequency exceeds it (df² pairs per gram — the token_jaccard valve; at
     web scale strip boilerplate first or lower the cap). Set
     ``min_span_tokens`` above ``n`` to keep only substantial passages.
@@ -1350,66 +1355,74 @@ def duplicate_spans(
         .where(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("_id"), toks.alias("_tk"))
         .where(F.size("_tk") >= n)
+        .select("_id", F.transform("_tk", lambda t: F.xxhash64(t)).alias("_th"))
     )
-    # one gram string per 0-based start position; posexplode's index IS the
-    # position. The n-fold text expansion lives only inside this shuffle
-    # stage — nothing doc-proportional is cached beyond the postings.
+    # one int64 gram hash per 0-based start position; posexplode's index IS
+    # the position. Each token hashes once; a gram is one more xxhash64 over
+    # its n token hashes (no string slicing/concat). The n-fold expansion
+    # lives only inside this shuffle stage — nothing doc-proportional is
+    # cached beyond the narrow (id, pos, hash) postings.
     posts = staged.select(
         "_id",
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), F.size("_tk") - n),
-                lambda p: F.array_join(F.slice("_tk", p + F.lit(1), n), " "),
+                F.sequence(F.lit(0), F.size("_th") - n),
+                lambda p: F.xxhash64(*[F.get("_th", p + k) for k in range(n)]),
             )
         ).alias("_p", "_g"),
     )
-    guard = None
     if max_gram_df is not None:
         from pyspark import StorageLevel
 
         # DISK_ONLY: the posting table is corpus-TOKEN-proportional — the
         # one intermediate in this module that must never sit in executor
-        # memory (measured: MEMORY_AND_DISK OOMs an 8 GiB heap at 10^6 docs
-        # x 100 tokens). Disk blocks stream back for the guard count and
+        # memory (string postings OOMed an 8 GiB heap at 10^6 docs x 100
+        # tokens; the hashed rows are ~5x smaller but the level stays
+        # conservative). Disk blocks stream back for the guard count and
         # both join sides; the n-fold gram build still runs exactly once.
         posts = _cache_scoped(posts, storage_level=StorageLevel.DISK_ONLY)
-        # the guard counts by the gram's 64-bit HASH, not the gram string:
-        # an 8-byte map-side-combined shuffle instead of re-shuffling the
-        # full posting strings and joining them back (measured 4-5x the
-        # whole operator). Hash collisions only MERGE counts, so the cap
-        # can only fire early, never late — a conservative valve. The
-        # 1-row aggregate rides the output as a broadcast cross join (the
-        # drift-totals pattern) so Catalyst cannot prune it away.
-        dfreq = posts.groupBy(F.xxhash64("_g").alias("_gh")).agg(
-            F.count(F.lit(1)).alias("_df")
+        # EAGER guard (round 5): postings already carry the 64-bit gram
+        # hash, so the cap check is an 8-byte map-side-combined pass that
+        # raises at CALL time. Hash collisions only MERGE counts — the cap
+        # can only fire early, never late, a conservative valve. The same
+        # single aggregation returns the TOTAL posting count, which picks
+        # the join strategy explicitly (a DISK_ONLY cache's measured size
+        # does not reach the planner — verified: it still broadcast a
+        # 2 GB side at 10^6 docs): small posting tables stay un-hinted so
+        # the optimizer may broadcast them; corpus-sized ones pin
+        # sort-merge (broadcast collects gigabytes to the driver and
+        # shuffle_hash's per-partition build map OOMs — both measured).
+        stats = (
+            posts.groupBy(F.col("_g").alias("_gh"))
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .agg(
+                F.sum("_df").alias("_n"),
+                F.max(
+                    F.when(
+                        F.col("_df") > max_gram_df,
+                        F.struct(F.col("_df"), F.col("_gh")),
+                    )
+                ).alias("_worst"),
+            )
+            .head()
         )
-        guard = dfreq.agg(
-            F.sum(
-                F.when(
-                    F.col("_df") > max_gram_df,
-                    F.raise_error(
-                        F.concat(
-                            F.lit(
-                                f"duplicate_spans: n-gram exceeds max_gram_df="
-                                f"{max_gram_df} occurrences (boilerplate?), "
-                                f"gram hash "
-                            ),
-                            F.col("_gh").cast("string"),
-                        )
-                    ).cast("long"),
-                ).otherwise(F.lit(0))
-            ).alias("_guard")
-        )
-    # merge-join pin (round 5; this join was missed in the round-4 pin
-    # sweep): both sides are the corpus-token-proportional posting table. A
-    # planner size UNDER-estimate (e.g. a synthetic range source, where
-    # posexplode's stats stay at the 8-bytes-per-row input guess) otherwise
-    # lets it plan a broadcast hash join and collect gigabytes to the
-    # driver; shuffle_hash is no better here — with BOTH sides giant, the
-    # per-partition build map itself OOMs (measured at 10^6 docs x 91
-    # grams). Sort-merge spills both sorted sides and holds nothing
-    # data-proportional in memory.
-    a, b = posts.alias("a"), posts.alias("b").hint("merge")
+        if stats["_worst"] is not None:
+            raise ValueError(
+                f"duplicate_spans: n-gram exceeds max_gram_df={max_gram_df} "
+                f"occurrences (boilerplate?), gram hash "
+                f"{stats['_worst']['_gh']} (df={stats['_worst']['_df']})"
+            )
+        a = posts.alias("a")
+        b = posts.alias("b")
+        if (stats["_n"] or 0) > 2_000_000:
+            b = b.hint("merge")
+    else:
+        # unguarded path: nothing materializes before the join, so the
+        # planner may only have the source's estimate — pin sort-merge
+        # (both sides corpus-token-proportional: broadcast collects
+        # gigabytes to the driver, shuffle_hash's per-partition build map
+        # OOMs; sort-merge spills and holds nothing data-proportional)
+        a, b = posts.alias("a"), posts.alias("b").hint("merge")
     cand = a.join(
         b, (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id"))
     ).select(
@@ -1433,12 +1446,6 @@ def duplicate_spans(
         .where(F.col("span_tokens") >= min_span)
         .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
     )
-    if guard is not None:
-        out = (
-            out.crossJoin(F.broadcast(guard))
-            .where(F.coalesce(F.col("_guard"), F.lit(0)) >= 0)
-            .drop("_guard")
-        )
     return out
 
 
