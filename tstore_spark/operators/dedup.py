@@ -422,11 +422,14 @@ def prefix_jaccard_pairs(
     t_eff = max(threshold - 1e-4, 1e-12)
     sh = _cache_scoped(with_hashed_shingles(df, id_col, text_col, n))
     ex = sh.select(F.col(id_col), F.explode("shingles").alias("gram"))
-    freq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
     # canonical order: (df asc, gram asc) — total within a doc (grams
-    # distinct); struct array_sort is lexicographic over the fields
+    # distinct); struct array_sort is lexicographic over the fields. The
+    # document frequency rides each posting via a count window over the
+    # SAME gram exchange (round 5: one exchange; the previous
+    # groupBy-then-join shape shuffled the postings twice — measured 2x)
+    gw = Window.partitionBy("gram")
     ordered = (
-        ex.join(freq, "gram")
+        ex.withColumn("_df", F.count(F.lit(1)).over(gw))
         .groupBy(id_col)
         .agg(
             F.array_sort(
